@@ -1,13 +1,714 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cleaning, Joins, Merge, Split, Stamping}
+import graft.functions.{Dedup, Similarity, TextFunctions}
+
+/** Driver contract — one named query per implemented operator
+  * (SURVEY.md §2), each with a DuckDB oracle twin in [[oracleSql]].
+  *
+  * Determinism rules (so the driver's hash compare is stable):
+  *  - surrogate keys use the deterministic row_number mode (SURVEY §7.4.1)
+  *  - audit dates use a fixed injected clock (2026-01-01)
+  *  - double aggregates are rounded (sum→2dp, avg/ratio→4dp) because
+  *    parallel summation order differs between engines and runs
+  *  - every top-k has a total tie-break order
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val EtlDate = LocalDate.of(2026, 1, 1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Multi-way join + aggregation over the star schema (revenue by
+    * nation), the shape the engine exists to serve.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val nat = t(spark, dir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // ------------------------------------------------------------------
+  // Query registry
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------- reference parity: universal cleaning ----------
+    "clean_universal" -> ((s, dir) => {
+      // P1+P2+P4+P11+P12+P13: normalize names, rename, trim strings,
+      // deterministic row_id, fixed etl_date (universal-cleaning job)
+      val cleaned = Cleaning.trimStrings(
+        Cleaning.renameColumns(
+          Cleaning.normalizeColumnNames(t(s, dir, "customer"))))
+      Stamping.stamp(cleaned, Stamping.Deterministic(Seq("c_custkey")),
+        Some(EtlDate))
+    }),
+
+    "clean_rename_map" -> ((s, dir) => {
+      // P2 with a custom map; case-insensitive, unmatched pass through
+      Cleaning.renameColumns(t(s, dir, "customer"),
+        Map("C_NAME" -> "customer_name", "c_mktsegment" -> "market_segment",
+          "not_a_column" -> "ignored"))
+    }),
+
+    // ---------- reference parity: vertical split ----------
+    "split_pattern_projection" -> ((s, dir) => {
+      // P7-P9: select columns whose NAME contains a pattern
+      Split.patternSelect(t(s, dir, "lineitem"), Seq("key", "price"))
+    }),
+
+    "split_guarded_drop" -> ((s, dir) => {
+      // P10: drop only columns that exist
+      Split.guardedDrop(t(s, dir, "part"),
+        Seq("p_retailprice", "no_such_column"))
+    }),
+
+    // ---------- reference parity: joins ----------
+    "join_left_enrich" -> ((s, dir) => {
+      // J1/J2: left enrich facts with a broadcast dimension
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      Joins.leftEnrich(ord, cust, "o_custkey")
+    }),
+
+    "join_manifest_anti" -> ((s, dir) => {
+      // J3: manifest anti-join — drop already-ingested keys
+      val ord = t(s, dir, "orders")
+      val ledger = ord.filter(col("o_totalprice") > 200000)
+        .select("o_orderkey")
+      Joins.antiJoin(ord, ledger, "o_orderkey")
+    }),
+
+    "route_allowlist" -> ((s, dir) => {
+      // J4: allowlist routing; emit per-route counts (both branches)
+      val (ok, bad) = Joins.route(t(s, dir, "events"), "event_type",
+        Seq("click", "purchase"))
+      ok.agg(count(lit(1)).as("n")).withColumn("route", lit("allowed"))
+        .unionByName(
+          bad.agg(count(lit(1)).as("n")).withColumn("route", lit("rejected")))
+    }),
+
+    // ---------- reference parity: SCD merges ----------
+    "scd1_merge" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val target = cust.filter(col("c_custkey") % 3 =!= 0)
+      val updates = cust.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .withColumn("c_mktsegment", lit("UPDATED"))
+        .select(cust.columns.map(col): _*)
+      Merge.scd1(target, updates, "c_custkey")
+    }),
+
+    "scd2_merge" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val attrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val target = cust.filter(col("c_custkey") % 5 =!= 0)
+        .withColumn("effective_from", lit(java.sql.Date.valueOf("2020-01-01")))
+        .withColumn("effective_to", lit(java.sql.Date.valueOf("9999-12-31")))
+        .withColumn("is_current", lit(true))
+      val updates = cust.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+      Merge.scd2(target, updates, "c_custkey", attrs,
+        java.sql.Date.valueOf("2026-01-01"))
+    }),
+
+    "validate_completeness" -> ((s, dir) => {
+      // C5: completeness check — per-required-domain presence counts
+      t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase", "signup"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    }),
+
+    // ---------- SQL-surface breadth: aggregation ----------
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_local_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 2).as("total_bal"))
+    }),
+
+    "distinct_agg" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // ---------- SQL-surface breadth: windows ----------
+    "window_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+    }),
+
+    "window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(sum("o_totalprice").over(w), 2).as("running_spend"))
+    }),
+
+    "window_lag_sessionize" -> ((s, dir) => {
+      // session boundaries at >30 min gaps; sessions per user
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull, 0)
+            .when(floor(col("ts").cast("double")) -
+              floor(col("prev_ts").cast("double")) > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg((sum("new_session") + 1).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ---------- SQL-surface breadth: set ops, sort/limit ----------
+    "set_operations" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val auto = cust.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select("c_custkey")
+      val rich = cust.filter(col("c_acctbal") > 5000).select("c_custkey")
+      val nat0 = cust.filter(col("c_nationkey") === 0).select("c_custkey")
+      auto.union(rich).distinct().except(nat0)
+        .intersect(cust.select("c_custkey"))
+    }),
+
+    "sort_limit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)
+    }),
+
+    "pivot_events" -> ((s, dir) => {
+      val types = Seq("click", "purchase", "signup", "error")
+      val p = t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+      p.select(col("user_id") +:
+        types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    }),
+
+    // ---------- SQL-surface breadth: scalar functions ----------
+    "scalar_functions" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        upper(col("o_orderstatus")).as("status_u"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
+          .as("status_prio"),
+        // rounded to 3dp: the true product has exactly 3 decimals, so no
+        // half-way cases exist and Spark/DuckDB rounding agree bit-exactly
+        round(col("o_totalprice") * 0.1, 3).as("commission"),
+        (col("o_orderkey") % 7).as("bucket7"),
+        when(col("o_totalprice") > 150000, "high")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("low").as("price_band"))
+    }),
+
+    "date_math" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("ship_days"),
+          add_months(col("o_orderdate").cast("date"), 3).as("due_month"),
+          date_add(col("l_shipdate").cast("date"), 30).as("receipt_due"))
+    }),
+
+    "json_extract" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+    }),
+
+    "events_hourly" -> ((s, dir) => {
+      // batch twin of the streaming windowed aggregation
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    }),
+
+    // ---------- LLM-pipeline: dedup ----------
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 3)
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, minSim = 0.5)
+    }),
+
+    // ---------- LLM-pipeline: text analysis ----------
+    "text_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // ---------- LLM-pipeline: similarity search ----------
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+
+    "sim_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
+        dim = 64, nBits = 4)
+        .select("query_id", "rank", "neighbor_id", "score")
+    }),
+
+    "embed_norms" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(Similarity.l2Norm(col("embedding")), 4).as("l2_norm"))
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle twins. Column names/aliases must match the Spark
+  // output exactly (driver sorts columns by name before hashing).
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "clean_universal" ->
+      """SELECT c_custkey, trim(c_name) AS c_name, c_nationkey, c_acctbal,
+        |       trim(c_mktsegment) AS c_mktsegment,
+        |       CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS row_id,
+        |       DATE '2026-01-01' AS etl_date
+        |FROM customer""".stripMargin,
+
+    "clean_rename_map" ->
+      """SELECT c_custkey, c_name AS customer_name, c_nationkey, c_acctbal,
+        |       c_mktsegment AS market_segment
+        |FROM customer""".stripMargin,
+
+    "split_pattern_projection" ->
+      "SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice FROM lineitem",
+
+    "split_guarded_drop" ->
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part",
+
+    "join_left_enrich" ->
+      """SELECT o.o_custkey, o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+        |       o.o_orderdate, o.o_orderpriority,
+        |       c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    "join_manifest_anti" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)""".stripMargin,
+
+    "route_allowlist" ->
+      """SELECT count(*) AS n, 'allowed' AS route FROM events
+        |WHERE event_type IN ('click','purchase')
+        |UNION ALL
+        |SELECT count(*) AS n, 'rejected' AS route FROM events
+        |WHERE event_type NOT IN ('click','purchase')""".stripMargin,
+
+    "scd1_merge" ->
+      """WITH target AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+        |updates AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+        |         'UPDATED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT coalesce(u.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+        |FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey""".stripMargin,
+
+    "scd2_merge" ->
+      """WITH target AS (
+        |  SELECT *, DATE '2020-01-01' AS effective_from,
+        |         DATE '9999-12-31' AS effective_to, TRUE AS is_current
+        |  FROM customer WHERE c_custkey % 5 <> 0),
+        |updates AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |j AS (SELECT t.c_custkey AS t_pk, t.c_name AS t_name,
+        |             t.c_nationkey AS t_nk, t.c_acctbal AS t_bal,
+        |             t.c_mktsegment AS t_seg, t.effective_from AS t_from,
+        |             u.c_custkey AS u_pk, u.c_name AS u_name,
+        |             u.c_nationkey AS u_nk, u.c_acctbal AS u_bal,
+        |             u.c_mktsegment AS u_seg,
+        |             NOT (t.c_name IS NOT DISTINCT FROM u.c_name AND
+        |                  t.c_nationkey IS NOT DISTINCT FROM u.c_nationkey AND
+        |                  t.c_acctbal IS NOT DISTINCT FROM u.c_acctbal AND
+        |                  t.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment) AS changed
+        |      FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey)
+        |SELECT t_pk AS c_custkey, t_name AS c_name, t_nk AS c_nationkey,
+        |       t_bal AS c_acctbal, t_seg AS c_mktsegment,
+        |       t_from AS effective_from, DATE '9999-12-31' AS effective_to,
+        |       TRUE AS is_current
+        |FROM j WHERE u_pk IS NULL OR NOT changed
+        |UNION ALL
+        |SELECT t_pk, t_name, t_nk, t_bal, t_seg, t_from,
+        |       DATE '2026-01-01', FALSE
+        |FROM j WHERE u_pk IS NOT NULL AND t_pk IS NOT NULL AND changed
+        |UNION ALL
+        |SELECT u_pk, u_name, u_nk, u_bal, u_seg,
+        |       DATE '2026-01-01', DATE '9999-12-31', TRUE
+        |FROM j WHERE u_pk IS NOT NULL AND (t_pk IS NULL OR changed)""".stripMargin,
+
+    "validate_completeness" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type IN ('click','purchase','signup')
+        |GROUP BY event_type""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "window_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_spend
+        |FROM orders""".stripMargin,
+
+    "window_lag_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+        |         WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "set_operations" ->
+      """SELECT c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |) EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey = 0
+        |INTERSECT SELECT c_custkey FROM customer""".stripMargin,
+
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+
+    "pivot_events" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "scalar_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |  upper(o_orderstatus) AS status_u,
+        |  substr(o_orderpriority, 1, 1) AS prio_code,
+        |  CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
+        |  o_orderstatus || '-' || o_orderpriority AS status_prio,
+        |  round(o_totalprice * 0.1, 3) AS commission,
+        |  o_orderkey % 7 AS bucket7,
+        |  CASE WHEN o_totalprice > 150000 THEN 'high'
+        |       WHEN o_totalprice > 50000 THEN 'mid'
+        |       ELSE 'low' END AS price_band
+        |FROM orders""".stripMargin,
+
+    "date_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |       CAST(l_shipdate AS DATE)) AS INTEGER) AS ship_days,
+        |  CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS due_month,
+        |  CAST(l_shipdate AS DATE) + 30 AS receipt_due
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+
+    "json_extract" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS prop_k
+        |FROM events""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fingerprint,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |    AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% to %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% in %' THEN 1 ELSE 0 END) AS s_en,
+        |    (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% die %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% das %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% ist %' THEN 1 ELSE 0 END) AS s_de,
+        |    (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% la %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% una %' THEN 1 ELSE 0 END) AS s_es,
+        |    (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% des %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% est %' THEN 1 ELSE 0 END +
+        |     CASE WHEN p LIKE '% une %' THEN 1 ELSE 0 END) AS s_fr
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+        |      THEN 'en'
+        |    WHEN s_de > 0 AND s_de > s_en AND s_de >= s_es AND s_de >= s_fr
+        |      THEN 'de'
+        |    WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es >= s_fr
+        |      THEN 'es'
+        |    WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es
+        |      THEN 'fr'
+        |    ELSE 'und' END AS lang_pred
+        |FROM sc""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, round(
+        |  0.35 * least(length(text) / 500.0, 1.0) +
+        |  0.35 * (CASE WHEN length(text) > 0 THEN
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |      / length(text) ELSE 0 END) +
+        |  0.2 * (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+        |    AND (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |      / (CASE WHEN length(trim(text)) = 0 THEN 1
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END))
+        |      BETWEEN 3.0 AND 10.0
+        |    THEN 1.0 ELSE 0.5 END) -
+        |  0.1 * (CASE WHEN length(text) > 0 THEN
+        |    least(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10.0
+        |      / length(text), 1.0) ELSE 0 END), 4) AS quality
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "sim_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec::DOUBLE[])
+        |      AS score
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "embed_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+        |    x -> x * x))), 4) AS l2_norm
+        |FROM embeddings""".stripMargin
+  )
 }

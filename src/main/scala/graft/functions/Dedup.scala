@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Built from codegen'd
+  * higher-order array functions — no UDFs, no driver-side loops.
+  *
+  * Scale design: exact dedup is one hash-shuffle on the fingerprint.
+  * MinHash LSH shuffles once on (band, bandHash) buckets — candidate
+  * pairs only ever materialize within a bucket, never the O(n²) cross
+  * product. SimHash is map-only per document; near-dup pairing joins on
+  * rotated prefixes (pigeonhole over bit blocks).
+  */
+object Dedup {
+
+  // ---------------- shingling ----------------
+
+  /** Whitespace tokens of the canonical (lower, collapsed) form. */
+  def tokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  /** Word n-gram shingles: array of space-joined n-token windows.
+    * Documents shorter than n tokens yield a single whole-text shingle.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val cnt = size(toks)
+    when(cnt <= n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), cnt - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  // ---------------- exact ----------------
+
+  /** Exact dedup: group by content fingerprint, keep the lowest id as
+    * representative. One shuffle on the (short) fingerprint, map-side
+    * partial aggregation — the canonical 100 TB-safe shape.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** MinHash signature: for each of `numHashes` seeded permutations,
+    * the minimum xxhash64(seed ⊕ shingle) over the document's shingles.
+    * One array column of `numHashes` longs per doc; map-only.
+    */
+  def minHashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
+    val sh = shingles(text, shingleN)
+    val hashes = (0 until numHashes).map { seed =>
+      aggregate(sh, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(lit(seed), s)))
+    }
+    array(hashes: _*)
+  }
+
+  /** LSH banding: candidate pairs = docs sharing at least one band hash
+    * (bands of `rowsPerBand` signature entries). Output one row per
+    * candidate pair (id_a < id_b), with the signature-estimated Jaccard.
+    */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 16,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sig = docs.select(
+      col(idCol).as("doc_id"),
+      minHashSignature(col(textCol), shingleN, numHashes).as("sig"))
+
+    // explode into (band, bandHash, doc_id); bucket join on (band, hash)
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+          lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        round(estJaccard(col("sig_a"), col("sig_b")), 4))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Signature-agreement estimate of Jaccard similarity. */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB,
+      (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), _ + _) / size(sigA)
+
+  // ---------------- n-gram Jaccard (exact, blocked) ----------------
+
+  /** Exact Jaccard over word-shingle sets for candidate pairs produced by
+    * MinHash LSH (never all-pairs). Returns pairs with jaccard >= minSim.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, minSim: Double = 0.5,
+                        numHashes: Int = 16,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val cands = minHashCandidates(docs, idCol, textCol, shingleN,
+      numHashes, rowsPerBand).select("id_a", "id_b")
+    val sets = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .filter(col("jaccard") >= minSim)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by
+    * token-hash bits; sign of the sum sets the output bit. Single
+    * fold over the token array — map-only, codegen'd.
+    */
+  def simHash(text: Column): Column =
+    simHashImpl(transform(tokens(text), t => xxhash64(t)))
+
+  /** Actual SimHash fold (kept separate for clarity/testing).
+    * Shift amounts must be Scala Ints, so the 64 bit positions are
+    * unrolled driver-side into literal arrays.
+    */
+  private def simHashImpl(hashes: Column): Column = {
+    val counts = aggregate(hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map { i =>
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === 1, lit(1))
+            .otherwise(lit(-1))
+        }: _*),
+        (a, b) => a + b))
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(counts, powers,
+        (c, p) => when(c > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxDist` Hamming distance, blocked by
+    * 16-bit signature quarters (pigeonhole: any pair within distance 3
+    * agrees on at least one of 4 quarters), so the join never goes O(n²).
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("doc_id"),
+      simHash(col(textCol)).as("sim"))
+    val blocked = sig.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "quarter")
+      .withColumnRenamed("col", "block")
+    val a = blocked.select(col("quarter"), col("block"),
+      col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = blocked.select(col("quarter"), col("block"),
+      col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("quarter", "block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language-ID heuristic, quality scoring, document
+  * fingerprinting. All built from codegen'd `org.apache.spark.sql
+  * .functions` (no UDFs) so they stay inside whole-stage codegen and
+  * scale linearly with no shuffle — these are pure map-side operators.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. Empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count: alphanumeric runs and single non-space
+    * symbols each count as one token (regex approximation of a byte-pair
+    * vocabulary's pre-tokenizer).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Language-ID heuristic: count distinct high-frequency marker words per
+    * language over the padded, lowercased text; argmax wins, earlier
+    * language in `markers` wins ties. Deterministic and oracle-mirrorable
+    * (pure LIKE arithmetic).
+    */
+  val DefaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "que", "los", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "une"))
+
+  def langId(text: Column,
+             markers: Seq[(String, Seq[String])] = DefaultMarkers): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def score(words: Seq[String]): Column =
+      words.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
+        .reduce(_ + _)
+    val scored = markers.map { case (lang, ws) => (lang, score(ws)) }
+    // argmax with first-wins tie-break: lang beats all LATER langs
+    // strictly-greater-or-equal, and all EARLIER langs strictly-greater.
+    val best = scored.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, s), i), elseCol) =>
+        val beatsEarlier = scored.take(i).map { case (_, s2) => s > s2 }
+        val beatsLater = scored.drop(i + 1).map { case (_, s2) => s >= s2 }
+        val isBest = (beatsEarlier ++ beatsLater :+ (s > 0)).reduce(_ && _)
+        when(isBest, lit(lang)).otherwise(elseCol)
+    }
+    best
+  }
+
+  /** Quality score in [0,1]: blend of length saturation, alpha ratio,
+    * punctuation penalty, and mean-word-length sanity. Heuristic in the
+    * spirit of C4/Gopher text-quality rules, expressed as pure column
+    * arithmetic. Rounded to 4 decimals for cross-engine determinism.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val alphaRatio = when(n > 0, alpha / n).otherwise(lit(0.0))
+    val punctPenalty = when(n > 0, least(punct / n * lit(10.0), lit(1.0)))
+      .otherwise(lit(0.0))
+    val meanWord = when(toks > 0, alpha / toks).otherwise(lit(0.0))
+    val wordScore = when(meanWord.between(3.0, 10.0), lit(1.0))
+      .otherwise(lit(0.5))
+    round(
+      lit(0.35) * lenScore + lit(0.35) * alphaRatio +
+        lit(0.2) * wordScore - lit(0.1) * punctPenalty, 4)
+  }
+
+  /** Document fingerprint: md5 of the whitespace-collapsed, lowercased
+    * text — a canonical-form content hash for exact-dup detection across
+    * formatting variants.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling-style fingerprint using xxhash64 over the canonical
+    * form (cheaper than md5; native codegen'd expression).
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
