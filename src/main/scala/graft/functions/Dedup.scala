@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.exprs
+
 /** Deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard. Built from codegen'd
   * higher-order array functions — no UDFs, no driver-side loops.
@@ -69,7 +71,7 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val sig = docs.select(
       col(idCol).as("doc_id"),
-      minHashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      exprs.minhash_sig(col(textCol), shingleN, numHashes).as("sig"))
 
     // explode into (band, bandHash, doc_id); bucket join on (band, hash)
     val banded = sig.select(
@@ -112,17 +114,14 @@ object Dedup {
     val cands = minHashCandidates(docs, idCol, textCol, shingleN,
       numHashes, rowsPerBand).select("id_a", "id_b")
     val sets = docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+      exprs.shingle_hashes(col(textCol), shingleN).as("sh"))
     cands
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
         Seq("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni",
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .withColumn("jaccard",
+        round(exprs.sorted_array_jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= minSim)
       .select("id_a", "id_b", "jaccard")
   }
@@ -167,7 +166,7 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     val sig = docs.select(col(idCol).as("doc_id"),
-      simHash(col(textCol)).as("sim"))
+      exprs.simhash64(col(textCol)).as("sim"))
     val blocked = sig.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(q =>
         shiftright(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.exprs
+
 /** Vector-similarity operators over an `array<float>` embedding column.
   *
   * All arithmetic is done in DOUBLE (elements cast before multiplying) so
@@ -51,7 +53,7 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("score", exprs.cosine_sim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored
@@ -94,7 +96,7 @@ object Similarity {
 
     val scored = cand.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("score", exprs.cosine_sim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
