@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.Instant
+import scala.annotation.tailrec
+import scala.jdk.CollectionConverters._
+import scala.util.{Failure, Success, Try}
+
+/** File-ingest source stage (SURVEY.md §2.1 S5/S6, §2.5 F5, §2.3 J3,
+  * §2.7 C4/C8): enumerate an inbox, route each file by normalized
+  * filename, skip files already in the manifest ledger, copy with
+  * retry, append ledger entries.
+  *
+  * Mirrors `script/sync-drive-to-s3.py`: the network Drive source is out
+  * of engine scope; the inbox directory plays its role. Routing
+  * reproduces `determine_s3_path` (`:40-45`): strip `NH_` and `_`,
+  * lowercase, first mapping key contained in the normalized name wins,
+  * `_DEFAULT` otherwise. Manifest reproduces `metadata/processed_files
+  * .json` (`:16,24-38`): file-level exactly-once ingestion.
+  */
+object Ingest {
+
+  /** Routing table, reference `script/config.json:7-13` semantics. */
+  final case class Routing(mapping: Seq[(String, String)], default: String)
+
+  val ReferenceRouting: Routing = Routing(
+    Seq(
+      "ProviderInfo" -> "provider_info",
+      "Penalties" -> "penalties",
+      "SurveySummary" -> "survey_summary",
+      "QualityMDS" -> "qualitymsr_mds"),
+    default = "other")
+
+  /** F5: filename → domain. */
+  def route(fileName: String, routing: Routing = ReferenceRouting): String = {
+    val normalized =
+      fileName.replace("NH_", "").replace("_", "").toLowerCase
+    routing.mapping
+      .collectFirst { case (pat, dom) if normalized.contains(pat.toLowerCase) => dom }
+      .getOrElse(routing.default)
+  }
+
+  /** Manifest ledger entry (`sync-drive-to-s3.py:126-131`). */
+  final case class ManifestEntry(fileId: String, fileName: String,
+                                 destKey: String, syncedAt: String)
+
+  /** Minimal JSON codec for the ledger (no external deps). */
+  object Manifest {
+    def load(path: String): Seq[ManifestEntry] = {
+      val p = Paths.get(path)
+      if (!Files.exists(p)) return Seq.empty
+      val txt = Files.readString(p)
+      // entries were written by save(): one object per line block
+      val entry =
+        """\{\s*"file_id":\s*"([^"]*)",\s*"file_name":\s*"([^"]*)",\s*"dest_key":\s*"([^"]*)",\s*"synced_at":\s*"([^"]*)"\s*\}""".r
+      entry.findAllMatchIn(txt).map(m =>
+        ManifestEntry(m.group(1), m.group(2), m.group(3), m.group(4))).toSeq
+    }
+
+    def save(path: String, entries: Seq[ManifestEntry]): Unit = {
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val body = entries.map { e =>
+        s"""  {"file_id": "${esc(e.fileId)}", "file_name": "${esc(e.fileName)}", "dest_key": "${esc(e.destKey)}", "synced_at": "${esc(e.syncedAt)}"}"""
+      }.mkString("[\n", ",\n", "\n]")
+      Files.createDirectories(Paths.get(path).getParent)
+      Files.writeString(Paths.get(path), body)
+    }
+  }
+
+  /** C4: bounded retry (`sync-drive-to-s3.py:50-57`: 3 tries, 5s). */
+  @tailrec
+  def retry[T](tries: Int = 3, delayMs: Long = 5000)(op: () => T): T =
+    Try(op()) match {
+      case Success(v) => v
+      case Failure(e) if tries > 1 =>
+        Thread.sleep(delayMs)
+        retry(tries - 1, delayMs)(op)
+      case Failure(e) => throw new RuntimeException("Max retries exceeded", e)
+    }
+
+  final case class IngestReport(synced: Seq[ManifestEntry],
+                                skipped: Seq[String])
+
+  /** The full ingest stage: inbox → raw zone. File identity = name +
+    * size + mtime (the local stand-in for the Drive file id).
+    */
+  def run(inboxDir: String, lake: Lake, manifestPath: String,
+          routing: Routing = ReferenceRouting, dryRun: Boolean = false,
+          retryDelayMs: Long = 100): IngestReport = {
+    val manifest = Manifest.load(manifestPath)
+    val known = manifest.map(_.fileId).toSet
+    val inbox = Paths.get(inboxDir)
+    val files =
+      if (!Files.isDirectory(inbox)) Seq.empty[Path]
+      else Files.list(inbox).iterator().asScala
+        .filter(Files.isRegularFile(_)).toSeq.sortBy(_.getFileName.toString)
+
+    val (newFiles, skipped) = files.partition { f =>
+      val id = fileId(f)
+      !known.contains(id)
+    }
+
+    val synced = newFiles.map { f =>
+      val name = f.getFileName.toString
+      val domain = route(name, routing)
+      val destKey = s"${lake.rawDomain(domain)}/$name"
+      if (!dryRun) {
+        retry(3, retryDelayMs) { () =>
+          Files.createDirectories(Paths.get(lake.rawDomain(domain)))
+          Files.copy(f, Paths.get(destKey),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      ManifestEntry(fileId(f), name, destKey, Instant.now.toString)
+    }
+
+    if (!dryRun) Manifest.save(manifestPath, manifest ++ synced)
+    IngestReport(synced, skipped.map(_.getFileName.toString))
+  }
+
+  private def fileId(f: Path): String =
+    s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+
+  /** C6: archival move — raw domains to processed/ if allowlisted, else
+    * error/ (`move_sources_files.py:16-40`).
+    */
+  def archiveRaw(lake: Lake, allowlist: Set[String]): Map[String, String] = {
+    Catalog.domains(lake.raw).map { domain =>
+      val target =
+        if (allowlist(domain)) s"${lake.processed}/$domain"
+        else s"${lake.error}/raw_$domain"
+      val src = Paths.get(lake.rawDomain(domain))
+      Files.createDirectories(Paths.get(target))
+      Files.list(src).iterator().asScala
+        .filter(Files.isRegularFile(_)).foreach { f =>
+          Files.move(f, Paths.get(target, f.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      domain -> target
+    }.toMap
+  }
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.expressions.exprs
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: blank → 0, whitespace runs collapse") {
+    val df = Seq("", "  ", "one", "a b  c\td").toDF("t")
+    val got = df.select(TextFunctions.tokenCount($"t")).as[Long]
+      .collect().toSeq
+    assert(got == Seq(0L, 0L, 1L, 4L))
+  }
+
+  test("langId picks marker-majority language, und when no markers") {
+    val df = Seq(
+      "the cat and the dog of to in",
+      "der hund und die katze ist das",
+      "zzz qqq").toDF("t")
+    val got = df.select(TextFunctions.langId($"t")).as[String]
+      .collect().toSeq
+    assert(got == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    val df = Seq(("A  B\tc", "a b c")).toDF("x", "y")
+    val r = df.select(
+      TextFunctions.fingerprint($"x") === TextFunctions.fingerprint($"y"))
+      .as[Boolean].head()
+    assert(r)
+  }
+
+  test("native simhash: identical text → identical hash; near text → small hamming") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy dog again and again"),
+      ("c", "the quick brown fox jumps over the lazy cat again and again"),
+      ("d", "completely different words entirely unrelated content here now")
+    ).toDF("id", "t")
+    val sigs = df.select($"id", exprs.simhash64($"t")).as[(String, Long)]
+      .collect().toMap
+    assert(sigs("a") == sigs("b"))
+    val nearDist = java.lang.Long.bitCount(sigs("a") ^ sigs("c"))
+    val farDist = java.lang.Long.bitCount(sigs("a") ^ sigs("d"))
+    assert(nearDist < farDist,
+      s"near=$nearDist should be < far=$farDist")
+  }
+
+  test("native minhash signature: est jaccard high for near-dups, low for unrelated") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val far = (100 to 140).map(i => s"other$i").mkString(" ")
+    val df = Seq(("a", base), ("b", near), ("c", far)).toDF("id", "t")
+    val sig = df.select($"id", exprs.minhash_sig($"t", 3, 16).as("s"))
+    val pairs = sig.as("x").crossJoin(sig.as("y"))
+      .filter($"x.id" < $"y.id")
+      .select($"x.id", $"y.id",
+        Dedup.estJaccard($"x.s", $"y.s").as("j"))
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs(("a", "b")) > 0.5, s"near-dup est ${pairs(("a", "b"))}")
+    assert(pairs(("a", "c")) < 0.2, s"unrelated est ${pairs(("a", "c"))}")
+  }
+
+  test("shingle_hashes + sorted_array_jaccard: exact jaccard via merge") {
+    val df = Seq(("x", "a b c d e", "a b c d e"), ("y", "a b c d e", "f g h i j"))
+      .toDF("id", "s", "t")
+    val got = df.select(exprs.sorted_array_jaccard(
+      exprs.shingle_hashes($"s", 2), exprs.shingle_hashes($"t", 2)))
+      .as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0))
+  }
+
+  test("native cosine_sim matches HOF cosine to 1e-9") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .limit(50)
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val joined = a.crossJoin(b).filter($"ia" < $"ib").limit(200)
+    val diffs = joined.select(
+      abs(exprs.cosine_sim($"va", $"vb") -
+        Similarity.cosine($"va", $"vb")).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(diffs < 1e-9, s"max diff $diffs")
+  }
+
+  test("exact dedup groups identical canonical text") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "bye"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select($"keep_id", $"n_copies").as[(Long, Long)]
+      .collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH candidates find planted near-duplicates") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text")
+    assert(cands.count() > 0)
+    // est_jaccard should correlate with exact jaccard on the candidates
+    val joined = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minSim = 0.0)
+    assert(joined.filter($"jaccard" >= 0.8).count() > 0,
+      "expected some true near-dups among candidates")
+  }
+}
