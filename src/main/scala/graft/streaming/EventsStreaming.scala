@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming operators (SURVEY.md §2.6).
+  *
+  * The reference is pure scheduled batch — its only incremental behavior
+  * is the file-manifest anti-join (`sync-drive-to-s3.py:108-111`). The
+  * idiomatic Spark counterparts provided here:
+  *
+  *  - [[fileStream]]: `readStream` over a landing directory — Spark's
+  *    checkpointed file index subsumes the manifest ledger (exactly-once
+  *    per file, no JSON bookkeeping), `Trigger.AvailableNow` reproduces
+  *    the daily-batch cadence;
+  *  - [[windowedCounts]]: watermarked tumbling-window aggregation — the
+  *    streaming twin of the `events_hourly` batch query;
+  *  - [[sessionize]]: `flatMapGroupsWithState` gap-based sessionization —
+  *    the streaming twin of the `window_lag_sessionize` batch query.
+  *
+  * All transforms are written against unbounded Datasets, so the same
+  * code runs batch (tests drive them with `MemoryStream`-free batch
+  * frames where possible) and streaming.
+  */
+object EventsStreaming {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
+                                  session_end: java.sql.Timestamp, n_events: Long,
+                                  total_value: Double)
+
+  /** Per-user open-session state for [[sessionize]]. */
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** S5-as-stream: checkpointed incremental file ingest of a landing
+    * directory. `maxFilesPerTrigger` bounds per-batch work; with
+    * `Trigger.AvailableNow` a scheduled run drains whatever is new and
+    * stops — the reference's daily incremental sync, minus the manifest.
+    */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+                 format: String = "csv", maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .format(format)
+      .schema(schema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+
+  /** Watermarked tumbling-window aggregation. 1-hour windows, late data
+    * accepted up to `lateness`. State is bounded: watermark eviction
+    * drops windows older than the horizon — required at 100 TB/day.
+    */
+  def windowedCounts(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Gap-based sessionization with explicit state: sessions close after
+    * `gapSeconds` of inactivity per user. Emits one summary row per
+    * closed session; ProcessingTimeTimeout flushes idle users.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+                 timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit spark: SparkSession): Dataset[SessionSummary] = {
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption
+      val closed = Seq.newBuilder[SessionSummary]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapSeconds * 1000 =>
+            cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            closed += SessionSummary(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach(s => closed += SessionSummary(userId,
+          new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+          s.n, s.total))
+        state.remove()
+      } else {
+        cur.foreach { s =>
+          state.update(s)
+          if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+            state.setTimeoutDuration(gapSeconds * 1000)
+        }
+      }
+      closed.result().iterator
+    }
+
+    // NoTimeout by default: open sessions stay in state at drain end —
+    // right for a Trigger.AvailableNow daily drain. Pass
+    // ProcessingTimeTimeout for continuous streams that must flush idle
+    // users (it schedules extra timeout batches, so avoid under
+    // AvailableNow).
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
+
+  /** Drive a streaming frame to completion against a memory sink —
+    * batch-style execution of a streaming plan (used by tests and the
+    * AvailableNow "daily drain" mode).
+    */
+  def drainToMemory(df: DataFrame, queryName: String, checkpoint: String,
+                    mode: OutputMode = OutputMode.Update): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+}
