@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, Joins, Merge, Split, Stamping}
 import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
   * (SURVEY.md §2), each with a DuckDB oracle twin in [[oracleSql]].
@@ -380,6 +381,155 @@ object SparkEntry {
       t(s, dir, "embeddings").select(
         col("vec_id"),
         round(Similarity.l2Norm(col("embedding")), 4).as("l2_norm"))
+    }),
+
+    // ---------- LLM-pipeline: multimodal columns ----------
+    "multimodal_meta" -> ((s, dir) => {
+      // binary media column + typed metadata struct (plumbing oracle-
+      // checked; decode itself is stubbed — see Multimodal.DecodeStub)
+      Multimodal.mediaFromDocuments(t(s, dir, "documents")).select(
+        col("media_id"),
+        octet_length(col("media")).cast("long").as("n_bytes"),
+        col("meta.kind").as("kind"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"))
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("checksum"),
+          round(col("mean_byte"), 4).as("mean_byte"),
+          round(col("entropy_bits"), 4).as("entropy_bits"))
+    }),
+
+    // ---------- SQL-surface breadth, tranche 2 ----------
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+    }),
+
+    "exists_subquery" -> ((s, dir) => {
+      // EXISTS ⇒ left-semi join
+      val cust = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("c_custkey"))
+      Joins.semiJoin(cust, big, "c_custkey")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    "percentiles" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy("o_orderstatus").agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+    }),
+
+    "stats_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("cov_pq"))
+    }),
+
+    "string_functions" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        reverse(col("p_type")).as("type_rev"),
+        substring_index(col("p_type"), " ", 1).as("type_first_word"),
+        translate(col("p_brand"), "#", "N").as("brand_t"),
+        repeat(col("p_brand"), 2).as("brand_x2"))
+    }),
+
+    "array_explode" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+    }),
+
+    "collect_sorted" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"))
+    }),
+
+    "having_filter" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("spend"))
+        .filter(col("n_orders") >= 15)
+    }),
+
+    "cross_join_enum" -> ((s, dir) => {
+      val statuses = t(s, dir, "orders").select("o_orderstatus").distinct()
+      t(s, dir, "region").crossJoin(statuses)
+        .select("r_name", "o_orderstatus")
+    }),
+
+    "union_by_name" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.filter(col("p_size") < 10)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val b = p.filter(col("p_size") >= 45)
+        .select(col("p_size"), col("p_partkey"), col("p_brand")) // reordered
+      a.unionByName(b)
+    }),
+
+    "null_handling" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("maybe_status"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_filled"),
+        when(col("o_totalprice") > 200000, lit(null))
+          .otherwise(col("o_totalprice")).as("capped_price"),
+        col("o_totalprice").isNull.as("is_null_price"))
+    }),
+
+    "min_max_by" -> ((s, dir) => {
+      // deterministic arg-min/max: price (2-decimal money) and the unique
+      // order key packed into one BIGINT ordering key — DuckDB's arg_max
+      // has no struct-ordered overload, so both sides use the same scalar
+      val ordKey = round(col("o_totalprice") * 100).cast("long") *
+        lit(10000000L) + col("o_orderkey")
+      t(s, dir, "orders").groupBy("o_custkey").agg(
+        max_by(col("o_orderkey"), ordKey).as("biggest_order"),
+        min_by(col("o_orderkey"), ordKey).as("smallest_order"))
+    }),
+
+    "q6_filter_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1994-01-01") &&
+          col("l_shipdate") < lit("1995-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q10_returned_items" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
     })
   )
 
@@ -709,6 +859,113 @@ object SparkEntry {
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
         |    x -> x * x))), 4) AS l2_norm
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'image' AS kind,
+        |  CAST(doc_id % 1024 + 16 AS INTEGER) AS width,
+        |  CAST((doc_id * 7) % 1024 + 16 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "exists_subquery" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""".stripMargin,
+
+    "percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_discount), 6) AS var_disc,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "string_functions" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_padded,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  reverse(p_type) AS type_rev,
+        |  split_part(p_type, ' ', 1) AS type_first_word,
+        |  translate(p_brand, '#', 'N') AS brand_t,
+        |  repeat(p_brand, 2) AS brand_x2
+        |FROM part""".stripMargin,
+
+    "array_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word""".stripMargin,
+
+    "collect_sorted" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+        |    AS priorities
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "having_filter" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin,
+
+    "cross_join_enum" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)""".stripMargin,
+
+    "union_by_name" ->
+      """SELECT p_partkey, p_brand, p_size FROM part WHERE p_size < 10
+        |UNION ALL
+        |SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 45""".stripMargin,
+
+    "null_handling" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS maybe_status,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+        |  CASE WHEN o_totalprice > 200000 THEN NULL
+        |       ELSE o_totalprice END AS capped_price,
+        |  (o_totalprice IS NULL) AS is_null_price
+        |FROM orders""".stripMargin,
+
+    "min_max_by" ->
+      """SELECT o_custkey,
+        |  arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |    * 10000000 + o_orderkey) AS biggest_order,
+        |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |    * 10000000 + o_orderkey) AS smallest_order
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin
   )
 }
