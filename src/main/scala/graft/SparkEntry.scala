@@ -383,6 +383,18 @@ object SparkEntry {
         round(Similarity.l2Norm(col("embedding")), 4).as("l2_norm"))
     }),
 
+    "dedup_embedding" -> ((s, dir) => {
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"),
+        "vec_id", "embedding", minCos = 0.4, maxId = 1000)
+    }),
+
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label",
+        k = 5, nProbe = 3)
+    }),
+
     // ---------- LLM-pipeline: multimodal columns ----------
     "multimodal_meta" -> ((s, dir) => {
       // binary media column + typed metadata struct (plumbing oracle-
@@ -860,6 +872,16 @@ object SparkEntry {
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
         |    x -> x * x))), 4) AS l2_norm
         |FROM embeddings""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+        |           WHERE vec_id < 1000)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(list_cosine_similarity(a.v::DOUBLE[], b.v::DOUBLE[]), 4)
+        |    AS cos
+        |FROM e a JOIN e b ON a.id < b.id
+        |WHERE round(list_cosine_similarity(a.v::DOUBLE[], b.v::DOUBLE[]), 4)
+        |      >= 0.4""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,

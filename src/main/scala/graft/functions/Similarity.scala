@@ -63,6 +63,71 @@ object Similarity {
         round(col("score"), 4).as("score"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a<b) pairs with cosine
+    * above the threshold, over a bounded id range. Exact (no LSH) — the
+    * oracle-checkable baseline; at corpus scale swap the cross join for
+    * [[lshTopK]]-style bucketing.
+    */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        minCos: Double, maxId: Long): DataFrame = {
+    val e = corpus.filter(col(idCol) < maxId)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val a = e.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = e.select(col("id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(graft.expressions.exprs.cosine_sim(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** IVF-style ANN: a coarse quantizer (centroid per `labelCol` cell)
+    * routes each query to its `nProbe` nearest cells; exact ranking runs
+    * only inside the probed cells. The inverted-file shape: at 100 TB the
+    * corpus is partitioned by cell, so a probe reads ~nProbe/nCells of
+    * the data instead of all of it.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, labelCol: String, k: Int,
+              nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    // centroids: per-cell mean vector (posexplode → avg per dimension)
+    val cent = corpus.select(col(labelCol).as("cell"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("cell", "dim").agg(avg("x").as("m"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"),
+        col("m")))).as("dm"))
+      .select(col("cell"), transform(col("dm"), _.getField("m"))
+        .cast("array<float>").as("centroid"))
+
+    // route queries to their nProbe nearest centroids
+    val qCells = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cdist",
+        graft.expressions.exprs.cosine_sim(col("q_vec"), col("centroid")))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cdist").desc, col("cell").asc)
+    val probes = qCells.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+
+    // exact ranking within probed cells only
+    val cells = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"), col(labelCol).as("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        graft.expressions.exprs.cosine_sim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Random-hyperplane signature: `planes(p)(d)` dotted with the vector,
     * sign bit per plane packed into a long. Deterministic given the
     * caller's seeded plane matrix.
