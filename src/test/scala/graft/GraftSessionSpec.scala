@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftSessionSpec extends AnyFunSuite {
+  test("extensions expose native expressions to SQL") {
+    // getOrCreate may return the suite-shared session (extensions only
+    // apply to fresh contexts), so register on it at runtime — the same
+    // function set GraftExtensions injects at build time
+    val spark = GraftSession.builder("local[2]", Some(2))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftFunctions.register(spark)
+    try {
+      val row = spark.sql(
+        """SELECT simhash64('hello world hello') AS sh,
+          |       cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cs,
+          |       sorted_array_jaccard(array(1L, 2L), array(2L, 3L)) AS j,
+          |       size(minhash_sig('a b c d e')) AS nsig,
+          |       size(shingle_hashes('a b c d e')) AS nsh
+          |""".stripMargin).head()
+      assert(row.getLong(0) != 0L)
+      assert(row.getDouble(1) == 1.0)
+      assert(math.abs(row.getDouble(2) - 1.0 / 3.0) < 1e-12)
+      assert(row.getInt(3) == 16)
+      assert(row.getInt(4) == 3)
+    } finally ()
+  }
+}
