@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: skew-salted joins and co-located (bucketed) joins.
+  *
+  * AQE's skew-join split (`spark.sql.adaptive.skewJoin`, on by default in
+  * [[graft.GraftSession]]) handles most skew at runtime; [[saltedJoin]]
+  * is the explicit fallback for pathological hot keys (one key ≫
+  * everything, e.g. null-ish sentinel ids in 100 TB fact tables) where
+  * pre-splitting beats runtime re-planning.
+  */
+object Scale {
+
+  /** Skew-salted inner/left equi-join: the LEFT (large, skewed) side gets
+    * a random salt in [0, salts); the RIGHT side is replicated once per
+    * salt value. The hot key's rows then spread over `salts` reducers
+    * instead of one.
+    *
+    * Row multiplication is on the right side only (×salts) — keep it the
+    * smaller input. Results equal the plain join for any join type that
+    * doesn't need right-side row identity (inner/left).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    val saltedLeft = left.withColumn("__salt",
+      (rand(seed = 42) * salts).cast("int"))
+    val saltedRight = right.crossJoin(
+      right.sparkSession.range(salts).select(col("id").cast("int")
+        .as("__salt")))
+    saltedLeft.join(saltedRight, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Write a frame bucketed by a join key so future joins on that key are
+    * shuffle-free (bucket-local). Bucketing requires the table catalog
+    * (`saveAsTable`), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Pre-partition two frames identically so a subsequent join is a
+    * zero-shuffle zip of co-located partitions (both sides exchange once,
+    * reusable across multiple joins/aggregations on the same key).
+    */
+  def coPartition(a: DataFrame, b: DataFrame, key: String,
+                  partitions: Int): (DataFrame, DataFrame) =
+    (a.repartition(partitions, col(key)),
+      b.repartition(partitions, col(key)))
+}
