@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cleaning, Joins, Merge, Split, Stamping}
+import graft.ops.{Cleaning, Joins, Merge, Split, Stamping, TemporalJoins}
 import graft.functions.{Dedup, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
@@ -518,6 +518,35 @@ object SparkEntry {
         min_by(col("o_orderkey"), ordKey).as("smallest_order"))
     }),
 
+    "join_asof" -> ((s, dir) => {
+      // attribution: each purchase matched to the user's latest click at
+      // or before it — one sort-shuffle, no range explosion
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      TemporalJoins.asOfJoin(purchases, clicks, "user_id",
+        "purchase_ts", "c_ts", Seq("c_ts"))
+        .withColumnRenamed("asof_c_ts", "last_click_ts")
+    }),
+
+    "join_range" -> ((s, dir) => {
+      // errors paired with same-user signups in the preceding hour —
+      // coarse-bucket equi-join + exact refine, never O(n·m)
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("err_ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("sig_id"), col("user_id"),
+          col("ts").as("sig_ts"))
+      TemporalJoins.rangeJoin(errors, signups, "user_id",
+        "err_ts", "sig_ts", windowSeconds = 3600)
+        .select("err_id", "sig_id", "user_id")
+    }),
+
     "q6_filter_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1994-01-01") &&
@@ -968,6 +997,24 @@ object SparkEntry {
         |  arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
         |    * 10000000 + o_orderkey) AS smallest_order
         |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "join_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts AS purchase_ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.purchase_ts,
+        |       c.c_ts AS last_click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_ts >= c.c_ts""".stripMargin,
+
+    "join_range" ->
+      """SELECT e.event_id AS err_id, s.event_id AS sig_id, e.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id
+        | AND s.ts <= e.ts
+        | AND s.ts >= e.ts - INTERVAL 1 HOUR""".stripMargin,
 
     "q6_filter_agg" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively, built by composition
+  * (preference (a) of the custom-operator ladder — the semantics ARE
+  * expressible with existing operators, so no custom SparkPlan needed):
+  *
+  *  - [[asOfJoin]]: for each left row, the latest right row with
+  *    `rightTime <= leftTime` per key. ONE sort-shuffle over the union —
+  *    no range cross-product, no per-row subquery. This is the scalable
+  *    shape at 100 TB: both sides shuffle once on the key, then a single
+  *    running `last(_, ignoreNulls)` window pass.
+  *  - [[rangeJoin]]: pairs within a bounded time window, via coarse
+  *    time-bucket equi-join + exact refine. The bucket key bounds the
+  *    join fan-out (each left row meets only ±1 bucket of right rows)
+  *    instead of the O(n·m) theta-join a naive inequality join plans.
+  */
+object TemporalJoins {
+
+  /** Keyed as-of join (backward): left enriched with the latest right
+    * observation at-or-before its timestamp.
+    *
+    * @param left      probe side; keeps all rows
+    * @param right     reference side (e.g. quotes, clicks)
+    * @param key       equi-key column present on both sides
+    * @param leftTime  event-time column on `left`
+    * @param rightTime event-time column on `right`
+    * @param valueCols right columns to carry (as `asof_<name>`)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // tag: right rows sort BEFORE left rows at equal timestamps so an
+    // exactly-simultaneous observation is visible (<= semantics)
+    val taggedRight = right.select(
+      (col(key).as(key) +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
+        valueCols.map(c => col(c).as(s"asof_$c"))) ++
+        leftCols.filterNot(c => c == key).map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      (col(key).as(key) +: col(leftTime).as("__t") +: lit(1).as("__tag") +:
+        valueCols.map(c => lit(null).as(s"asof_$c"))) ++
+        leftCols.filterNot(c => c == key).map(col): _*)
+
+    val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = taggedRight.unionByName(taggedLeft)
+      .select(col("*") +: valueCols.map(c =>
+        last(col(s"asof_$c"), ignoreNulls = true).over(w)
+          .as(s"__filled_$c")): _*)
+
+    filled.filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__filled_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Keyed range join: all (left, right) pairs with the same key and
+    * `rightTime` in `[leftTime - windowSeconds, leftTime]`.
+    *
+    * Implementation: equi-join on (key, coarse bucket) for buckets of
+    * `windowSeconds` width — each left row joins its own and previous
+    * bucket only — then exact interval refine.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                leftTime: String, rightTime: String,
+                windowSeconds: Long): DataFrame = {
+    val bucket = (t: Column) => floor(t.cast("double") / windowSeconds)
+    // left probes its bucket and the previous one
+    val probe = left.withColumn("__b",
+      explode(array(bucket(col(leftTime)), bucket(col(leftTime)) - 1)))
+    val build = right.withColumn("__b", bucket(col(rightTime)))
+    probe.join(build, Seq(key, "__b"))
+      .filter(col(rightTime) <= col(leftTime) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $windowSeconds SECOND"))
+      .drop("__b")
+  }
+}
