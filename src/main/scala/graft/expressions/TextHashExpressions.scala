@@ -189,10 +189,37 @@ case class ShingleHashes(child: Expression, shingleN: Int)
   * lambda interpretation, no array materialization.
   */
 case class SortedArrayJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_array_jaccard"
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      s"""
+         |long[] $a = $l.toLongArray();
+         |long[] $b = $r.toLongArray();
+         |if ($a.length == 0 && $b.length == 0) {
+         |  ${ev.value} = 1.0;
+         |} else {
+         |  int $i = 0; int $j = 0; int $inter = 0;
+         |  while ($i < $a.length && $j < $b.length) {
+         |    if ($a[$i] == $b[$j]) { $inter++; $i++; $j++; }
+         |    else if ($a[$i] < $b[$j]) { $i++; } else { $j++; }
+         |  }
+         |  ${ev.value} =
+         |    (double) $inter / ($a.length + $b.length - $inter);
+         |}
+       """.stripMargin
+    })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -221,10 +248,40 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
   * primitive loop instead of three interpreted HOF folds.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val fa = ctx.freshName("fa")
+      val fb = ctx.freshName("fb")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
+      s"""
+         |float[] $fa = $l.toFloatArray();
+         |float[] $fb = $r.toFloatArray();
+         |int $n = Math.min($fa.length, $fb.length);
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $fa[$i];
+         |  double $y = (double) $fb[$i];
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |${ev.value} = $denom > 0 ? $dot / $denom : 0.0;
+       """.stripMargin
+    })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
