@@ -217,6 +217,21 @@ object SparkEntry {
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
     }),
 
+    "topk_agg" -> ((s, dir) => {
+      // bounded-heap TypedImperativeAggregate: map-side partial top-k,
+      // shuffles <=k rows per group per partition (vs the window
+      // formulation shuffling every row)
+      val packed = round(col("o_totalprice") * 100).cast("long") *
+        lit(10000000L) + col("o_orderkey")
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(graft.expressions.TopKBy.top_k_by(packed, col("o_orderkey"), 3)
+          .as("top"))
+        .select(col("o_custkey"),
+          posexplode(col("top")).as(Seq("pos", "o_orderkey")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+          col("o_orderkey"))
+    }),
+
     "window_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -725,6 +740,14 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "topk_agg" ->
+      """SELECT o_custkey, rn AS rank, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+        |               + o_orderkey DESC) AS INTEGER) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
 
     "window_running_sum" ->
