@@ -323,6 +323,15 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
     }),
 
+    "json_schema_parse" -> ((s, dir) => {
+      // typed parse: from_json with an explicit schema (vs path extract)
+      t(s, dir, "events").select(
+        col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("prop_k"))
+    }),
+
     "events_hourly" -> ((s, dir) => {
       // batch twin of the streaming windowed aggregation
       t(s, dir, "events")
@@ -815,6 +824,11 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
 
     "json_extract" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS prop_k
+        |FROM events""".stripMargin,
+
+    "json_schema_parse" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS prop_k
         |FROM events""".stripMargin,
