@@ -190,6 +190,59 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    "q7_volume_shipping" -> ((s, dir) => {
+      // bilateral trade volume between two nations by ship year
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(n1), supp("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), cust("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "FRANCE" &&
+          col("cust_nation") === "GERMANY") ||
+          (col("supp_nation") === "GERMANY" &&
+            col("cust_nation") === "FRANCE"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("ship_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("volume"))
+    }),
+
+    "q9_product_profit" -> ((s, dir) => {
+      // profit by nation and year for LIKE-matched parts (LIKE pushdown
+      // + 4-way join + conditional arithmetic)
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val supp = t(s, dir, "supplier")
+      val part = t(s, dir, "part").filter(col("p_name").contains("sky"))
+      val nat = t(s, dir, "nation")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity") * 0.1), 2)
+          .as("profit"))
+    }),
+
+    "unpivot_metrics" -> ((s, dir) => {
+      // melt wide numeric columns into (metric, value) long form
+      t(s, dir, "part").unpivot(
+        ids = Array(col("p_partkey")),
+        values = Array(col("p_size").cast("double").as("p_size"),
+          col("p_retailprice")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+    }),
+
     "agg_rollup" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val nat = t(s, dir, "nation")
@@ -730,6 +783,39 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+        |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * l_quantity * 0.1), 2) AS profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%sky%'
+        |GROUP BY n_name, o_year""".stripMargin,
+
+    "unpivot_metrics" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'p_size' AS metric,
+        |         CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)""".stripMargin,
 
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
