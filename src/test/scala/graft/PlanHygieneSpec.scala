@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Scale-hygiene assertions on physical plans: filters reach the parquet
+  * scan, projections prune the read schema, small dimensions broadcast.
+  * These are the properties that keep the 100 TB plan shape sane; the
+  * suite fails if a refactor silently regresses them.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    unwrapped.collect { case s: FileSourceScanExec => s }
+  }
+
+  test("filter is pushed down to the parquet scan") {
+    val df = SparkEntry.queries("q6_filter_agg")(spark, sf("sf0.001"))
+    val scan = scans(df).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      s"expected shipdate/quantity pushdown, got: $pushed")
+  }
+
+  test("projection prunes the parquet read schema") {
+    val df = SparkEntry.queries("split_pattern_projection")(spark, sf("sf0.001"))
+    val scan = scans(df).head
+    val readSchema = scan.metadata.getOrElse("ReadSchema", "")
+    // only the 4 projected columns may be read, not all 11
+    assert(readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_shipdate") &&
+      !readSchema.contains("l_returnflag"),
+      s"expected pruned schema, got: $readSchema")
+  }
+
+  test("dimension joins broadcast (no fact-side shuffle for enrichment)") {
+    val plan = SparkEntry.queries("q5_local_supplier")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("window top-k groups in one exchange, no extra sorts") {
+    val plan = SparkEntry.queries("window_topk_per_group")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges")
+  }
+
+  test("200-column cleaning stays a constant-depth plan") {
+    import scala.jdk.CollectionConverters._
+    val cols = (1 to 200).map(i => s"Col $i (X$i)")
+    val row = org.apache.spark.sql.Row.fromSeq((1 to 200).map(i => s" v$i "))
+    val df = spark.createDataFrame(List(row).asJava,
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType))))
+    val t0 = System.nanoTime()
+    val cleaned = graft.ops.Cleaning.universalClean(df)
+    val projects = cleaned.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+    }
+    val analyzeMs = (System.nanoTime() - t0) / 1e6
+    assert(projects.size <= 1)
+    assert(cleaned.columns.head == "col_1_x1")
+    assert(cleaned.head().getString(0) == "v1")
+    assert(analyzeMs < 5000, s"analysis took ${analyzeMs}ms for 200 cols")
+  }
+}
