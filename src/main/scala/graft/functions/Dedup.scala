@@ -89,11 +89,11 @@ object Dedup {
 
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      // compute the estimate BEFORE distinct so the dedup shuffle moves
+      // three narrow columns, not two 16-long signature arrays per pair
+      .select(col("id_a"), col("id_b"),
+        round(estJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
       .distinct()
-      .withColumn("est_jaccard",
-        round(estJaccard(col("sig_a"), col("sig_b")), 4))
-      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** Signature-agreement estimate of Jaccard similarity. */
