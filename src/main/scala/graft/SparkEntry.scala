@@ -310,6 +310,41 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    "window_analytics" -> ((s, dir) => {
+      // ntile / lead / first_value / nth_value over a total order
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        lead("o_orderkey", 1).over(w).as("next_key"),
+        first_value(col("o_orderkey"))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cheapest_key"),
+        nth_value(col("o_orderkey"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("second_key"))
+    }),
+
+    "date_series" -> ((s, dir) => {
+      // per order: one row per month between orderdate and +3 months
+      t(s, dir, "orders").filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          explode(sequence(
+            date_trunc("month", col("o_orderdate")).cast("date"),
+            add_months(date_trunc("month", col("o_orderdate"))
+              .cast("date"), 3),
+            expr("INTERVAL 1 MONTH"))).as("month"))
+    }),
+
+    "regexp_filter" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_name").rlike("^[a-f].*(ee|oo)"))
+        .select(col("p_partkey"), col("p_name"),
+          size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)))
+            .as("vowel_runs"))
+    }),
+
     // ---------- SQL-surface breadth: set ops, sort/limit ----------
     "set_operations" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
@@ -864,6 +899,35 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    "window_analytics" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cheapest_key,
+        |  nth_value(o_orderkey, 2) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+
+    "date_series" ->
+      """SELECT o_orderkey,
+        |  CAST(unnest(generate_series(
+        |    date_trunc('month', CAST(o_orderdate AS DATE)),
+        |    date_trunc('month', CAST(o_orderdate AS DATE))
+        |      + INTERVAL 3 MONTH,
+        |    INTERVAL 1 MONTH)) AS DATE) AS month
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+
+    "regexp_filter" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER)
+        |    AS vowel_runs
+        |FROM part WHERE regexp_matches(p_name, '^[a-f].*(ee|oo)')""".stripMargin,
 
     "set_operations" ->
       """SELECT c_custkey FROM (
