@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{CosineSim, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard}
+import graft.expressions.{CosineSim, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SortedArrayJaccard(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       exprs => CosineSim(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("top_k_by"), info("top_k_by"),
+      exprs => TopKByAgg(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }
 
@@ -51,6 +54,10 @@ object GraftFunctions {
       exprs => SortedArrayJaccard(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("top_k_by",
+      exprs => TopKByAgg(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression(), "scala_udf")
   }
 }
 

@@ -447,6 +447,11 @@ object SparkEntry {
         shingleN = 3, minSim = 0.5)
     }),
 
+    "dedup_ngram_blocked" -> ((s, dir) => {
+      Dedup.ngramJaccardBlocked(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, minSim = 0.3)
+    }),
+
     // ---------- LLM-pipeline: text analysis ----------
     "text_token_count" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -994,6 +999,25 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
         |GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_blocked" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(floor(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      / 10) AS BIGINT) AS block,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(1,
+        |        len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2)),
+        |      i -> array_to_string(list_slice(
+        |        regexp_split_to_array(lower(trim(text)), '\s+'),
+        |        i, i + 2), ' '))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.3""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

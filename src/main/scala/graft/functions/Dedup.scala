@@ -126,6 +126,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Oracle-mirrorable n-gram Jaccard: candidates from deterministic
+    * token-count blocking (same bucket ⇒ compared) instead of MinHash
+    * banding, and STRING shingle sets instead of hashes — every step is
+    * reproducible in plain SQL. Use [[ngramJaccardPairs]] at scale;
+    * this variant exists so the Jaccard computation itself is
+    * hash-checked against an independent engine.
+    */
+  def ngramJaccardBlocked(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, minSim: Double = 0.5,
+                          blockWidth: Int = 10): DataFrame = {
+    val sets = docs.select(
+      col(idCol).as("doc_id"),
+      floor(size(tokens(col(textCol))) / blockWidth).as("block"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    val a = sets.select(col("block"), col("doc_id").as("id_a"),
+      col("sh").as("sh_a"))
+    val b = sets.select(col("block"), col("doc_id").as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= minSim)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by

@@ -24,6 +24,14 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(math.abs(row.getDouble(2) - 1.0 / 3.0) < 1e-12)
       assert(row.getInt(3) == 16)
       assert(row.getInt(4) == 3)
+      // aggregate registration: top-2 values by key per group
+      spark.range(10).selectExpr("id % 2 AS g", "id AS k", "id * 10 AS v")
+        .createOrReplaceTempView("tkb")
+      val agg = spark.sql(
+        "SELECT g, top_k_by(k, v, 2) AS t FROM tkb GROUP BY g ORDER BY g")
+        .collect()
+      assert(agg(0).getSeq[Long](1) == Seq(80L, 60L))
+      assert(agg(1).getSeq[Long](1) == Seq(90L, 70L))
     } finally ()
   }
 }
