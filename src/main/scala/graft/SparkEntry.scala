@@ -448,8 +448,13 @@ object SparkEntry {
     }),
 
     "dedup_ngram_blocked" -> ((s, dir) => {
-      Dedup.ngramJaccardBlocked(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, minSim = 0.3)
+      // oracle-check variant over a FIXED doc slice: token-count blocking
+      // goes quadratic within blocks, so the verifiable twin stays
+      // constant-size across scale factors; ngramJaccardPairs (LSH
+      // candidates) is the scale path
+      Dedup.ngramJaccardBlocked(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", shingleN = 3, minSim = 0.3, blockWidth = 5)
     }),
 
     // ---------- LLM-pipeline: text analysis ----------
@@ -1004,14 +1009,14 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT doc_id,
         |    CAST(floor(len(regexp_split_to_array(lower(trim(text)), '\s+'))
-        |      / 10) AS BIGINT) AS block,
+        |      / 5) AS BIGINT) AS block,
         |    list_distinct(list_transform(
         |      generate_series(1, greatest(1,
         |        len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2)),
         |      i -> array_to_string(list_slice(
         |        regexp_split_to_array(lower(trim(text)), '\s+'),
         |        i, i + 2), ' '))) AS sh
-        |  FROM documents)
+        |  FROM documents WHERE doc_id < 1000)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
