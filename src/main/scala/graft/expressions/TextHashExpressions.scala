@@ -44,19 +44,13 @@ object TextHash {
   }
 }
 
-/** 64-bit SimHash over whitespace tokens of the (lowercased, trimmed)
-  * input string. Per token-hash bit: tally +1/-1; sign of each tally
-  * sets the output bit. Empty text hashes to 0L (all tallies 0 ⇒ no
-  * bits set). Map-only, no shuffle.
+/** Static entry points for generated code (whole-stage codegen emits
+  * direct calls here — no row materialization, no boxing).
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+object TextHashImpl {
 
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val hashes = TextHash.tokenHashes(input.asInstanceOf[UTF8String])
+  def simhash(s: UTF8String): Long = {
+    val hashes = TextHash.tokenHashes(s)
     val tallies = new Array[Int](64)
     var i = 0
     while (i < hashes.length) {
@@ -74,8 +68,93 @@ case class SimHash64(child: Expression)
       if (tallies(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
+
+  def shingleHashArray(s: UTF8String, shingleN: Int): Array[Long] = {
+    val th = TextHash.tokenHashes(s)
+    if (th.isEmpty) return Array.emptyLongArray
+    val nShingles = if (th.length <= shingleN) 1 else th.length - shingleN + 1
+    val width = math.min(shingleN, th.length)
+    val hs = new Array[Long](nShingles)
+    var i = 0
+    while (i < nShingles) {
+      var h = TextHash.XxSeed
+      var j = 0
+      while (j < width) {
+        h = XXH64.hashLong(th(i + j), h)
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    hs
+  }
+
+  def shingleHashes(s: UTF8String, shingleN: Int): GenericArrayData = {
+    val distinct = shingleHashArray(s, shingleN).distinct
+    java.util.Arrays.sort(distinct)
+    new GenericArrayData(distinct)
+  }
+
+  def minhashSig(s: UTF8String, shingleN: Int, numHashes: Int,
+                 permA: Array[Long], permB: Array[Long]): GenericArrayData = {
+    val hs = shingleHashArray(s, shingleN)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var p = 0
+      while (p < numHashes) {
+        val permuted = permA(p) * h + permB(p)
+        if (permuted < mins(p)) mins(p) = permuted
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** splitmix64-derived affine permutation constants, fixed seed. */
+  def permConstants(numHashes: Int): (Array[Long], Array[Long]) = {
+    def splitmix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = splitmix(2L * i) | 1L // odd => bijective mod 2^64
+      b(i) = splitmix(2L * i + 1)
+      i += 1
+    }
+    (a, b)
+  }
+}
+
+/** 64-bit SimHash over whitespace tokens of the (lowercased, trimmed)
+  * input string. Per token-hash bit: tally +1/-1; sign of each tally
+  * sets the output bit. Empty text hashes to 0L (all tallies 0 ⇒ no
+  * bits set). Map-only, no shuffle.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      TextHashImpl.simhash(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextHashImpl.simhash($c)")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)
@@ -91,56 +170,27 @@ case class SimHash64(child: Expression)
   * whole-document shingle. Empty text yields Long.MaxValue sentinels.
   */
 case class MinHashSig(child: Expression, shingleN: Int, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  // splitmix64-derived affine permutation constants, fixed seed
-  private lazy val (permA, permB) = {
-    def splitmix(x0: Long): Long = {
-      var x = x0 + 0x9E3779B97F4A7C15L
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x ^ (x >>> 31)
-    }
-    val a = new Array[Long](numHashes)
-    val b = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      a(i) = splitmix(2L * i) | 1L // odd ⇒ bijective mod 2^64
-      b(i) = splitmix(2L * i + 1)
-      i += 1
-    }
-    (a, b)
-  }
+  @transient private lazy val (permA, permB) =
+    TextHashImpl.permConstants(numHashes)
 
-  override def nullSafeEval(input: Any): Any = {
-    val th = TextHash.tokenHashes(input.asInstanceOf[UTF8String])
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    if (th.nonEmpty) {
-      val nShingles = if (th.length <= shingleN) 1 else th.length - shingleN + 1
-      val width = math.min(shingleN, th.length)
-      var s = 0
-      while (s < nShingles) {
-        // polynomial combine of the window's token hashes
-        var h = TextHash.XxSeed
-        var j = 0
-        while (j < width) {
-          h = XXH64.hashLong(th(s + j), h)
-          j += 1
-        }
-        var p = 0
-        while (p < numHashes) {
-          val permuted = permA(p) * h + permB(p)
-          if (permuted < mins(p)) mins(p) = permuted
-          p += 1
-        }
-        s += 1
-      }
-    }
-    new GenericArrayData(mins)
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.minhashSig(input.asInstanceOf[UTF8String], shingleN,
+      numHashes, permA, permB)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val pa = ctx.addReferenceObj("permA", permA, "long[]")
+    val pb = ctx.addReferenceObj("permB", permB, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashImpl.minhashSig($c, $shingleN, $numHashes, $pa, $pb)")
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig =
@@ -152,33 +202,21 @@ case class MinHashSig(child: Expression, shingleN: Int, numHashes: Int)
   * intersection (64-bit collisions are negligible at corpus scale).
   */
 case class ShingleHashes(child: Expression, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val th = TextHash.tokenHashes(input.asInstanceOf[UTF8String])
-    if (th.isEmpty) return new GenericArrayData(Array.emptyLongArray)
-    val nShingles = if (th.length <= shingleN) 1 else th.length - shingleN + 1
-    val width = math.min(shingleN, th.length)
-    val hs = new Array[Long](nShingles)
-    var s = 0
-    while (s < nShingles) {
-      var h = TextHash.XxSeed
-      var j = 0
-      while (j < width) {
-        h = XXH64.hashLong(th(s + j), h)
-        j += 1
-      }
-      hs(s) = h
-      s += 1
-    }
-    val distinct = hs.distinct
-    java.util.Arrays.sort(distinct)
-    new GenericArrayData(distinct)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHashImpl.shingleHashes(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextHashImpl.shingleHashes($c, $shingleN)")
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
     copy(child = c)

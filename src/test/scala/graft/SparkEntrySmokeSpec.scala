@@ -18,10 +18,12 @@ class SparkEntrySmokeSpec extends SparkSpec {
     test(s"query $name runs at sf0.001") {
       val df = fn(spark, sf("sf0.001"))
       val n = df.count()
-      // near-dup pair queries may legitimately be small but not negative;
-      // everything else should produce rows on the fixture
+      // near-dup pair queries and highly selective filters may
+      // legitimately match nothing at sf0.001; everything else should
+      // produce rows on the fixture
       if (!Set("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_embedding").contains(name)) {
+        "dedup_ngram_blocked", "dedup_embedding", "q7_volume_shipping",
+        "q9_product_profit", "regexp_filter").contains(name)) {
         assert(n > 0, s"$name returned 0 rows")
       }
       assert(df.columns.nonEmpty)
