@@ -14,6 +14,59 @@ import graft.expressions.{CosineSim, MinHashSig, ShingleHashes, SimHash64, Sorte
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   */
+/** SQL builders shared by [[GraftExtensions]] and [[GraftFunctions]].
+  * Each validates arity and parses optional integer-literal parameters —
+  * a call like `minhash_sig(text, 5, 32)` configures the expression
+  * instead of silently running with the defaults, and an over-arity call
+  * errors instead of being ignored.
+  */
+private[graft] object GraftBuilders {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def checkArity(fn: String, exprs: Seq[Expression], min: Int,
+                         max: Int): Unit =
+    if (exprs.length < min || exprs.length > max)
+      throw new IllegalArgumentException(
+        s"$fn expects $min to $max arguments, got ${exprs.length}")
+
+  private def intLit(fn: String, e: Expression, pos: Int): Int =
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+    }
+
+  private def optInt(fn: String, exprs: Seq[Expression], pos: Int,
+                     default: Int): Int =
+    if (exprs.length > pos) intLit(fn, exprs(pos), pos) else default
+
+  def simhash64(exprs: Seq[Expression]): Expression = {
+    checkArity("simhash64", exprs, 1, 1)
+    SimHash64(exprs.head)
+  }
+  def minhashSig(exprs: Seq[Expression]): Expression = {
+    checkArity("minhash_sig", exprs, 1, 3)
+    MinHashSig(exprs.head, optInt("minhash_sig", exprs, 1, 3),
+      optInt("minhash_sig", exprs, 2, 16))
+  }
+  def shingleHashes(exprs: Seq[Expression]): Expression = {
+    checkArity("shingle_hashes", exprs, 1, 2)
+    ShingleHashes(exprs.head, optInt("shingle_hashes", exprs, 1, 3))
+  }
+  def sortedArrayJaccard(exprs: Seq[Expression]): Expression = {
+    checkArity("sorted_array_jaccard", exprs, 2, 2)
+    SortedArrayJaccard(exprs(0), exprs(1))
+  }
+  def cosineSim(exprs: Seq[Expression]): Expression = {
+    checkArity("cosine_sim", exprs, 2, 2)
+    CosineSim(exprs(0), exprs(1))
+  }
+  def topKBy(exprs: Seq[Expression]): TopKByAgg = {
+    checkArity("top_k_by", exprs, 3, 3)
+    TopKByAgg(exprs(0), exprs(1), intLit("top_k_by", exprs(2), 2))
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -22,19 +75,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
-      exprs => SimHash64(exprs.head)))
+      GraftBuilders.simhash64 _))
     e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
-      exprs => MinHashSig(exprs.head, 3, 16)))
+      GraftBuilders.minhashSig _))
     e.injectFunction((FunctionIdentifier("shingle_hashes"),
-      info("shingle_hashes"), exprs => ShingleHashes(exprs.head, 3)))
+      info("shingle_hashes"), GraftBuilders.shingleHashes _))
     e.injectFunction((FunctionIdentifier("sorted_array_jaccard"),
-      info("sorted_array_jaccard"),
-      exprs => SortedArrayJaccard(exprs(0), exprs(1))))
+      info("sorted_array_jaccard"), GraftBuilders.sortedArrayJaccard _))
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
-      exprs => CosineSim(exprs(0), exprs(1))))
+      GraftBuilders.cosineSim _))
     e.injectFunction((FunctionIdentifier("top_k_by"), info("top_k_by"),
-      exprs => TopKByAgg(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue())))
+      exprs => GraftBuilders.topKBy(exprs)))
   }
 }
 
@@ -45,19 +96,18 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "scala_udf")
+      GraftBuilders.simhash64 _, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSig(exprs.head, 3, 16), "scala_udf")
+      GraftBuilders.minhashSig _, "scala_udf")
     reg.createOrReplaceTempFunction("shingle_hashes",
-      exprs => ShingleHashes(exprs.head, 3), "scala_udf")
+      GraftBuilders.shingleHashes _, "scala_udf")
     reg.createOrReplaceTempFunction("sorted_array_jaccard",
-      exprs => SortedArrayJaccard(exprs(0), exprs(1)), "scala_udf")
+      GraftBuilders.sortedArrayJaccard _, "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
-      exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+      GraftBuilders.cosineSim _, "scala_udf")
     reg.createOrReplaceTempFunction("top_k_by",
-      exprs => TopKByAgg(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Number].intValue())
-        .toAggregateExpression(), "scala_udf")
+      exprs => GraftBuilders.topKBy(exprs).toAggregateExpression(),
+      "scala_udf")
   }
 }
 

@@ -95,7 +95,11 @@ final class TopKBuffer(val k: Int) {
     * deterministic output).
     */
   def topPayloadsDesc: Array[Long] = {
-    val idx = (0 until n).sortBy(i => (-keys(i), vals(i)))
+    // explicit comparator (no arithmetic negation: -Long.MinValue
+    // overflows back to Long.MinValue and would rank it largest)
+    val idx = (0 until n).sortWith { (i, j) =>
+      if (keys(i) != keys(j)) keys(i) > keys(j) else vals(i) < vals(j)
+    }
     idx.map(vals(_)).toArray
   }
 

@@ -34,27 +34,29 @@ object TemporalJoins {
                leftTime: String, rightTime: String,
                valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // The observation travels as ONE struct (non-null for every right
+    // row) rather than per-column fills: last(_, ignoreNulls) then keys
+    // on the ROW, so a null attribute inside the latest observation is
+    // surfaced as-is instead of falling back to an older non-null value.
     // tag: right rows sort BEFORE left rows at equal timestamps so an
     // exactly-simultaneous observation is visible (<= semantics)
     val taggedRight = right.select(
       (col(key).as(key) +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
-        valueCols.map(c => col(c).as(s"asof_$c"))) ++
+        struct(valueCols.map(col): _*).as("__obs") +: Nil) ++
         leftCols.filterNot(c => c == key).map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
       (col(key).as(key) +: col(leftTime).as("__t") +: lit(1).as("__tag") +:
-        valueCols.map(c => lit(null).as(s"asof_$c"))) ++
+        lit(null).as("__obs") +: Nil) ++
         leftCols.filterNot(c => c == key).map(col): _*)
 
     val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = taggedRight.unionByName(taggedLeft)
-      .select(col("*") +: valueCols.map(c =>
-        last(col(s"asof_$c"), ignoreNulls = true).over(w)
-          .as(s"__filled_$c")): _*)
+      .withColumn("__filled", last(col("__obs"), ignoreNulls = true).over(w))
 
     filled.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"__filled_$c").as(s"asof_$c")): _*)
+        valueCols.map(c => col(s"__filled.$c").as(s"asof_$c")): _*)
   }
 
   /** Keyed range join: all (left, right) pairs with the same key and

@@ -50,11 +50,34 @@ object Ingest {
       val p = Paths.get(path)
       if (!Files.exists(p)) return Seq.empty
       val txt = Files.readString(p)
-      // entries were written by save(): one object per line block
+      // entries were written by save(): one object per line block. Field
+      // pattern admits escaped characters so quote/backslash filenames
+      // round-trip (a bare [^"]* would split on the escaped quote and
+      // cause re-ingestion of an already-synced file).
+      val f = """"((?:[^"\\]|\\.)*)""""
       val entry =
-        """\{\s*"file_id":\s*"([^"]*)",\s*"file_name":\s*"([^"]*)",\s*"dest_key":\s*"([^"]*)",\s*"synced_at":\s*"([^"]*)"\s*\}""".r
+        (s"""\\{\\s*"file_id":\\s*$f,\\s*"file_name":\\s*$f,\\s*"dest_key":\\s*$f,\\s*"synced_at":\\s*$f\\s*\\}""").r
       entry.findAllMatchIn(txt).map(m =>
-        ManifestEntry(m.group(1), m.group(2), m.group(3), m.group(4))).toSeq
+        ManifestEntry(unesc(m.group(1)), unesc(m.group(2)),
+          unesc(m.group(3)), unesc(m.group(4)))).toSeq
+    }
+
+    /** Inverse of save()'s esc(). */
+    private def unesc(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'u' if i + 6 <= s.length =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other => sb.append(other); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
     }
 
     def save(path: String, entries: Seq[ManifestEntry]): Unit = {

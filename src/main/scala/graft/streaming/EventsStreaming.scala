@@ -80,7 +80,10 @@ object EventsStreaming {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.end <= gapSeconds * 1000 =>
-            cur = Some(s.copy(end = t, n = s.n + 1, total = s.total + e.value))
+            // a late event from an earlier micro-batch may have t < s.end
+            // (or even t < s.start): extend the envelope, never shrink it
+            cur = Some(s.copy(start = math.min(s.start, t),
+              end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
           case Some(s) =>
             closed += SessionSummary(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.n, s.total)

@@ -34,4 +34,24 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(agg(1).getSeq[Long](1) == Seq(90L, 70L))
     } finally ()
   }
+
+  test("SQL functions honor optional literal args and reject over-arity") {
+    val spark = GraftSession.builder("local[2]", Some(2))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT size(minhash_sig('a b c d e', 2, 32)) AS nsig,
+        |       size(shingle_hashes('a b c d e', 2)) AS nsh
+        |""".stripMargin).head()
+    assert(row.getInt(0) == 32)
+    assert(row.getInt(1) == 4) // 5 tokens, 2-shingles
+    // over-arity must error, not silently ignore the extra args
+    intercept[Exception] {
+      spark.sql("SELECT simhash64('x', 3)").head()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig('x', 2, 16, 99)").head()
+    }
+  }
 }

@@ -34,6 +34,16 @@ class TopKByAggSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("Long.MinValue ordering key ranks smallest, not largest") {
+    // -Long.MinValue overflows to Long.MinValue: an arithmetic-negation
+    // sort would rank it first. It must come last.
+    val buf = new TopKBuffer(3)
+    buf.add(Long.MinValue, 1L)
+    buf.add(0L, 2L)
+    buf.add(Long.MaxValue, 3L)
+    assert(buf.topPayloadsDesc.toSeq == Seq(3L, 2L, 1L))
+  }
+
   test("groups smaller than k return all rows, heap never overflows") {
     val small = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("g", "ord", "v")
     val got = small.groupBy("g")
