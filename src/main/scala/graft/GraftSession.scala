@@ -30,7 +30,7 @@ private[graft] object GraftBuilders {
         s"$fn expects $min to $max arguments, got ${exprs.length}")
 
   private def intLit(fn: String, e: Expression, pos: Int): Int =
-    e.eval() match {
+    (if (e.foldable) e.eval() else null) match {
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${pos + 1} must be an integer literal, got $other")

@@ -56,7 +56,7 @@ object TemporalJoins {
 
     filled.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"__filled.$c").as(s"asof_$c")): _*)
+        valueCols.map(c => col("__filled").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Keyed range join: all (left, right) pairs with the same key and
@@ -74,9 +74,12 @@ object TemporalJoins {
     val probe = left.withColumn("__b",
       explode(array(bucket(col(leftTime)), bucket(col(leftTime)) - 1)))
     val build = right.withColumn("__b", bucket(col(rightTime)))
+    // refine in the double domain (epoch-seconds for timestamps, identity
+    // for numerics) so BIGINT/DOUBLE time columns type-check too — the
+    // same domain the bucket key above already uses
     probe.join(build, Seq(key, "__b"))
-      .filter(col(rightTime) <= col(leftTime) &&
-        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $windowSeconds SECOND"))
+      .filter(col(rightTime).cast("double") <= col(leftTime).cast("double") &&
+        col(rightTime).cast("double") >= col(leftTime).cast("double") - windowSeconds)
       .drop("__b")
   }
 }

@@ -70,7 +70,12 @@ object Ingest {
         val c = s.charAt(i)
         if (c == '\\' && i + 1 < s.length) {
           s.charAt(i + 1) match {
-            case 'u' if i + 6 <= s.length =>
+            case 'u' if i + 6 <= s.length &&
+                s.substring(i + 2, i + 6)
+                  .forall(ch => Character.digit(ch, 16) >= 0) =>
+              // malformed \uXXXX (bad hex) falls through to the generic
+              // branch and emits the raw chars — matches load()'s
+              // lenient-skip posture instead of crashing the whole load
               sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
               i += 6
             case other => sb.append(other); i += 2

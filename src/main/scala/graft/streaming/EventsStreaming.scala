@@ -79,11 +79,20 @@ object EventsStreaming {
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.end <= gapSeconds * 1000 =>
+          case Some(s) if t - s.end <= gapSeconds * 1000 &&
+              t >= s.start - gapSeconds * 1000 =>
             // a late event from an earlier micro-batch may have t < s.end
-            // (or even t < s.start): extend the envelope, never shrink it
+            // (or even slightly < s.start): extend the envelope, never
+            // shrink it. The lower bound keeps an arbitrarily-old late
+            // event from dragging session_start unboundedly backward.
             cur = Some(s.copy(start = math.min(s.start, t),
               end = math.max(s.end, t), n = s.n + 1, total = s.total + e.value))
+          case Some(s) if t < s.start - gapSeconds * 1000 =>
+            // out-of-envelope late event: older than the open session's
+            // reach — emit as its own single-event session, keep the open
+            // session untouched
+            closed += SessionSummary(userId, new java.sql.Timestamp(t),
+              new java.sql.Timestamp(t), 1, e.value)
           case Some(s) =>
             closed += SessionSummary(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.n, s.total)
