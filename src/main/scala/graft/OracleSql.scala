@@ -1,0 +1,376 @@
+package graft
+
+import graft.expressions.TextHashImpl
+import graft.functions.Similarity
+
+/** Generated DuckDB oracle SQL for the queries whose Spark implementation
+  * rests on 64-bit hashing (MinHash / SimHash / shingle hashes) or on
+  * seeded random projections (hyperplane LSH) — none of which DuckDB has
+  * natively.
+  *
+  * The xxHash64 family is emulated exactly: 64-bit wrapping arithmetic is
+  * done in HUGEINT (int128) modulo 2^64 — a 64×64 multiply is split into
+  * 32-bit halves so no intermediate exceeds int128 — and XOR round-trips
+  * through BIGINT two's complement. Each hash step lives in its own CTE
+  * projection level: DuckDB expands lateral column aliases by textual
+  * substitution, so a 40-step chain in ONE select list would blow up
+  * exponentially, while chained projections stay linear.
+  *
+  * Shared constants come from the SAME code the Spark expressions use:
+  * [[TextHashImpl.permConstants]] for the MinHash permutations and
+  * [[Similarity.hyperplanes]] for the LSH plane matrices — emitted as SQL
+  * literals, so the oracle provably hashes with identical parameters.
+  *
+  * Scope honesty: the byte-level xxHash64 emulation covers tokens up to
+  * 23 bytes (2×8-byte words + 4-byte word + 3 tail bytes) and ASCII text
+  * (DuckDB `ord` yields code points, which equal bytes only for ASCII).
+  * The fixture corpus satisfies both (max token 8 bytes, pure ASCII at
+  * every scale factor); a general-purpose oracle would need the 32-byte
+  * stripe loop as a recursive CTE.
+  */
+object OracleSql {
+
+  private val M = BigInt("18446744073709551616")  // 2^64
+  private val H = BigInt("9223372036854775808")   // 2^63
+  private val B32 = BigInt("4294967296")          // 2^32
+  private def u(l: Long): String = java.lang.Long.toUnsignedString(l)
+  private val P1 = u(0x9E3779B185EBCA87L)
+  private val P2 = u(0xC2B2AE3D27D4EB4FL)
+  private val P3 = u(0x165667B19E3779F9L)
+  private val P4 = u(0x85EBCA77C2B2AE63L)
+  private val P5 = u(0x27D4EB2F165667C5L)
+
+  // ---------- 64-bit-wrapping SQL fragments (operands: u64 HUGEINTs) ----------
+
+  /** u64 → signed i64 (two's complement reinterpretation). */
+  private def sig(x: String): String =
+    s"(CASE WHEN ($x) >= $H THEN (($x) - $M)::BIGINT ELSE ($x)::BIGINT END)"
+
+  /** Bitwise XOR of two u64s via signed BIGINT xor(). */
+  private def xor64(a: String, b: String): String =
+    s"(CASE WHEN xor(${sig(a)}, ${sig(b)}) < 0 " +
+      s"THEN xor(${sig(a)}, ${sig(b)})::HUGEINT + $M " +
+      s"ELSE xor(${sig(a)}, ${sig(b)})::HUGEINT END)"
+
+  /** Logical right shift of a u64. */
+  private def shr(x: String, k: Int): String = s"(($x) // ${BigInt(1) << k})"
+
+  /** Rotate-left of a u64 (low and high parts cannot overlap). */
+  private def rotl(x: String, r: Int): String =
+    s"(((($x) * ${BigInt(1) << r}) % $M) + (($x) // ${BigInt(1) << (64 - r)}))"
+
+  /** 64×64 → low-64 multiply via 32-bit halves (max intermediate ~2^97,
+    * safely inside int128).
+    */
+  private def mul64(a: String, b: String): String =
+    s"(((($a) % $B32) * (($b) // $B32) + (($a) // $B32) * (($b) % $B32)) " +
+      s"% $B32 * $B32 + (($a) % $B32) * (($b) % $B32)) % $M"
+
+  /** Chained-CTE builder: each added column is its own projection level. */
+  private final class Chain(prefix: String, base: String) {
+    private val ctes =
+      scala.collection.mutable.ArrayBuffer(s"${prefix}0 AS ($base)")
+    private var k = 0
+    def add(name: String, expr: String): String = {
+      val prev = s"$prefix$k"; k += 1
+      ctes += s"$prefix$k AS (SELECT *, $expr AS $name FROM $prev)"
+      name
+    }
+    def addMulti(pairs: Seq[(String, String)]): Unit = {
+      val prev = s"$prefix$k"; k += 1
+      val sel = pairs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+      ctes += s"$prefix$k AS (SELECT *, $sel FROM $prev)"
+    }
+    def last: String = s"$prefix$k"
+    def render: String = ctes.mkString(",\n")
+  }
+
+  /** One 8-byte-word round of XXH64:
+    * h' = rotl27(h ^ rotl31(w*P2)*P1)*P1 + P4; NULL w keeps h.
+    */
+  private def wordStep(ch: Chain, h0: String, w: String,
+                       tag: String): String = {
+    val a = ch.add(s"${tag}a", mul64(w, P2))
+    val b = ch.add(s"${tag}b", rotl(a, 31))
+    val c = ch.add(s"${tag}c", mul64(b, P1))
+    val d = ch.add(s"${tag}d", xor64(h0, c))
+    val e = ch.add(s"${tag}e", s"(${mul64(rotl(d, 27), P1)} + $P4) % $M")
+    ch.add(s"${tag}f", s"coalesce($e, $h0)")
+  }
+
+  /** XXH64 finalization avalanche. */
+  private def fmix(ch: Chain, h: String, tag: String): String = {
+    val f1 = ch.add(s"${tag}1", xor64(h, shr(h, 33)))
+    val f2 = ch.add(s"${tag}2", mul64(f1, P2))
+    val f3 = ch.add(s"${tag}3", xor64(f2, shr(f2, 29)))
+    val f4 = ch.add(s"${tag}4", mul64(f3, P3))
+    ch.add(s"${tag}5", xor64(f4, shr(f4, 32)))
+  }
+
+  /** XXH64.hashLong(l, seed) as chained columns; NULL l yields NULL. */
+  private def hashLong(ch: Chain, l: String, seed: String,
+                       tag: String): String = {
+    val s0 = ch.add(s"${tag}s", s"(($seed) + $P5 + 8) % $M")
+    val a = ch.add(s"${tag}a", mul64(l, P2))
+    val b = ch.add(s"${tag}b", rotl(a, 31))
+    val c = ch.add(s"${tag}c", mul64(b, P1))
+    val d = ch.add(s"${tag}d", xor64(s0, c))
+    val e = ch.add(s"${tag}e", s"(${mul64(rotl(d, 27), P1)} + $P4) % $M")
+    fmix(ch, e, s"${tag}f")
+  }
+
+  /** Token rows (doc_id, i, tok) — the same canonicalization as
+    * TextHash.tokenize: lower, trim, split on whitespace runs; empty
+    * text yields zero tokens (not one empty token).
+    */
+  private val TokenBase =
+    """SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS i FROM (
+      |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+      |  FROM documents)""".stripMargin
+
+  /** XXH64(token bytes, seed 42) for every token: tokh(doc_id, i, thu). */
+  private def tokenHashCtes(): String = {
+    val ch = new Chain("tk", TokenBase)
+    ch.add("n", "length(tok)::HUGEINT")
+    ch.addMulti((0 until 23).map(j =>
+      s"by$j" -> s"CASE WHEN n >= ${j + 1} THEN ord(substr(tok, ${j + 1}, 1))::HUGEINT END"))
+    var h = ch.add("h0", s"(42 + $P5 + n) % $M")
+    val w1 = ch.add("w1", "CASE WHEN n >= 8 THEN " +
+      (0 until 8).map(j => s"by$j * ${BigInt(256).pow(j)}").mkString(" + ") +
+      " END")
+    h = wordStep(ch, h, w1, "t")
+    val w2 = ch.add("w2", "CASE WHEN n >= 16 THEN " +
+      (0 until 8).map(j => s"by${j + 8} * ${BigInt(256).pow(j)}").mkString(" + ") +
+      " END")
+    h = wordStep(ch, h, w2, "u")
+    // 4-byte little-endian word at byte offset 8*(n//8) when n%8 >= 4
+    val i4cases = Seq(0, 8, 16).map { base =>
+      val terms = (0 until 4)
+        .map(j => s"by${base + j} * ${BigInt(256).pow(j)}").mkString(" + ")
+      s"WHEN n // 8 = ${base / 8} THEN $terms"
+    }.mkString(" ")
+    val i4 = ch.add("i4", s"CASE WHEN n % 8 >= 4 THEN (CASE $i4cases END) END")
+    val v1 = ch.add("v1", xor64(h, s"(($i4) * $P1) % $M"))
+    val v2 = ch.add("v2", s"(${mul64(rotl(v1, 23), P2)} + $P3) % $M")
+    h = ch.add("v3", s"coalesce($v2, $h)")
+    // up to 3 tail bytes at offset 8*(n//8) + (4 if the int was consumed)
+    ch.add("tboff", "8 * (n // 8) + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END")
+    for (k <- 0 until 3) {
+      val sel = (0 until 23)
+        .map(j => s"WHEN tboff + $k = $j THEN by$j").mkString(" ")
+      val b = ch.add(s"tb$k",
+        s"CASE WHEN n % 4 >= ${k + 1} THEN (CASE $sel END) END")
+      val hx = ch.add(s"x${k}a", xor64(h, s"(($b) * $P5) % $M"))
+      val hb = ch.add(s"x${k}b", mul64(rotl(hx, 11), P1))
+      h = ch.add(s"x${k}c", s"coalesce($hb, $h)")
+    }
+    val hu = fmix(ch, h, "f")
+    ch.add("thu", hu)
+    ch.render + s",\ntokh AS (SELECT doc_id, i, thu FROM ${ch.last})"
+  }
+
+  /** Word-3-gram shingle hashes (xxhash64 chain over the window's token
+    * hashes, seed 42; short docs yield one whole-document shingle):
+    * shash(doc_id, i, shu).
+    */
+  private def shingleHashCtes(): String = {
+    val sbase =
+      """SELECT t1.doc_id, t1.i, t1.thu AS a1, t2.thu AS a2, t3.thu AS a3
+        |  FROM tokh t1
+        |  JOIN tcnt USING (doc_id)
+        |  LEFT JOIN tokh t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+        |  LEFT JOIN tokh t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        |  WHERE t1.i <= CASE WHEN ntok <= 3 THEN 1 ELSE ntok - 2 END""".stripMargin
+    val ch = new Chain("sg", sbase)
+    val h1 = hashLong(ch, "a1", "42::HUGEINT", "p")
+    val h2x = hashLong(ch, "a2", h1, "q")
+    val h2 = ch.add("h2", s"coalesce($h2x, $h1)")
+    val h3x = hashLong(ch, "a3", h2, "r")
+    ch.add("shu", s"coalesce($h3x, $h2)")
+    "tcnt AS (SELECT doc_id, count(*) AS ntok FROM tokh GROUP BY doc_id),\n" +
+      ch.render +
+      s",\nshash AS (SELECT doc_id, i, shu FROM ${ch.last})"
+  }
+
+  /** MinHash signatures + LSH band candidates, permutation constants from
+    * [[TextHashImpl.permConstants]] (splitmix64-derived, identical to the
+    * native expression). Bands are matched by VALUE (the Spark side
+    * matches by xxhash64 of the band slice — equal modulo 64-bit hash
+    * collisions). Emits perms/permuted/mins/sigv/bvals/cand.
+    */
+  private def minhashCtes(numHashes: Int, rowsPerBand: Int): String = {
+    val (pa, pb) = TextHashImpl.permConstants(numHashes)
+    val permRows = (0 until numHashes)
+      .map(p => s"(${p}, ${u(pa(p))}::HUGEINT, ${u(pb(p))}::HUGEINT)")
+      .mkString(", ")
+    s"""perms(p, pa, pb) AS (VALUES $permRows),
+       |permuted AS (
+       |  SELECT s.doc_id, pr.p, ${sig(s"(${mul64("pr.pa", "s.shu")} + pr.pb) % $M")} AS pv
+       |  FROM shash s CROSS JOIN perms pr),
+       |mins AS (SELECT doc_id, p, min(pv) AS mv FROM permuted GROUP BY doc_id, p),
+       |sigv AS (SELECT doc_id, list(mv ORDER BY p) AS sg FROM mins GROUP BY doc_id),
+       |bvals AS (SELECT doc_id, p // $rowsPerBand AS band, list(mv ORDER BY p) AS bv
+       |          FROM mins GROUP BY doc_id, p // $rowsPerBand),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bvals a JOIN bvals b ON a.band = b.band AND a.bv = b.bv
+       |              AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Oracle for `dedup_minhash`: LSH candidates with signature-agreement
+    * estimate >= 0.5.
+    */
+  def dedupMinhash(numHashes: Int = 16, rowsPerBand: Int = 2): String = {
+    val est =
+      s"round(len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    s"""WITH ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)}
+       |SELECT c.id_a, c.id_b, $est AS est_jaccard
+       |FROM cand c JOIN sigv sa ON sa.doc_id = c.id_a
+       |            JOIN sigv sb ON sb.doc_id = c.id_b
+       |WHERE $est >= 0.5""".stripMargin
+  }
+
+  /** Oracle for `dedup_ngram_jaccard`: exact Jaccard over distinct
+    * shingle-hash sets, restricted to the LSH candidate pairs.
+    */
+  def dedupNgramJaccard(numHashes: Int = 16, rowsPerBand: Int = 2): String = {
+    val jac = "round(coalesce(i.ic, 0)::DOUBLE / " +
+      "(za.sz + zb.sz - coalesce(i.ic, 0)), 4)"
+    s"""WITH ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |sset AS (SELECT DISTINCT doc_id, shu FROM shash),
+       |ssz AS (SELECT doc_id, count(*) AS sz FROM sset GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS ic
+       |  FROM cand c
+       |  JOIN sset x ON x.doc_id = c.id_a
+       |  JOIN sset y ON y.doc_id = c.id_b AND y.shu = x.shu
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT c.id_a, c.id_b, $jac AS jaccard
+       |FROM cand c
+       |JOIN ssz za ON za.doc_id = c.id_a
+       |JOIN ssz zb ON zb.doc_id = c.id_b
+       |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |WHERE $jac >= 0.5""".stripMargin
+  }
+
+  /** Oracle for `dedup_simhash`: 64-bit SimHash from per-token-hash bit
+    * tallies, then ALL pairs within Hamming distance 3 — equal to the
+    * Spark side's quarter-blocked pair set by pigeonhole (distance <= 3
+    * forces agreement on at least one of 4 16-bit quarters).
+    */
+  def dedupSimhash(maxDist: Int = 3): String = {
+    val smu = "sum(CASE WHEN tally > 0 THEN (1::HUGEINT << b) ELSE 0 END)::HUGEINT"
+    s"""WITH ${tokenHashCtes()},
+       |bits AS (
+       |  SELECT t.doc_id, g.b,
+       |    CASE WHEN (t.thu // (1::HUGEINT << g.b)) % 2 = 1 THEN 1 ELSE -1 END AS w
+       |  FROM tokh t, generate_series(0, 63) g(b)),
+       |tall AS (SELECT doc_id, b, sum(w) AS tally FROM bits GROUP BY doc_id, b),
+       |simsig AS (SELECT doc_id, ${sig(smu)} AS sm FROM tall GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sm, b.sm)) AS INTEGER) AS hamming
+       |FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sm, b.sm)) <= $maxDist""".stripMargin
+  }
+
+  /** Oracle for `multimodal_features`: byte stats over the UTF-8 bytes of
+    * `text` (ASCII corpus, so `ord` per char IS the byte) — length,
+    * Java-style `crc*31+b` wrapping checksum via list_reduce in HUGEINT,
+    * exact integer mean, and Shannon entropy with Java's log(p)/log(2)
+    * formulation.
+    */
+  def multimodalFeatures(): String =
+    s"""WITH cl AS (
+       |  SELECT doc_id AS media_id, string_split(text, '') AS cs FROM documents),
+       |crc AS (
+       |  SELECT media_id, len(cs)::BIGINT AS n_bytes,
+       |    list_reduce(list_prepend(0::HUGEINT, list_transform(cs, c -> ord(c)::HUGEINT)),
+       |                (a, b) -> (a * 31 + b) % $M) AS crcu
+       |  FROM cl),
+       |chars AS (SELECT media_id, unnest(cs) AS c FROM cl),
+       |hist AS (
+       |  SELECT media_id, ord(c) AS b, count(*) AS cnt
+       |  FROM chars GROUP BY media_id, ord(c)),
+       |stats AS (
+       |  SELECT h.media_id, sum(h.b * h.cnt) AS bsum,
+       |    -sum((h.cnt::DOUBLE / c.n_bytes) * (ln(h.cnt::DOUBLE / c.n_bytes) / ln(2))) AS ent
+       |  FROM hist h JOIN crc c USING (media_id) GROUP BY h.media_id)
+       |SELECT c.media_id, c.n_bytes, ${sig("c.crcu")} AS checksum,
+       |  round(coalesce(s.bsum::DOUBLE / c.n_bytes, 0.0), 4) AS mean_byte,
+       |  round(coalesce(s.ent, 0.0), 4) AS entropy_bits
+       |FROM crc c LEFT JOIN stats s ON s.media_id = c.media_id""".stripMargin
+
+  /** Oracle for `sim_lsh_topk`: the seeded plane matrices from
+    * [[Similarity.hyperplanes]] emitted as DOUBLE[] literals; per-table
+    * sign-bit signatures, OR-ed bucket match, cosine rank.
+    */
+  def simLshTopK(nTables: Int = 12, nBits: Int = 3, dim: Int = 64,
+                 seed: Long = 42L, k: Int = 5): String = {
+    val planes = Similarity.hyperplanes(nTables, nBits, dim, seed)
+    val sigExprs: String =
+      (0 until nTables).map { l =>
+        val bits = (0 until nBits).map { p =>
+          val lits = planes(l)(p).map(_.toString).mkString(", ")
+          s"CASE WHEN list_dot_product(v, [$lits]::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"($bits) AS s$l"
+      }.mkString(", ")
+    val tblMatch = (0 until nTables).map(l => s"q.s$l = e.s$l").mkString(" OR ")
+    s"""WITH qv AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 8),
+       |ev AS (
+       |  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT query_id, v, $sigExprs FROM qv),
+       |e AS (SELECT neighbor_id, v, $sigExprs FROM ev),
+       |scored AS (
+       |  SELECT q.query_id, e.neighbor_id, list_cosine_similarity(q.v, e.v) AS score
+       |  FROM q JOIN e ON ($tblMatch)
+       |  WHERE e.neighbor_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** Oracle for `sim_ivf_topk`: centroids = per-(cell, dim) float-cast
+    * means over the 1-in-4 systematic sample, nProbe nearest cells per
+    * query, exact cosine rank within probed cells.
+    */
+  def simIvfTopK(dim: Int = 64, nProbe: Int = 3, k: Int = 5): String =
+    s"""WITH centd AS (
+       |  SELECT label AS cell, g.i AS dim, CAST(avg(embedding[g.i]) AS FLOAT) AS m
+       |  FROM embeddings, generate_series(1, $dim) g(i)
+       |  WHERE vec_id % 4 = 0
+       |  GROUP BY label, g.i),
+       |cent AS (
+       |  SELECT cell, list(m ORDER BY dim)::DOUBLE[] AS centroid FROM centd GROUP BY cell),
+       |qv AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 8),
+       |probes AS (
+       |  SELECT query_id, cell, v FROM (
+       |    SELECT q.query_id, c.cell, q.v,
+       |      CAST(row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.v, c.centroid) DESC, c.cell ASC)
+       |        AS INTEGER) AS pr
+       |    FROM qv q CROSS JOIN cent c)
+       |  WHERE pr <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    list_cosine_similarity(p.v, e.embedding::DOUBLE[]) AS score
+       |  FROM embeddings e JOIN probes p ON e.label = p.cell
+       |  WHERE e.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score
+       |FROM ranked WHERE rank <= $k""".stripMargin
+}

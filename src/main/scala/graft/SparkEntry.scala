@@ -494,8 +494,11 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
+      // 12 tables × 3 bits: recall@5 = 1.0 vs brute force at this corpus
+      // size (asserted in FunctionsSpec); more bits + more tables at
+      // larger corpus sizes
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
-        dim = 64, nBits = 4)
+        dim = 64, nBits = 3, nTables = 12)
         .select("query_id", "rank", "neighbor_id", "score")
     }),
 
@@ -513,8 +516,13 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
+      // quantizer trained once on a deterministic 1-in-4 systematic
+      // sample, then reused — the probe plan never scans the full corpus
+      // to rebuild centroids
+      val cent = Similarity.trainCentroids(
+        emb.filter(col("vec_id") % 4 === 0), "embedding", "label")
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label",
-        k = 5, nProbe = 3)
+        k = 5, nProbe = 3, centroids = Some(cent))
     }),
 
     // ---------- LLM-pipeline: multimodal columns ----------
@@ -1251,6 +1259,17 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey ASC
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // ---------- generated oracles (see OracleSql): exact DuckDB
+    // emulation of the xxhash64/LSH/IVF pipelines ----------
+    "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, rowsPerBand = 2),
+    "dedup_ngram_jaccard" ->
+      OracleSql.dedupNgramJaccard(numHashes = 16, rowsPerBand = 2),
+    "dedup_simhash" -> OracleSql.dedupSimhash(maxDist = 3),
+    "multimodal_features" -> OracleSql.multimodalFeatures(),
+    "sim_lsh_topk" ->
+      OracleSql.simLshTopK(nTables = 12, nBits = 3, dim = 64, seed = 42L, k = 5),
+    "sim_ivf_topk" -> OracleSql.simIvfTopK(dim = 64, nProbe = 3, k = 5)
   )
 }

@@ -82,24 +82,40 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
-  /** IVF-style ANN: a coarse quantizer (centroid per `labelCol` cell)
-    * routes each query to its `nProbe` nearest cells; exact ranking runs
-    * only inside the probed cells. The inverted-file shape: at 100 TB the
-    * corpus is partitioned by cell, so a probe reads ~nProbe/nCells of
-    * the data instead of all of it.
+  /** Coarse-quantizer training: per-cell mean vector over `train` (pass a
+    * SAMPLE of the corpus, not the corpus — a deterministic systematic
+    * sample like `id % m === 0` keeps the build reproducible AND makes it
+    * a fraction of a full scan). Build once, reuse across [[ivfTopK]]
+    * calls: at 100 TB the quantizer is trained on a few million sampled
+    * rows and persisted, never recomputed per probe.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, labelCol: String, k: Int,
-              nProbe: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    // centroids: per-cell mean vector (posexplode → avg per dimension)
-    val cent = corpus.select(col(labelCol).as("cell"),
+  def trainCentroids(train: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame =
+    train.select(col(labelCol).as("cell"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy("cell", "dim").agg(avg("x").as("m"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"),
         col("m")))).as("dm"))
       .select(col("cell"), transform(col("dm"), _.getField("m"))
         .cast("array<float>").as("centroid"))
+
+  /** IVF-style ANN: a coarse quantizer (centroid per `labelCol` cell)
+    * routes each query to its `nProbe` nearest cells; exact ranking runs
+    * only inside the probed cells. The inverted-file shape: at 100 TB the
+    * corpus is partitioned by cell, so a probe reads ~nProbe/nCells of
+    * the data instead of all of it.
+    *
+    * @param centroids precomputed (cell, centroid) frame from
+    *                  [[trainCentroids]]; when None, trains on a 1-in-4
+    *                  systematic sample of the corpus (never the full
+    *                  corpus — the quantizer build must not scan 100 TB)
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, labelCol: String, k: Int,
+              nProbe: Int = 2,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      trainCentroids(corpus.filter(col(idCol) % 4 === 0), vecCol, labelCol))
 
     // route queries to their nProbe nearest centroids
     val qCells = queries.select(col(idCol).as("query_id"),
@@ -140,28 +156,49 @@ object Similarity {
       when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** Approximate top-k: bucket corpus and queries by hyperplane signature
-    * (`nBits` planes over `dim` dims, seeded), join on bucket, exact-rank
-    * within candidates. Trades recall for a candidate set ~corpus/2^nBits
-    * per query — the scale path when the query set is large.
+  /** The seeded plane matrices for [[lshTopK]]: `nTables` independent
+    * tables of `nBits` Gaussian hyperplanes each, generated row-major
+    * from one `scala.util.Random(seed)` stream (deterministic, so an
+    * external oracle can reproduce the exact planes).
+    */
+  def hyperplanes(nTables: Int, nBits: Int, dim: Int,
+                  seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nTables, nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Approximate top-k via multi-table hyperplane LSH: `nTables`
+    * independent `nBits`-plane signatures, candidates = bucket match in
+    * ANY table (OR-ed, the same shape as MinHash banding). A single table
+    * loses neighbors that land just across one hyperplane; L tables drive
+    * miss probability to (1-p)^L while each extra table costs only one
+    * more narrow map-side signature — the standard recall/cost dial.
+    *
+    * Scale shape: signatures are map-only; the bucket join shuffles
+    * (table, bucket) keys; duplicate candidates collapse on the narrow
+    * (query_id, neighbor_id, score) triple before ranking.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int, nBits: Int = 8,
-              seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
-    val sig = (c: Column) => hyperplaneSignature(c, planes)
+              nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nTables, nBits, dim, seed)
+    // one (tbl, bucket) row per table per vector
+    val sigs = (c: Column) => posexplode(array((0 until nTables).map(l =>
+      hyperplaneSignature(c, planes(l))): _*))
 
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      sig(col(vecCol)).as("bucket")))
+      sigs(col(vecCol)).as(Seq("tbl", "bucket"))))
     val cand = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      sig(col(vecCol)).as("bucket"))
+      sigs(col(vecCol)).as(Seq("tbl", "bucket")))
 
-    val scored = cand.join(q, Seq("bucket"))
+    val scored = cand.join(q, Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", exprs.cosine_sim(col("q_vec"), col("c_vec")))
+      // a pair matching in several tables appears once per table; the
+      // scores are identical, so collapse on the narrow triple
+      .groupBy("query_id", "neighbor_id").agg(max("score").as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

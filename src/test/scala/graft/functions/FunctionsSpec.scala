@@ -96,6 +96,40 @@ class FunctionsSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("multi-table LSH recall@5 >= 0.9 vs brute force") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 8)
+    val truth = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val got = Similarity
+      .lshTopK(emb, queries, "vec_id", "embedding", 5, 64,
+        nBits = 3, nTables = 12)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall@5 = $recall (${truth.size} truth pairs)")
+  }
+
+  test("ivfTopK with precomputed sampled centroids matches on-the-fly path") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 4)
+    val cent = Similarity.trainCentroids(
+      emb.filter($"vec_id" % 4 === 0), "embedding", "label")
+    // one centroid per cell, dim preserved
+    val cells = cent.select($"cell").as[Int].collect()
+    assert(cells.distinct.length == cells.length && cells.nonEmpty)
+    assert(cent.select(size($"centroid")).as[Int].head() == 64)
+    val pre = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "label", k = 3, nProbe = 2, centroids = Some(cent))
+      .collect().map(_.toSeq).toSet
+    val auto = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "label", k = 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(pre == auto)
+  }
+
   test("minhash LSH candidates find planted near-duplicates") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text")
