@@ -111,6 +111,43 @@ object Ingest {
       case Failure(e) => throw new RuntimeException("Max retries exceeded", e)
     }
 
+  /** S5 convert step — the Sheets-export analogue
+    * (`sync-drive-to-s3.py:59-66,97-121`: Google-Sheets files are not
+    * copied byte-for-byte but EXPORTED as CSV before landing in S3).
+    * Here the non-CSV tabular format in scope is `.tsv`: each inbox
+    * `*.tsv` is rewritten as RFC-4180 CSV (fields containing comma,
+    * quote, or newline are quoted; quotes doubled) under the same base
+    * name with a `.csv` extension, and the original is removed — so
+    * routing and the manifest only ever see the converted artifact,
+    * exactly like the reference only ever sees the exported CSV.
+    * Returns (from, to) name pairs.
+    */
+  def convertInbox(inboxDir: String,
+                   dryRun: Boolean = false): Seq[(String, String)] = {
+    val inbox = Paths.get(inboxDir)
+    if (!Files.isDirectory(inbox)) return Seq.empty
+    def csvField(f: String): String =
+      if (f.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + f.replace("\"", "\"\"") + "\""
+      else f
+    Files.list(inbox).iterator().asScala
+      .filter(f => Files.isRegularFile(f) &&
+        f.getFileName.toString.toLowerCase.endsWith(".tsv"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { f =>
+        val name = f.getFileName.toString
+        val csvName = name.dropRight(4) + ".csv"
+        if (!dryRun) {
+          val converted = Files.readAllLines(f).asScala
+            .map(_.split("\t", -1).map(csvField).mkString(","))
+            .mkString("\n")
+          Files.writeString(inbox.resolve(csvName), converted)
+          Files.delete(f)
+        }
+        name -> csvName
+      }
+  }
+
   final case class IngestReport(synced: Seq[ManifestEntry],
                                 skipped: Seq[String])
 
@@ -120,6 +157,9 @@ object Ingest {
   def run(inboxDir: String, lake: Lake, manifestPath: String,
           routing: Routing = ReferenceRouting, dryRun: Boolean = false,
           retryDelayMs: Long = 100): IngestReport = {
+    // Sheets-export analogue first: routing/manifest must only ever see
+    // the converted CSV artifact (no-op when nothing needs converting)
+    convertInbox(inboxDir, dryRun)
     val manifest = Manifest.load(manifestPath)
     val known = manifest.map(_.fileId).toSet
     val inbox = Paths.get(inboxDir)
