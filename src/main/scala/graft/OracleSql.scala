@@ -257,6 +257,31 @@ object OracleSql {
        |WHERE $jac >= 0.5""".stripMargin
   }
 
+  /** Oracle for `dedup_components`: the same MinHash candidate pairs
+    * (est >= 0.5), closed into connected components by a recursive CTE —
+    * every vertex labeled with the minimum reachable id.
+    */
+  def dedupComponents(numHashes: Int = 16, rowsPerBand: Int = 2): String = {
+    val est =
+      s"round(len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    s"""WITH RECURSIVE ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |fcand AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN sigv sa ON sa.doc_id = c.id_a
+       |              JOIN sigv sb ON sb.doc_id = c.id_b
+       |  WHERE $est >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM fcand
+       |          UNION SELECT id_b, id_a FROM fcand),
+       |verts AS (SELECT DISTINCT src AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+       |SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id""".stripMargin
+  }
+
   /** Oracle for `dedup_simhash`: 64-bit SimHash from per-token-hash bit
     * tallies, then ALL pairs within Hamming distance 3 — equal to the
     * Spark side's quarter-blocked pair set by pigeonhole (distance <= 3

@@ -442,6 +442,15 @@ object SparkEntry {
         maxDist = 3)
     }),
 
+    "dedup_components" -> ((s, dir) => {
+      // pairs → clusters: every doc in a near-dup cluster labeled with
+      // the minimum reachable doc_id (keep rep_id == doc_id, drop rest)
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, minSim = 0.5)
@@ -1264,6 +1273,8 @@ object SparkEntry {
     // ---------- generated oracles (see OracleSql): exact DuckDB
     // emulation of the xxhash64/LSH/IVF pipelines ----------
     "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, rowsPerBand = 2),
+    "dedup_components" ->
+      OracleSql.dedupComponents(numHashes = 16, rowsPerBand = 2),
     "dedup_ngram_jaccard" ->
       OracleSql.dedupNgramJaccard(numHashes = 16, rowsPerBand = 2),
     "dedup_simhash" -> OracleSql.dedupSimhash(maxDist = 3),

@@ -368,4 +368,8 @@ object exprs {
 
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  def hyperplane_sigs(vec: Column,
+                      planes: Array[Array[Array[Double]]]): Column =
+    column(HyperplaneSigs(expression(vec), planes))
 }

@@ -153,6 +153,57 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---------------- candidate pairs → clusters ----------------
+
+  /** Connected components over a near-duplicate pair list: every vertex
+    * labeled with the minimum id reachable through the pair graph — the
+    * step that turns pairwise similarity into an actual keep/drop
+    * decision (keep `id == rep_id`, drop the rest of the cluster).
+    *
+    * Algorithm: iterative min-label propagation — each round is one
+    * edge⋈label join + min-aggregate (two narrow shuffles), and the loop
+    * ends after `diameter` rounds (near-dup clusters are near-cliques,
+    * so 2–3 rounds in practice; convergence is detected with a per-round
+    * count). The per-round work is a fixed pipeline over (edge, label)
+    * tuples — the shape that scales out; at extreme diameters switch to
+    * large-star/small-star, which squares the label-jump length per
+    * round at the cost of a denser intermediate edge set.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("rep").as("nbr_rep"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("rep"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep")))
+            .as("new_rep"))
+        .persist()
+      val changed = updated.filter(col("new_rep") < col("rep")).count()
+      val old = labels
+      labels = updated.select(col("id"), col("new_rep").as("rep")).persist()
+      old.unpersist()
+      updated.unpersist()
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by

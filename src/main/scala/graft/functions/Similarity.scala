@@ -182,9 +182,10 @@ object Similarity {
               vecCol: String, k: Int, dim: Int, nBits: Int = 8,
               nTables: Int = 4, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nTables, nBits, dim, seed)
-    // one (tbl, bucket) row per table per vector
-    val sigs = (c: Column) => posexplode(array((0 until nTables).map(l =>
-      hyperplaneSignature(c, planes(l))): _*))
+    // one (tbl, bucket) row per table per vector; all signatures computed
+    // in a single native-expression pass (the plane tensor is a codegen
+    // reference object, not nTables*nBits literal arrays in the plan)
+    val sigs = (c: Column) => posexplode(exprs.hyperplane_sigs(c, planes))
 
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),

@@ -48,6 +48,15 @@ object Stamping {
       case Monotonic =>
         df.withColumn("row_id", monotonically_increasing_id().cast(LongType))
       case Deterministic(orderCols) =>
+        // a global window serializes the whole frame through one task;
+        // warn when the input is visibly larger than a small dimension so
+        // a copy-paste onto a fact table doesn't silently go single-core
+        val parts = df.rdd.getNumPartitions
+        if (parts > 8)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"Stamping.Deterministic collapses $parts input partitions " +
+              "into ONE task (global row_number window); use " +
+              "ScalableDense for large frames")
         val w = Window.orderBy(orderCols.map(col): _*)
         df.withColumn("row_id", (row_number().over(w) - 1).cast(LongType))
       case ScalableDense(orderCols) =>

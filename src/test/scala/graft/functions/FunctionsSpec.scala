@@ -96,6 +96,16 @@ class FunctionsSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("native hyperplane_sigs bit-identical to the HOF signature") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val planes = Similarity.hyperplanes(4, 5, 64, 42L)
+    val hof = array((0 until 4).map(l =>
+      Similarity.hyperplaneSignature($"embedding", planes(l))): _*)
+    val native = exprs.hyperplane_sigs($"embedding", planes)
+    val nDiff = emb.filter(hof =!= native).count()
+    assert(nDiff == 0, s"$nDiff vectors disagree")
+  }
+
   test("multi-table LSH recall@5 >= 0.9 vs brute force") {
     val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 8)
@@ -128,6 +138,17 @@ class FunctionsSpec extends SparkSpec {
       "label", k = 3, nProbe = 2)
       .collect().map(_.toSeq).toSet
     assert(pre == auto)
+  }
+
+  test("connected components: chain, triangle, isolated pair → min-id reps") {
+    // chain 1-2-3-4 (diameter 3 exercises multi-round propagation),
+    // triangle 10-11-12, plain pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
   }
 
   test("minhash LSH candidates find planted near-duplicates") {
