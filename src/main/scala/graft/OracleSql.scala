@@ -302,6 +302,34 @@ object OracleSql {
        |WHERE bit_count(xor(a.sm, b.sm)) <= $maxDist""".stripMargin
   }
 
+  /** xxhash64(doc_id) for every document as chained CTEs:
+    * hashed(doc_id, hv) with hv signed — the sampling gate's hash.
+    */
+  private def idHashCtes(): String = {
+    val unsId = s"(CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + $M " +
+      "ELSE doc_id::HUGEINT END)"
+    val ch = new Chain("ih",
+      s"SELECT doc_id, $unsId AS idu FROM documents")
+    val h = hashLong(ch, "idu", "42::HUGEINT", "g")
+    ch.add("hv", sig(h))
+    ch.render + s",\nhashed AS (SELECT doc_id, hv FROM ${ch.last})"
+  }
+
+  /** Oracle for `sample_stratified`: the deterministic hash gate
+    * (xxhash64(doc_id) pmod 1e6 under a per-language threshold) over the
+    * language-ID strata; `langSql` is the text_langid oracle, reused
+    * verbatim as a CTE so both queries share one definition of the
+    * stratum.
+    */
+  def sampleStratified(langSql: String, enThreshold: Long,
+                       defaultThreshold: Long): String =
+    s"""WITH lang AS ($langSql),
+       |${idHashCtes()}
+       |SELECT h.doc_id, l.lang_pred
+       |FROM hashed h JOIN lang l ON l.doc_id = h.doc_id
+       |WHERE ((h.hv % 1000000) + 1000000) % 1000000 <
+       |  CASE WHEN l.lang_pred = 'en' THEN $enThreshold ELSE $defaultThreshold END""".stripMargin
+
   /** Oracle for `multimodal_features`: byte stats over the UTF-8 bytes of
     * `text` (ASCII corpus, so `ord` per char IS the byte) — length,
     * Java-style `crc*31+b` wrapping checksum via list_reduce in HUGEINT,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, Joins, Merge, Split, Stamping, TemporalJoins}
-import graft.functions.{Dedup, Similarity, TextFunctions}
+import graft.functions.{Dedup, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -492,6 +492,53 @@ object SparkEntry {
         TextFunctions.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    "text_redact" -> ((s, dir) => {
+      // PII scrub over a deterministic PII-bearing column (the fixture
+      // corpus is synthetic words, so the query plants an email, phone,
+      // IP, and long id per doc — same construction in the oracle)
+      val synthetic = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-123-4567 from 10.0."),
+        pmod(col("doc_id"), lit(250)).cast("string"), lit(".9 ref "),
+        (col("doc_id") + 1000000).cast("string"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.redactPii(synthetic).as("clean_text"))
+    }),
+
+    "text_repetition" -> ((s, dir) => {
+      // Gopher/RefinedWeb-style repetition signals: repeated-token
+      // ratio, top-token frequency, repeated-bigram ratio
+      val docs = t(s, dir, "documents")
+      val toks = Dedup.tokens(col("text"))
+      val bigs = Dedup.shingles(col("text"), 2)
+      val base = docs.select(col("doc_id"),
+        size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("d"),
+        size(bigs).cast("long").as("nb"),
+        size(array_distinct(bigs)).cast("long").as("db"))
+      val top = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_cnt"))
+      base.join(top, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(lit(1.0) - col("d").cast("double") / col("n"), 4)
+            .as("rep_token_ratio"),
+          round(col("top_cnt").cast("double") / col("n"), 4)
+            .as("top_token_ratio"),
+          round(lit(1.0) - col("db").cast("double") / col("nb"), 4)
+            .as("rep_bigram_ratio"))
+    }),
+
+    "sample_stratified" -> ((s, dir) => {
+      // deterministic per-language training-mix sampling: en kept at
+      // 25%, everything else at 75% — map-only, partition-independent
+      val withLang = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      Sampling.sampleStratified(withLang, "doc_id", col("lang_pred"),
+        Map("en" -> 0.25), defaultRate = 0.75)
+        .select("doc_id", "lang_pred")
+    }),
+
     // ---------- LLM-pipeline: similarity search ----------
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -717,6 +764,48 @@ object SparkEntry {
   // DuckDB oracle twins. Column names/aliases must match the Spark
   // output exactly (driver sorts columns by name before hashing).
   // ------------------------------------------------------------------
+
+  /** text_langid oracle, shared with sample_stratified (the
+    * sampling strata must agree with the verified language-ID).
+    */
+  private val LangIdOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% to %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% in %' THEN 1 ELSE 0 END) AS s_en,
+      |    (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% die %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% das %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% ist %' THEN 1 ELSE 0 END) AS s_de,
+      |    (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% la %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% una %' THEN 1 ELSE 0 END) AS s_es,
+      |    (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% des %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% est %' THEN 1 ELSE 0 END +
+      |     CASE WHEN p LIKE '% une %' THEN 1 ELSE 0 END) AS s_fr
+      |  FROM s)
+      |SELECT doc_id,
+      |  CASE
+      |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+      |      THEN 'en'
+      |    WHEN s_de > 0 AND s_de > s_en AND s_de >= s_es AND s_de >= s_fr
+      |      THEN 'de'
+      |    WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es >= s_fr
+      |      THEN 'es'
+      |    WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es
+      |      THEN 'fr'
+      |    ELSE 'und' END AS lang_pred
+      |FROM sc""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "clean_universal" ->
@@ -1050,44 +1139,48 @@ object SparkEntry {
         |    AS BIGINT) AS n_subwords
         |FROM documents""".stripMargin,
 
-    "text_langid" ->
-      """WITH s AS (
-        |  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
-        |sc AS (
+    "text_langid" -> LangIdOracle,
+
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id ||
+        |      '@example.com or 555-123-4567 from 10.0.' ||
+        |      ((doc_id % 250) + 250) % 250 || '.9 ref ' || (doc_id + 1000000),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{6,}\b', '<NUM>', 'g') AS clean_text
+        |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      """WITH d0 AS (
         |  SELECT doc_id,
-        |    (CASE WHEN p LIKE '% the %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% and %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% of %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% to %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% in %' THEN 1 ELSE 0 END) AS s_en,
-        |    (CASE WHEN p LIKE '% der %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% die %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% und %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% das %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% ist %' THEN 1 ELSE 0 END) AS s_de,
-        |    (CASE WHEN p LIKE '% el %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% la %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% que %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% los %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% una %' THEN 1 ELSE 0 END) AS s_es,
-        |    (CASE WHEN p LIKE '% le %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% les %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% des %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% est %' THEN 1 ELSE 0 END +
-        |     CASE WHEN p LIKE '% une %' THEN 1 ELSE 0 END) AS s_fr
-        |  FROM s)
-        |SELECT doc_id,
-        |  CASE
-        |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
-        |      THEN 'en'
-        |    WHEN s_de > 0 AND s_de > s_en AND s_de >= s_es AND s_de >= s_fr
-        |      THEN 'de'
-        |    WHEN s_es > 0 AND s_es > s_en AND s_es > s_de AND s_es >= s_fr
-        |      THEN 'es'
-        |    WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de AND s_fr > s_es
-        |      THEN 'fr'
-        |    ELSE 'und' END AS lang_pred
-        |FROM sc""".stripMargin,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |b0 AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i+1]) END AS bigs
+        |  FROM d0),
+        |base AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n,
+        |    len(list_distinct(toks))::BIGINT AS d,
+        |    len(bigs)::BIGINT AS nb, len(list_distinct(bigs))::BIGINT AS db
+        |  FROM b0),
+        |ex AS (SELECT doc_id, unnest(toks) AS tok FROM d0),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+        |top AS (SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  round(1.0 - b.d::DOUBLE / b.n, 4) AS rep_token_ratio,
+        |  round(t.top_cnt::DOUBLE / b.n, 4) AS top_token_ratio,
+        |  round(1.0 - b.db::DOUBLE / b.nb, 4) AS rep_bigram_ratio
+        |FROM base b JOIN top t USING (doc_id)""".stripMargin,
+
+    "sample_stratified" ->
+      OracleSql.sampleStratified(LangIdOracle,
+        enThreshold = 250000L, defaultThreshold = 750000L),
 
     "text_quality" ->
       """SELECT doc_id, round(

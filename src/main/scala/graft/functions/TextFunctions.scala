@@ -88,4 +88,20 @@ object TextFunctions {
     */
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** PII scrub: emails, IPv4 addresses, phone-shaped numbers, and long
+    * digit runs replaced by typed placeholder tokens. Patterns live in
+    * the Java-regex ∩ RE2 common subset (no backrefs, no lookaround) so
+    * the transform is engine-portable; applied most-specific-first so an
+    * IP is not half-eaten by the digit-run rule. Map-only.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    val phone = regexp_replace(ip,
+      "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>")
+    regexp_replace(phone, "\\b\\d{6,}\\b", "<NUM>")
+  }
 }

@@ -53,6 +53,20 @@ class PlanHygieneSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges")
   }
 
+  test("IVF probe plan trains centroids only on the sampled slice") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate}
+    val df = SparkEntry.queries("sim_ivf_topk")(spark, sf("sf0.001"))
+    val gens = df.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.nonEmpty, "expected the centroid-build posexplode")
+    gens.foreach { g =>
+      val gated = g.child.collectFirst {
+        case f: Filter if f.condition.toString.contains("% 4") => f
+      }
+      assert(gated.isDefined,
+        s"posexplode not gated by the 1-in-4 sample filter:\n$g")
+    }
+  }
+
   test("200-column cleaning stays a constant-depth plan") {
     import scala.jdk.CollectionConverters._
     val cols = (1 to 200).map(i => s"Col $i (X$i)")

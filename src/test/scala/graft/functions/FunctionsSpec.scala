@@ -140,6 +140,38 @@ class FunctionsSpec extends SparkSpec {
     assert(pre == auto)
   }
 
+  test("hash sampling: deterministic, partition-independent, monotone") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.sample(df, "id", 0.1).as[Long].collect().toSet
+    val b = Sampling.sample(df.repartition(7), "id", 0.1)
+      .as[Long].collect().toSet
+    assert(a == b, "kept set must not depend on partitioning")
+    assert(math.abs(a.size / 10000.0 - 0.1) < 0.02, s"rate off: ${a.size}")
+    val c = Sampling.sample(df, "id", 0.2).as[Long].collect().toSet
+    assert(a.subsetOf(c), "raising the rate must keep previously-kept rows")
+  }
+
+  test("redactPii scrubs emails, phones, IPs, and long digit runs") {
+    val df = Seq("write bob.smith+x@corp.example.org or call 555-123-4567 " +
+      "from 10.0.3.9 ref 12345678 ok 123").toDF("t")
+    val got = df.select(TextFunctions.redactPii($"t")).as[String].head()
+    assert(got == "write <EMAIL> or call <PHONE> from <IP> ref <NUM> ok 123",
+      got)
+  }
+
+  test("repetition signals: repeated text scores high, varied text low") {
+    val df = Seq((1L, "a a a a b")).toDF("doc_id", "text")
+    val toks = Dedup.tokens($"text")
+    val bigs = Dedup.shingles($"text", 2)
+    val row = df.select(
+      (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+        .as("rep_tok"),
+      (lit(1.0) - size(array_distinct(bigs)).cast("double") / size(bigs))
+        .as("rep_big"))
+      .as[(Double, Double)].head()
+    assert(row == ((0.6, 0.5)), row.toString) // 2/5 distinct; {a a, a b}/4
+  }
+
   test("connected components: chain, triangle, isolated pair → min-id reps") {
     // chain 1-2-3-4 (diameter 3 exercises multi-round propagation),
     // triangle 10-11-12, plain pair 20-21
