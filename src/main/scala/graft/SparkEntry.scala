@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, Joins, Merge, Split, Stamping, TemporalJoins}
-import graft.functions.{Dedup, Sampling, Similarity, TextFunctions}
+import graft.functions.{Dedup, Packing, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -527,6 +527,16 @@ object SparkEntry {
             .as("top_token_ratio"),
           round(lit(1.0) - col("db").cast("double") / col("nb"), 4)
             .as("rep_bigram_ratio"))
+    }),
+
+    "pack_training" -> ((s, dir) => {
+      // context-window packing: shard-local concat-and-chunk at a 2048-
+      // token budget over 100-id shards
+      Packing.packForTraining(t(s, dir, "documents"), "doc_id",
+        TextFunctions.subwordCount(col("text")),
+        budgetTokens = 2048, shardSize = 100)
+        .select("doc_id", "n_tokens", "shard", "pack_in_shard",
+          "pack_offset")
     }),
 
     "sample_stratified" -> ((s, dir) => {
@@ -1181,6 +1191,23 @@ object SparkEntry {
     "sample_stratified" ->
       OracleSql.sampleStratified(LangIdOracle,
         enThreshold = 250000L, defaultThreshold = 750000L),
+
+    "pack_training" ->
+      """WITH n0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(doc_id // 100 AS BIGINT) AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |      - n_tokens AS strt
+        |  FROM n0)
+        |SELECT doc_id, n_tokens, shard,
+        |  CAST(strt // 2048 AS BIGINT) AS pack_in_shard,
+        |  CAST(strt - (strt // 2048) * 2048 AS BIGINT) AS pack_offset
+        |FROM c""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id, round(

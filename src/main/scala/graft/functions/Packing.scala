@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training pipelines: documents are concatenated
+  * in id order and chunked into fixed token-budget context windows
+  * ("packs") — each document labeled with the pack its first token
+  * lands in and its offset inside that pack.
+  *
+  * Scale shape: packing is SHARD-LOCAL. A single global concatenation
+  * order would force one total-order window (one task at 100 TB);
+  * instead ids are bucketed into shards of `shardSize` consecutive ids
+  * and each shard packs independently — one hash-shuffle on shard, a
+  * per-shard window cumsum, embarrassingly parallel. Shard-local packing
+  * is standard practice: pretraining mixes shard the corpus anyway, and
+  * window boundaries only differ from a global pack at shard edges.
+  *
+  * Deterministic: pure integer arithmetic over (id, token count) — same
+  * packs on every engine, every run, any partitioning.
+  */
+object Packing {
+
+  /** @param tokenCount column with the document's token count
+    * @param budgetTokens context-window size in tokens
+    * @param shardSize    consecutive-id width of an independent shard
+    * @return input columns + (shard, pack_in_shard, pack_offset)
+    */
+  def packForTraining(docs: DataFrame, idCol: String, tokenCount: Column,
+                      budgetTokens: Long, shardSize: Long): DataFrame = {
+    val withN = docs.withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("shard", floor(col(idCol) / shardSize).cast("long"))
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    val start = sum(col("n_tokens")).over(w) - col("n_tokens")
+    withN
+      .withColumn("pack_in_shard",
+        floor(start / budgetTokens).cast("long"))
+      .withColumn("pack_offset",
+        (start - col("pack_in_shard") * budgetTokens).cast("long"))
+  }
+}

@@ -172,6 +172,21 @@ class FunctionsSpec extends SparkSpec {
     assert(row == ((0.6, 0.5)), row.toString) // 2/5 distinct; {a a, a b}/4
   }
 
+  test("packing: budget boundaries, straddling docs, shard independence") {
+    // budget 10, shard 100: docs of 4+4+4 tokens — third doc starts at
+    // cumsum 8, still pack 0 (straddles into pack 1); fourth starts at 12
+    val df = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L), (101L, 4L))
+      .toDF("doc_id", "nt")
+    val got = Packing
+      .packForTraining(df, "doc_id", $"nt", budgetTokens = 10, shardSize = 100)
+      .select($"doc_id", $"shard", $"pack_in_shard", $"pack_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 0L), (2L, 0L, 0L, 4L), (3L, 0L, 0L, 8L),
+      (4L, 0L, 1L, 2L),
+      (101L, 1L, 0L, 0L))) // new shard restarts packing
+  }
+
   test("connected components: chain, triangle, isolated pair → min-id reps") {
     // chain 1-2-3-4 (diameter 3 exercises multi-round propagation),
     // triangle 10-11-12, plain pair 20-21
