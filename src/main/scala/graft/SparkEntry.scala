@@ -508,18 +508,24 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => {
       // Gopher/RefinedWeb-style repetition signals: repeated-token
       // ratio, top-token frequency, repeated-bigram ratio
+      // token stats from one explode→double-agg pipeline (total, distinct,
+      // and top counts all fall out of the (doc, token) count frame);
+      // bigram stats map-only — distinct count via the native sorted
+      // shingle-hash set, total count derived from n (n-1 bigrams, or one
+      // whole-doc shingle when n <= 2), so no bigram strings are ever
+      // built or shuffled
       val docs = t(s, dir, "documents")
-      val toks = Dedup.tokens(col("text"))
-      val bigs = Dedup.shingles(col("text"), 2)
-      val base = docs.select(col("doc_id"),
-        size(toks).cast("long").as("n"),
-        size(array_distinct(toks)).cast("long").as("d"),
-        size(bigs).cast("long").as("nb"),
-        size(array_distinct(bigs)).cast("long").as("db"))
-      val top = docs.select(col("doc_id"), explode(toks).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top_cnt"))
-      base.join(top, Seq("doc_id"))
+      val tokStats = docs
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n"), count(lit(1)).as("d"),
+          max("c").as("top_cnt"))
+      val bigStats = docs.select(col("doc_id"),
+        size(graft.expressions.exprs.shingle_hashes(col("text"), 2))
+          .cast("long").as("db"))
+      tokStats.join(bigStats, Seq("doc_id"))
+        .withColumn("nb",
+          when(col("n") <= 2, lit(1L)).otherwise(col("n") - 1))
         .select(col("doc_id"),
           round(lit(1.0) - col("d").cast("double") / col("n"), 4)
             .as("rep_token_ratio"),

@@ -177,9 +177,14 @@ object Dedup {
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist()
+    edges.count() // materialize ONCE: every round and the vertex seed read this
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id"))
+    // seed with min(self, direct neighbors) — one shuffle, same as a
+    // plain vertex-distinct would cost, but it starts the propagation a
+    // full round ahead (cliques and stars converge immediately)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("min_nbr"))
+      .select(col("id"), least(col("id"), col("min_nbr")).as("rep"))
       .persist()
     var converged = false
     var i = 0
@@ -187,16 +192,20 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("rep").as("nbr_rep"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("rep"),
+      // persist + materialize the NEXT labels before dropping the old
+      // cache: the convergence count doubles as the materializing action,
+      // so each round executes exactly once and the lineage behind the
+      // cache is never re-run (unpersisting first forces a full recompute
+      // of every previous round — quadratic in rounds)
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep")))
-            .as("new_rep"))
+            .as("rep"),
+          (coalesce(col("nbr_rep"), col("rep")) < col("rep")).as("moved"))
         .persist()
-      val changed = updated.filter(col("new_rep") < col("rep")).count()
-      val old = labels
-      labels = updated.select(col("id"), col("new_rep").as("rep")).persist()
-      old.unpersist()
-      updated.unpersist()
+      val changed = next.filter(col("moved")).count()
+      labels.unpersist()
+      labels = next
       converged = changed == 0
       i += 1
     }

@@ -41,17 +41,16 @@ object TextFunctions {
     def score(words: Seq[String]): Column =
       words.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
         .reduce(_ + _)
-    val scored = markers.map { case (lang, ws) => (lang, score(ws)) }
-    // argmax with first-wins tie-break: lang beats all LATER langs
-    // strictly-greater-or-equal, and all EARLIER langs strictly-greater.
-    val best = scored.zipWithIndex.foldRight(lit("und")) {
-      case (((lang, s), i), elseCol) =>
-        val beatsEarlier = scored.take(i).map { case (_, s2) => s > s2 }
-        val beatsLater = scored.drop(i + 1).map { case (_, s2) => s >= s2 }
-        val isBest = (beatsEarlier ++ beatsLater :+ (s > 0)).reduce(_ && _)
-        when(isBest, lit(lang)).otherwise(elseCol)
-    }
-    best
+    // argmax with first-wins tie-break via array_position(scores, max):
+    // each marker score is evaluated ONCE inside the array (the previous
+    // when-chain formulation duplicated every score ~2·|langs| times in
+    // the expression tree, which dominated the query's cost)
+    val scores = array(markers.map { case (_, ws) => score(ws) }: _*)
+    val names = array(markers.map { case (lang, _) => lit(lang) }: _*)
+    val best = array_max(scores)
+    when(best > 0,
+      element_at(names, array_position(scores, best).cast("int")))
+      .otherwise(lit("und"))
   }
 
   /** Quality score in [0,1]: blend of length saturation, alpha ratio,
