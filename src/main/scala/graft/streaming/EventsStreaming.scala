@@ -62,6 +62,20 @@ object EventsStreaming {
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Streaming exact dedup — the unbounded twin of `Dedup.exact`: at most
+    * one row per key emitted, duplicates dropped across micro-batches.
+    * `dropDuplicatesWithinWatermark` keys the state on `keyCols` and
+    * EVICTS entries once the watermark passes them, so state is bounded
+    * by the lateness horizon instead of growing with the stream — the
+    * only shape that survives 100 TB/day (a plain `dropDuplicates` on a
+    * stream accumulates state forever).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts",
+                  lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Gap-based sessionization with explicit state: sessions close after
     * `gapSeconds` of inactivity per user. Emits one summary row per
     * closed session; ProcessingTimeTimeout flushes idle users.

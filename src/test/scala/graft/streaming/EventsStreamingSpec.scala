@@ -62,6 +62,28 @@ class EventsStreamingSpec extends SparkSpec {
     assert(drain() == 3, "checkpoint should skip already-read files")
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val rows = Seq(
+      EventsStreaming.Event(1, ts(0), 1L, "click", 1.0),
+      EventsStreaming.Event(1, ts(1), 1L, "click", 1.0), // dup id
+      EventsStreaming.Event(2, ts(2), 1L, "click", 2.0),
+      EventsStreaming.Event(2, ts(3), 2L, "view", 9.0),  // dup id, later
+      EventsStreaming.Event(3, ts(4), 2L, "click", 3.0))
+    rows.toDS().write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[EventsStreaming.Event]].schema)
+      .parquet(s"$dir/in")
+    val deduped = EventsStreaming.drainToMemory(
+      EventsStreaming.dedupStream(stream, Seq("event_id")),
+      "dedup_stream", s"$dir/ckpt", OutputMode.Append)
+
+    val ids = deduped.select("event_id").as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     val dir = Files.createTempDirectory("graft-sess").toString
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
