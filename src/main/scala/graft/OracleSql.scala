@@ -257,17 +257,14 @@ object OracleSql {
        |WHERE $jac >= 0.5""".stripMargin
   }
 
-  /** Oracle for `dedup_components`: the same MinHash candidate pairs
-    * (est >= 0.5), closed into connected components by a recursive CTE —
-    * every vertex labeled with the minimum reachable id.
+  /** MinHash candidates (est >= 0.5) closed into connected components by
+    * a recursive CTE: comp(doc_id, rep_id). Emitted after the
+    * token/shingle/minhash CTEs.
     */
-  def dedupComponents(numHashes: Int = 16, rowsPerBand: Int = 2): String = {
+  private def componentCtes(numHashes: Int): String = {
     val est =
       s"round(len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
-    s"""WITH RECURSIVE ${tokenHashCtes()},
-       |${shingleHashCtes()},
-       |${minhashCtes(numHashes, rowsPerBand)},
-       |fcand AS (
+    s"""fcand AS (
        |  SELECT c.id_a, c.id_b
        |  FROM cand c JOIN sigv sa ON sa.doc_id = c.id_a
        |              JOIN sigv sb ON sb.doc_id = c.id_b
@@ -278,9 +275,64 @@ object OracleSql {
        |reach(id, r) AS (
        |  SELECT id, id FROM verts
        |  UNION
-       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
-       |SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id""".stripMargin
+       |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+       |comp AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id)""".stripMargin
   }
+
+  /** Oracle for `dedup_components`: the same MinHash candidate pairs
+    * (est >= 0.5), closed into connected components by a recursive CTE —
+    * every vertex labeled with the minimum reachable id.
+    */
+  def dedupComponents(numHashes: Int = 16, rowsPerBand: Int = 2): String =
+    s"""WITH RECURSIVE ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |${componentCtes(numHashes)}
+       |SELECT doc_id, rep_id FROM comp""".stripMargin
+
+  /** Oracle for `training_mix` — the composed pipeline: quality filter,
+    * near-dup removal (cluster non-representatives dropped), stratified
+    * hash sampling over the language strata, then shard-local sequence
+    * packing of the survivors. Every stage reuses the independently
+    * verified oracle formulation.
+    */
+  def trainingMix(langSql: String, qualitySql: String,
+                  minQuality: Double, enThreshold: Long,
+                  defaultThreshold: Long, budgetTokens: Long,
+                  shardSize: Long, numHashes: Int = 16,
+                  rowsPerBand: Int = 2): String =
+    s"""WITH RECURSIVE ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |${componentCtes(numHashes)},
+       |drops AS (SELECT doc_id FROM comp WHERE rep_id <> doc_id),
+       |lang AS ($langSql),
+       |qual AS ($qualitySql),
+       |${idHashCtes()},
+       |surv AS (
+       |  SELECT d.doc_id, l.lang_pred, q.quality,
+       |    CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents d
+       |  JOIN lang l ON l.doc_id = d.doc_id
+       |  JOIN qual q ON q.doc_id = d.doc_id
+       |  WHERE q.quality >= $minQuality
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM drops)),
+       |samp AS (
+       |  SELECT s.* FROM surv s JOIN hashed h ON h.doc_id = s.doc_id
+       |  WHERE ((h.hv % 1000000) + 1000000) % 1000000 <
+       |    CASE WHEN s.lang_pred = 'en' THEN $enThreshold
+       |         ELSE $defaultThreshold END),
+       |pk AS (
+       |  SELECT *, CAST(doc_id // $shardSize AS BIGINT) AS shard,
+       |    sum(n_tokens) OVER (PARTITION BY doc_id // $shardSize
+       |      ORDER BY doc_id) - n_tokens AS strt
+       |  FROM samp)
+       |SELECT doc_id, lang_pred, quality, n_tokens, shard,
+       |  CAST(strt // $budgetTokens AS BIGINT) AS pack_in_shard,
+       |  CAST(strt - (strt // $budgetTokens) * $budgetTokens AS BIGINT)
+       |    AS pack_offset
+       |FROM pk""".stripMargin
 
   /** Oracle for `dedup_simhash`: 64-bit SimHash from per-token-hash bit
     * tallies, then ALL pairs within Hamming distance 3 — equal to the

@@ -545,6 +545,30 @@ object SparkEntry {
           "pack_offset")
     }),
 
+    "training_mix" -> ((s, dir) => {
+      // the composed pipeline, end to end: near-dup clusters resolved and
+      // non-representatives dropped, quality gate, per-language
+      // deterministic sampling, shard-local context-window packing —
+      // every stage independently oracle-verified, composed here
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val drops = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("rep_id") =!= col("doc_id")).select("doc_id")
+      val enriched = docs.select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+        .join(drops, Seq("doc_id"), "left_anti")
+        .filter(col("quality") >= 0.5)
+      val sampled = Sampling.sampleStratified(enriched, "doc_id",
+        col("lang_pred"), Map("en" -> 0.5), defaultRate = 0.9)
+      Packing.packForTraining(sampled, "doc_id",
+        TextFunctions.subwordCount(col("text")),
+        budgetTokens = 2048, shardSize = 100)
+        .select("doc_id", "lang_pred", "quality", "n_tokens", "shard",
+          "pack_in_shard", "pack_offset")
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       // deterministic per-language training-mix sampling: en kept at
       // 25%, everything else at 75% — map-only, partition-independent
@@ -780,6 +804,27 @@ object SparkEntry {
   // DuckDB oracle twins. Column names/aliases must match the Spark
   // output exactly (driver sorts columns by name before hashing).
   // ------------------------------------------------------------------
+
+  /** text_quality oracle, shared with training_mix (the quality gate
+    * must agree with the verified score).
+    */
+  private val QualityOracle: String =
+    """SELECT doc_id, round(
+      |  0.35 * least(length(text) / 500.0, 1.0) +
+      |  0.35 * (CASE WHEN length(text) > 0 THEN
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+      |      / length(text) ELSE 0 END) +
+      |  0.2 * (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+      |    AND (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+      |      / (CASE WHEN length(trim(text)) = 0 THEN 1
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END))
+      |      BETWEEN 3.0 AND 10.0
+      |    THEN 1.0 ELSE 0.5 END) -
+      |  0.1 * (CASE WHEN length(text) > 0 THEN
+      |    least(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10.0
+      |      / length(text), 1.0) ELSE 0 END), 4) AS quality
+      |FROM documents""".stripMargin
 
   /** text_langid oracle, shared with sample_stratified (the
     * sampling strata must agree with the verified language-ID).
@@ -1215,23 +1260,12 @@ object SparkEntry {
         |  CAST(strt - (strt // 2048) * 2048 AS BIGINT) AS pack_offset
         |FROM c""".stripMargin,
 
-    "text_quality" ->
-      """SELECT doc_id, round(
-        |  0.35 * least(length(text) / 500.0, 1.0) +
-        |  0.35 * (CASE WHEN length(text) > 0 THEN
-        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
-        |      / length(text) ELSE 0 END) +
-        |  0.2 * (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
-        |    AND (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
-        |      / (CASE WHEN length(trim(text)) = 0 THEN 1
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END))
-        |      BETWEEN 3.0 AND 10.0
-        |    THEN 1.0 ELSE 0.5 END) -
-        |  0.1 * (CASE WHEN length(text) > 0 THEN
-        |    least(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10.0
-        |      / length(text), 1.0) ELSE 0 END), 4) AS quality
-        |FROM documents""".stripMargin,
+    "training_mix" ->
+      OracleSql.trainingMix(LangIdOracle, QualityOracle,
+        minQuality = 0.5, enThreshold = 500000L,
+        defaultThreshold = 900000L, budgetTokens = 2048, shardSize = 100),
+
+    "text_quality" -> QualityOracle,
 
     "text_fingerprint" ->
       """SELECT doc_id,
