@@ -33,6 +33,12 @@ object Sampling {
     * One map-only pass; the hash gate is shared, so a row's fate under a
     * rate INCREASE is monotone (rows kept at 5% stay kept at 10% — handy
     * for growing a mix without resampling everything).
+    *
+    * Note: when `stratumCol` is an expensive DERIVED expression (e.g. a
+    * language-ID over the text), Catalyst's predicate pushdown will
+    * substitute it into the filter and evaluate it twice per row. At
+    * scale, materialize the stratum column once (write it, or persist)
+    * and pass the materialized column here.
     */
   def sampleStratified(df: DataFrame, idCol: String, stratumCol: Column,
                        rates: Map[String, Double],
