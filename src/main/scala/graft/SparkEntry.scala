@@ -807,9 +807,18 @@ object SparkEntry {
 
   /** text_quality oracle, shared with training_mix (the quality gate
     * must agree with the verified score).
+    *
+    * Rounding detail: Spark's `round` does HALF_UP on the double's
+    * SHORTEST DECIMAL representation (`BigDecimal.valueOf`), while
+    * DuckDB's rounds the scaled binary value — they disagree exactly on
+    * values that PRINT as x.xxxx5 (e.g. 0.65675 → 0.6568 vs 0.6567; 3
+    * docs at sf0.1 hit this). The VARCHAR→DECIMAL hop reproduces
+    * Spark's semantics: DuckDB's double→VARCHAR cast is shortest
+    * round-trip, and DECIMAL rounding is half-away-from-zero (= HALF_UP
+    * for the non-negative score).
     */
   private val QualityOracle: String =
-    """SELECT doc_id, round(
+    """SELECT doc_id, round(CAST(CAST((
       |  0.35 * least(length(text) / 500.0, 1.0) +
       |  0.35 * (CASE WHEN length(text) > 0 THEN
       |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
@@ -822,8 +831,9 @@ object SparkEntry {
       |      BETWEEN 3.0 AND 10.0
       |    THEN 1.0 ELSE 0.5 END) -
       |  0.1 * (CASE WHEN length(text) > 0 THEN
-      |    least(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 10.0
-      |      / length(text), 1.0) ELSE 0 END), 4) AS quality
+      |    least(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+      |      / length(text) * 10.0, 1.0) ELSE 0 END)
+      |  ) AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS quality
       |FROM documents""".stripMargin
 
   /** text_langid oracle, shared with sample_stratified (the
