@@ -444,6 +444,34 @@ object OracleSql {
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Oracle for `dedup_embedding_lsh`: per-table sign-bit signatures from
+    * the shared plane matrices; pairs = bucket match in ANY table, exact
+    * cosine refine. The round goes through VARCHAR→DECIMAL to reproduce
+    * Spark's shortest-decimal HALF_UP semantics.
+    */
+  def dedupEmbeddingLsh(minCos: Double, nTables: Int = 8, nBits: Int = 4,
+                        dim: Int = 64, seed: Long = 42L): String = {
+    val planes = Similarity.hyperplanes(nTables, nBits, dim, seed)
+    val sigExprs: String =
+      (0 until nTables).map { l =>
+        val bits = (0 until nBits).map { p =>
+          val lits = planes(l)(p).map(_.toString).mkString(", ")
+          s"CASE WHEN list_dot_product(v, [$lits]::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END"
+        }.mkString(" + ")
+        s"($bits) AS s$l"
+      }.mkString(", ")
+    val tblMatch = (0 until nTables).map(l => s"a.s$l = b.s$l").mkString(" OR ")
+    val cosR = "round(CAST(CAST(list_cosine_similarity(a.v, b.v) AS VARCHAR) " +
+      "AS DECIMAL(38,20)), 4)::DOUBLE"
+    s"""WITH ev AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sg AS (SELECT id, v, $sigExprs FROM ev),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, $cosR AS cos
+       |  FROM sg a JOIN sg b ON a.id < b.id AND ($tblMatch))
+       |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $minCos""".stripMargin
+  }
+
   /** Oracle for `sim_ivf_topk`: centroids = per-(cell, dim) float-cast
     * means over the 1-in-4 systematic sample, nProbe nearest cells per
     * query, exact cosine rank within probed cells.

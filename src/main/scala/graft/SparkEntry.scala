@@ -609,6 +609,14 @@ object SparkEntry {
         "vec_id", "embedding", minCos = 0.4, maxId = 1000)
     }),
 
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      // the SCALE path for embedding near-dup: candidates bounded by
+      // multi-table hyperplane buckets, exact cosine refine — no bounded
+      // id slice, no cross join
+      Similarity.embeddingNearDupsLsh(t(s, dir, "embeddings"),
+        "vec_id", "embedding", minCos = 0.4, dim = 64)
+    }),
+
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
@@ -1451,6 +1459,7 @@ object SparkEntry {
     "multimodal_features" -> OracleSql.multimodalFeatures(),
     "sim_lsh_topk" ->
       OracleSql.simLshTopK(nTables = 12, nBits = 3, dim = 64, seed = 42L, k = 5),
-    "sim_ivf_topk" -> OracleSql.simIvfTopK(dim = 64, nProbe = 3, k = 5)
+    "sim_ivf_topk" -> OracleSql.simIvfTopK(dim = 64, nProbe = 3, k = 5),
+    "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh(minCos = 0.4)
   )
 }

@@ -99,6 +99,31 @@ object Similarity {
       .select(col("cell"), transform(col("dm"), _.getField("m"))
         .cast("array<float>").as("centroid"))
 
+  /** Embedding near-dup pairs at scale: multi-table hyperplane LSH
+    * buckets bound the candidate set (pairs only ever materialize within
+    * a (table, bucket) group — never the O(n²) cross product), then the
+    * exact cosine refine keeps pairs above `minCos`. The scale path for
+    * [[embeddingNearDups]], same OR-ed-tables shape as [[lshTopK]].
+    */
+  def embeddingNearDupsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                           minCos: Double, dim: Int, nBits: Int = 4,
+                           nTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nTables, nBits, dim, seed)
+    val sigCol = exprs.hyperplane_sigs(col(vecCol), planes)
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      posexplode(sigCol).as(Seq("tbl", "bucket")))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      posexplode(sigCol).as(Seq("tbl", "bucket")))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(exprs.cosine_sim(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= minCos)
+      // a pair matching in several tables appears once per table — the
+      // refined score is identical, collapse on the narrow triple
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+  }
+
   /** IVF-style ANN: a coarse quantizer (centroid per `labelCol` cell)
     * routes each query to its `nProbe` nearest cells; exact ranking runs
     * only inside the probed cells. The inverted-file shape: at 100 TB the

@@ -140,6 +140,20 @@ class FunctionsSpec extends SparkSpec {
     assert(pre == auto)
   }
 
+  test("embedding near-dup LSH: exact precision, bounded recall loss") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val exact = Similarity
+      .embeddingNearDups(emb, "vec_id", "embedding", 0.4, Long.MaxValue)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity
+      .embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.4, dim = 64)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "refine is exact, so precision must be 1")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (${exact.size} true pairs)")
+  }
+
   test("hash sampling: deterministic, partition-independent, monotone") {
     val df = spark.range(10000).toDF("id")
     val a = Sampling.sample(df, "id", 0.1).as[Long].collect().toSet
