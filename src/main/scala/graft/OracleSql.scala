@@ -66,6 +66,16 @@ object OracleSql {
     s"(((($a) % $B32) * (($b) // $B32) + (($a) // $B32) * (($b) % $B32)) " +
       s"% $B32 * $B32 + (($a) % $B32) * (($b) % $B32)) % $M"
 
+  /** Spark-semantics rounding: Spark's `round` is HALF_UP on the double's
+    * SHORTEST DECIMAL representation (`BigDecimal.valueOf`), while plain
+    * DuckDB `round` rounds the scaled binary value — divergent exactly on
+    * values that print as x.…5 at the target scale. The VARCHAR hop is
+    * shortest round-trip and DECIMAL rounding is half-away-from-zero,
+    * which is HALF_UP's behavior for both signs.
+    */
+  private def roundSpark(e: String, n: Int): String =
+    s"round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,20)), $n)::DOUBLE"
+
   /** Chained-CTE builder: each added column is its own projection level. */
   private final class Chain(prefix: String, base: String) {
     private val ctes =
@@ -236,8 +246,8 @@ object OracleSql {
     * shingle-hash sets, restricted to the LSH candidate pairs.
     */
   def dedupNgramJaccard(numHashes: Int = 16, rowsPerBand: Int = 2): String = {
-    val jac = "round(coalesce(i.ic, 0)::DOUBLE / " +
-      "(za.sz + zb.sz - coalesce(i.ic, 0)), 4)"
+    val jac = roundSpark(
+      "coalesce(i.ic, 0)::DOUBLE / (za.sz + zb.sz - coalesce(i.ic, 0))", 4)
     s"""WITH ${tokenHashCtes()},
        |${shingleHashCtes()},
        |${minhashCtes(numHashes, rowsPerBand)},
@@ -405,8 +415,8 @@ object OracleSql {
        |    -sum((h.cnt::DOUBLE / c.n_bytes) * (ln(h.cnt::DOUBLE / c.n_bytes) / ln(2))) AS ent
        |  FROM hist h JOIN crc c USING (media_id) GROUP BY h.media_id)
        |SELECT c.media_id, c.n_bytes, ${sig("c.crcu")} AS checksum,
-       |  round(coalesce(s.bsum::DOUBLE / c.n_bytes, 0.0), 4) AS mean_byte,
-       |  round(coalesce(s.ent, 0.0), 4) AS entropy_bits
+       |  ${roundSpark("coalesce(s.bsum::DOUBLE / c.n_bytes, 0.0)", 4)} AS mean_byte,
+       |  ${roundSpark("coalesce(s.ent, 0.0)", 4)} AS entropy_bits
        |FROM crc c LEFT JOIN stats s ON s.media_id = c.media_id""".stripMargin
 
   /** Oracle for `sim_lsh_topk`: the seeded plane matrices from
@@ -440,7 +450,7 @@ object OracleSql {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score
+       |SELECT query_id, rank, neighbor_id, ${roundSpark("score", 4)} AS score
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
@@ -461,8 +471,7 @@ object OracleSql {
         s"($bits) AS s$l"
       }.mkString(", ")
     val tblMatch = (0 until nTables).map(l => s"a.s$l = b.s$l").mkString(" OR ")
-    val cosR = "round(CAST(CAST(list_cosine_similarity(a.v, b.v) AS VARCHAR) " +
-      "AS DECIMAL(38,20)), 4)::DOUBLE"
+    val cosR = roundSpark("list_cosine_similarity(a.v, b.v)", 4)
     s"""WITH ev AS (
        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |sg AS (SELECT id, v, $sigExprs FROM ev),
@@ -504,6 +513,6 @@ object OracleSql {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score
+       |SELECT query_id, rank, neighbor_id, ${roundSpark("score", 4)} AS score
        |FROM ranked WHERE rank <= $k""".stripMargin
 }

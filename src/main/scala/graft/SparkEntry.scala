@@ -590,9 +590,9 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
-      // 12 tables × 3 bits: recall@5 = 1.0 vs brute force at this corpus
-      // size (asserted in FunctionsSpec); more bits + more tables at
-      // larger corpus sizes
+      // 12 tables × 3 bits: recall@5 >= 0.9 asserted in FunctionsSpec
+      // (measured 1.0 on this corpus); more bits + more tables at larger
+      // corpus sizes
       Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
         dim = 64, nBits = 3, nTables = 12)
         .select("query_id", "rank", "neighbor_id", "score")

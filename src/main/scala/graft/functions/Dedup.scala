@@ -209,7 +209,17 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "labels may be non-minimal; raise maxIter for graphs of " +
+          "diameter > maxIter")
     edges.unpersist()
+    // NOTE: the returned frame is backed by the last round's cache (it
+    // cannot be unpersisted here without forcing a full loop recompute on
+    // the caller's first action); long-lived sessions doing many calls
+    // should clear it via spark.catalog.clearCache() or persist the
+    // result and drop the lineage
     labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
   }
 

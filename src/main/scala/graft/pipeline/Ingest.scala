@@ -134,17 +134,26 @@ object Ingest {
       .filter(f => Files.isRegularFile(f) &&
         f.getFileName.toString.toLowerCase.endsWith(".tsv"))
       .toSeq.sortBy(_.getFileName.toString)
-      .map { f =>
+      .flatMap { f =>
         val name = f.getFileName.toString
         val csvName = name.dropRight(4) + ".csv"
-        if (!dryRun) {
+        if (dryRun) Some(name -> csvName)
+        else Try {
           val converted = Files.readAllLines(f).asScala
             .map(_.split("\t", -1).map(csvField).mkString(","))
             .mkString("\n")
           Files.writeString(inbox.resolve(csvName), converted)
           Files.delete(f)
+          name -> csvName
+        } match {
+          case Success(pair) => Some(pair)
+          case Failure(e) =>
+            // a malformed (non-UTF-8/binary) .tsv must not block the rest
+            // of the inbox — leave it in place, matching the pipeline's
+            // lenient per-item posture; it will route as-is (→ error zone)
+            System.err.println(s"[ingest] convert skipped $name: ${e.getMessage}")
+            None
         }
-        name -> csvName
       }
   }
 
