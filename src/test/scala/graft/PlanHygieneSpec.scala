@@ -67,6 +67,21 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("hash sampling is a pure map-side filter (zero shuffles)") {
+    val df = graft.functions.Sampling.sample(
+      spark.read.parquet(sf("sf0.001") + "/documents.parquet"),
+      "doc_id", 0.25)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("sequence packing shuffles exactly once (shard hash partitioning)") {
+    val df = SparkEntry.queries("pack_training")(spark, sf("sf0.001"))
+    val exchanges = df.queryExecution.executedPlan.toString.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges")
+  }
+
   test("200-column cleaning stays a constant-depth plan") {
     import scala.jdk.CollectionConverters._
     val cols = (1 to 200).map(i => s"Col $i (X$i)")
