@@ -481,6 +481,45 @@ object OracleSql {
        |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $minCos""".stripMargin
   }
 
+  /** Oracle for `sim_quantized_topk`: int8 quantization (per-vector
+    * scale 127/max|x|, Spark-semantics rounding) then exact integer
+    * dot/norm cosine, rank, k.
+    */
+  def simQuantizedTopK(dim: Int = 64, k: Int = 5): String = {
+    val dot = s"list_sum(list_transform(range(1, ${dim + 1}), i -> a[i] * b[i]))::DOUBLE"
+    val na = s"list_sum(list_transform(range(1, ${dim + 1}), i -> a[i] * a[i]))::DOUBLE"
+    val nb = s"list_sum(list_transform(range(1, ${dim + 1}), i -> b[i] * b[i]))::DOUBLE"
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |scaled AS (
+       |  SELECT vec_id, v,
+       |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+       |         THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+       |         ELSE 1.0 END AS sc
+       |  FROM base),
+       |qz AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x -> CAST(${roundSpark("x * sc", 0)} AS INTEGER)) AS qv
+       |  FROM scaled),
+       |sc AS (
+       |  SELECT qy.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    qy.qv AS a, e.qv AS b
+       |  FROM qz qy JOIN qz e ON e.vec_id <> qy.vec_id
+       |  WHERE qy.vec_id < 8),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN $na > 0 AND $nb > 0
+       |         THEN $dot / sqrt($na) / sqrt($nb) ELSE 0.0 END AS score
+       |  FROM sc),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ${roundSpark("score", 4)} AS score
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
   /** Oracle for `sim_ivf_topk`: centroids = per-(cell, dim) float-cast
     * means over the 1-in-4 systematic sample, nProbe nearest cells per
     * query, exact cosine rank within probed cells.

@@ -609,6 +609,27 @@ object SparkEntry {
         "vec_id", "embedding", minCos = 0.4, maxId = 1000)
     }),
 
+    "sim_quantized_topk" -> ((s, dir) => {
+      // brute-force top-k over int8-quantized vectors: 4x smaller
+      // corpus for the memory-bound regime; integer dot/norms accumulate
+      // exactly, so scores are order-independent
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("neighbor_id"),
+        Similarity.quantize(col("embedding"))._2.as("c_q"))
+      val queries = broadcast(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"),
+          Similarity.quantize(col("embedding"))._2.as("q_q")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      corpus.crossJoin(queries)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("score",
+          round(Similarity.quantizedCosine(col("q_q"), col("c_q")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "score")
+    }),
+
     "dedup_embedding_lsh" -> ((s, dir) => {
       // the SCALE path for embedding near-dup: candidates bounded by
       // multi-table hyperplane buckets, exact cosine refine — no bounded
@@ -1460,6 +1481,7 @@ object SparkEntry {
     "sim_lsh_topk" ->
       OracleSql.simLshTopK(nTables = 12, nBits = 3, dim = 64, seed = 42L, k = 5),
     "sim_ivf_topk" -> OracleSql.simIvfTopK(dim = 64, nProbe = 3, k = 5),
-    "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh(minCos = 0.4)
+    "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh(minCos = 0.4),
+    "sim_quantized_topk" -> OracleSql.simQuantizedTopK(dim = 64, k = 5)
   )
 }

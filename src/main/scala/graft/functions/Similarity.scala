@@ -169,6 +169,36 @@ object Similarity {
         round(col("score"), 4).as("score"))
   }
 
+  /** Symmetric int8 quantization of a float vector: per-vector scale
+    * `127 / max|x|`, elements rounded half-up to [-127, 127]. Returns
+    * (scale DOUBLE, q ARRAY<int>) — 4× smaller vectors for memory-bound
+    * ANN at 100 TB; exact arithmetic (one division + rounds), so the
+    * quantized corpus is reproducible across engines and runs.
+    */
+  def quantize(vec: Column): (Column, Column) = {
+    val absMax = aggregate(vec.cast("array<double>"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))
+    val scale = when(absMax > 0, lit(127.0) / absMax).otherwise(lit(1.0))
+    val q = transform(vec.cast("array<double>"),
+      x => round(x * scale).cast("int"))
+    (scale, q)
+  }
+
+  /** Cosine over int8-quantized vectors: integer dot/norms accumulated
+    * exactly, one double division at the end — deterministic regardless
+    * of accumulation order, unlike float sums. The quantization error is
+    * the accuracy dial; ranks survive for well-spread embeddings.
+    */
+  def quantizedCosine(qa: Column, qb: Column): Column = {
+    val dot = aggregate(zip_with(qa, qb, (x, y) => (x * y).cast("long")),
+      lit(0L), _ + _).cast("double")
+    val na = aggregate(transform(qa, x => (x * x).cast("long")),
+      lit(0L), _ + _).cast("double")
+    val nb = aggregate(transform(qb, x => (x * x).cast("long")),
+      lit(0L), _ + _).cast("double")
+    when(na > 0 && nb > 0, dot / sqrt(na) / sqrt(nb)).otherwise(lit(0.0))
+  }
+
   /** Random-hyperplane signature: `planes(p)(d)` dotted with the vector,
     * sign bit per plane packed into a long. Deterministic given the
     * caller's seeded plane matrix.

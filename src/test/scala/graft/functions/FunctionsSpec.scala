@@ -140,6 +140,19 @@ class FunctionsSpec extends SparkSpec {
     assert(pre == auto)
   }
 
+  test("int8-quantized cosine preserves top-5 neighbors") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 8)
+    val truth = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = graft.SparkEntry.queries("sim_quantized_topk")(
+      spark, sf("sf0.001"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"quantized recall@5 = $recall")
+  }
+
   test("embedding near-dup LSH: exact precision, bounded recall loss") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val exact = Similarity
