@@ -184,20 +184,24 @@ object OracleSql {
     * hashes, seed 42; short docs yield one whole-document shingle):
     * shash(doc_id, i, shu).
     */
-  private def shingleHashCtes(): String = {
+  private def shingleHashCtes(shingleN: Int = 3): String = {
+    val joins = (2 to shingleN).map(j =>
+      s"  LEFT JOIN tokh t$j ON t$j.doc_id = t1.doc_id AND t$j.i = t1.i + ${j - 1}")
+      .mkString("\n")
+    val aCols = (2 to shingleN).map(j => s"t$j.thu AS a$j").mkString(", ")
     val sbase =
-      """SELECT t1.doc_id, t1.i, t1.thu AS a1, t2.thu AS a2, t3.thu AS a3
-        |  FROM tokh t1
-        |  JOIN tcnt USING (doc_id)
-        |  LEFT JOIN tokh t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
-        |  LEFT JOIN tokh t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
-        |  WHERE t1.i <= CASE WHEN ntok <= 3 THEN 1 ELSE ntok - 2 END""".stripMargin
+      s"""SELECT t1.doc_id, t1.i, t1.thu AS a1${if (shingleN > 1) ", " + aCols else ""}
+         |  FROM tokh t1
+         |  JOIN tcnt USING (doc_id)
+         |$joins
+         |  WHERE t1.i <= CASE WHEN ntok <= $shingleN THEN 1 ELSE ntok - ${shingleN - 1} END""".stripMargin
     val ch = new Chain("sg", sbase)
-    val h1 = hashLong(ch, "a1", "42::HUGEINT", "p")
-    val h2x = hashLong(ch, "a2", h1, "q")
-    val h2 = ch.add("h2", s"coalesce($h2x, $h1)")
-    val h3x = hashLong(ch, "a3", h2, "r")
-    ch.add("shu", s"coalesce($h3x, $h2)")
+    var h = hashLong(ch, "a1", "42::HUGEINT", "w1x")
+    for (j <- 2 to shingleN) {
+      val hx = hashLong(ch, s"a$j", h, s"w${j}x")
+      h = ch.add(s"hh$j", s"coalesce($hx, $h)")
+    }
+    ch.add("shu", h)
     "tcnt AS (SELECT doc_id, count(*) AS ntok FROM tokh GROUP BY doc_id),\n" +
       ch.render +
       s",\nshash AS (SELECT doc_id, i, shu FROM ${ch.last})"
@@ -343,6 +347,20 @@ object OracleSql {
        |  CAST(strt - (strt // $budgetTokens) * $budgetTokens AS BIGINT)
        |    AS pack_offset
        |FROM pk""".stripMargin
+
+  /** Oracle for `text_decontaminate`: distinct width-`shingleN` shingle
+    * hashes of the eval slice (doc_id % `evalMod` == 0) matched against
+    * every other doc's shingle set.
+    */
+  def textDecontaminate(shingleN: Int, evalMod: Int): String =
+    s"""WITH ${tokenHashCtes()},
+       |${shingleHashCtes(shingleN)},
+       |sset AS (SELECT DISTINCT doc_id, shu FROM shash),
+       |ctam AS (SELECT DISTINCT shu FROM sset WHERE doc_id % $evalMod = 0)
+       |SELECT s.doc_id, CAST(count(DISTINCT s.shu) AS BIGINT) AS n_hits
+       |FROM sset s JOIN ctam c ON c.shu = s.shu
+       |WHERE s.doc_id % $evalMod <> 0
+       |GROUP BY s.doc_id""".stripMargin
 
   /** Oracle for `dedup_simhash`: 64-bit SimHash from per-token-hash bit
     * tallies, then ALL pairs within Hamming distance 3 — equal to the

@@ -569,6 +569,16 @@ object SparkEntry {
           "pack_in_shard", "pack_offset")
     }),
 
+    "text_decontaminate" -> ((s, dir) => {
+      // test-set decontamination: docs sharing any 4-gram with the eval
+      // slice (doc_id % 13 == 0) are flagged with their hit count
+      val docs = t(s, dir, "documents")
+      val contamination = Dedup.evalShingles(
+        docs.filter(col("doc_id") % 13 === 0), "text", shingleN = 4)
+      Dedup.contaminationHits(docs.filter(col("doc_id") % 13 =!= 0),
+        "doc_id", "text", contamination, shingleN = 4)
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       // deterministic per-language training-mix sampling: en kept at
       // 25%, everything else at 75% — map-only, partition-independent
@@ -1482,6 +1492,8 @@ object SparkEntry {
       OracleSql.simLshTopK(nTables = 12, nBits = 3, dim = 64, seed = 42L, k = 5),
     "sim_ivf_topk" -> OracleSql.simIvfTopK(dim = 64, nProbe = 3, k = 5),
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh(minCos = 0.4),
-    "sim_quantized_topk" -> OracleSql.simQuantizedTopK(dim = 64, k = 5)
+    "sim_quantized_topk" -> OracleSql.simQuantizedTopK(dim = 64, k = 5),
+    "text_decontaminate" ->
+      OracleSql.textDecontaminate(shingleN = 4, evalMod = 13)
   )
 }

@@ -223,6 +223,36 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
   }
 
+  // ---------------- decontamination ----------------
+
+  /** The contamination fingerprint of an eval/test set: its distinct
+    * word-`shingleN`-gram hashes. Small relative to the corpus — at
+    * 100 TB this is the broadcast side.
+    */
+  def evalShingles(evalDocs: DataFrame, textCol: String,
+                   shingleN: Int = 5): DataFrame =
+    evalDocs.select(
+      explode(exprs.shingle_hashes(col(textCol), shingleN)).as("sh"))
+      .distinct()
+
+  /** Test-set decontamination screen: training docs sharing at least one
+    * `shingleN`-gram with the contamination set, with the count of
+    * distinct contaminated shingles per doc. Map-side shingle explode +
+    * (broadcastable) semi-ish join + one narrow aggregate — drop or
+    * down-weight the flagged docs before training.
+    */
+  def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
+                        contamination: DataFrame,
+                        shingleN: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(exprs.shingle_hashes(col(textCol), shingleN)).as("sh"))
+    sh.join(broadcast(
+        contamination.select(col(contamination.columns.head).as("sh"))
+          .distinct()),
+        Seq("sh"))
+      .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by

@@ -214,6 +214,22 @@ class FunctionsSpec extends SparkSpec {
       (101L, 1L, 0L, 0L))) // new shard restarts packing
   }
 
+  test("decontamination flags docs overlapping the eval set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // eval
+      (2L, "a quick brown fox jumps over the lazy cat"),   // shares 5-grams
+      (3L, "completely different text with no overlap at all"),
+      (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of eval
+    ).toDF("doc_id", "text")
+    val contamination = Dedup.evalShingles(
+      docs.filter($"doc_id" === 1), "text", shingleN = 5)
+    val hits = Dedup.contaminationHits(docs.filter($"doc_id" =!= 1),
+      "doc_id", "text", contamination, shingleN = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(2L) && hits.contains(4L) && !hits.contains(3L))
+    assert(hits(4L) == 5L) // 9 tokens → 5 five-gram shingles, all shared
+  }
+
   test("connected components: chain, triangle, isolated pair → min-id reps") {
     // chain 1-2-3-4 (diameter 3 exercises multi-round propagation),
     // triangle 10-11-12, plain pair 20-21
