@@ -581,11 +581,14 @@ object SparkEntry {
 
     "sample_stratified" -> ((s, dir) => {
       // deterministic per-language training-mix sampling: en kept at
-      // 25%, everything else at 75% — map-only, partition-independent
+      // 25%, everything else at 75% — map-only, partition-independent.
+      // eagerStratum pins the gate above the langId projection, so the
+      // derived stratum evaluates once per row, not once in the pushed
+      // filter and again in the output projection
       val withLang = t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"))
       Sampling.sampleStratified(withLang, "doc_id", col("lang_pred"),
-        Map("en" -> 0.25), defaultRate = 0.75)
+        Map("en" -> 0.25), defaultRate = 0.75, eagerStratum = true)
         .select("doc_id", "lang_pred")
     }),
 

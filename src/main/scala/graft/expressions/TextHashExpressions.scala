@@ -372,4 +372,7 @@ object exprs {
   def hyperplane_sigs(vec: Column,
                       planes: Array[Array[Array[Double]]]): Column =
     column(HyperplaneSigs(expression(vec), planes))
+
+  def pushdown_barrier(c: Column): Column =
+    column(PushdownBarrier(expression(c)))
 }

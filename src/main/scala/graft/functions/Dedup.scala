@@ -181,30 +181,30 @@ object Dedup {
 
     // seed with min(self, direct neighbors) — one shuffle, same as a
     // plain vertex-distinct would cost, but it starts the propagation a
-    // full round ahead (cliques and stars converge immediately)
+    // full round ahead (cliques and stars converge immediately).
+    // Per-round localCheckpoint (not persist): it materializes the round
+    // eagerly AND cuts the logical lineage — labels is referenced twice
+    // per round, so an uncut analyzed plan doubles every round and
+    // analysis cost turns exponential at high iteration counts; caching
+    // truncates only physical execution, not the analyzed tree. The
+    // checkpointed blocks are GC-cleaned by the context cleaner.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("id"), least(col("id"), col("min_nbr")).as("rep"))
-      .persist()
+      .localCheckpoint(eager = true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("rep").as("nbr_rep"))
-      // persist + materialize the NEXT labels before dropping the old
-      // cache: the convergence count doubles as the materializing action,
-      // so each round executes exactly once and the lineage behind the
-      // cache is never re-run (unpersisting first forces a full recompute
-      // of every previous round — quadratic in rounds)
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep")))
             .as("rep"),
           (coalesce(col("nbr_rep"), col("rep")) < col("rep")).as("moved"))
-        .persist()
+        .localCheckpoint(eager = true)
       val changed = next.filter(col("moved")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
@@ -213,14 +213,104 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents did not converge within $maxIter rounds — " +
           "labels may be non-minimal; raise maxIter for graphs of " +
-          "diameter > maxIter")
+          "diameter > maxIter; or use [[starContraction]], which " +
+          "converges in O(log diameter) rounds")
+    // labels is already checkpointed (lineage-free), so the edge cache
+    // can be dropped here: the returned frame reads only the final
+    // round's blocks, and repeated calls leave nothing in the cache
+    // manager — no clearCache() housekeeping for long-lived sessions.
     edges.unpersist()
-    // NOTE: the returned frame is backed by the last round's cache (it
-    // cannot be unpersisted here without forcing a full loop recompute on
-    // the caller's first action); long-lived sessions doing many calls
-    // should clear it via spark.catalog.clearCache() or persist the
-    // result and drop the lineage
     labels.select(col("id").as("doc_id"), col("rep").as("rep_id"))
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (the public two-phase contraction algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    * re-points whole neighborhoods at their minimum, so the distance a
+    * label travels per round roughly squares — O(log diameter) rounds
+    * where [[connectedComponents]] needs O(diameter). Same output
+    * contract: (doc_id, rep_id), rep_id = min id in the component.
+    *
+    * Use for high-diameter graphs (long chains of pairwise near-dups);
+    * plain propagation stays the cheaper default for the near-clique
+    * clusters MinHash candidates usually form (its per-round edge set is
+    * never densified). Fixed point is detected with a narrow
+    * (count, hash-sum) checksum — one tiny agg per round, no `except`.
+    */
+  def starContraction(pairs: DataFrame, aCol: String, bCol: String,
+                      maxIter: Int = 20): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+
+    // order-independent fingerprint of the edge set: at the fixed point
+    // the emitted orientation is canonical (src > dst), so equal
+    // (count, xor-of-hashes) across rounds ⇒ the set is stable. XOR
+    // (not sum) because ANSI mode makes a long sum overflow-checked.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))"))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // large-star: every neighbor v > u re-points at m(u) = min(Γ(u) ∪ u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      s.filter(col("dst") > col("src"))
+        .join(m, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // small-star: neighbors v ≤ u (and u itself) re-point at their min
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val m = dir.groupBy("src").agg(min("dst").as("m"))
+      dir.join(m, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(m.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    val edges0 = pairs
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+    // per-round localCheckpoint (not persist): large-star/small-star each
+    // reference their input several times, so an uncut LOGICAL plan grows
+    // ~12× per round and analysis time explodes exponentially — caching
+    // truncates only the physical execution, not the analyzed tree.
+    // Checkpointing materializes the round AND replaces its lineage with
+    // the stored blocks (blocks are GC-cleaned by the context cleaner).
+    var edges = edges0.localCheckpoint(eager = true)
+    val verts = sym(edges).select(col("src").as("id")).distinct()
+    var state = checksum(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      val ns = checksum(next)
+      edges = next
+      converged = ns == state
+      state = ns
+      i += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"starContraction did not reach a fixed point within $maxIter " +
+          "rounds — labels may be non-minimal")
+    // at the fixed point the edge set is a union of stars (leaf, root)
+    val leaf = edges.groupBy(col("src").as("id")).agg(min("dst").as("rep"))
+    verts.join(leaf, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("rep"), col("id")).as("rep_id"))
   }
 
   // ---------------- decontamination ----------------

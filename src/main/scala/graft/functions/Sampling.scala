@@ -34,19 +34,33 @@ object Sampling {
     * rate INCREASE is monotone (rows kept at 5% stay kept at 10% — handy
     * for growing a mix without resampling everything).
     *
-    * Note: when `stratumCol` is an expensive DERIVED expression (e.g. a
-    * language-ID over the text), Catalyst's predicate pushdown will
-    * substitute it into the filter and evaluate it twice per row. At
-    * scale, materialize the stratum column once (write it, or persist)
-    * and pass the materialized column here.
+    * When `stratumCol` is an expensive DERIVED expression (a language-ID
+    * over the text, a quality score), Catalyst's predicate pushdown
+    * substitutes it into the filter below the projection that computes
+    * it, so it evaluates twice per row. `eagerStratum = true` pins the
+    * sampling predicate above that projection with a
+    * [[graft.expressions.PushdownBarrier]], so the stratum evaluates
+    * exactly once per row — at 100 TB the stratum IS the dominant cost,
+    * so this halves the scan. Leave it false for plain materialized
+    * columns, where pushdown (all the way into the parquet scan) is the
+    * behavior you want.
     */
   def sampleStratified(df: DataFrame, idCol: String, stratumCol: Column,
                        rates: Map[String, Double],
-                       defaultRate: Double): DataFrame = {
-    val threshold = rates.foldLeft(lit((defaultRate * Scale).toLong): Column) {
-      case (acc, (stratum, rate)) =>
-        when(stratumCol === stratum, lit((rate * Scale).toLong)).otherwise(acc)
+                       defaultRate: Double,
+                       eagerStratum: Boolean = false): DataFrame = {
+    def threshold(stratum: Column): Column =
+      rates.foldLeft(lit((defaultRate * Scale).toLong): Column) {
+        case (acc, (s, rate)) =>
+          when(stratum === s, lit((rate * Scale).toLong)).otherwise(acc)
+      }
+    if (!eagerStratum)
+      df.filter(pmod(xxhash64(col(idCol)), lit(Scale)) < threshold(stratumCol))
+    else {
+      val tag = "__graft_stratum"
+      df.withColumn(tag, graft.expressions.exprs.pushdown_barrier(stratumCol))
+        .filter(pmod(xxhash64(col(idCol)), lit(Scale)) < threshold(col(tag)))
+        .drop(tag)
     }
-    df.filter(pmod(xxhash64(col(idCol)), lit(Scale)) < threshold)
   }
 }

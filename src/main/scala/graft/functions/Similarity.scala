@@ -104,24 +104,44 @@ object Similarity {
     * a (table, bucket) group — never the O(n²) cross product), then the
     * exact cosine refine keeps pairs above `minCos`. The scale path for
     * [[embeddingNearDups]], same OR-ed-tables shape as [[lshTopK]].
+    *
+    * Shuffle shape: the bucket self-join moves only the narrow
+    * (id, tbl, bucket) triple — never the vectors. Candidate pairs
+    * collapse to distinct (id_a, id_b) BEFORE the refine, and the two
+    * vector columns are joined back on id afterwards, so each side's
+    * vectors cross the wire once (keyed by id), not once per table.
+    * Same narrow-shuffle trick as [[Dedup.minHashCandidates]]; it also
+    * means the exact cosine is computed once per pair instead of once
+    * per (pair, matching table).
     */
   def embeddingNearDupsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                            minCos: Double, dim: Int, nBits: Int = 4,
                            nTables: Int = 8, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nTables, nBits, dim, seed)
     val sigCol = exprs.hyperplane_sigs(col(vecCol), planes)
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+    // narrow banded frame: one (id, tbl, bucket) row per table per vector
+    val banded = corpus.select(col(idCol).as("id"),
       posexplode(sigCol).as(Seq("tbl", "bucket")))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
-      posexplode(sigCol).as(Seq("tbl", "bucket")))
-    a.join(b, Seq("tbl", "bucket"))
+    val a = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("tbl"), col("bucket"), col("id").as("id_b"))
+    val cands = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      // a pair matching in several tables appears once per table —
+      // collapse before fetching vectors or computing anything
+      .select("id_a", "id_b")
+      .distinct()
+    // exact refine: join the vectors back on id (wide columns shuffle
+    // once per side here, keyed by id — not ×nTables through the buckets)
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    cands
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("v_a")),
+        Seq("id_a"))
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("v_b")),
+        Seq("id_b"))
       .withColumn("cos",
         round(exprs.cosine_sim(col("v_a"), col("v_b")), 4))
       .filter(col("cos") >= minCos)
-      // a pair matching in several tables appears once per table — the
-      // refined score is identical, collapse on the narrow triple
-      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
+      .select("id_a", "id_b", "cos")
   }
 
   /** IVF-style ANN: a coarse quantizer (centroid per `labelCol` cell)

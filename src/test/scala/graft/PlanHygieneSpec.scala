@@ -82,6 +82,38 @@ class PlanHygieneSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges")
   }
 
+  test("embedding LSH bucket join moves no vector columns") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.ArrayType
+    val df = SparkEntry.queries("dedup_embedding_lsh")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bucketExchanges = unwrapped.collect {
+      case e: Exchange if e.output.exists(_.name == "tbl") &&
+        e.output.exists(_.name == "bucket") => e
+    }
+    assert(bucketExchanges.nonEmpty,
+      s"expected the (tbl, bucket) bucket-join exchange:\n$unwrapped")
+    bucketExchanges.foreach { e =>
+      val wide = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(wide.isEmpty, "vector columns cross the bucket exchange: " +
+        wide.map(_.name).mkString(", "))
+    }
+  }
+
+  test("eager stratified sampling evaluates the derived stratum once") {
+    val df = SparkEntry.queries("sample_stratified")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    // langId contains exactly one array_position per evaluation; without
+    // the pushdown barrier the expression appears twice (pushed filter +
+    // output projection)
+    val n = "array_position".r.findAllIn(plan).size
+    assert(n == 1, s"derived stratum evaluated $n times:\n${plan.take(3000)}")
+  }
+
   test("200-column cleaning stays a constant-depth plan") {
     import scala.jdk.CollectionConverters._
     val cols = (1 to 200).map(i => s"Col $i (X$i)")

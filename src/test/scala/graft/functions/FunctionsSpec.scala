@@ -241,6 +241,48 @@ class FunctionsSpec extends SparkSpec {
       (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
   }
 
+  test("star contraction matches plain propagation on mixed clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val plain = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val star = Dedup.starContraction(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(star == plain)
+  }
+
+  test("star contraction converges on diameters plain propagation can't") {
+    // path 0-1-...-64: diameter 64. Plain min-label propagation moves a
+    // label one hop per round, so 10 rounds leave distant nodes
+    // unlabeled-to-minimum; large-star/small-star squares the jump
+    // length per round and converges within ~log2(64)+slack rounds.
+    val path = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = Dedup.starContraction(path, "id_a", "id_b", maxIter = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(star == (0L to 64L).map(i => (i, 0L)).toSet,
+      "star contraction must reach the component minimum")
+    val plain = Dedup.connectedComponents(path, "id_a", "id_b", maxIter = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(plain != star,
+      "10 rounds of one-hop propagation cannot cover diameter 64 " +
+        "(if this starts passing, the spec's premise changed)")
+  }
+
+  test("connected components leave no cached frames behind") {
+    spark.catalog.clearCache()
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    assert(labels.count() == 5) // result usable after internal unpersists
+    val star = Dedup.starContraction(pairs, "id_a", "id_b")
+    assert(star.count() == 5)
+    // private[sql] accessors are public at the bytecode level
+    val ss = spark.getClass.getMethod("sharedState").invoke(spark)
+    val cm = ss.getClass.getMethod("cacheManager").invoke(ss)
+    val empty = cm.getClass.getMethod("isEmpty").invoke(cm)
+      .asInstanceOf[Boolean]
+    assert(empty, "connectedComponents/starContraction retained a cache")
+  }
+
   test("minhash LSH candidates find planted near-duplicates") {
     val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text")
