@@ -684,6 +684,15 @@ object SparkEntry {
           round(col("entropy_bits"), 4).as("entropy_bits"))
     }),
 
+    "multimodal_decode" -> ((s, dir) => {
+      // REAL codec path (not the stub): formula-generated pixels →
+      // javax.imageio PNG encode → actual ImageIO decode → exact
+      // integer stats. The oracle computes the same stats straight
+      // from the pixel formula — PNG is lossless, so equality is exact
+      Multimodal.decodeImages(
+        Multimodal.renderPngImages(t(s, dir, "documents"))).toDF()
+    }),
+
     // ---------- SQL-surface breadth, tranche 2 ----------
     "agg_cube" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1364,6 +1373,28 @@ object SparkEntry {
         |  CAST(doc_id % 1024 + 16 AS INTEGER) AS width,
         |  CAST((doc_id * 7) % 1024 + 16 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+
+    // independently recomputes the decoded-PNG pixel statistics from
+    // the closed-form pixel function (keep in sync with
+    // Multimodal.ImageCodec.pixel) — no image library on the oracle
+    // side; PNG losslessness makes the comparison exact-integer
+    "multimodal_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 32 AS INT) AS width,
+        |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height, xs.x, ys.y,
+        |    (d.doc_id + 7 * xs.x + 13 * ys.y) % 256 AS p
+        |  FROM dims d,
+        |    LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) xs,
+        |    LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) ys)
+        |SELECT doc_id AS media_id, width, height,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(sum(p) AS BIGINT) AS sum_pixels,
+        |  CAST(sum(p * (y * width + x + 1)) AS BIGINT) AS checksum
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

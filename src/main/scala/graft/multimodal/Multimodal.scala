@@ -8,14 +8,19 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, processed by
   * partition-batched transforms.
   *
-  * The decode step itself (image/audio codecs) is STUBBED — the codec
-  * libraries are not in this container — behind [[DecodeStub]], a
-  * deterministic fake that derives "features" from the bytes. Everything
-  * around it is real and tested: the schema contract, the
-  * `mapPartitions` batch shape (the Scala equivalent of a Pandas-UDF
-  * `mapInPandas`: one JVM-side batch loop per partition, codec
-  * initialized once per partition, not per row), partition sizing, and
-  * the feature-frame output.
+  * The IMAGE path is real: [[ImageCodec]] encodes and decodes actual
+  * PNG blobs through `javax.imageio` (JDK-bundled — no external
+  * dependency), and the decode is verified end-to-end by round-tripping
+  * formula-generated pixels through the codec and comparing the decoded
+  * statistics against an independent engine computing them straight
+  * from the formula (PNG is lossless, so the match is exact-integer).
+  * The AUDIO path stays STUBBED — no audio codec ships with the JDK —
+  * behind [[DecodeStub]], a deterministic fake that derives "features"
+  * from the bytes. Everything around both is real and tested: the
+  * schema contract, the `mapPartitions` batch shape (the Scala
+  * equivalent of a Pandas-UDF `mapInPandas`: one JVM-side batch loop
+  * per partition, codec initialized once per partition, not per row),
+  * partition sizing, and the feature-frame output.
   *
   * Scale design: media blobs dominate row size, so [[repartitionForMedia]]
   * targets a byte budget per partition rather than a row count; decode is
@@ -111,6 +116,119 @@ object Multimodal {
         batch.map { case (id, bytes) =>
           DecodeStub.decode(id, Option(bytes).getOrElse(Array.emptyByteArray))
         }
+      }
+  }
+
+  /** Real image codec over `javax.imageio` (JDK-bundled PNG support).
+    *
+    * Fixture generation and verification strategy: pixels come from a
+    * closed-form function of (media_id, x, y), so the encoded PNG's
+    * decoded statistics are reproducible by ANY engine evaluating the
+    * formula — no image library needed on the oracle side. The Spark
+    * path goes formula → PNG encode → real `ImageIO` decode → stats;
+    * the oracle goes formula → stats. PNG is lossless 8-bit gray, so
+    * the comparison is exact integer equality, which makes the REAL
+    * decode step (not a stub) oracle-checkable in this container.
+    */
+  object ImageCodec {
+
+    def width(id: Long): Int = 16 + (id % 32).toInt
+    def height(id: Long): Int = 16 + ((id * 7) % 32).toInt
+
+    /** 8-bit gray value at (x, y) — keep in sync with the oracle SQL. */
+    def pixel(id: Long, x: Int, y: Int): Int =
+      ((id + 7L * x + 13L * y) % 256).toInt
+
+    /** Deterministic PNG blob for a media id (TYPE_BYTE_GRAY raster). */
+    def encodePng(id: Long): Array[Byte] = {
+      val w = width(id)
+      val h = height(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, pixel(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Exact-integer statistics of a decoded image: raster samples are
+      * read directly (`getSample`, no color-space conversion), so an
+      * 8-bit gray PNG round-trips bit-exact.
+      */
+    def decodeStats(id: Long, bytes: Array[Byte]): ImageStats = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"media_id=$id: not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var sum = 0L
+      var checksum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = raster.getSample(x, y, 0)
+          sum += p
+          checksum += p.toLong * (y.toLong * w + x + 1)
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(id, w, h, w.toLong * h, sum, checksum)
+    }
+  }
+
+  /** One decoded-image row: dimensions + exact pixel statistics. */
+  final case class ImageStats(media_id: Long, width: Int, height: Int,
+                              n_pixels: Long, sum_pixels: Long,
+                              checksum: Long)
+
+  /** Render the deterministic PNG fixture table: one real PNG blob per
+    * document id. `mapPartitions` keeps codec setup per-partition; the
+    * blobs are genuine `image/png` files (readable by any viewer).
+    */
+  def renderPngImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // codec warm-up happens once per partition (ImageIO SPI scan)
+        ids.map(id => (id, ImageCodec.encodePng(id)))
+      }
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(
+          lit("image").as("kind"),
+          lit("image/png").as("mime"),
+          (pmod(col("media_id"), lit(32)) + 16).cast(IntegerType)
+            .as("width"),
+          (pmod(col("media_id") * 7, lit(32)) + 16).cast(IntegerType)
+            .as("height"),
+          lit(null).cast(IntegerType).as("sample_rate"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
+  }
+
+  /** Decode real PNG blobs into exact pixel statistics — the same
+    * batch shape as [[extractFeatures]], but the codec is the JDK's
+    * actual image reader, not a stub.
+    */
+  def decodeImages(media: DataFrame): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) => ImageCodec.decodeStats(id, bytes) }
       }
   }
 

@@ -1,0 +1,42 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  test("rendered blobs are genuine PNG files") {
+    val bytes = ImageCodec.encodePng(7L)
+    // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+    assert(bytes.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+  }
+
+  test("ImageIO decode round-trips the pixel formula exactly") {
+    for (id <- Seq(0L, 1L, 31L, 100L, 499L)) {
+      val stats = ImageCodec.decodeStats(id, ImageCodec.encodePng(id))
+      val w = ImageCodec.width(id)
+      val h = ImageCodec.height(id)
+      var sum = 0L
+      var checksum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = ImageCodec.pixel(id, x, y)
+        sum += p
+        checksum += p.toLong * (y.toLong * w + x + 1)
+      }
+      assert(stats == ImageStats(id, w, h, w.toLong * h, sum, checksum),
+        s"round-trip mismatch for id=$id")
+    }
+  }
+
+  test("distributed render + decode over the documents fixture") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val media = renderPngImages(docs)
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "media", "meta"))
+    val got = decodeImages(media)
+      .filter($"media_id" === 2L).head()
+    assert(got.width == 18 && got.height == 30 && got.n_pixels == 540)
+  }
+}
