@@ -65,6 +65,10 @@ private[graft] object GraftBuilders {
     checkArity("top_k_by", exprs, 3, 3)
     TopKByAgg(exprs(0), exprs(1), intLit("top_k_by", exprs(2), 2))
   }
+  def pushdownBarrier(exprs: Seq[Expression]): Expression = {
+    checkArity("pushdown_barrier", exprs, 1, 1)
+    graft.expressions.PushdownBarrier(exprs.head)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -86,6 +90,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftBuilders.cosineSim _))
     e.injectFunction((FunctionIdentifier("top_k_by"), info("top_k_by"),
       exprs => GraftBuilders.topKBy(exprs)))
+    e.injectFunction((FunctionIdentifier("pushdown_barrier"),
+      info("pushdown_barrier"), GraftBuilders.pushdownBarrier _))
   }
 }
 
@@ -108,6 +114,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("top_k_by",
       exprs => GraftBuilders.topKBy(exprs).toAggregateExpression(),
       "scala_udf")
+    reg.createOrReplaceTempFunction("pushdown_barrier",
+      GraftBuilders.pushdownBarrier _, "scala_udf")
   }
 }
 

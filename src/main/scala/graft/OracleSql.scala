@@ -27,6 +27,14 @@ import graft.functions.Similarity
   * The fixture corpus satisfies both (max token 8 bytes, pure ASCII at
   * every scale factor); a general-purpose oracle would need the 32-byte
   * stripe loop as a recursive CTE.
+  *
+  * Hub CTEs (tokh/shash/mins/sigv/bvals/cand/fcand/edges/…) are emitted
+  * `AS MATERIALIZED`: they are referenced several times — `edges` once
+  * per RECURSIVE iteration — and DuckDB's default CTE inlining would
+  * re-evaluate the whole upstream hash-emulation pipeline at every
+  * reference. Semantics are identical; at the 10× (50k-doc) audit
+  * fixture this is the difference between minutes and unbounded hours
+  * for `dedup_components`.
   */
 object OracleSql {
 
@@ -177,7 +185,7 @@ object OracleSql {
     }
     val hu = fmix(ch, h, "f")
     ch.add("thu", hu)
-    ch.render + s",\ntokh AS (SELECT doc_id, i, thu FROM ${ch.last})"
+    ch.render + s",\ntokh AS MATERIALIZED (SELECT doc_id, i, thu FROM ${ch.last})"
   }
 
   /** Word-3-gram shingle hashes (xxhash64 chain over the window's token
@@ -202,9 +210,9 @@ object OracleSql {
       h = ch.add(s"hh$j", s"coalesce($hx, $h)")
     }
     ch.add("shu", h)
-    "tcnt AS (SELECT doc_id, count(*) AS ntok FROM tokh GROUP BY doc_id),\n" +
+    "tcnt AS MATERIALIZED (SELECT doc_id, count(*) AS ntok FROM tokh GROUP BY doc_id),\n" +
       ch.render +
-      s",\nshash AS (SELECT doc_id, i, shu FROM ${ch.last})"
+      s",\nshash AS MATERIALIZED (SELECT doc_id, i, shu FROM ${ch.last})"
   }
 
   /** MinHash signatures + LSH band candidates, permutation constants from
@@ -222,11 +230,11 @@ object OracleSql {
        |permuted AS (
        |  SELECT s.doc_id, pr.p, ${sig(s"(${mul64("pr.pa", "s.shu")} + pr.pb) % $M")} AS pv
        |  FROM shash s CROSS JOIN perms pr),
-       |mins AS (SELECT doc_id, p, min(pv) AS mv FROM permuted GROUP BY doc_id, p),
-       |sigv AS (SELECT doc_id, list(mv ORDER BY p) AS sg FROM mins GROUP BY doc_id),
-       |bvals AS (SELECT doc_id, p // $rowsPerBand AS band, list(mv ORDER BY p) AS bv
+       |mins AS MATERIALIZED (SELECT doc_id, p, min(pv) AS mv FROM permuted GROUP BY doc_id, p),
+       |sigv AS MATERIALIZED (SELECT doc_id, list(mv ORDER BY p) AS sg FROM mins GROUP BY doc_id),
+       |bvals AS MATERIALIZED (SELECT doc_id, p // $rowsPerBand AS band, list(mv ORDER BY p) AS bv
        |          FROM mins GROUP BY doc_id, p // $rowsPerBand),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bvals a JOIN bvals b ON a.band = b.band AND a.bv = b.bv
        |              AND a.doc_id < b.doc_id)""".stripMargin
   }
@@ -255,8 +263,8 @@ object OracleSql {
     s"""WITH ${tokenHashCtes()},
        |${shingleHashCtes()},
        |${minhashCtes(numHashes, rowsPerBand)},
-       |sset AS (SELECT DISTINCT doc_id, shu FROM shash),
-       |ssz AS (SELECT doc_id, count(*) AS sz FROM sset GROUP BY doc_id),
+       |sset AS MATERIALIZED (SELECT DISTINCT doc_id, shu FROM shash),
+       |ssz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sset GROUP BY doc_id),
        |inter AS (
        |  SELECT c.id_a, c.id_b, count(*) AS ic
        |  FROM cand c
@@ -278,14 +286,14 @@ object OracleSql {
   private def componentCtes(numHashes: Int): String = {
     val est =
       s"round(len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
-    s"""fcand AS (
+    s"""fcand AS MATERIALIZED (
        |  SELECT c.id_a, c.id_b
        |  FROM cand c JOIN sigv sa ON sa.doc_id = c.id_a
        |              JOIN sigv sb ON sb.doc_id = c.id_b
        |  WHERE $est >= 0.5),
-       |edges AS (SELECT id_a AS src, id_b AS dst FROM fcand
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM fcand
        |          UNION SELECT id_b, id_a FROM fcand),
-       |verts AS (SELECT DISTINCT src AS id FROM edges),
+       |verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
        |reach(id, r) AS (
        |  SELECT id, id FROM verts
        |  UNION
@@ -355,8 +363,8 @@ object OracleSql {
   def textDecontaminate(shingleN: Int, evalMod: Int): String =
     s"""WITH ${tokenHashCtes()},
        |${shingleHashCtes(shingleN)},
-       |sset AS (SELECT DISTINCT doc_id, shu FROM shash),
-       |ctam AS (SELECT DISTINCT shu FROM sset WHERE doc_id % $evalMod = 0)
+       |sset AS MATERIALIZED (SELECT DISTINCT doc_id, shu FROM shash),
+       |ctam AS MATERIALIZED (SELECT DISTINCT shu FROM sset WHERE doc_id % $evalMod = 0)
        |SELECT s.doc_id, CAST(count(DISTINCT s.shu) AS BIGINT) AS n_hits
        |FROM sset s JOIN ctam c ON c.shu = s.shu
        |WHERE s.doc_id % $evalMod <> 0
@@ -375,7 +383,7 @@ object OracleSql {
        |    CASE WHEN (t.thu // (1::HUGEINT << g.b)) % 2 = 1 THEN 1 ELSE -1 END AS w
        |  FROM tokh t, generate_series(0, 63) g(b)),
        |tall AS (SELECT doc_id, b, sum(w) AS tally FROM bits GROUP BY doc_id, b),
-       |simsig AS (SELECT doc_id, ${sig(smu)} AS sm FROM tall GROUP BY doc_id)
+       |simsig AS MATERIALIZED (SELECT doc_id, ${sig(smu)} AS sm FROM tall GROUP BY doc_id)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sm, b.sm)) AS INTEGER) AS hamming
        |FROM simsig a JOIN simsig b ON a.doc_id < b.doc_id

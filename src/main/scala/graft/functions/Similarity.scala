@@ -144,6 +144,45 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Bucket-resolution rule for hyperplane LSH at scale: per-table
+    * bucket count must grow WITH the corpus so expected bucket
+    * membership — and with it the within-bucket pair work, which is
+    * quadratic in membership — stays constant. A fixed `nBits` that is
+    * correct at 2k vectors produces 100× the candidate pairs at 20k
+    * (10× rows ⇒ 10× per-bucket membership ⇒ 100× pairs per bucket).
+    * `nBits = ceil(log2(n / targetBucketSize))`, clamped.
+    *
+    * The recall price of finer buckets is paid in tables: per-table
+    * collision probability for similarity `p` is `p^nBits`, so keep
+    * `nTables` growing with `nBits` (the OR-construction dial) when
+    * tightening buckets.
+    */
+  def adaptiveBits(corpusRows: Long, targetBucketSize: Int = 128,
+                   minBits: Int = 4, maxBits: Int = 20): Int = {
+    require(targetBucketSize > 0)
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetBucketSize)) /
+        math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
+  /** [[embeddingNearDupsLsh]] with corpus-adaptive bucket resolution:
+    * one (cheap, parquet-footer-served) count picks `nBits` via
+    * [[adaptiveBits]], so the operator keeps near-constant per-bucket
+    * work from thousands to billions of rows instead of silently going
+    * quadratic. Exact-refine semantics are unchanged — precision stays
+    * 1 at any resolution; only recall depends on (nBits, nTables).
+    */
+  def embeddingNearDupsLshAuto(corpus: DataFrame, idCol: String,
+                               vecCol: String, minCos: Double, dim: Int,
+                               targetBucketSize: Int = 128,
+                               nTables: Int = 8,
+                               seed: Long = 42L): DataFrame = {
+    val bits = adaptiveBits(corpus.count(), targetBucketSize)
+    embeddingNearDupsLsh(corpus, idCol, vecCol, minCos, dim,
+      nBits = bits, nTables = nTables, seed = seed)
+  }
+
   /** IVF-style ANN: a coarse quantizer (centroid per `labelCol` cell)
     * routes each query to its `nProbe` nearest cells; exact ranking runs
     * only inside the probed cells. The inverted-file shape: at 100 TB the

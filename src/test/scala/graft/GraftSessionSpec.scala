@@ -53,5 +53,11 @@ class GraftSessionSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT minhash_sig('x', 2, 16, 99)").head()
     }
+    // barrier is a SQL-visible identity
+    assert(spark.sql("SELECT pushdown_barrier(21 * 2)").head().getInt(0)
+      == 42)
+    intercept[Exception] {
+      spark.sql("SELECT pushdown_barrier(1, 2)").head()
+    }
   }
 }

@@ -167,6 +167,23 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall (${exact.size} true pairs)")
   }
 
+  test("adaptive LSH bits track corpus size; auto variant stays exact") {
+    import graft.functions.Similarity.adaptiveBits
+    assert(adaptiveBits(500) == 4)       // clamped at the floor
+    assert(adaptiveBits(2048, 128) == 4)
+    assert(adaptiveBits(20480, 128) == 8)  // 10x corpus -> ~10x buckets
+    assert(adaptiveBits(1L << 40, 128) == 20) // ceiling clamp
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val exact = Similarity
+      .embeddingNearDups(emb, "vec_id", "embedding", 0.4, Long.MaxValue)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val auto = Similarity
+      .embeddingNearDupsLshAuto(emb, "vec_id", "embedding", 0.4, dim = 64)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(exact), "refine is exact at any resolution")
+    assert(auto.nonEmpty)
+  }
+
   test("hash sampling: deterministic, partition-independent, monotone") {
     val df = spark.range(10000).toDF("id")
     val a = Sampling.sample(df, "id", 0.1).as[Long].collect().toSet
