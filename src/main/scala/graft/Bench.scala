@@ -39,10 +39,19 @@ object Bench {
         .foreach(fn => materialize(fn(spark, sfDir)))
     } catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the run to a subset (same
+    // contract as Verify) — for timing one changed query at a big
+    // fixture. Unset = full surface (the driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(sel) => SparkEntry.queries.filter(kv => sel(kv._1))
+      case None => SparkEntry.queries
+    }
     // run-major (full suite per repetition, not query-major) so a load
     // burst degrades one SAMPLE of many queries, not every sample of one
     val samples: Seq[Seq[(String, Double)]] = (1 to runsN).map { _ =>
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
@@ -55,7 +64,7 @@ object Bench {
     }
     val byName = samples.flatten.groupBy(_._1).view
       .mapValues(_.map(_._2)).toMap
-    val names = SparkEntry.queries.keys.toSeq
+    val names = queries.keys.toSeq
     val med = names.map(n => n -> median(byName(n)))
     val spread = names.map { n =>
       val xs = byName(n)

@@ -480,30 +480,55 @@ object OracleSql {
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
-  /** Oracle for `dedup_embedding_lsh`: per-table sign-bit signatures from
-    * the shared plane matrices; pairs = bucket match in ANY table, exact
-    * cosine refine. The round goes through VARCHAR→DECIMAL to reproduce
-    * Spark's shortest-decimal HALF_UP semantics.
+  /** Oracle for `dedup_embedding_lsh` (count-adaptive resolution): the
+    * engine picks `bits = min b in [minBits, maxBits] :
+    * targetBucket * 2^b >= count(*)` ([[Similarity.adaptiveBits]], pure
+    * integer arithmetic so SQL can replicate it exactly) and buckets on
+    * the first `bits` planes per table. Because the plane family is
+    * resolution-NESTED (per-(table, plane) seeding —
+    * [[Similarity.hyperplanes]]), this oracle computes each table's
+    * signature once at `maxBits` and masks to the low `bits` bits: the
+    * masked value IS the `bits`-plane signature. Candidate shape mirrors
+    * the engine — per-table banded rows, equality bucket join, DISTINCT
+    * pairs, exact cosine refine. The round goes through VARCHAR→DECIMAL
+    * to reproduce Spark's shortest-decimal HALF_UP semantics.
     */
-  def dedupEmbeddingLsh(minCos: Double, nTables: Int = 8, nBits: Int = 4,
-                        dim: Int = 64, seed: Long = 42L): String = {
-    val planes = Similarity.hyperplanes(nTables, nBits, dim, seed)
+  def dedupEmbeddingLsh(minCos: Double, nTables: Int = 8,
+                        targetBucket: Int = 128, minBits: Int = 4,
+                        maxBits: Int = 16, dim: Int = 64,
+                        seed: Long = 42L): String = {
+    val planes = Similarity.hyperplanes(nTables, maxBits, dim, seed)
     val sigExprs: String =
       (0 until nTables).map { l =>
-        val bits = (0 until nBits).map { p =>
+        val bits = (0 until maxBits).map { p =>
           val lits = planes(l)(p).map(_.toString).mkString(", ")
-          s"CASE WHEN list_dot_product(v, [$lits]::DOUBLE[]) >= 0 THEN ${1 << p} ELSE 0 END"
+          s"CASE WHEN list_dot_product(v, [$lits]::DOUBLE[]) >= 0 THEN ${1L << p} ELSE 0 END"
         }.mkString(" + ")
         s"($bits) AS s$l"
       }.mkString(", ")
-    val tblMatch = (0 until nTables).map(l => s"a.s$l = b.s$l").mkString(" OR ")
-    val cosR = roundSpark("list_cosine_similarity(a.v, b.v)", 4)
+    val banded = (0 until nTables)
+      .map(l => s"SELECT id, $l AS t, s$l % m AS bk FROM sgm")
+      .mkString("\n  UNION ALL ")
+    val cosR = roundSpark("list_cosine_similarity(va.v, vb.v)", 4)
     s"""WITH ev AS (
        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-       |sg AS (SELECT id, v, $sigExprs FROM ev),
+       |prm AS (
+       |  SELECT (1::BIGINT << coalesce(
+       |    (SELECT min(b) FROM generate_series($minBits, $maxBits) g(b)
+       |     WHERE $targetBucket * (1::BIGINT << b) >= (SELECT count(*) FROM ev)),
+       |    $maxBits)) AS m),
+       |sg AS MATERIALIZED (SELECT id, $sigExprs FROM ev),
+       |sgm AS MATERIALIZED (SELECT id, ${(0 until nTables).map(l => s"s$l").mkString(", ")}, m
+       |  FROM sg CROSS JOIN prm),
+       |bnd AS MATERIALIZED (
+       |  $banded),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bnd a JOIN bnd b ON a.t = b.t AND a.bk = b.bk AND a.id < b.id),
        |pairs AS (
-       |  SELECT a.id AS id_a, b.id AS id_b, $cosR AS cos
-       |  FROM sg a JOIN sg b ON a.id < b.id AND ($tblMatch))
+       |  SELECT c.id_a, c.id_b, $cosR AS cos
+       |  FROM cand c JOIN ev va ON va.id = c.id_a
+       |              JOIN ev vb ON vb.id = c.id_b)
        |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $minCos""".stripMargin
   }
 

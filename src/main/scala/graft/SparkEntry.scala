@@ -646,9 +646,13 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, dir) => {
       // the SCALE path for embedding near-dup: candidates bounded by
       // multi-table hyperplane buckets, exact cosine refine — no bounded
-      // id slice, no cross join
-      Similarity.embeddingNearDupsLsh(t(s, dir, "embeddings"),
-        "vec_id", "embedding", minCos = 0.4, dim = 64)
+      // id slice, no cross join. Bucket resolution adapts to the corpus
+      // count (fixed nBits measured 108x slower at a 10x corpus —
+      // BENCH_NOTES round 4); the oracle replicates the same integer
+      // bits rule and masks nested max-resolution signatures.
+      Similarity.embeddingNearDupsLshAuto(t(s, dir, "embeddings"),
+        "vec_id", "embedding", minCos = 0.4, dim = 64,
+        targetBucketSize = 128, nTables = 8, minBits = 4, maxBits = 16)
     }),
 
     "sim_ivf_topk" -> ((s, dir) => {

@@ -150,7 +150,11 @@ object Similarity {
     * quadratic in membership — stays constant. A fixed `nBits` that is
     * correct at 2k vectors produces 100× the candidate pairs at 20k
     * (10× rows ⇒ 10× per-bucket membership ⇒ 100× pairs per bucket).
-    * `nBits = ceil(log2(n / targetBucketSize))`, clamped.
+    * `nBits = min b in [minBits, maxBits] : targetBucketSize * 2^b >= n`
+    * (the integer-exact form of `ceil(log2(n / targetBucketSize))`,
+    * clamped). Kept in pure integer arithmetic — no log/ceil floating
+    * point — so an independent SQL oracle evaluating the same rule over
+    * the same count can never disagree on a power-of-two boundary.
     *
     * The recall price of finer buckets is paid in tables: per-table
     * collision probability for similarity `p` is `p^nBits`, so keep
@@ -159,11 +163,11 @@ object Similarity {
     */
   def adaptiveBits(corpusRows: Long, targetBucketSize: Int = 128,
                    minBits: Int = 4, maxBits: Int = 20): Int = {
-    require(targetBucketSize > 0)
-    val needed = math.ceil(
-      math.log(math.max(1.0, corpusRows.toDouble / targetBucketSize)) /
-        math.log(2.0)).toInt
-    math.min(maxBits, math.max(minBits, needed))
+    require(targetBucketSize > 0 && minBits >= 0 && maxBits >= minBits)
+    var b = minBits
+    while (b < maxBits && targetBucketSize.toLong * (1L << b) < corpusRows)
+      b += 1
+    b
   }
 
   /** [[embeddingNearDupsLsh]] with corpus-adaptive bucket resolution:
@@ -176,9 +180,11 @@ object Similarity {
   def embeddingNearDupsLshAuto(corpus: DataFrame, idCol: String,
                                vecCol: String, minCos: Double, dim: Int,
                                targetBucketSize: Int = 128,
-                               nTables: Int = 8,
+                               nTables: Int = 8, minBits: Int = 4,
+                               maxBits: Int = 20,
                                seed: Long = 42L): DataFrame = {
-    val bits = adaptiveBits(corpus.count(), targetBucketSize)
+    val bits = adaptiveBits(corpus.count(), targetBucketSize, minBits,
+      maxBits)
     embeddingNearDupsLsh(corpus, idCol, vecCol, minCos, dim,
       nBits = bits, nTables = nTables, seed = seed)
   }
@@ -271,15 +277,24 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
 
   /** The seeded plane matrices for [[lshTopK]]: `nTables` independent
-    * tables of `nBits` Gaussian hyperplanes each, generated row-major
-    * from one `scala.util.Random(seed)` stream (deterministic, so an
-    * external oracle can reproduce the exact planes).
+    * tables of `nBits` Gaussian hyperplanes each. Plane `(l, p)` is drawn
+    * from its own `(seed, l, p)`-derived stream, so the family is
+    * RESOLUTION-NESTED: `hyperplanes(T, b, d, s)` is exactly the first
+    * `b` planes per table of `hyperplanes(T, B, d, s)` for any `B >= b`
+    * (and likewise a table-count prefix). Nesting is what lets a
+    * count-adaptive caller — and its oracle — compute signatures once at
+    * max resolution and mask down to `b` low bits: the masked signature
+    * equals the signature the `b`-plane family would have produced.
+    * Deterministic, so an external oracle can reproduce the exact planes.
     */
   def hyperplanes(nTables: Int, nBits: Int, dim: Int,
-                  seed: Long): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nTables, nBits, dim)(rnd.nextGaussian())
-  }
+                  seed: Long): Array[Array[Array[Double]]] =
+    Array.tabulate(nTables, nBits) { (l, p) =>
+      // splitmix-style stream split keeps per-plane streams decorrelated
+      val rnd = new scala.util.Random(
+        seed ^ (l.toLong * 0x9E3779B97F4A7C15L) ^ (p.toLong * 0xBF58476D1CE4E5B9L))
+      Array.fill(dim)(rnd.nextGaussian())
+    }
 
   /** Approximate top-k via multi-table hyperplane LSH: `nTables`
     * independent `nBits`-plane signatures, candidates = bucket match in

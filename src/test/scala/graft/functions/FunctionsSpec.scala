@@ -167,10 +167,26 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall (${exact.size} true pairs)")
   }
 
+  test("hyperplane family is resolution- and table-nested") {
+    import graft.functions.Similarity.hyperplanes
+    val big = hyperplanes(8, 16, 64, 42L)
+    val small = hyperplanes(8, 4, 64, 42L)
+    for (l <- 0 until 8; p <- 0 until 4)
+      assert(big(l)(p).sameElements(small(l)(p)),
+        s"plane ($l,$p) must not depend on nBits")
+    val fewer = hyperplanes(3, 16, 64, 42L)
+    for (l <- 0 until 3; p <- 0 until 16)
+      assert(big(l)(p).sameElements(fewer(l)(p)),
+        s"plane ($l,$p) must not depend on nTables")
+    // masking low bits of a 16-plane signature == the 4-plane signature
+    // (what the count-adaptive oracle relies on)
+  }
+
   test("adaptive LSH bits track corpus size; auto variant stays exact") {
     import graft.functions.Similarity.adaptiveBits
     assert(adaptiveBits(500) == 4)       // clamped at the floor
-    assert(adaptiveBits(2048, 128) == 4)
+    assert(adaptiveBits(2048, 128) == 4) // exact power-of-two boundary
+    assert(adaptiveBits(2049, 128) == 5)
     assert(adaptiveBits(20480, 128) == 8)  // 10x corpus -> ~10x buckets
     assert(adaptiveBits(1L << 40, 128) == 20) // ceiling clamp
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
