@@ -254,6 +254,33 @@ object OracleSql {
        |WHERE $est >= 0.5""".stripMargin
   }
 
+  /** Oracle for `dedup_incremental`: same banding CTEs over ALL docs;
+    * keep candidate pairs touching at least one "new" doc
+    * (doc_id % 10 >= 8), drop hist-hist, orient so the reported doc is
+    * always new (for a new-hist pair the new side, for new-new the
+    * HIGHER id — lowest-id-kept convention), estimate from signature
+    * agreement. k/numHashes estimates are exact in <= 4 decimals, so the
+    * round is semantics-free on both sides.
+    */
+  def dedupIncremental(numHashes: Int = 16, rowsPerBand: Int = 2,
+                       newMod: Int = 10, newFrom: Int = 8): String = {
+    val est =
+      s"round(len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    val aNew = s"(c.id_a % $newMod >= $newFrom)"
+    val bNew = s"(c.id_b % $newMod >= $newFrom)"
+    s"""WITH ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)}
+       |SELECT
+       |  CASE WHEN $aNew AND NOT $bNew THEN c.id_a ELSE c.id_b END AS doc_id,
+       |  CASE WHEN $aNew AND NOT $bNew THEN c.id_b ELSE c.id_a END AS dup_of,
+       |  CASE WHEN $aNew <> $bNew THEN 'history' ELSE 'batch' END AS dup_source,
+       |  $est AS est_jaccard
+       |FROM cand c JOIN sigv sa ON sa.doc_id = c.id_a
+       |            JOIN sigv sb ON sb.doc_id = c.id_b
+       |WHERE ($aNew OR $bNew) AND $est >= 0.5""".stripMargin
+  }
+
   /** Oracle for `dedup_ngram_jaccard`: exact Jaccard over distinct
     * shingle-hash sets, restricted to the LSH candidate pairs.
     */

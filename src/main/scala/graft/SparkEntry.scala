@@ -437,6 +437,18 @@ object SparkEntry {
         .filter(col("est_jaccard") >= 0.5)
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // daily-ingestion shape: docs with doc_id % 10 >= 8 are "today's
+      // batch", the rest are history known only through a persisted
+      // (doc_id, sig) fingerprint store — historical text never rescanned
+      val docs = t(s, dir, "documents")
+      val hist = Dedup.signatureStore(
+        docs.filter(col("doc_id") % 10 < 8), "doc_id", "text")
+      val batch = Dedup.signatureStore(
+        docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text")
+      Dedup.incrementalCandidates(batch, hist)
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxDist = 3)
@@ -1520,6 +1532,8 @@ object SparkEntry {
     // ---------- generated oracles (see OracleSql): exact DuckDB
     // emulation of the xxhash64/LSH/IVF pipelines ----------
     "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, rowsPerBand = 2),
+    "dedup_incremental" ->
+      OracleSql.dedupIncremental(numHashes = 16, rowsPerBand = 2),
     "dedup_components" ->
       OracleSql.dedupComponents(numHashes = 16, rowsPerBand = 2),
     "dedup_ngram_jaccard" ->

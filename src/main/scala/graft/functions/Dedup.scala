@@ -61,39 +61,111 @@ object Dedup {
     array(hashes: _*)
   }
 
-  /** LSH banding: candidate pairs = docs sharing at least one band hash
-    * (bands of `rowsPerBand` signature entries). Output one row per
-    * candidate pair (id_a < id_b), with the signature-estimated Jaccard.
+  /** MinHash signature frame: `(doc_id, sig)`, one array of `numHashes`
+    * longs per doc, map-only. This is also the PERSISTED FINGERPRINT
+    * STORE shape for [[incrementalCandidates]]: 8·numHashes bytes per
+    * document, text-free — bands are derived projections of the
+    * signature, so nothing else needs storing.
     */
-  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, numHashes: Int = 16,
-                        rowsPerBand: Int = 2): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val sig = docs.select(
+  def signatureStore(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 16): DataFrame =
+    docs.select(
       col(idCol).as("doc_id"),
       exprs.minhash_sig(col(textCol), shingleN, numHashes).as("sig"))
 
-    // explode into (band, bandHash, doc_id); bucket join on (band, hash)
-    val banded = sig.select(
-      col("doc_id"), col("sig"),
+  /** Band-explode a signature frame into narrow `(doc_id, band,
+    * band_hash)` rows — the only columns the bucket join ever shuffles.
+    */
+  private def bandRows(sig: DataFrame, numHashes: Int,
+                       rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    sig.select(
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
           lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+  }
 
+  /** LSH banding: candidate pairs = docs sharing at least one band hash
+    * (bands of `rowsPerBand` signature entries). Output one row per
+    * candidate pair (id_a < id_b), with the signature-estimated Jaccard.
+    *
+    * Shuffle shape: the band self-join moves only (doc_id, band,
+    * band_hash); pairs collapse to distinct (id_a, id_b) and the two
+    * signatures are joined back once, keyed by id — not once per band —
+    * for the estimate. (Same narrow-bucket-join trick as
+    * [[graft.functions.Similarity.embeddingNearDupsLsh]].)
+    */
+  def minHashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 16,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val sig = signatureStore(docs, idCol, textCol, shingleN, numHashes)
+    val banded = bandRows(sig, numHashes, rowsPerBand)
     val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-
+      col("doc_id").as("id_b"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      // compute the estimate BEFORE distinct so the dedup shuffle moves
-      // three narrow columns, not two 16-long signature arrays per pair
+      .select("id_a", "id_b")
+      .distinct()
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(estJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+  }
+
+  /** Incremental dedup: candidates for a NEW batch against itself AND a
+    * persisted [[signatureStore]] of all previously-ingested documents —
+    * the daily-ingestion shape at 100 TB, where historical TEXT is never
+    * rescanned (only its 128-byte/doc signature store is read) and
+    * history-vs-history pairs are never re-derived.
+    *
+    * Output: one row per surviving candidate, oriented so `doc_id` is
+    * always a NEW document — `dup_of` is the partner to keep (a history
+    * doc, or the lower-id member of a new-new pair), `dup_source` says
+    * which ('history' | 'batch'), `est_jaccard` is the signature
+    * estimate, thresholded at `minEst`.
+    */
+  def incrementalCandidates(newSig: DataFrame, histSig: DataFrame,
+                            numHashes: Int = 16, rowsPerBand: Int = 2,
+                            minEst: Double = 0.5): DataFrame = {
+    val tagged = newSig.select(col("doc_id"), col("sig"),
+        lit(true).as("is_new"))
+      .unionByName(histSig.select(col("doc_id"), col("sig"),
+        lit(false).as("is_new")))
+    val banded = bandRows(tagged, numHashes, rowsPerBand)
+      .join(tagged.select(col("doc_id"), col("is_new")), Seq("doc_id"))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_a"), col("is_new").as("new_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_b"), col("is_new").as("new_b"))
+    val oriented = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      // hist-hist pairs were resolved in the run that ingested them
+      .filter(col("new_a") || col("new_b"))
+      .select(
+        when(col("new_a") && !col("new_b"), col("id_a"))
+          .otherwise(col("id_b")).as("doc_id"),
+        when(col("new_a") && !col("new_b"), col("id_b"))
+          .otherwise(col("id_a")).as("dup_of"),
+        when(col("new_a") =!= col("new_b"), lit("history"))
+          .otherwise(lit("batch")).as("dup_source"))
       .distinct()
+    val sigs = tagged.select(col("doc_id"), col("sig"))
+    oriented
+      .join(sigs.select(col("doc_id"), col("sig").as("sig_a")),
+        Seq("doc_id"))
+      .join(sigs.select(col("doc_id").as("dup_of"), col("sig").as("sig_b")),
+        Seq("dup_of"))
+      .withColumn("est_jaccard",
+        round(estJaccard(col("sig_a"), col("sig_b")), 4))
+      .filter(col("est_jaccard") >= minEst)
+      .select("doc_id", "dup_of", "dup_source", "est_jaccard")
   }
 
   /** Signature-agreement estimate of Jaccard similarity. */

@@ -104,6 +104,30 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("minhash band join moves no signature arrays") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.ArrayType
+    for (q <- Seq("dedup_minhash", "dedup_incremental")) {
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      val plan = df.queryExecution.executedPlan
+      val unwrapped = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val bandExchanges = unwrapped.collect {
+        case e: Exchange if e.output.exists(_.name == "band") &&
+          e.output.exists(_.name == "band_hash") => e
+      }
+      assert(bandExchanges.nonEmpty,
+        s"$q: expected the (band, band_hash) band-join exchange:\n$unwrapped")
+      bandExchanges.foreach { e =>
+        val wide = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(wide.isEmpty, s"$q: signature arrays cross the band " +
+          "exchange: " + wide.map(_.name).mkString(", "))
+      }
+    }
+  }
+
   test("eager stratified sampling evaluates the derived stratum once") {
     val df = SparkEntry.queries("sample_stratified")(spark, sf("sf0.001"))
     val plan = df.queryExecution.optimizedPlan.toString

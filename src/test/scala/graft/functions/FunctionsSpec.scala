@@ -326,4 +326,32 @@ class FunctionsSpec extends SparkSpec {
     assert(joined.filter($"jaccard" >= 0.8).count() > 0,
       "expected some true near-dups among candidates")
   }
+
+  test("incremental dedup equals batch dedup restricted to new docs") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val hist = Dedup.signatureStore(
+      docs.filter($"doc_id" % 10 < 8), "doc_id", "text")
+    val batch = Dedup.signatureStore(
+      docs.filter($"doc_id" % 10 >= 8), "doc_id", "text")
+    val inc = Dedup.incrementalCandidates(batch, hist)
+      .select($"doc_id", $"dup_of", $"dup_source", $"est_jaccard")
+      .as[(Long, Long, String, Double)].collect().toSet
+
+    // reference semantics: full-corpus candidates, pairs touching a new
+    // doc, oriented new-first / higher-id-first
+    val full = Dedup.minHashCandidates(docs, "doc_id", "text")
+      .filter($"est_jaccard" >= 0.5)
+      .as[(Long, Long, Double)].collect()
+    def isNew(id: Long) = id % 10 >= 8
+    val expected = full.collect {
+      case (a, b, e) if isNew(a) || isNew(b) =>
+        val (doc, dup) = if (isNew(a) && !isNew(b)) (a, b) else (b, a)
+        val src = if (isNew(a) != isNew(b)) "history" else "batch"
+        (doc, dup, src, e)
+    }.toSet
+    assert(inc == expected)
+    // every reported duplicate is a new doc; hist-hist never appears
+    assert(inc.forall { case (d, _, _, _) => isNew(d) })
+    assert(inc.exists(_._3 == "history") || inc.exists(_._3 == "batch"))
+  }
 }
