@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{CosineSim, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg}
+import graft.expressions.{CosineSim, KmvDistinctAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -69,6 +69,12 @@ private[graft] object GraftBuilders {
     checkArity("pushdown_barrier", exprs, 1, 1)
     graft.expressions.PushdownBarrier(exprs.head)
   }
+  def kmvDistinct(exprs: Seq[Expression]): KmvDistinctAgg = {
+    checkArity("kmv_distinct", exprs, 2, 2)
+    KmvDistinctAgg(
+      org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs.head), 42L),
+      intLit("kmv_distinct", exprs(1), 1))
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -92,6 +98,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => GraftBuilders.topKBy(exprs)))
     e.injectFunction((FunctionIdentifier("pushdown_barrier"),
       info("pushdown_barrier"), GraftBuilders.pushdownBarrier _))
+    e.injectFunction((FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct"), exprs => GraftBuilders.kmvDistinct(exprs)))
   }
 }
 
@@ -116,6 +124,9 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("pushdown_barrier",
       GraftBuilders.pushdownBarrier _, "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_distinct",
+      exprs => GraftBuilders.kmvDistinct(exprs).toAggregateExpression(),
+      "scala_udf")
   }
 }
 

@@ -254,6 +254,38 @@ object OracleSql {
        |WHERE $est >= 0.5""".stripMargin
   }
 
+  /** Oracle for `approx_distinct_kmv`: the KMV estimate is reproduced
+    * EXACTLY — XXH64.hashLong(l_orderkey, 42) via the HUGEINT chain,
+    * distinct hashes ranked unsigned-ascending per group, estimate
+    * `(k-1) * 2^64 // u_k` in HUGEINT floor division (the engine does
+    * the identical BigInt math), exact count below k. Scope: key column
+    * must be a non-negative BIGINT (signed bit-pattern == HUGEINT value;
+    * l_orderkey >= 1 by construction).
+    */
+  def approxDistinctKmv(k: Int = 256): String = {
+    val ch = new Chain("kv",
+      "SELECT DISTINCT l_returnflag AS grp, l_orderkey::HUGEINT AS lv FROM lineitem")
+    val hv = hashLong(ch, "lv", "42", "h")
+    s"""WITH ${ch.render},
+       |hh AS MATERIALIZED (SELECT DISTINCT grp, $hv AS hv FROM ${ch.last}),
+       |rk AS (SELECT grp, hv,
+       |         row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+       |         count(*) OVER (PARTITION BY grp) AS n
+       |       FROM hh),
+       |ag AS (SELECT grp, max(n) AS n,
+       |         max(CASE WHEN rn = $k THEN hv END) AS uk
+       |       FROM rk GROUP BY grp),
+       |ex AS (SELECT l_returnflag AS grp,
+       |         count(DISTINCT l_orderkey) AS exact_orders
+       |       FROM lineitem GROUP BY 1)
+       |SELECT a.grp AS l_returnflag,
+       |  CASE WHEN a.n < $k THEN a.n::BIGINT
+       |       ELSE least((${k - 1}::HUGEINT * 18446744073709551616) // a.uk,
+       |                  9223372036854775807)::BIGINT END AS approx_orders,
+       |  e.exact_orders
+       |FROM ag a JOIN ex e ON e.grp = a.grp""".stripMargin
+  }
+
   /** Oracle for `dedup_incremental`: same banding CTEs over ALL docs;
     * keep candidate pairs touching at least one "new" doc
     * (doc_id % 10 >= 8), drop hist-hist, orient so the reported doc is

@@ -270,6 +270,17 @@ object SparkEntry {
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
     }),
 
+    "approx_distinct_kmv" -> ((s, dir) => {
+      // mergeable KMV distinct-count sketch: map-side partials of <=k
+      // hashed longs per group; integer-exact estimator, so the DuckDB
+      // oracle reproduces the approximation bit-for-bit
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          graft.expressions.Sketches
+            .kmv_distinct(col("l_orderkey"), 256).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+    }),
+
     "topk_agg" -> ((s, dir) => {
       // bounded-heap TypedImperativeAggregate: map-side partial top-k,
       // shuffles <=k rows per group per partition (vs the window
@@ -1534,6 +1545,7 @@ object SparkEntry {
     "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, rowsPerBand = 2),
     "dedup_incremental" ->
       OracleSql.dedupIncremental(numHashes = 16, rowsPerBand = 2),
+    "approx_distinct_kmv" -> OracleSql.approxDistinctKmv(k = 256),
     "dedup_components" ->
       OracleSql.dedupComponents(numHashes = 16, rowsPerBand = 2),
     "dedup_ngram_jaccard" ->
