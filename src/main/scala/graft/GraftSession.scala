@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{CosineSim, KmvDistinctAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg}
+import graft.expressions.{CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -75,6 +75,16 @@ private[graft] object GraftBuilders {
       org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs.head), 42L),
       intLit("kmv_distinct", exprs(1), 1))
   }
+  def kmvState(exprs: Seq[Expression]): KmvStateAgg = {
+    checkArity("kmv_state", exprs, 2, 2)
+    KmvStateAgg(
+      org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs.head), 42L),
+      intLit("kmv_state", exprs(1), 1))
+  }
+  def kmvMergeEst(exprs: Seq[Expression]): KmvMergeAgg = {
+    checkArity("kmv_merge_est", exprs, 1, 1)
+    KmvMergeAgg(exprs.head)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -100,6 +110,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("pushdown_barrier"), GraftBuilders.pushdownBarrier _))
     e.injectFunction((FunctionIdentifier("kmv_distinct"),
       info("kmv_distinct"), exprs => GraftBuilders.kmvDistinct(exprs)))
+    e.injectFunction((FunctionIdentifier("kmv_state"),
+      info("kmv_state"), exprs => GraftBuilders.kmvState(exprs)))
+    e.injectFunction((FunctionIdentifier("kmv_merge_est"),
+      info("kmv_merge_est"), exprs => GraftBuilders.kmvMergeEst(exprs)))
   }
 }
 
@@ -126,6 +140,12 @@ object GraftFunctions {
       GraftBuilders.pushdownBarrier _, "scala_udf")
     reg.createOrReplaceTempFunction("kmv_distinct",
       exprs => GraftBuilders.kmvDistinct(exprs).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_state",
+      exprs => GraftBuilders.kmvState(exprs).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_merge_est",
+      exprs => GraftBuilders.kmvMergeEst(exprs).toAggregateExpression(),
       "scala_udf")
   }
 }

@@ -281,6 +281,21 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("exact_orders"))
     }),
 
+    "approx_distinct_kmv_rollup" -> ((s, dir) => {
+      // the sketch-store pattern: pre-aggregate one <=8k-byte sketch per
+      // (flag, ship-month) — persistable — then answer the per-flag
+      // distinct count by MERGING states, never re-touching raw rows.
+      // KMV merges losslessly, so this equals the single-pass sketch and
+      // shares its oracle.
+      val monthly = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")))
+        .agg(graft.expressions.Sketches
+          .kmv_state(col("l_orderkey"), 256).as("sk"))
+      monthly.groupBy("l_returnflag")
+        .agg(graft.expressions.Sketches.kmv_merge_est(col("sk"))
+          .as("approx_orders"))
+    }),
+
     "topk_agg" -> ((s, dir) => {
       // bounded-heap TypedImperativeAggregate: map-side partial top-k,
       // shuffles <=k rows per group per partition (vs the window
@@ -1546,6 +1561,9 @@ object SparkEntry {
     "dedup_incremental" ->
       OracleSql.dedupIncremental(numHashes = 16, rowsPerBand = 2),
     "approx_distinct_kmv" -> OracleSql.approxDistinctKmv(k = 256),
+    // lossless merge: the rolled-up estimate equals the single-pass one
+    "approx_distinct_kmv_rollup" ->
+      s"SELECT l_returnflag, approx_orders FROM (${OracleSql.approxDistinctKmv(k = 256)}) kr",
     "dedup_components" ->
       OracleSql.dedupComponents(numHashes = 16, rowsPerBand = 2),
     "dedup_ngram_jaccard" ->

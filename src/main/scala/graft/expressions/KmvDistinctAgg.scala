@@ -102,7 +102,7 @@ final class KmvBuffer(val k: Int) {
     * (BigInt.toLong would wrap silently).
     */
   def estimate: Long =
-    if (set.size < k) set.size.toLong
+    if (set.isEmpty || set.size < k) set.size.toLong
     else {
       val uk = set.last().longValue()
       val ukU = BigInt(uk) & ((BigInt(1) << 64) - 1)
@@ -131,6 +131,86 @@ object KmvBuffer {
   }
 }
 
+/** [[KmvDistinctAgg]] that evaluates to the SERIALIZED sketch (binary)
+  * instead of the estimate — the persistable form. The 100 TB pattern:
+  * pre-aggregate a sketch per (day, group) partition once, STORE the
+  * ≤8k-byte states, and answer any coarser-grained distinct-count query
+  * later by merging states ([[KmvMergeAgg]]) without touching raw data.
+  * KMV merges losslessly: the k smallest of a union of per-part k-mins
+  * IS the global k-min, so a rolled-up estimate equals the single-pass
+  * estimate exactly — one oracle covers both.
+  */
+case class KmvStateAgg(hashed: Expression, k: Int,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvBuffer] {
+  require(k >= 2, s"kmv_state needs k >= 2, got $k")
+  override def children: Seq[Expression] = Seq(hashed)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kmv_state"
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val h = hashed.eval(input)
+    if (h != null) buf.add(h.asInstanceOf[Long])
+    buf
+  }
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    a.mergeWith(b); a
+  }
+  override def eval(buf: KmvBuffer): Any = buf.toBytes
+  override def serialize(buf: KmvBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KmvBuffer =
+    KmvBuffer.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): KmvStateAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvStateAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KmvStateAgg = copy(hashed = c(0))
+}
+
+/** Merges serialized [[KmvStateAgg]] sketches (binary column) into the
+  * combined distinct-count estimate. All inputs must share one k — the
+  * buffer adopts the first state's k and rejects mismatches (merging
+  * sketches of different resolution silently degrades accuracy, so it's
+  * an error, not a coercion).
+  */
+case class KmvMergeAgg(state: Expression,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvBuffer] {
+  override def children: Seq[Expression] = Seq(state)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_merge_est"
+  // k unknown until the first state arrives: sentinel buffer k=0
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(0)
+  private def combine(a: KmvBuffer, b: KmvBuffer): KmvBuffer =
+    if (b.k == 0) a
+    else if (a.k == 0) { val n = new KmvBuffer(b.k); n.mergeWith(b); n }
+    else if (a.k != b.k)
+      throw new IllegalArgumentException(
+        s"kmv_merge_est: mixed sketch resolutions k=${a.k} vs k=${b.k}")
+    else { a.mergeWith(b); a }
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val raw = state.eval(input)
+    if (raw == null) buf
+    else combine(buf, KmvBuffer.fromBytes(raw.asInstanceOf[Array[Byte]]))
+  }
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = combine(a, b)
+  override def eval(buf: KmvBuffer): Any = buf.estimate
+  override def serialize(buf: KmvBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): KmvBuffer =
+    KmvBuffer.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KmvMergeAgg = copy(state = c(0))
+}
+
 object Sketches {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -142,4 +222,17 @@ object Sketches {
   def kmv_distinct(value: Column, k: Int): Column =
     column(KmvDistinctAgg(XxHash64(Seq(expression(value)), 42L), k)
       .toAggregateExpression())
+
+  /** `kmv_state(value, k)` → BINARY serialized sketch (persistable;
+    * merge later with [[kmv_merge_est]]).
+    */
+  def kmv_state(value: Column, k: Int): Column =
+    column(KmvStateAgg(XxHash64(Seq(expression(value)), 42L), k)
+      .toAggregateExpression())
+
+  /** `kmv_merge_est(state)` → BIGINT estimate from merged stored
+    * sketches. Lossless vs a single-pass sketch over the union.
+    */
+  def kmv_merge_est(state: Column): Column =
+    column(KmvMergeAgg(expression(state)).toAggregateExpression())
 }

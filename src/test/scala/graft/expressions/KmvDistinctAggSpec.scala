@@ -43,6 +43,34 @@ class KmvDistinctAggSpec extends SparkSpec {
     assert(relErr < 0.25, s"relative error $relErr (approx=$approx exact=$exact)")
   }
 
+  test("state rollup merges losslessly: split-merge equals single-pass") {
+    val df = spark.range(120000).select(
+      (col("id") % 3).as("g"), (col("id") % 11).as("part"),
+      (col("id") % 23456).as("v"))
+    val direct = df.groupBy("g")
+      .agg(Sketches.kmv_distinct(col("v"), 256).as("a"))
+      .as[(Long, Long)].collect().toMap
+    val rolled = df.groupBy("g", "part")
+      .agg(Sketches.kmv_state(col("v"), 256).as("sk"))
+      .groupBy("g")
+      .agg(Sketches.kmv_merge_est(col("sk")).as("a"))
+      .as[(Long, Long)].collect().toMap
+    assert(direct == rolled, "KMV rollup must be lossless")
+  }
+
+  test("merging sketches of different k is an error, not a coercion") {
+    val df = spark.range(1000).select((col("id") % 2).as("g"),
+      col("id").as("v"))
+    val mixed = df.groupBy("g")
+      .agg(when(col("g") === 0, Sketches.kmv_state(col("v"), 64))
+        .otherwise(Sketches.kmv_state(col("v"), 128)).as("sk"))
+      .agg(Sketches.kmv_merge_est(col("sk")))
+    val e = intercept[Exception] { mixed.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("mixed sketch")))
+  }
+
   test("kmv_distinct is SQL-visible with literal-k validation") {
     graft.GraftFunctions.register(spark)
     spark.range(1000).select((col("id") % 200).as("v"))
