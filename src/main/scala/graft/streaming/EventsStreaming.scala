@@ -139,6 +139,85 @@ object EventsStreaming {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
   }
 
+  final case class DocIn(doc_id: Long, text: String)
+  final case class DupCand(id_a: Long, id_b: Long, est_jaccard: Double)
+  /** Per-bucket LSH state: (doc_id, minhash signature) of bucket members
+    * seen so far, newest first, capped.
+    */
+  final case class BucketState(ids: List[Long], sigs: List[Seq[Long]])
+
+  /** Streaming NEAR-dup candidates — the unbounded twin of
+    * `Dedup.minHashCandidates`: each arriving document is checked
+    * against every previously-seen document that shares a MinHash band
+    * bucket, WITHOUT ever joining the stream against its own history.
+    *
+    * Shape: signature + band-explode are map-only (the same native
+    * `minhash_sig` expression as batch); state lives per (band,
+    * band_hash) key and holds the bucket's members — exactly the rows a
+    * batch band-join would have grouped. An arrival emits one candidate
+    * per bucket member (pair ordered id_a < id_b, signature-estimated
+    * Jaccard, same rounding as batch), then joins the bucket.
+    *
+    * State is bounded per bucket by `maxPerBucket` (FIFO eviction,
+    * newest kept): a bucket at 100 TB/day is either small (true near-dup
+    * cluster — fine) or a degenerate hot bucket (boilerplate shingles)
+    * whose members are mutual near-dups anyway; capping trades recall
+    * against those oldest members for hard state bounds. A pair sharing
+    * several bands is emitted once per band — downstream `distinct()`
+    * (or `dropDuplicatesWithinWatermark` on (id_a, id_b) for continuous
+    * streams) collapses them, the batch operator's `distinct()` twin.
+    */
+  def nearDupStream(docs: Dataset[DocIn], shingleN: Int = 3,
+                    numHashes: Int = 16, rowsPerBand: Int = 2,
+                    maxPerBucket: Int = 64)(
+      implicit spark: SparkSession): Dataset[DupCand] = {
+    import spark.implicits._
+    val numBands = numHashes / rowsPerBand
+    val banded = docs
+      .select(col("doc_id"),
+        graft.expressions.exprs
+          .minhash_sig(col("text"), shingleN, numHashes).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+      .as[(Long, Seq[Long], Int, Long)]
+
+    def estJ(a: Seq[Long], b: Seq[Long]): Double = {
+      var eq = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      BigDecimal(eq.toDouble / a.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    def update(key: (Int, Long), rows: Iterator[(Long, Seq[Long], Int, Long)],
+               state: GroupState[BucketState]): Iterator[DupCand] = {
+      val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+      var ids = st.ids
+      var sigs = st.sigs
+      val out = Seq.newBuilder[DupCand]
+      // deterministic within-batch order (micro-batch rows are unordered)
+      rows.toSeq.sortBy(_._1).foreach { case (id, sig, _, _) =>
+        if (!ids.contains(id)) {
+          ids.iterator.zip(sigs.iterator).foreach { case (pid, psig) =>
+            out += DupCand(math.min(id, pid), math.max(id, pid),
+              estJ(sig, psig))
+          }
+          ids = (id :: ids).take(maxPerBucket)
+          sigs = (sig :: sigs).take(maxPerBucket)
+        }
+      }
+      state.update(BucketState(ids, sigs))
+      out.result().iterator
+    }
+
+    banded.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Drive a streaming frame to completion against a memory sink —
     * batch-style execution of a streaming plan (used by tests and the
     * AvailableNow "daily drain" mode).

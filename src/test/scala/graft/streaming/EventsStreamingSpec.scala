@@ -84,6 +84,43 @@ class EventsStreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("streaming near-dup candidates match batch banding across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-neardup").toString
+    val docsDf = Tables.load(spark, sf("sf0.001"), "documents")
+    val docs = docsDf.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+      .map { case (i, t) => EventsStreaming.DocIn(i, t) }
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val ms = MemoryStream[EventsStreaming.DocIn]
+    val q = EventsStreaming
+      .nearDupStream(ms.toDS(), maxPerBucket = Int.MaxValue)
+      .writeStream.format("memory").queryName("near_dup")
+      .outputMode(OutputMode.Append.toString.toLowerCase)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    ms.addData(b1)
+    q.processAllAvailable()
+    ms.addData(b2) // cross-batch pairs must surface via state
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("near_dup").distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    val want = graft.functions.Dedup
+      .minHashCandidates(docsDf, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, s"stream=${got.size} batch=${want.size}")
+    assert(got.nonEmpty)
+    // cross-batch: at least one pair spans the two micro-batches
+    val firstIds = b1.map(_.doc_id).toSet
+    assert(got.exists { case (a, b, _) =>
+      firstIds.contains(a) != firstIds.contains(b) })
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     val dir = Files.createTempDirectory("graft-sess").toString
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
