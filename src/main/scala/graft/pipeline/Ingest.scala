@@ -157,6 +157,42 @@ object Ingest {
       }
   }
 
+  /** JSONL corpus source — the LLM-training staple format — with the
+    * reference's error-sink posture (S4/C2) applied per LINE: a
+    * malformed record neither kills the read nor silently vanishes; it
+    * lands in the returned `bad` frame with its raw text, for error-zone
+    * routing.
+    *
+    * One pass over the input writes a typed staging parquet (good rows +
+    * `_corrupt_record`), then both returned frames read from the stage.
+    * That is the 100 TB shape: no `cache()` of the raw json (Spark's
+    * alternative for querying `_corrupt_record`), the expensive
+    * JSON parse happens once, and the stage is a restart point.
+    * Schema is enforced (PERMISSIVE): missing fields null, type
+    * mismatches corrupt the line.
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType,
+                stageDir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField}
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not predeclare _corrupt_record")
+    val withCorrupt = org.apache.spark.sql.types
+      .StructType(schema.fields :+ StructField("_corrupt_record", StringType))
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .write.mode("overwrite").parquet(stageDir)
+    val staged = spark.read.parquet(stageDir)
+    (staged.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      staged.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line")))
+  }
+
   final case class IngestReport(synced: Seq[ManifestEntry],
                                 skipped: Seq[String])
 
