@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg}
+import graft.expressions.{BloomAgg, BloomContains, CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -85,6 +85,19 @@ private[graft] object GraftBuilders {
     checkArity("kmv_merge_est", exprs, 1, 1)
     KmvMergeAgg(exprs.head)
   }
+  def bloomAgg(exprs: Seq[Expression]): BloomAgg = {
+    checkArity("bloom_agg", exprs, 3, 3)
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    BloomAgg(XxHash64(Seq(exprs.head), 42L), XxHash64(Seq(exprs.head), 43L),
+      intLit("bloom_agg", exprs(1), 1), intLit("bloom_agg", exprs(2), 2))
+  }
+  def bloomContains(exprs: Seq[Expression]): Expression = {
+    checkArity("bloom_contains", exprs, 2, 2)
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, XxHash64}
+    BloomContains(exprs.head,
+      CreateArray(Seq(XxHash64(Seq(exprs(1)), 42L),
+        XxHash64(Seq(exprs(1)), 43L))))
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -114,6 +127,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_state"), exprs => GraftBuilders.kmvState(exprs)))
     e.injectFunction((FunctionIdentifier("kmv_merge_est"),
       info("kmv_merge_est"), exprs => GraftBuilders.kmvMergeEst(exprs)))
+    e.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg"), exprs => GraftBuilders.bloomAgg(exprs)))
+    e.injectFunction((FunctionIdentifier("bloom_contains"),
+      info("bloom_contains"), GraftBuilders.bloomContains _))
   }
 }
 
@@ -147,6 +164,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("kmv_merge_est",
       exprs => GraftBuilders.kmvMergeEst(exprs).toAggregateExpression(),
       "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_agg",
+      exprs => GraftBuilders.bloomAgg(exprs).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_contains",
+      GraftBuilders.bloomContains _, "scala_udf")
   }
 }
 

@@ -98,6 +98,23 @@ object SparkEntry {
       Joins.antiJoin(ord, ledger, "o_orderkey")
     }),
 
+    "join_bloom_prune" -> ((s, dir) => {
+      // exact semi-join with an explicit bloom-filter fact-side prune:
+      // the urgent-orders filter reaches the lineitem scan as a
+      // bloom_contains predicate (map-only, codegen'd), so at scale the
+      // join shuffles only selectivity + fp-rate of the fact table.
+      // False positives are stripped by the exact join => bit-equal to
+      // the plain semi-join, which is what the oracle runs.
+      val li = t(s, dir, "lineitem")
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      Joins.bloomPrunedSemiJoin(li, dim, "l_orderkey", "o_orderkey",
+          numBits = 1 << 17, numHashes = 5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
     "route_allowlist" -> ((s, dir) => {
       // J4: allowlist routing; emit per-route counts (both branches)
       val (ok, bad) = Joins.route(t(s, dir, "events"), "event_type",
@@ -1000,6 +1017,14 @@ object SparkEntry {
       """SELECT * FROM orders
         |WHERE o_orderkey NOT IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)""".stripMargin,
+
+    "join_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
 
     "route_allowlist" ->
       """SELECT count(*) AS n, 'allowed' AS route FROM events

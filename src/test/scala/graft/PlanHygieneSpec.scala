@@ -128,6 +128,25 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("bloom prune filters the fact scan below every exchange") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = SparkEntry.queries("join_bloom_prune")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the bloom_contains filter must sit under (downstream of) the fact
+    // side's first exchange: rows are dropped map-side, pre-shuffle
+    val exchanges = unwrapped.collect { case e: Exchange => e }
+    val bloomFilteredSubtrees = exchanges.filter(_.collect {
+      case f: FilterExec if f.condition.toString.contains("bloom_contains") => f
+    }.nonEmpty)
+    assert(bloomFilteredSubtrees.nonEmpty,
+      s"bloom_contains must prune before an exchange, plan:\n$unwrapped")
+  }
+
   test("eager stratified sampling evaluates the derived stratum once") {
     val df = SparkEntry.queries("sample_stratified")(spark, sf("sf0.001"))
     val plan = df.queryExecution.optimizedPlan.toString
