@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, Joins, Merge, Split, Stamping, TemporalJoins}
-import graft.functions.{Dedup, Packing, Sampling, Similarity, TextFunctions}
+import graft.functions.{Curation, Dedup, Packing, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -645,6 +645,19 @@ object SparkEntry {
       Sampling.sampleStratified(withLang, "doc_id", col("lang_pred"),
         Map("en" -> 0.25), defaultRate = 0.75, eagerStratum = true)
         .select("doc_id", "lang_pred")
+    }),
+
+    "curate_domain_cap" -> ((s, dir) => {
+      // per-domain cap (C4/RefinedWeb-style): keep the 10 best-quality
+      // docs per source. Winner ids come from the bounded top-k
+      // aggregate (map-side <=k per group per partition), NOT a full
+      // window sort; the packed (quality, doc_id) long makes the winner
+      // set deterministic under any partitioning.
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val ord = Curation.qualityOrd(
+        TextFunctions.qualityScore(col("text")), col("doc_id"))
+      Curation.capPerGroup(docs, "source", "doc_id", ord, k = 10)
+        .select("doc_id", "source")
     }),
 
     // ---------- LLM-pipeline: similarity search ----------
@@ -1392,6 +1405,18 @@ object SparkEntry {
       OracleSql.trainingMix(LangIdOracle, QualityOracle,
         minQuality = 0.5, enThreshold = 500000L,
         defaultThreshold = 900000L, budgetTokens = 2048, shardSize = 100),
+
+    "curate_domain_cap" ->
+      s"""WITH q AS ($QualityOracle),
+         |j AS (SELECT d.doc_id, d.source,
+         |        CAST(round(q.quality * 10000) AS BIGINT) * 281474976710656
+         |          - d.doc_id AS ord
+         |      FROM documents d JOIN q ON q.doc_id = d.doc_id),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source ORDER BY ord DESC)
+         |          AS rn
+         |      FROM j)
+         |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin,
 
     "text_quality" -> QualityOracle,
 

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.TopKBy
+
+/** Corpus-curation operators: bounded per-group caps over a document
+  * table — the "at most N documents per domain/source, best first" rule
+  * every web-scale training-data pipeline applies to stop a handful of
+  * giant domains from dominating the mix (cf. the per-domain caps in the
+  * C4 and RefinedWeb dataset papers).
+  */
+object Curation {
+
+  /** Keep at most `k` rows per `groupCol`, best-first by `ord`
+    * (descending). `ord` must be a LONG that totally orders rows within
+    * a group — pack the quality key and a unique tie-breaker into one
+    * long (e.g. `scaled_quality * 2^48 - id`), so the winner set is
+    * deterministic under any partitioning.
+    *
+    * Scale shape: the winner ids come from the bounded
+    * [[graft.expressions.TopKByAgg]] — map-side partials reduce every
+    * partition to ≤k ids per group BEFORE the shuffle, so the exchange
+    * moves `groups × k × partitions` longs, never the document rows
+    * (contrast a `row_number().over(Window.partitionBy(group))`
+    * formulation, which shuffles and sorts the full 100 TB corpus). The
+    * final semi-join restores full rows for the winners only; with
+    * `broadcastWinners` (default) it is map-only — right for
+    * `groups × k` in the millions. Beyond that, set it false for a
+    * shuffled semi-join on the narrow id column.
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+                  ord: Column, k: Int,
+                  broadcastWinners: Boolean = true): DataFrame = {
+    val winners = docs
+      .groupBy(col(groupCol))
+      .agg(TopKBy.top_k_by(ord, col(idCol), k).as("__winner_ids"))
+      .select(explode(col("__winner_ids")).as(idCol))
+    val rhs = if (broadcastWinners) broadcast(winners) else winners
+    docs.join(rhs, Seq(idCol), "left_semi")
+  }
+
+  /** Quality-desc ordering key for [[capPerGroup]] with doc-id
+    * tie-break: `round(quality * 10^4) * 2^48 - id`. Exact in long
+    * arithmetic for quality ∈ [0,1] rounded to 4 decimals and ids below
+    * 2^48; equal-quality ties resolve to the LOWEST id
+    * deterministically.
+    */
+  def qualityOrd(quality: Column, id: Column): Column =
+    round(quality * lit(10000)).cast("long") * lit(1L << 48) -
+      id.cast("long")
+}

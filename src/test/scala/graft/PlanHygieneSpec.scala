@@ -147,6 +147,23 @@ class PlanHygieneSpec extends SparkSpec {
       s"bloom_contains must prune before an exchange, plan:\n$unwrapped")
   }
 
+  test("domain cap winners come from a bounded aggregate, not a window sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("curate_domain_cap")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(unwrapped.collect { case w: WindowExec => w }.isEmpty,
+      s"cap must not window-sort the corpus:\n$unwrapped")
+    assert(unwrapped.collect { case s: SortExec => s }.isEmpty,
+      s"cap must not global-sort the corpus:\n$unwrapped")
+    assert(unwrapped.toString.contains("top_k_by"),
+      "winners must come from the bounded top_k_by aggregate")
+  }
+
   test("eager stratified sampling evaluates the derived stratum once") {
     val df = SparkEntry.queries("sample_stratified")(spark, sf("sf0.001"))
     val plan = df.queryExecution.optimizedPlan.toString
