@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{BloomAgg, BloomContains, CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg}
+import graft.expressions.{BloomAgg, BloomContains, Cms, CmsAgg, CmsEstimate, CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -98,6 +98,18 @@ private[graft] object GraftBuilders {
       CreateArray(Seq(XxHash64(Seq(exprs(1)), 42L),
         XxHash64(Seq(exprs(1)), 43L))))
   }
+  def cmsState(exprs: Seq[Expression]): CmsAgg = {
+    checkArity("cms_state", exprs, 3, 3)
+    CmsAgg(Cms.rowHashExprsOf(exprs.head, intLit("cms_state", exprs(1), 1)),
+      intLit("cms_state", exprs(2), 2))
+  }
+  def cmsEstimate(exprs: Seq[Expression]): Expression = {
+    checkArity("cms_estimate", exprs, 3, 3)
+    import org.apache.spark.sql.catalyst.expressions.CreateArray
+    CmsEstimate(exprs.head,
+      CreateArray(Cms.rowHashExprsOf(exprs(1),
+        intLit("cms_estimate", exprs(2), 2))))
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -131,6 +143,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bloom_agg"), exprs => GraftBuilders.bloomAgg(exprs)))
     e.injectFunction((FunctionIdentifier("bloom_contains"),
       info("bloom_contains"), GraftBuilders.bloomContains _))
+    e.injectFunction((FunctionIdentifier("cms_state"),
+      info("cms_state"), exprs => GraftBuilders.cmsState(exprs)))
+    e.injectFunction((FunctionIdentifier("cms_estimate"),
+      info("cms_estimate"), GraftBuilders.cmsEstimate _))
   }
 }
 
@@ -169,6 +185,11 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("bloom_contains",
       GraftBuilders.bloomContains _, "scala_udf")
+    reg.createOrReplaceTempFunction("cms_state",
+      exprs => GraftBuilders.cmsState(exprs).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("cms_estimate",
+      GraftBuilders.cmsEstimate _, "scala_udf")
   }
 }
 

@@ -185,7 +185,8 @@ object OracleSql {
     }
     val hu = fmix(ch, h, "f")
     ch.add("thu", hu)
-    ch.render + s",\ntokh AS MATERIALIZED (SELECT doc_id, i, thu FROM ${ch.last})"
+    ch.render +
+      s",\ntokh AS MATERIALIZED (SELECT doc_id, i, tok, thu FROM ${ch.last})"
   }
 
   /** Word-3-gram shingle hashes (xxhash64 chain over the window's token
@@ -284,6 +285,47 @@ object OracleSql {
        |                  9223372036854775807)::BIGINT END AS approx_orders,
        |  e.exact_orders
        |FROM ag a JOIN ex e ON e.grp = a.grp""".stripMargin
+  }
+
+  /** Oracle for `heavy_hitters_cms`: bit-exact count-min emulation.
+    * Token strings hash once (the existing xxhash64 string emulation),
+    * each distinct hash re-hashes per sketch row via `hashLong(thu,
+    * 1000+r)`, buckets are the low bits (`w` a power of two, so the
+    * unsigned mod equals the JVM's signed mask), and each row's bucket
+    * count is the sum of colliding tokens' exact counts — exactly the
+    * grid the Spark aggregate builds. The estimate is the least of the
+    * d bucket counts. Heavy hitters = tokens with above-`1/vocabFactor`
+    * frequency (integer-exact threshold).
+    */
+  def heavyHittersCms(d: Int = 4, w: Int = 32,
+                      vocabFactor: Int = 32): String = {
+    require(w >= 2 && (w & (w - 1)) == 0, s"w must be a power of two: $w")
+    val ch = new Chain("cm", "SELECT thu FROM tc")
+    val bCols = (1 to d).map { r =>
+      val h = hashLong(ch, "thu", (1000 + r).toString, s"r$r")
+      ch.add(s"b$r", s"($h) % $w")
+    }
+    val bcCtes = (1 to d).map { r =>
+      s"""bc$r AS (SELECT dh.b$r AS b, sum(t.exact_cnt)::BIGINT AS cnt
+         |  FROM dh JOIN tc t ON t.thu = dh.thu GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to d)
+      .map(r => s"JOIN bc$r c$r ON c$r.b = dh.b$r").mkString("\n  ")
+    val leastExpr = (1 to d).map(r => s"c$r.cnt")
+      .mkString("least(", ", ", ")")
+    s"""WITH ${tokenHashCtes()},
+       |tc AS MATERIALIZED (SELECT thu, any_value(tok) AS token,
+       |    count(*)::BIGINT AS exact_cnt FROM tokh GROUP BY thu),
+       |${ch.render},
+       |dh AS MATERIALIZED (SELECT thu, ${bCols.mkString(", ")}
+       |  FROM ${ch.last}),
+       |$bcCtes,
+       |tot AS (SELECT sum(exact_cnt) AS n FROM tc)
+       |SELECT t.token, t.exact_cnt, $leastExpr AS cms_cnt
+       |FROM tc t JOIN dh ON dh.thu = t.thu
+       |  $joins
+       |  CROSS JOIN tot
+       |WHERE t.exact_cnt * $vocabFactor >= tot.n""".stripMargin
   }
 
   /** Oracle for `dedup_incremental`: same banding CTEs over ALL docs;

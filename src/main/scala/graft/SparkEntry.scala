@@ -647,6 +647,29 @@ object SparkEntry {
         .select("doc_id", "lang_pred")
     }),
 
+    "heavy_hitters_cms" -> ((s, dir) => {
+      // count-min frequency sketch: d=4 x w=32 integer grid (1 KB),
+      // map-side partial grids merged by elementwise add — frequency
+      // estimates over a corpus whose vocabulary could never be held
+      // exactly. Deliberately narrow w forces real collisions; the
+      // min-of-rows estimate is integer-exact, so the oracle reproduces
+      // every overestimate bit-for-bit. Heavy hitters = above-mean
+      // frequency tokens (integer threshold, scale-stable).
+      import graft.expressions.Cms
+      val toks = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(split(lower(trim(col("text"))), "\\s+"))
+          .as("token"))
+      val state = toks
+        .agg(Cms.cms_state(col("token"), d = 4, w = 32).as("st"))
+        .head().getAs[Array[Byte]](0)
+      val total = toks.count()
+      toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .filter(col("exact_cnt") * 32 >= total)
+        .select(col("token"), col("exact_cnt"),
+          Cms.cms_estimate(lit(state), col("token"), d = 4).as("cms_cnt"))
+    }),
+
     "curate_domain_cap" -> ((s, dir) => {
       // per-domain cap (C4/RefinedWeb-style): keep the 10 best-quality
       // docs per source. Winner ids come from the bounded top-k
@@ -1405,6 +1428,9 @@ object SparkEntry {
       OracleSql.trainingMix(LangIdOracle, QualityOracle,
         minQuality = 0.5, enThreshold = 500000L,
         defaultThreshold = 900000L, budgetTokens = 2048, shardSize = 100),
+
+    "heavy_hitters_cms" ->
+      OracleSql.heavyHittersCms(d = 4, w = 32, vocabFactor = 32),
 
     "curate_domain_cap" ->
       s"""WITH q AS ($QualityOracle),
