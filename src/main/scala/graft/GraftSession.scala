@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{BloomAgg, BloomContains, Cms, CmsAgg, CmsEstimate, CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg}
+import graft.expressions.{BloomAgg, BloomContains, Cms, CmsAgg, CmsEstimate, CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg, ZOrderKey}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -110,6 +110,13 @@ private[graft] object GraftBuilders {
       CreateArray(Cms.rowHashExprsOf(exprs(1),
         intLit("cms_estimate", exprs(2), 2))))
   }
+  def zorderKey(exprs: Seq[Expression]): Expression = {
+    checkArity("zorder_key", exprs, 2, 7)
+    import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray}
+    import org.apache.spark.sql.types.LongType
+    ZOrderKey(CreateArray(exprs.tail.map(e => Cast(e, LongType))),
+      intLit("zorder_key", exprs.head, 0))
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -147,6 +154,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cms_state"), exprs => GraftBuilders.cmsState(exprs)))
     e.injectFunction((FunctionIdentifier("cms_estimate"),
       info("cms_estimate"), GraftBuilders.cmsEstimate _))
+    e.injectFunction((FunctionIdentifier("zorder_key"),
+      info("zorder_key"), GraftBuilders.zorderKey _))
   }
 }
 
@@ -190,6 +199,8 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("cms_estimate",
       GraftBuilders.cmsEstimate _, "scala_udf")
+    reg.createOrReplaceTempFunction("zorder_key",
+      GraftBuilders.zorderKey _, "scala_udf")
   }
 }
 

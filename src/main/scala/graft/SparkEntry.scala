@@ -647,6 +647,16 @@ object SparkEntry {
         .select("doc_id", "lang_pred")
     }),
 
+    "zorder_key" -> ((s, dir) => {
+      // Morton clustering key (the sort key of Scale.writeZOrdered):
+      // bit-interleaved (l_partkey, l_suppkey) — exact integer
+      // arithmetic, map-only, codegen'd
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.expressions.ZOrder
+          .zorder_key(21, col("l_partkey"), col("l_suppkey")).as("zkey"))
+    }),
+
     "heavy_hitters_cms" -> ((s, dir) => {
       // count-min frequency sketch: d=4 x w=32 integer grid (1 KB),
       // map-side partial grids merged by elementwise add — frequency
@@ -1428,6 +1438,16 @@ object SparkEntry {
       OracleSql.trainingMix(LangIdOracle, QualityOracle,
         minQuality = 0.5, enThreshold = 500000L,
         defaultThreshold = 900000L, budgetTokens = 2048, shardSize = 100),
+
+    "zorder_key" -> {
+      // bit-interleave emulation: bit b of col c lands at 2b + c
+      val terms = (0 until 21).flatMap(b => Seq(
+        s"((l_partkey % 2097152) // ${1L << b} % 2) * ${BigInt(1) << (2 * b)}",
+        s"((l_suppkey % 2097152) // ${1L << b} % 2) * ${BigInt(1) << (2 * b + 1)}"))
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
+         |FROM lineitem""".stripMargin
+    },
 
     "heavy_hitters_cms" ->
       OracleSql.heavyHittersCms(d = 4, w = 32, vocabFactor = 32),

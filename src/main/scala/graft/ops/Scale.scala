@@ -54,4 +54,27 @@ object Scale {
                   partitions: Int): (DataFrame, DataFrame) =
     (a.repartition(partitions, col(key)),
       b.repartition(partitions, col(key)))
+
+  /** Z-order clustered write: range-partition and sort by the Morton key
+    * of `cols`, so each output file covers a compact hyper-rectangle of
+    * the interleaved dimensions and its parquet min-max stats are tight
+    * on EVERY one of them — point/range predicates on any listed column
+    * skip most files, not just predicates on a single sort column.
+    *
+    * `bitsPerCol` must satisfy `cols.length * bitsPerCol <= 63`; values
+    * are clamped modulo `2^bitsPerCol`, so pre-scale columns with larger
+    * domains. The z-key is computed, used for the exchange + local sort,
+    * and dropped — the layout IS the artifact. `files` bounds the output
+    * file count (range partitioner → one file per partition).
+    */
+  def writeZOrdered(df: DataFrame, path: String, bitsPerCol: Int,
+                    files: Int, cols: String*): Unit = {
+    val zkey = graft.expressions.ZOrder
+      .zorder_key(bitsPerCol, cols.map(col): _*)
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
 }
