@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{BloomAgg, BloomContains, Cms, CmsAgg, CmsEstimate, CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg, ZOrderKey}
+import graft.expressions.{BloomAgg, BloomContains, Cms, CmsAgg, CmsEstimate, CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, KqMergeAgg, KqQuantile, KqStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg, ZOrderKey}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -39,6 +39,14 @@ private[graft] object GraftBuilders {
   private def optInt(fn: String, exprs: Seq[Expression], pos: Int,
                      default: Int): Int =
     if (exprs.length > pos) intLit(fn, exprs(pos), pos) else default
+
+  private def dblLit(fn: String, e: Expression, pos: Int): Double =
+    (if (e.foldable) e.eval() else null) match {
+      case n: Number => n.doubleValue()
+      case d: java.math.BigDecimal => d.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a numeric literal, got $other")
+    }
 
   def simhash64(exprs: Seq[Expression]): Expression = {
     checkArity("simhash64", exprs, 1, 1)
@@ -110,6 +118,21 @@ private[graft] object GraftBuilders {
       CreateArray(Cms.rowHashExprsOf(exprs(1),
         intLit("cms_estimate", exprs(2), 2))))
   }
+  def kqState(exprs: Seq[Expression]): KqStateAgg = {
+    checkArity("kq_state", exprs, 3, 8)
+    import org.apache.spark.sql.catalyst.expressions.{Cast, XxHash64}
+    import org.apache.spark.sql.types.DoubleType
+    KqStateAgg(XxHash64(exprs.drop(2), 42L),
+      Cast(exprs.head, DoubleType), intLit("kq_state", exprs(1), 1))
+  }
+  def kqQuantile(exprs: Seq[Expression]): Expression = {
+    checkArity("kq_quantile", exprs, 2, 2)
+    KqQuantile(exprs.head, dblLit("kq_quantile", exprs(1), 1))
+  }
+  def kqMerge(exprs: Seq[Expression]): KqMergeAgg = {
+    checkArity("kq_merge", exprs, 1, 1)
+    KqMergeAgg(exprs.head)
+  }
   def zorderKey(exprs: Seq[Expression]): Expression = {
     checkArity("zorder_key", exprs, 2, 7)
     import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray}
@@ -156,6 +179,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cms_estimate"), GraftBuilders.cmsEstimate _))
     e.injectFunction((FunctionIdentifier("zorder_key"),
       info("zorder_key"), GraftBuilders.zorderKey _))
+    e.injectFunction((FunctionIdentifier("kq_state"),
+      info("kq_state"), exprs => GraftBuilders.kqState(exprs)))
+    e.injectFunction((FunctionIdentifier("kq_quantile"),
+      info("kq_quantile"), GraftBuilders.kqQuantile _))
+    e.injectFunction((FunctionIdentifier("kq_merge"),
+      info("kq_merge"), exprs => GraftBuilders.kqMerge(exprs)))
   }
 }
 
@@ -201,6 +230,14 @@ object GraftFunctions {
       GraftBuilders.cmsEstimate _, "scala_udf")
     reg.createOrReplaceTempFunction("zorder_key",
       GraftBuilders.zorderKey _, "scala_udf")
+    reg.createOrReplaceTempFunction("kq_state",
+      exprs => GraftBuilders.kqState(exprs).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("kq_quantile",
+      GraftBuilders.kqQuantile _, "scala_udf")
+    reg.createOrReplaceTempFunction("kq_merge",
+      exprs => GraftBuilders.kqMerge(exprs).toAggregateExpression(),
+      "scala_udf")
   }
 }
 

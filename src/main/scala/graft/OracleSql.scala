@@ -287,6 +287,44 @@ object OracleSql {
        |FROM ag a JOIN ex e ON e.grp = a.grp""".stripMargin
   }
 
+  /** Oracle for `approx_quantiles_sample` (and its lossless rollup
+    * twin): emulate the deterministic bottom-k row sample — rank rows by
+    * the chained xxhash64 of the (orderkey, linenumber) row key, keep
+    * the k unsigned-smallest per group, and read the positional quantile
+    * `ceil(q * m)` off the sample's value order. IEEE `q * m` and ceil
+    * are bit-deterministic in both engines, so the estimate matches
+    * exactly.
+    */
+  def quantileSample(k: Int = 256,
+                     qs: Seq[(String, Double)] = Seq(
+                       "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)): String = {
+    val ch = new Chain("qq",
+      "SELECT l_returnflag AS g, l_quantity AS v, " +
+        "l_orderkey::HUGEINT AS ka, l_linenumber::HUGEINT AS kb " +
+        "FROM lineitem")
+    val h1 = hashLong(ch, "ka", "42", "p")
+    val h2 = hashLong(ch, "kb", h1, "w")
+    val cols = qs.map { case (n, q) =>
+      s"max(CASE WHEN vr.r = greatest(1, least(m.m, " +
+        s"CAST(ceil($q * m.m) AS BIGINT))) THEN vr.v END) AS $n"
+    }.mkString(",\n  ")
+    s"""WITH ${ch.render},
+       |dd AS (SELECT g, $h2 AS hv, min(v) AS v
+       |       FROM ${ch.last} GROUP BY 1, 2),
+       |rk AS (SELECT g, v,
+       |         row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+       |       FROM dd),
+       |smp AS (SELECT g, v FROM rk WHERE rn <= $k),
+       |m AS (SELECT g, count(*) AS m FROM smp GROUP BY g),
+       |vr AS (SELECT s.g, s.v,
+       |         row_number() OVER (PARTITION BY s.g ORDER BY s.v) AS r
+       |       FROM smp s)
+       |SELECT vr.g AS l_returnflag,
+       |  $cols
+       |FROM vr JOIN m ON m.g = vr.g
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Oracle for `heavy_hitters_cms`: bit-exact count-min emulation.
     * Token strings hash once (the existing xxhash64 string emulation),
     * each distinct hash re-hashes per sketch row via `hashLong(thu,

@@ -647,6 +647,40 @@ object SparkEntry {
         .select("doc_id", "lang_pred")
     }),
 
+    "approx_quantiles_sample" -> ((s, dir) => {
+      // mergeable quantile sketch: deterministic bottom-k row sample
+      // per group (<=k 16-byte pairs per partition through the
+      // shuffle); quantiles are positional reads off the sample, so the
+      // oracle reproduces them exactly
+      import graft.expressions.Kq
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(Kq.kq_state(col("l_quantity"), 256,
+          col("l_orderkey"), col("l_linenumber").cast("long")).as("sk"))
+        .select(col("l_returnflag"),
+          Kq.kq_quantile(col("sk"), 0.5).as("p50"),
+          Kq.kq_quantile(col("sk"), 0.9).as("p90"),
+          Kq.kq_quantile(col("sk"), 0.99).as("p99"))
+    }),
+
+    "approx_quantiles_rollup" -> ((s, dir) => {
+      // sketch-store rollup: one sample state per (flag, ship-month),
+      // persistable, merged per flag WITHOUT re-touching raw rows.
+      // Bottom-k merges losslessly, so this equals the single-pass
+      // sketch and shares its oracle.
+      import graft.expressions.Kq
+      val monthly = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          date_trunc("month", col("l_shipdate")))
+        .agg(Kq.kq_state(col("l_quantity"), 256,
+          col("l_orderkey"), col("l_linenumber").cast("long")).as("sk"))
+      monthly.groupBy("l_returnflag")
+        .agg(Kq.kq_merge(col("sk")).as("msk"))
+        .select(col("l_returnflag"),
+          Kq.kq_quantile(col("msk"), 0.5).as("p50"),
+          Kq.kq_quantile(col("msk"), 0.9).as("p90"),
+          Kq.kq_quantile(col("msk"), 0.99).as("p99"))
+    }),
+
     "zorder_key" -> ((s, dir) => {
       // Morton clustering key (the sort key of Scale.writeZOrdered):
       // bit-interleaved (l_partkey, l_suppkey) — exact integer
@@ -1438,6 +1472,10 @@ object SparkEntry {
       OracleSql.trainingMix(LangIdOracle, QualityOracle,
         minQuality = 0.5, enThreshold = 500000L,
         defaultThreshold = 900000L, budgetTokens = 2048, shardSize = 100),
+
+    "approx_quantiles_sample" -> OracleSql.quantileSample(k = 256),
+    // lossless merge: the rolled-up sample equals the single-pass one
+    "approx_quantiles_rollup" -> OracleSql.quantileSample(k = 256),
 
     "zorder_key" -> {
       // bit-interleave emulation: bit b of col c lands at 2b + c
