@@ -218,6 +218,31 @@ object EventsStreaming {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Watermarked stream-stream interval join: each left event pairs
+    * with right-stream events for the same key inside
+    * `[l.ts, l.ts + windowSeconds]` — e.g. purchases attributed to the
+    * click that preceded them. Right columns come back `r_`-prefixed.
+    *
+    * Both sides carry a watermark AND the join condition bounds the
+    * time delta in both directions, which is what lets Spark EVICT join
+    * state: a buffered left row can stop waiting once the right
+    * watermark passes `l.ts + windowSeconds`, and vice versa. Without
+    * the interval bound the state grows with the stream — the same
+    * unbounded-state cliff `dedupStream` documents, and the reason this
+    * is the only stream-stream join shape that survives 100 TB/day.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         key: String = "user_id", tsCol: String = "ts",
+                         windowSeconds: Long = 600,
+                         lateness: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, lateness)
+    val r = right.toDF(right.columns.map("r_" + _): _*)
+      .withWatermark(s"r_$tsCol", lateness)
+    l.join(r, expr(
+      s"$key = r_$key AND r_$tsCol >= $tsCol AND " +
+        s"r_$tsCol <= $tsCol + interval $windowSeconds seconds"))
+  }
+
   /** Drive a streaming frame to completion against a memory sink —
     * batch-style execution of a streaming plan (used by tests and the
     * AvailableNow "daily drain" mode).

@@ -146,4 +146,38 @@ class EventsStreamingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 2L, 3.0)))
   }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val dir = Files.createTempDirectory("graft-ssjoin").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val clicks = Seq(
+      EventsStreaming.Event(1, ts(0), 1L, "click", 0.0),
+      EventsStreaming.Event(2, ts(20), 1L, "click", 0.0),
+      EventsStreaming.Event(3, ts(0), 2L, "click", 0.0))
+    val buys = Seq(
+      EventsStreaming.Event(10, ts(5), 1L, "purchase", 9.0),  // joins click 1
+      EventsStreaming.Event(11, ts(25), 1L, "purchase", 5.0), // joins click 2
+      EventsStreaming.Event(12, ts(55), 2L, "purchase", 7.0)) // outside window
+    clicks.toDS().write.mode("overwrite").parquet(s"$dir/a")
+    buys.toDS().write.mode("overwrite").parquet(s"$dir/b")
+
+    val schema =
+      implicitly[org.apache.spark.sql.Encoder[EventsStreaming.Event]].schema
+    val sa = spark.readStream.schema(schema).parquet(s"$dir/a")
+    val sb = spark.readStream.schema(schema).parquet(s"$dir/b")
+    val joined = EventsStreaming.drainToMemory(
+      EventsStreaming.intervalJoinStream(sa, sb, windowSeconds = 600)
+        .select(col("event_id"), col("r_event_id"), col("r_value")),
+      "ssjoin", s"$dir/ckpt", OutputMode.Append)
+
+    val got = joined.as[(Long, Long, Double)].collect().toSet
+    // batch twin over the same frames
+    val want = EventsStreaming
+      .intervalJoinStream(clicks.toDF(), buys.toDF(), windowSeconds = 600)
+      .select(col("event_id"), col("r_event_id"), col("r_value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got == Set((1L, 10L, 9.0), (2L, 11L, 5.0)),
+      s"attribution pairs wrong: $got")
+  }
 }
