@@ -287,6 +287,51 @@ object OracleSql {
        |FROM ag a JOIN ex e ON e.grp = a.grp""".stripMargin
   }
 
+  /** Oracle for `bm25_topk`: same tf/df/len aggregations, the SAME
+    * IEEE double operations in the same association order (the engine
+    * folds term scores in sorted-term order left-to-right; DuckDB's
+    * `list_reduce(list(x ORDER BY term), +)` reproduces it — the fold's
+    * `0.0 + s1` seed is bit-transparent for positive scores), ranking
+    * on the 4-decimal Spark-rounded score with a doc-id tie-break.
+    */
+  def bm25TopK(queries: Seq[(Int, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): String = {
+    val qvals = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.trim.split("\\s+").toSeq.distinct
+        .map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),
+       |    '\\s+')) AS term
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |dl AS (SELECT doc_id, count(*) AS len FROM t GROUP BY 1),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, sum(len) AS total_len FROM dl),
+       |qt(query_id, term) AS (VALUES $qvals),
+       |sc AS (
+       |  SELECT qt.query_id, tf.doc_id, tf.term,
+       |    ln(1.0 + (st.n_docs::DOUBLE - dfq.df + 0.5) / (dfq.df + 0.5))
+       |      * (tf.tf * ${k1 + 1.0})
+       |      / (tf.tf + $k1 * (${1.0 - b} + $b * dl.len::DOUBLE
+       |          / (st.total_len::DOUBLE / st.n_docs::DOUBLE))) AS tscore
+       |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN st),
+       |pd AS (
+       |  SELECT query_id, doc_id,
+       |    list_reduce(list(tscore ORDER BY term),
+       |      (acc, x) -> acc + x) AS raw
+       |  FROM sc GROUP BY 1, 2),
+       |rs AS (SELECT query_id, doc_id,
+       |         ${roundSpark("raw", 4)} AS score FROM pd),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY CAST(round(score * 10000) AS BIGINT) DESC,
+       |                  doc_id ASC) AS rank
+       |       FROM rs)
+       |SELECT query_id, rank, doc_id, score FROM rk
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** Oracle for `approx_quantiles_sample` (and its lossless rollup
     * twin): emulate the deterministic bottom-k row sample — rank rows by
     * the chained xxhash64 of the (orderkey, linenumber) row key, keep

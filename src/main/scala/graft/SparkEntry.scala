@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, Joins, Merge, Split, Stamping, TemporalJoins}
-import graft.functions.{Curation, Dedup, Packing, Sampling, Similarity, TextFunctions}
+import graft.functions.{Curation, Dedup, Packing, Retrieval, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -714,6 +714,15 @@ object SparkEntry {
           Cms.cms_estimate(lit(state), col("token"), d = 4).as("cms_cnt"))
     }),
 
+    "bm25_topk" -> ((s, dir) => {
+      // lexical retrieval: BM25 top-10 per keyword query — the
+      // complement to the embedding ANN family (hybrid retrieval fuses
+      // both). Winners via the bounded top-k aggregate; score fold is
+      // order-defined (sorted terms, left-to-right), so the oracle
+      // reproduces the doubles bit-for-bit before the 4-decimal round.
+      Retrieval.bm25TopK(s, t(s, dir, "documents"), Bm25Queries, k = 10)
+    }),
+
     "curate_domain_cap" -> ((s, dir) => {
       // per-domain cap (C4/RefinedWeb-style): keep the 10 best-quality
       // docs per source. Winner ids come from the bounded top-k
@@ -1007,6 +1016,15 @@ object SparkEntry {
     * round-trip, and DECIMAL rounding is half-away-from-zero (= HALF_UP
     * for the non-negative score).
     */
+  /** Fixed keyword queries for the BM25 retrieval surface (terms drawn
+    * from the synthetic corpus vocabulary; shared by the Spark query
+    * and the generated oracle).
+    */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "join hash table",
+    2 -> "stream window agg",
+    3 -> "customer order line")
+
   private val QualityOracle: String =
     """SELECT doc_id, round(CAST(CAST((
       |  0.35 * least(length(text) / 500.0, 1.0) +
@@ -1486,6 +1504,8 @@ object SparkEntry {
          |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
          |FROM lineitem""".stripMargin
     },
+
+    "bm25_topk" -> OracleSql.bm25TopK(Bm25Queries, k = 10),
 
     "heavy_hitters_cms" ->
       OracleSql.heavyHittersCms(d = 4, w = 32, vocabFactor = 32),

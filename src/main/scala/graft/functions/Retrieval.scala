@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.TopKBy
+
+/** Keyword retrieval: BM25-scored top-k documents per query — the
+  * lexical complement to the embedding ANN operators in [[Similarity]]
+  * (hybrid retrieval pipelines run both and fuse).
+  *
+  * Scale shape: tf/df/len are plain aggregations over the exploded
+  * token table (shuffle on term/doc — unavoidable and linear); the
+  * query set is tiny and broadcast everywhere; winners per query come
+  * from the bounded [[graft.expressions.TopKByAgg]] (map-side ≤k per
+  * query per partition), not a corpus-wide window sort.
+  *
+  * Determinism contract (what makes the DuckDB oracle exact): the
+  * per-(query, doc) score folds term scores in SORTED TERM ORDER via a
+  * left-to-right `aggregate` fold — both engines then execute the same
+  * IEEE double additions in the same order — and ranking uses the score
+  * rounded to 4 decimals with a doc-id tie-break packed into one long.
+  */
+object Retrieval {
+
+  /** BM25 top-k. `queries`: (query_id, whitespace keywords). Returns
+    * (query_id, rank, doc_id, score) with score rounded to 4 decimals,
+    * rank 1-based by (score desc, doc_id asc).
+    */
+  def bm25TopK(spark: SparkSession, docs: DataFrame,
+               queries: Seq[(Int, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    import spark.implicits._
+
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+
+    val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("len"))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus constants: one tiny row, broadcast-cross-joined
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("total_len"))
+
+    val qterms = queries
+      .flatMap { case (qid, text) =>
+        text.toLowerCase.trim.split("\\s+").toSeq.distinct.map(t => (qid, t))
+      }
+      .toDF("query_id", "term")
+
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(docLen, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("avg_len",
+        col("total_len").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("len").cast("double") / col("avg_len"))))
+
+    // order-defined fold: sort term scores by term, then sum
+    // left-to-right — bit-reproducible across engines and partitionings
+    val perDoc = scored.groupBy("query_id", idCol)
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("tscore")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("tscore")).as("raw_score"))
+      .withColumn("score", round(col("raw_score"), 4))
+
+    // bounded top-k winners: pack (rounded score, doc id) into one long
+    val ord = round(col("score") * 10000).cast("long") * lit(1L << 40) -
+      col(idCol)
+    val winners = perDoc
+      .groupBy("query_id")
+      .agg(TopKBy.top_k_by(ord, col(idCol), k).as("ids"))
+      .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", idCol)))
+      .withColumn("rank", col("pos") + 1)
+      .drop("pos")
+
+    winners.join(perDoc.select(col("query_id"), col(idCol), col("score")),
+        Seq("query_id", idCol))
+      .select(col("query_id"), col("rank"), col(idCol), col("score"))
+  }
+}
