@@ -841,6 +841,14 @@ object SparkEntry {
         Multimodal.renderPngImages(t(s, dir, "documents"))).toDF()
     }),
 
+    "multimodal_audio" -> ((s, dir) => {
+      // REAL audio path: formula-generated PCM16 samples → RIFF/WAVE
+      // encode → actual javax.sound.sampled decode → exact integer
+      // stats. Oracle recomputes from the sample formula (PCM lossless)
+      Multimodal.decodeAudio(
+        Multimodal.renderWavAudio(t(s, dir, "documents"))).toDF()
+    }),
+
     // ---------- SQL-surface breadth, tranche 2 ----------
     "agg_cube" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1574,6 +1582,22 @@ object SparkEntry {
     // the closed-form pixel function (keep in sync with
     // Multimodal.ImageCodec.pixel) — no image library on the oracle
     // side; PNG losslessness makes the comparison exact-integer
+    "multimodal_audio" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 800 + doc_id % 800 AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT i.media_id, i.n, sx.i,
+        |    (i.media_id * 31 + sx.i * 17) % 65536 - 32768 AS v
+        |  FROM ids i,
+        |    LATERAL (SELECT unnest(generate_series(0, i.n - 1)) AS i) sx)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(sum(v) AS BIGINT) AS sum_samples,
+        |  CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+        |FROM s GROUP BY media_id, n""".stripMargin,
+
     "multimodal_decode" ->
       """WITH dims AS (
         |  SELECT doc_id,

@@ -39,4 +39,40 @@ class MultimodalSpec extends SparkSpec {
       .filter($"media_id" === 2L).head()
     assert(got.width == 18 && got.height == 30 && got.n_pixels == 540)
   }
+
+  test("rendered blobs are genuine RIFF/WAVE files the JDK codec accepts") {
+    val bytes = Multimodal.AudioCodec.encodeWav(5L)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(fmt.getFormat.getSampleSizeInBits == 16)
+    assert(fmt.getFormat.getSampleRate == 8000f)
+  }
+
+  test("AudioSystem decode round-trips the sample formula exactly") {
+    for (id <- Seq(0L, 3L, 799L, 801L)) {
+      val stats = Multimodal.AudioCodec.decodeStats(id,
+        Multimodal.AudioCodec.encodeWav(id))
+      val n = Multimodal.AudioCodec.nSamples(id)
+      var sum = 0L
+      var checksum = 0L
+      for (i <- 0 until n) {
+        val v = Multimodal.AudioCodec.sample(id, i).toLong
+        sum += v
+        checksum += v * (i + 1)
+      }
+      assert(stats.n_samples == n && stats.sum_samples == sum &&
+        stats.checksum == checksum && stats.sample_rate == 8000,
+        s"round-trip mismatch for id=$id: $stats")
+    }
+  }
+
+  test("distributed audio render + decode over the documents fixture") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val got = decodeAudio(renderWavAudio(docs))
+      .filter($"media_id" === 2L).head()
+    assert(got.n_samples == 802L && got.duration_ms == 100L)
+  }
 }
