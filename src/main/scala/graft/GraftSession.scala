@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{BloomAgg, BloomContains, Cms, CmsAgg, CmsEstimate, CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, KqMergeAgg, KqQuantile, KqStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg, ZOrderKey}
+import graft.expressions.{BloomAgg, BloomContains, BloomMergeAgg, Cms, CmsAgg, CmsEstimate, CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, KqMergeAgg, KqQuantile, KqStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg, ZOrderKey}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -106,6 +106,10 @@ private[graft] object GraftBuilders {
       CreateArray(Seq(XxHash64(Seq(exprs(1)), 42L),
         XxHash64(Seq(exprs(1)), 43L))))
   }
+  def bloomMerge(exprs: Seq[Expression]): BloomMergeAgg = {
+    checkArity("bloom_merge", exprs, 1, 1)
+    BloomMergeAgg(exprs.head)
+  }
   def cmsState(exprs: Seq[Expression]): CmsAgg = {
     checkArity("cms_state", exprs, 3, 3)
     CmsAgg(Cms.rowHashExprsOf(exprs.head, intLit("cms_state", exprs(1), 1)),
@@ -173,6 +177,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bloom_agg"), exprs => GraftBuilders.bloomAgg(exprs)))
     e.injectFunction((FunctionIdentifier("bloom_contains"),
       info("bloom_contains"), GraftBuilders.bloomContains _))
+    e.injectFunction((FunctionIdentifier("bloom_merge"),
+      info("bloom_merge"), exprs => GraftBuilders.bloomMerge(exprs)))
     e.injectFunction((FunctionIdentifier("cms_state"),
       info("cms_state"), exprs => GraftBuilders.cmsState(exprs)))
     e.injectFunction((FunctionIdentifier("cms_estimate"),
@@ -223,6 +229,9 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("bloom_contains",
       GraftBuilders.bloomContains _, "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_merge",
+      exprs => GraftBuilders.bloomMerge(exprs).toAggregateExpression(),
+      "scala_udf")
     reg.createOrReplaceTempFunction("cms_state",
       exprs => GraftBuilders.cmsState(exprs).toAggregateExpression(),
       "scala_udf")

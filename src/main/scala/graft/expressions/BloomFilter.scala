@@ -183,6 +183,48 @@ case class BloomContains(filter: Expression, hashes: Expression)
       l: Expression, r: Expression): BloomContains = copy(filter = l, hashes = r)
 }
 
+/** `bloom_merge(state)` → BINARY: bitwise-OR of stored filters — the
+  * sketch-store rollup for blooms (e.g. per-day ingest-key filters
+  * merged into a month filter without re-touching raw keys). OR-merge
+  * is exact for membership: the union filter reports a key iff some
+  * input filter would (same bit positions — shapes must match).
+  */
+case class BloomMergeAgg(state: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BloomBuffer] {
+  override def children: Seq[Expression] = Seq(state)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bloom_merge"
+  // shape unknown until the first state arrives: 64-bit sentinel
+  override def createAggregationBuffer(): BloomBuffer = new BloomBuffer(64, 1)
+  private def isSentinel(b: BloomBuffer): Boolean =
+    b.numBits == 64 && b.numHashes == 1 && b.words(0) == 0L
+  private def combine(a: BloomBuffer, b: BloomBuffer): BloomBuffer =
+    if (isSentinel(b)) a
+    else if (isSentinel(a)) {
+      val n = new BloomBuffer(b.numBits, b.numHashes); n.mergeWith(b); n
+    } else { a.mergeWith(b); a } // mergeWith rejects mismatched shapes
+  override def update(buf: BloomBuffer, input: InternalRow): BloomBuffer = {
+    val raw = state.eval(input)
+    if (raw == null) buf
+    else combine(buf, BloomBuffer.fromBytes(raw.asInstanceOf[Array[Byte]]))
+  }
+  override def merge(a: BloomBuffer, b: BloomBuffer): BloomBuffer =
+    combine(a, b)
+  override def eval(buf: BloomBuffer): Any = buf.toBytes
+  override def serialize(buf: BloomBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): BloomBuffer =
+    BloomBuffer.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): BloomMergeAgg = copy(state = c(0))
+}
+
 object Blooms {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   import org.apache.spark.sql.catalyst.expressions.CreateArray
@@ -206,4 +248,8 @@ object Blooms {
     val (h1, h2) = hashPair(value)
     column(BloomContains(expression(filter), CreateArray(Seq(h1, h2))))
   }
+
+  /** `bloom_merge(state)` → BINARY rolled-up filter (exact union). */
+  def bloom_merge(state: Column): Column =
+    column(BloomMergeAgg(expression(state)).toAggregateExpression())
 }

@@ -42,6 +42,35 @@ class BloomFilterSpec extends SparkSpec {
       "bitwise-OR merge must make the filter partition-independent")
   }
 
+  test("bloom_merge rollup equals the single-pass filter (exact union)") {
+    val keys = spark.range(20000).select((col("id") % 10).as("day"),
+      (col("id") * 11 + 1).as("k"))
+    val single = keys.agg(Blooms.bloom_agg(col("k"), 1 << 14, 4).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val rolled = keys.groupBy("day")
+      .agg(Blooms.bloom_agg(col("k"), 1 << 14, 4).as("bf"))
+      .agg(Blooms.bloom_merge(col("bf")).as("m"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(single, rolled),
+      "per-day filters OR-merged must equal the single-pass filter")
+  }
+
+  test("bloom_merge rejects mismatched filter shapes") {
+    val a = spark.range(10)
+      .agg(Blooms.bloom_agg(col("id"), 1 << 10, 4).as("bf"))
+    val b = spark.range(10)
+      .agg(Blooms.bloom_agg(col("id"), 1 << 11, 4).as("bf"))
+    val e = intercept[Exception] {
+      a.unionByName(b).coalesce(1)
+        .agg(Blooms.bloom_merge(col("bf"))).head()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("mismatched")),
+      s"expected shape-mismatch error, got: ${chain(e).mkString(" | ")}")
+  }
+
   test("SQL surface: bloom_agg builds, bloom_contains probes, bad arity rejects") {
     graft.GraftFunctions.register(spark)
     spark.range(100).select(col("id").as("v"))
