@@ -287,6 +287,37 @@ object OracleSql {
        |FROM ag a JOIN ex e ON e.grp = a.grp""".stripMargin
   }
 
+  /** Oracle for `interpolate_hourly`: same dedupe (max per second),
+    * same lead-window segmentation, same per-segment grid explode, and
+    * the interpolation formula in the same IEEE association, with
+    * Spark-semantics rounding.
+    */
+  def interpolateHourly(): String =
+    s"""WITH obs AS (
+       |  SELECT event_type AS t, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+       |         max(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |seg AS (
+       |  SELECT t, e, v,
+       |    lead(e) OVER (PARTITION BY t ORDER BY e) AS ne,
+       |    lead(v) OVER (PARTITION BY t ORDER BY e) AS nv
+       |  FROM obs),
+       |b AS (
+       |  SELECT *, ((e + 3599) // 3600) * 3600 AS gs,
+       |    CASE WHEN ne IS NULL THEN e ELSE ne - 1 END AS ge
+       |  FROM seg),
+       |g AS (
+       |  SELECT t, e, v, ne, nv,
+       |    unnest(CASE WHEN gs <= ge THEN generate_series(gs, ge, 3600)
+       |           ELSE [] END) AS grid
+       |  FROM b)
+       |SELECT t AS event_type, grid AS grid_epoch,
+       |  ${roundSpark(
+            "CASE WHEN ne IS NULL THEN v ELSE v + (nv - v) * " +
+              "((grid - e)::DOUBLE / (ne - e)::DOUBLE) END", 4)}
+       |    AS value_interp
+       |FROM g""".stripMargin
+
   /** Oracle for `bm25_topk`: same tf/df/len aggregations, the SAME
     * IEEE double operations in the same association order (the engine
     * folds term scores in sorted-term order left-to-right; DuckDB's

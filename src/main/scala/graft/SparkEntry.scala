@@ -260,6 +260,19 @@ object SparkEntry {
         valueColumnName = "value")
     }),
 
+    "agg_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (the general form behind cube/rollup):
+      // per-(status, priority), per-status, and grand total — but NOT
+      // per-priority, which neither cube nor rollup can express alone
+      t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |       round(sum(o_totalprice), 2) AS total
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          |                        (o_orderstatus), ())""".stripMargin)
+    }),
+
     "agg_rollup" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val nat = t(s, dir, "nation")
@@ -841,6 +854,14 @@ object SparkEntry {
         Multimodal.renderPngImages(t(s, dir, "documents"))).toDF()
     }),
 
+    "interpolate_hourly" -> ((s, dir) => {
+      // time-series resample: hourly grid per event type, linear
+      // interpolation between surrounding observations; segments
+      // explode only their own grid points (no grid x obs join)
+      TemporalJoins.interpolateHourly(t(s, dir, "events"),
+        "event_type", "ts", "value")
+    }),
+
     "multimodal_audio" -> ((s, dir) => {
       // REAL audio path: formula-generated PCM16 samples → RIFF/WAVE
       // encode → actual javax.sound.sampled decode → exact integer
@@ -1263,6 +1284,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)""".stripMargin,
 
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())""".stripMargin,
+
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
         |       round(sum(c_acctbal), 2) AS total_bal
@@ -1582,6 +1610,8 @@ object SparkEntry {
     // the closed-form pixel function (keep in sync with
     // Multimodal.ImageCodec.pixel) — no image library on the oracle
     // side; PNG losslessness makes the comparison exact-integer
+    "interpolate_hourly" -> OracleSql.interpolateHourly(),
+
     "multimodal_audio" ->
       """WITH ids AS (
         |  SELECT doc_id AS media_id, 800 + doc_id % 800 AS n

@@ -82,4 +82,51 @@ object TemporalJoins {
         col(rightTime).cast("double") >= col(leftTime).cast("double") - windowSeconds)
       .drop("__b")
   }
+
+  /** Hourly resample with linear interpolation: one value per
+    * (series key, hour boundary) inside each series' observed span,
+    * interpolated between the two surrounding observations.
+    *
+    * Shape: observations collapse to one row per (key, second) (max on
+    * genuine duplicates — a deterministic rule), consecutive pairs come
+    * from one `lead` window pass over the per-key sort, and each
+    * segment EXPLODES only its own interior grid points (`sequence`),
+    * so cost is observations + emitted grid rows — no grid×obs join,
+    * no union-and-backfill double pass. The per-key sort-shuffle is the
+    * same single exchange [[asOfJoin]] costs.
+    *
+    * Determinism: the interpolation `v + (nv-v) * ((g-e)/(ne-e))` is
+    * evaluated in the same IEEE association by the SQL oracle and
+    * rounded to 4 decimals.
+    */
+  def interpolateHourly(events: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String): DataFrame = {
+    val obs = events
+      .select(col(keyCol).as("__t"), col(tsCol).cast("long").as("__e"),
+        col(valueCol).cast("double").as("__v"))
+      .groupBy("__t", "__e").agg(max("__v").as("__v"))
+    val w = Window.partitionBy("__t").orderBy("__e")
+    val seg = obs
+      .withColumn("__ne", lead(col("__e"), 1).over(w))
+      .withColumn("__nv", lead(col("__v"), 1).over(w))
+      .withColumn("__gs", expr("((__e + 3599) div 3600) * 3600"))
+      .withColumn("__ge",
+        when(col("__ne").isNull, col("__e")).otherwise(col("__ne") - 1))
+    seg
+      .withColumn("__grid",
+        when(col("__gs") <= col("__ge"),
+          sequence(col("__gs"), col("__ge"), lit(3600L)))
+          .otherwise(array().cast("array<bigint>")))
+      .select(col("__t"), col("__e"), col("__v"), col("__ne"), col("__nv"),
+        explode(col("__grid")).as("__g"))
+      .select(
+        col("__t").as(keyCol),
+        col("__g").as("grid_epoch"),
+        round(
+          when(col("__ne").isNull, col("__v"))
+            .otherwise(col("__v") + (col("__nv") - col("__v")) *
+              ((col("__g") - col("__e")).cast("double") /
+                (col("__ne") - col("__e")).cast("double"))), 4)
+          .as("value_interp"))
+  }
 }

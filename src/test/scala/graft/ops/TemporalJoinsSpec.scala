@@ -3,6 +3,7 @@ package graft.ops
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -53,5 +54,33 @@ class TemporalJoinsSpec extends SparkSpec {
     val out = TemporalJoins.rangeJoin(left, right, "k", "t", "rt", 10L)
       .select("t", "rt").orderBy("t", "rt").collect()
     assert(out.toSeq == Seq(Row(100L, 95L), Row(200L, 199L)))
+  }
+
+  test("interpolateHourly lands grid points between observations") {
+    // key a: obs at 00:00 (v=10) and 02:00 (v=30): grid 00/01/02 ->
+    // 10, 20 (midpoint), and 30 only via the terminal aligned emit
+    val rows = Seq(
+      ("a", 0L, 10.0), ("a", 7200L, 30.0),
+      // key b: obs at 00:30 and 01:30 -> single interior point at 01:00
+      ("b", 1800L, 0.0), ("b", 5400L, 100.0))
+    val df = rows.toDF("event_type", "e", "value")
+      .withColumn("ts", col("e").cast("timestamp"))
+    val out = TemporalJoins
+      .interpolateHourly(df, "event_type", "ts", "value")
+      .orderBy("event_type", "grid_epoch")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("a", 0L, 10.0), ("a", 3600L, 20.0), ("a", 7200L, 30.0),
+      ("b", 3600L, 50.0)), s"got $out")
+  }
+
+  test("interpolateHourly dedupes same-second observations with max") {
+    val rows = Seq(("a", 0L, 1.0), ("a", 0L, 9.0), ("a", 3600L, 9.0))
+    val df = rows.toDF("event_type", "e", "value")
+      .withColumn("ts", col("e").cast("timestamp"))
+    val out = TemporalJoins
+      .interpolateHourly(df, "event_type", "ts", "value")
+      .orderBy("grid_epoch").as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", 0L, 9.0), ("a", 3600L, 9.0)), s"got $out")
   }
 }
