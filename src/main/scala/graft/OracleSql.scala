@@ -326,12 +326,21 @@ object OracleSql {
     * on the 4-decimal Spark-rounded score with a doc-id tie-break.
     */
   def bm25TopK(queries: Seq[(Int, String)], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): String = {
+               k1: Double = 1.2, b: Double = 0.75): String =
+    s"WITH ${bm25Ctes(queries, k1, b)}\n" +
+      s"SELECT query_id, rank, doc_id, score FROM rk WHERE rank <= $k"
+
+  /** Shared CTE body for [[bm25TopK]] and [[hybridRrf]]: tokenization,
+    * tf/df/len, the query-term VALUES table, per-(query, doc) scores,
+    * and the `rk` ranking.
+    */
+  private def bm25Ctes(queries: Seq[(Int, String)],
+                       k1: Double, b: Double): String = {
     val qvals = queries.flatMap { case (qid, text) =>
       text.toLowerCase.trim.split("\\s+").toSeq.distinct
         .map(t => s"($qid, '$t')")
     }.mkString(", ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)),
        |    '\\s+')) AS term
        |  FROM documents WHERE length(trim(text)) > 0),
@@ -358,10 +367,39 @@ object OracleSql {
        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |         ORDER BY CAST(round(score * 10000) AS BIGINT) DESC,
        |                  doc_id ASC) AS rank
-       |       FROM rs)
-       |SELECT query_id, rank, doc_id, score FROM rk
-       |WHERE rank <= $k""".stripMargin
+       |       FROM rs)""".stripMargin
   }
+
+  /** Oracle for `hybrid_retrieval_rrf`: reciprocal-rank fusion of the
+    * BM25 ranking (shared CTEs) and a boolean term-overlap ranking.
+    * The fused score `coalesce(1/(c+rank_a), 0) + coalesce(1/(c+rank_b),
+    * 0)` is two IEEE divisions and one addition in fixed order — exact
+    * cross-engine — then Spark-rounded for the rank key.
+    */
+  def hybridRrf(queries: Seq[(Int, String)], k: Int, c: Int = 60,
+                k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${bm25Ctes(queries, k1, b)},
+       |bm AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= $k),
+       |ov AS (SELECT qt.query_id, tf.doc_id, count(*) AS overlap
+       |       FROM tf JOIN qt USING (term) GROUP BY 1, 2),
+       |ovr AS (SELECT query_id, doc_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY overlap DESC, doc_id ASC) AS rank
+       |        FROM ov),
+       |ob AS (SELECT query_id, doc_id, rank FROM ovr WHERE rank <= $k),
+       |fu AS (
+       |  SELECT coalesce(bm.query_id, ob.query_id) AS query_id,
+       |    coalesce(bm.doc_id, ob.doc_id) AS doc_id,
+       |    ${roundSpark(
+              s"coalesce(1.0 / ($c + bm.rank), 0.0) + " +
+                s"coalesce(1.0 / ($c + ob.rank), 0.0)", 6)} AS rrf
+       |  FROM bm FULL OUTER JOIN ob
+       |    ON bm.query_id = ob.query_id AND bm.doc_id = ob.doc_id),
+       |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY CAST(round(rrf * 1000000) AS BIGINT) DESC,
+       |                  doc_id ASC) AS rank
+       |       FROM fu)
+       |SELECT query_id, rank, doc_id, rrf FROM fr WHERE rank <= $k""".stripMargin
 
   /** Oracle for `approx_quantiles_sample` (and its lossless rollup
     * twin): emulate the deterministic bottom-k row sample — rank rows by

@@ -736,6 +736,17 @@ object SparkEntry {
       Retrieval.bm25TopK(s, t(s, dir, "documents"), Bm25Queries, k = 10)
     }),
 
+    "hybrid_retrieval_rrf" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion of BM25 and boolean
+      // term-overlap rankings — fixed-order reciprocal sum, bounded
+      // top-k winners, all deterministic => exact oracle
+      val docs = t(s, dir, "documents")
+      Retrieval.rrfFuse(
+        Retrieval.bm25TopK(s, docs, Bm25Queries, k = 10),
+        Retrieval.booleanOverlapTopK(s, docs, Bm25Queries, k = 10),
+        k = 10)
+    }),
+
     "curate_domain_cap" -> ((s, dir) => {
       // per-domain cap (C4/RefinedWeb-style): keep the 10 best-quality
       // docs per source. Winner ids come from the bounded top-k
@@ -1542,6 +1553,7 @@ object SparkEntry {
     },
 
     "bm25_topk" -> OracleSql.bm25TopK(Bm25Queries, k = 10),
+    "hybrid_retrieval_rrf" -> OracleSql.hybridRrf(Bm25Queries, k = 10),
 
     "heavy_hitters_cms" ->
       OracleSql.heavyHittersCms(d = 4, w = 32, vocabFactor = 32),

@@ -90,4 +90,62 @@ object Retrieval {
         Seq("query_id", idCol))
       .select(col("query_id"), col("rank"), col(idCol), col("score"))
   }
+
+  /** Boolean term-overlap retriever: rank docs by how many DISTINCT
+    * query terms they contain (desc, doc-id tie-break). The
+    * recall-oriented counterpart BM25 gets fused with in
+    * [[rrfFuse]] — same bounded-top-k winner shape.
+    */
+  def booleanOverlapTopK(spark: SparkSession, docs: DataFrame,
+                         queries: Seq[(Int, String)], k: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val terms = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .distinct()
+    val qterms = queries
+      .flatMap { case (qid, text) =>
+        text.toLowerCase.trim.split("\\s+").toSeq.distinct.map(t => (qid, t))
+      }
+      .toDF("query_id", "term")
+    val ov = terms.join(broadcast(qterms), Seq("term"))
+      .groupBy("query_id", idCol).agg(count(lit(1)).as("overlap"))
+    val ord = col("overlap") * lit(1L << 40) - col(idCol)
+    ov.groupBy("query_id")
+      .agg(TopKBy.top_k_by(ord, col(idCol), k).as("ids"))
+      .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", idCol)))
+      .withColumn("rank", col("pos") + 1)
+      .select(col("query_id"), col("rank"), col(idCol))
+  }
+
+  /** Reciprocal-rank fusion: `Σ 1/(c + rank)` over the rankings a doc
+    * appears in (absent → contributes 0) — the standard way to combine
+    * retrievers whose scores aren't comparable (BM25 + ANN, BM25 +
+    * boolean). The two reciprocal terms are added in fixed order, so
+    * the fused double is bit-reproducible; top-k per query via the
+    * bounded aggregate on the rounded-score packed key.
+    *
+    * Inputs need columns (query_id, doc_id, rank).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    val l = a.select(col("query_id"), col(idCol), col("rank").as("rank_a"))
+    val r = b.select(col("query_id"), col(idCol), col("rank").as("rank_b"))
+    val fused = l.join(r, Seq("query_id", idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)), 6))
+    val ord = round(col("rrf") * 1000000).cast("long") * lit(1L << 40) -
+      col(idCol)
+    fused.groupBy("query_id")
+      .agg(TopKBy.top_k_by(ord, col(idCol), k).as("ids"))
+      .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", idCol)))
+      .withColumn("rank", col("pos") + 1)
+      .join(fused.select(col("query_id"), col(idCol), col("rrf")),
+        Seq("query_id", idCol))
+      .select(col("query_id"), col("rank"), col(idCol), col("rrf"))
+  }
 }

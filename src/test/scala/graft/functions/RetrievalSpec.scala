@@ -34,6 +34,32 @@ class RetrievalSpec extends SparkSpec {
       "order-defined fold must make scores partitioning-invariant")
   }
 
+  test("rrf fusion rewards docs ranked by both retrievers") {
+    val a = Seq((1, 1, 10L), (1, 2, 20L)).toDF("query_id", "rank", "doc_id")
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val b = Seq((1, 1, 20L), (1, 2, 30L)).toDF("query_id", "rank", "doc_id")
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val out = Retrieval.rrfFuse(a, b, k = 3)
+      .orderBy("rank").as[(Int, Int, Long, Double)].collect().toSeq
+    // doc 20 appears in BOTH rankings (ranks 2 and 1) => top; docs 10
+    // and 30 each appear once at ranks 1/2
+    assert(out.map(_._3) == Seq(20L, 10L, 30L), s"got $out")
+    val expected20 = math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6
+    assert(math.abs(out.head._4 - expected20) < 1e-9)
+  }
+
+  test("boolean overlap ranks by distinct query terms present") {
+    val docs = Seq(
+      (1L, "join join join"),          // 1 distinct term
+      (2L, "join hash"),               // 2
+      (3L, "join hash table extra")    // 3
+    ).toDF("doc_id", "text")
+    val out = Retrieval
+      .booleanOverlapTopK(spark, docs, Seq(1 -> "join hash table"), k = 3)
+      .orderBy("rank").as[(Int, Int, Long)].collect().toSeq
+    assert(out.map(_._3) == Seq(3L, 2L, 1L), s"got $out")
+  }
+
   test("absent query terms contribute nothing (unknown term query is empty)") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val out = Retrieval.bm25TopK(spark, docs,
