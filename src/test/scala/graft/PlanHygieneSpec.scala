@@ -164,6 +164,21 @@ class PlanHygieneSpec extends SparkSpec {
       "winners must come from the bounded top_k_by aggregate")
   }
 
+  test("retrieval rankings avoid window sorts (bounded top-k winners)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("bm25_topk", "hybrid_retrieval_rrf")) {
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      val plan = df.queryExecution.executedPlan
+      val unwrapped = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(unwrapped.collect { case w: WindowExec => w }.isEmpty,
+        s"$q must rank via the bounded aggregate, not a window sort")
+      assert(unwrapped.toString.contains("top_k_by"), s"$q winners source")
+    }
+  }
+
   test("eager stratified sampling evaluates the derived stratum once") {
     val df = SparkEntry.queries("sample_stratified")(spark, sf("sf0.001"))
     val plan = df.queryExecution.optimizedPlan.toString
