@@ -660,6 +660,20 @@ object SparkEntry {
         .select("doc_id", "lang_pred")
     }),
 
+    "window_rank_functions" -> ((s, dir) => {
+      // ranking-function family over a deterministic (unique) ordering
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") % 50 === 0) // keep output bounded
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
     "approx_quantiles_sample" -> ((s, dir) => {
       // mergeable quantile sketch: deterministic bottom-k row sample
       // per group (<=k 16-byte pairs per partition through the
@@ -1537,6 +1551,18 @@ object SparkEntry {
       OracleSql.trainingMix(LangIdOracle, QualityOracle,
         minQuality = 0.5, enThreshold = 500000L,
         defaultThreshold = 900000L, budgetTokens = 2048, shardSize = 100),
+
+    "window_rank_functions" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 6) AS prnk,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
 
     "approx_quantiles_sample" -> OracleSql.quantileSample(k = 256),
     // lossless merge: the rolled-up sample equals the single-pass one
