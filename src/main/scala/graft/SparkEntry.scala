@@ -148,6 +148,45 @@ object SparkEntry {
         java.sql.Date.valueOf("2026-01-01"))
     }),
 
+    "session_window_agg" -> ((s, dir) => {
+      // native session windows (gap-close semantics inside the engine,
+      // the batch twin of the streaming sessionizer): start = first
+      // event, end = last event + gap
+      t(s, dir, "events")
+        .filter(col("user_id") % 100 === 0)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total_value"))
+    }),
+
+    "scd2_point_in_time" -> ((s, dir) => {
+      // the query SCD2 exists for: the dim as it was on a date. Before
+      // the 2026-01-01 load the pre-merge versions answer; after it the
+      // replacements do — one run probes both sides of the boundary
+      val cust = t(s, dir, "customer")
+      val attrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val target = cust.filter(col("c_custkey") % 5 =!= 0)
+        .withColumn("effective_from",
+          lit(java.sql.Date.valueOf("2020-01-01")))
+        .withColumn("effective_to",
+          lit(java.sql.Date.valueOf("9999-12-31")))
+        .withColumn("is_current", lit(true))
+      val updates = cust.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+      val dim = Merge.scd2(target, updates, "c_custkey", attrs,
+        java.sql.Date.valueOf("2026-01-01"))
+      Merge.pointInTime(dim, java.sql.Date.valueOf("2025-06-15"))
+        .withColumn("as_of", lit("2025-06-15"))
+        .unionByName(
+          Merge.pointInTime(dim, java.sql.Date.valueOf("2026-01-01"))
+            .withColumn("as_of", lit("2026-01-01")))
+        .select("as_of", "c_custkey", "c_acctbal", "is_current")
+    }),
+
     "validate_completeness" -> ((s, dir) => {
       // C5: completeness check — per-required-domain presence counts
       t(s, dir, "events")
@@ -1079,6 +1118,41 @@ object SparkEntry {
     2 -> "stream window agg",
     3 -> "customer order line")
 
+  /** scd2_merge oracle, shared with scd2_point_in_time. */
+  private val Scd2Oracle: String =
+    """WITH target AS (
+        |  SELECT *, DATE '2020-01-01' AS effective_from,
+        |         DATE '9999-12-31' AS effective_to, TRUE AS is_current
+        |  FROM customer WHERE c_custkey % 5 <> 0),
+        |updates AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |j AS (SELECT t.c_custkey AS t_pk, t.c_name AS t_name,
+        |             t.c_nationkey AS t_nk, t.c_acctbal AS t_bal,
+        |             t.c_mktsegment AS t_seg, t.effective_from AS t_from,
+        |             u.c_custkey AS u_pk, u.c_name AS u_name,
+        |             u.c_nationkey AS u_nk, u.c_acctbal AS u_bal,
+        |             u.c_mktsegment AS u_seg,
+        |             NOT (t.c_name IS NOT DISTINCT FROM u.c_name AND
+        |                  t.c_nationkey IS NOT DISTINCT FROM u.c_nationkey AND
+        |                  t.c_acctbal IS NOT DISTINCT FROM u.c_acctbal AND
+        |                  t.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment) AS changed
+        |      FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey)
+        |SELECT t_pk AS c_custkey, t_name AS c_name, t_nk AS c_nationkey,
+        |       t_bal AS c_acctbal, t_seg AS c_mktsegment,
+        |       t_from AS effective_from, DATE '9999-12-31' AS effective_to,
+        |       TRUE AS is_current
+        |FROM j WHERE u_pk IS NULL OR NOT changed
+        |UNION ALL
+        |SELECT t_pk, t_name, t_nk, t_bal, t_seg, t_from,
+        |       DATE '2026-01-01', FALSE
+        |FROM j WHERE u_pk IS NOT NULL AND t_pk IS NOT NULL AND changed
+        |UNION ALL
+        |SELECT u_pk, u_name, u_nk, u_bal, u_seg,
+        |       DATE '2026-01-01', DATE '9999-12-31', TRUE
+        |FROM j WHERE u_pk IS NOT NULL AND (t_pk IS NULL OR changed)""".stripMargin
+
   private val QualityOracle: String =
     """SELECT doc_id, round(CAST(CAST((
       |  0.35 * least(length(text) / 500.0, 1.0) +
@@ -1198,39 +1272,35 @@ object SparkEntry {
         |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
         |FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey""".stripMargin,
 
-    "scd2_merge" ->
-      """WITH target AS (
-        |  SELECT *, DATE '2020-01-01' AS effective_from,
-        |         DATE '9999-12-31' AS effective_to, TRUE AS is_current
-        |  FROM customer WHERE c_custkey % 5 <> 0),
-        |updates AS (
-        |  SELECT c_custkey, c_name, c_nationkey,
-        |         round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
-        |  FROM customer WHERE c_custkey % 2 = 0),
-        |j AS (SELECT t.c_custkey AS t_pk, t.c_name AS t_name,
-        |             t.c_nationkey AS t_nk, t.c_acctbal AS t_bal,
-        |             t.c_mktsegment AS t_seg, t.effective_from AS t_from,
-        |             u.c_custkey AS u_pk, u.c_name AS u_name,
-        |             u.c_nationkey AS u_nk, u.c_acctbal AS u_bal,
-        |             u.c_mktsegment AS u_seg,
-        |             NOT (t.c_name IS NOT DISTINCT FROM u.c_name AND
-        |                  t.c_nationkey IS NOT DISTINCT FROM u.c_nationkey AND
-        |                  t.c_acctbal IS NOT DISTINCT FROM u.c_acctbal AND
-        |                  t.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment) AS changed
-        |      FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey)
-        |SELECT t_pk AS c_custkey, t_name AS c_name, t_nk AS c_nationkey,
-        |       t_bal AS c_acctbal, t_seg AS c_mktsegment,
-        |       t_from AS effective_from, DATE '9999-12-31' AS effective_to,
-        |       TRUE AS is_current
-        |FROM j WHERE u_pk IS NULL OR NOT changed
-        |UNION ALL
-        |SELECT t_pk, t_name, t_nk, t_bal, t_seg, t_from,
-        |       DATE '2026-01-01', FALSE
-        |FROM j WHERE u_pk IS NOT NULL AND t_pk IS NOT NULL AND changed
-        |UNION ALL
-        |SELECT u_pk, u_name, u_nk, u_bal, u_seg,
-        |       DATE '2026-01-01', DATE '9999-12-31', TRUE
-        |FROM j WHERE u_pk IS NOT NULL AND (t_pk IS NULL OR changed)""".stripMargin,
+    "session_window_agg" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           > INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id % 100 = 0),
+        |s AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "scd2_merge" -> Scd2Oracle,
+
+    "scd2_point_in_time" ->
+      s"""WITH dim AS ($Scd2Oracle)
+         |SELECT '2025-06-15' AS as_of, c_custkey, c_acctbal, is_current
+         |FROM dim WHERE effective_from <= DATE '2025-06-15'
+         |  AND effective_to > DATE '2025-06-15'
+         |UNION ALL
+         |SELECT '2026-01-01', c_custkey, c_acctbal, is_current
+         |FROM dim WHERE effective_from <= DATE '2026-01-01'
+         |  AND effective_to > DATE '2026-01-01'""".stripMargin,
+
 
     "validate_completeness" ->
       """SELECT event_type, count(*) AS n FROM events

@@ -88,4 +88,17 @@ object Merge {
 
     hist.unionByName(unchanged).unionByName(closed).unionByName(opened)
   }
+
+  /** Point-in-time SCD2 lookup: the version of each key valid AT `at`,
+    * under the half-open `[effective_from, effective_to)` convention
+    * [[scd2]] writes (a version closed at the load date excludes it;
+    * the replacement opened that day includes it). This is the query
+    * shape SCD2 dims exist for — "join facts to the dim as it was" —
+    * and at scale it is a plain filter (partition-prunable on
+    * `effective_to` when the dim is date-partitioned), never a window.
+    */
+  def pointInTime(dim: DataFrame, at: java.sql.Date,
+                  fromCol: String = "effective_from",
+                  toCol: String = "effective_to"): DataFrame =
+    dim.filter(col(fromCol) <= lit(at) && col(toCol) > lit(at))
 }

@@ -218,6 +218,25 @@ object EventsStreaming {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Watermarked per-window approximate distinct users — the KMV
+    * sketch as a STREAMING aggregate. Where `approx_count_distinct`
+    * would also work, the engine's own sketch keeps the state contract
+    * explicit: ≤k longs per open window (map-side partials included),
+    * exact below k distinct, and the same estimator the batch queries
+    * oracle-check bit-exactly. Watermark eviction closes windows, so
+    * total state is windows-in-horizon × 8k bytes — bounded at any
+    * stream volume.
+    */
+  def windowedDistinctUsers(events: DataFrame,
+                            lateness: String = "30 minutes",
+                            k: Int = 256): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.expressions.Sketches.kmv_distinct(col("user_id"), k)
+        .as("approx_users"))
+      .select(col("window.start").as("hour"), col("approx_users"))
+
   /** Watermarked stream-stream interval join: each left event pairs
     * with right-stream events for the same key inside
     * `[l.ts, l.ts + windowSeconds]` — e.g. purchases attributed to the

@@ -147,6 +147,22 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 3.0)))
   }
 
+  test("streaming windowed KMV distinct matches the batch sketch") {
+    val dir = Files.createTempDirectory("graft-kmv-stream").toString
+    val batch = eventsBatch
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val streamed = EventsStreaming.drainToMemory(
+      EventsStreaming.windowedDistinctUsers(stream),
+      "kmv_win", s"$dir/ckpt", OutputMode.Update)
+    val got = streamed.orderBy("hour")
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    val want = EventsStreaming.windowedDistinctUsers(batch).orderBy("hour")
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty,
+      "stream sketch must equal the batch sketch (same KMV state)")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val dir = Files.createTempDirectory("graft-ssjoin").toString
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
