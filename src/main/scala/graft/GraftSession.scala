@@ -153,6 +153,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def info(name: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
+    // plan rewrite: windowed inequality joins -> bucketed equi-join
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       GraftBuilders.simhash64 _))
     e.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
