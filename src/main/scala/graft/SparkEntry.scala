@@ -800,6 +800,18 @@ object SparkEntry {
         k = 10)
     }),
 
+    "text_chunk" -> ((s, dir) => {
+      // embedding/RAG preprocessing: 64-token chunks, 16-token overlap
+      // (step 48) — map-only transform+slice, no shuffle
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.chunkTokens(col("text"), 64, 16))
+            .as(Seq("pos", "chunk_text")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("chunk_text"),
+          TextFunctions.tokenCount(col("chunk_text")).as("n_tokens"))
+    }),
+
     "curate_domain_cap" -> ((s, dir) => {
       // per-domain cap (C4/RefinedWeb-style): keep the 10 best-quality
       // docs per source. Winner ids come from the bounded top-k
@@ -1653,6 +1665,20 @@ object SparkEntry {
 
     "heavy_hitters_cms" ->
       OracleSql.heavyHittersCms(d = 4, w = 32, vocabFactor = 32),
+
+    "text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(1, len(toks), 48)) AS st
+        |  FROM d)
+        |SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[st : least(st + 63, len(toks))], ' ')
+        |    AS chunk_text,
+        |  CAST(least(64, len(toks) - st + 1) AS BIGINT) AS n_tokens
+        |FROM s""".stripMargin,
 
     "curate_domain_cap" ->
       s"""WITH q AS ($QualityOracle),

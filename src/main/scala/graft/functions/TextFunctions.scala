@@ -75,6 +75,26 @@ object TextFunctions {
         lit(0.2) * wordScore - lit(0.1) * punctPenalty, 4)
   }
 
+  /** Overlapping token-window chunks — the embedding/RAG preprocessing
+    * split: windows of `chunkTokens` tokens starting every
+    * `chunkTokens - overlap` tokens, each rejoined with single spaces.
+    * Pure column arithmetic (split → sequence of starts → transform +
+    * slice), map-only and codegen'd; pair with `posexplode`-style
+    * explosion at the call site. Empty/blank text yields an empty
+    * array. Chunk `i` starts at token `i*step + 1` — deterministic, so
+    * chunk ids are reproducible across engines.
+    */
+  def chunkTokens(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = split(trim(text), "\\s+")
+    val starts = sequence(lit(1), size(toks), lit(step))
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(transform(starts,
+        s => concat_ws(" ", slice(toks, s, lit(chunkTokens)))))
+  }
+
   /** Document fingerprint: md5 of the whitespace-collapsed, lowercased
     * text — a canonical-form content hash for exact-dup detection across
     * formatting variants.

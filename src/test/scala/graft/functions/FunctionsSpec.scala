@@ -354,4 +354,35 @@ class FunctionsSpec extends SparkSpec {
     assert(inc.forall { case (d, _, _, _) => isNew(d) })
     assert(inc.exists(_._3 == "history") || inc.exists(_._3 == "batch"))
   }
+
+  test("token chunking produces overlapping windows that cover the doc") {
+    import org.apache.spark.sql.functions.col
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val chunks = Seq(text).toDF("text")
+      .select(TextFunctions.chunkTokens(col("text"), 4, 2).as("c"))
+      .as[Seq[String]].head()
+    // step 2 over 10 tokens: starts 1,3,5,7,9
+    assert(chunks == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10",
+      "w9 w10"))
+    // consecutive chunks share exactly the overlap
+    chunks.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.split(" ").takeRight(2).sameElements(b.split(" ").take(2))
+          || b.split(" ").length < 2)
+      case _ => ()
+    }
+  }
+
+  test("chunking edge cases: short doc is one chunk, blank is none") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq("only two", "   ", "").toDF("text")
+      .select(TextFunctions.chunkTokens(col("text"), 64, 16).as("c"))
+      .as[Seq[String]].collect()
+    assert(rows(0) == Seq("only two"))
+    assert(rows(1).isEmpty && rows(2).isEmpty)
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunkTokens(col("text"), 4, 4) // overlap == chunk
+    }
+  }
 }
