@@ -699,6 +699,19 @@ object SparkEntry {
         .select("doc_id", "lang_pred")
     }),
 
+    "window_range_frame" -> ((s, dir) => {
+      // value-based RANGE frame: per-flag rolling 30-day quantity sum
+      // over the daily series (integer-exact — qty sums are whole)
+      val daily = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          datediff(col("l_shipdate"), lit("1992-01-01")).as("day"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("l_returnflag", "day").agg(sum("qty").as("day_qty"))
+      val w = Window.partitionBy("l_returnflag").orderBy("day")
+        .rangeBetween(-29, 0)
+      daily.withColumn("rolling_30d", sum("day_qty").over(w))
+    }),
+
     "window_rank_functions" -> ((s, dir) => {
       // ranking-function family over a deterministic (unique) ordering
       val w = Window.partitionBy("o_orderstatus")
@@ -1633,6 +1646,17 @@ object SparkEntry {
       OracleSql.trainingMix(LangIdOracle, QualityOracle,
         minQuality = 0.5, enThreshold = 500000L,
         defaultThreshold = 900000L, budgetTokens = 2048, shardSize = 100),
+
+    "window_range_frame" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag,
+        |    datediff('day', DATE '1992-01-01', l_shipdate::DATE) AS day,
+        |    sum(CAST(l_quantity AS BIGINT)) AS day_qty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, day, day_qty,
+        |  sum(day_qty) OVER (PARTITION BY l_returnflag ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS rolling_30d
+        |FROM daily""".stripMargin,
 
     "window_rank_functions" ->
       """SELECT o_orderstatus, o_orderkey,
