@@ -287,6 +287,24 @@ object OracleSql {
        |FROM ag a JOIN ex e ON e.grp = a.grp""".stripMargin
   }
 
+  /** Oracle for `split_train_val_test`: same id-hash bucket, same
+    * cumulative thresholds, first-match-wins CASE.
+    */
+  def assignSplit(fractions: Seq[(String, Double)]): String = {
+    val scale = 1000000L
+    val cum = fractions.scanLeft(0.0) { case (a, (_, f)) => a + f }
+      .tail.map(c => (c * scale).toLong)
+    val whens = fractions.init.zip(cum.init)
+      .map { case ((n, _), t) => s"WHEN b < $t THEN '$n'" }
+      .mkString(" ")
+    s"""WITH ${idHashCtes()},
+       |bk AS (SELECT doc_id,
+       |         ((hv % $scale) + $scale) % $scale AS b FROM hashed)
+       |SELECT doc_id,
+       |  CASE $whens ELSE '${fractions.last._1}' END AS split
+       |FROM bk""".stripMargin
+  }
+
   /** Oracle for `interpolate_hourly`: same dedupe (max per second),
     * same lead-window segmentation, same per-segment grid explode, and
     * the interpolation formula in the same IEEE association, with

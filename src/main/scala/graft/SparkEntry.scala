@@ -813,6 +813,14 @@ object SparkEntry {
         k = 10)
     }),
 
+    "split_train_val_test" -> ((s, dir) => {
+      // deterministic disjoint split: a doc's assignment never changes
+      // as the corpus grows — leak-free eval sets across versions
+      t(s, dir, "documents").select(col("doc_id"),
+        Sampling.assignSplit(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+    }),
+
     "text_chunk" -> ((s, dir) => {
       // embedding/RAG preprocessing: 64-token chunks, 16-token overlap
       // (step 48) — map-only transform+slice, no shuffle
@@ -1689,6 +1697,9 @@ object SparkEntry {
 
     "heavy_hitters_cms" ->
       OracleSql.heavyHittersCms(d = 4, w = 32, vocabFactor = 32),
+
+    "split_train_val_test" -> OracleSql.assignSplit(
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)),
 
     "text_chunk" ->
       """WITH d AS (

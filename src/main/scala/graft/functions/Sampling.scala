@@ -63,4 +63,28 @@ object Sampling {
         .drop(tag)
     }
   }
+
+  /** Deterministic disjoint split assignment (train/val/test and
+    * friends): each row lands in exactly one named split by its id-hash
+    * bucket, with cumulative thresholds over the same `mod 10^6` gate
+    * the samplers use. Map-only, partition-independent, and STABLE
+    * UNDER CORPUS GROWTH: a document's split never changes when other
+    * documents arrive or leave — the property that keeps eval sets
+    * leak-free across dataset versions (contrast `randomSplit`, which
+    * reshuffles everything on every run). Fractions must sum to 1
+    * (±1e-9).
+    */
+  def assignSplit(idCol: Column,
+                  fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $fractions")
+    val bucket = pmod(xxhash64(idCol), lit(Scale))
+    val cum = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => (c * Scale).toLong)
+    fractions.init.zip(cum.init).foldRight(
+        lit(fractions.last._1): Column) { case (((name, _), thr), acc) =>
+      when(bucket < thr, name).otherwise(acc)
+    }
+  }
 }

@@ -211,6 +211,25 @@ class FunctionsSpec extends SparkSpec {
     assert(a.subsetOf(c), "raising the rate must keep previously-kept rows")
   }
 
+  test("split assignment: disjoint, stable under corpus growth, sized") {
+    import org.apache.spark.sql.functions.col
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    def splits(n: Long): Map[Long, String] = spark.range(n).toDF("id")
+      .select(col("id"), Sampling.assignSplit(col("id"), fr).as("s"))
+      .as[(Long, String)].collect().toMap
+    val small = splits(5000)
+    val big = splits(20000)
+    // growth stability: every original doc keeps its split
+    small.foreach { case (id, s) => assert(big(id) == s, s"doc $id moved") }
+    // sized roughly to the fractions
+    val frac = big.values.groupBy(identity).view.mapValues(_.size / 20000.0)
+    assert(math.abs(frac("train") - 0.9) < 0.02, frac.toMap.toString)
+    assert(math.abs(frac("val") - 0.05) < 0.01)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("redactPii scrubs emails, phones, IPs, and long digit runs") {
     val df = Seq("write bob.smith+x@corp.example.org or call 555-123-4567 " +
       "from 10.0.3.9 ref 12345678 ok 123").toDF("t")
