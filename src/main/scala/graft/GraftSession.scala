@@ -43,7 +43,7 @@ private[graft] object GraftBuilders {
   private def dblLit(fn: String, e: Expression, pos: Int): Double =
     (if (e.foldable) e.eval() else null) match {
       case n: Number => n.doubleValue()
-      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${pos + 1} must be a numeric literal, got $other")
     }

@@ -32,7 +32,31 @@ class GraftSessionSpec extends AnyFunSuite {
         .collect()
       assert(agg(0).getSeq[Long](1) == Seq(80L, 60L))
       assert(agg(1).getSeq[Long](1) == Seq(90L, 70L))
+      // sketch-family SQL surface: cms, kq, zorder round-trips
+      spark.range(1000).selectExpr("id", "concat('t', id % 7) AS tok",
+        "CAST(id % 100 AS DOUBLE) AS v")
+        .createOrReplaceTempView("sk_in")
+      val sk = spark.sql(
+        """SELECT cms_estimate((SELECT cms_state(tok, 4, 64) FROM sk_in),
+          |         't0', 4) AS est,
+          |       kq_quantile((SELECT kq_state(v, 64, id) FROM sk_in),
+          |         0.5) AS p50,
+          |       zorder_key(8, 3, 5) AS z""".stripMargin).head()
+      assert(sk.getLong(0) >= 143L, s"cms lost mass: ${sk.getLong(0)}")
+      assert(sk.getDouble(1) >= 0.0 && sk.getDouble(1) <= 99.0)
+      assert(sk.getLong(2) == ZOrderImplRef.interleave2(3L, 5L, 8))
     } finally ()
+  }
+
+  private object ZOrderImplRef {
+    def interleave2(x: Long, y: Long, bits: Int): Long = {
+      var out = 0L
+      for (b <- 0 until bits) {
+        out |= ((x >>> b) & 1L) << (2 * b)
+        out |= ((y >>> b) & 1L) << (2 * b + 1)
+      }
+      out
+    }
   }
 
   test("SQL functions honor optional literal args and reject over-arity") {
