@@ -876,4 +876,83 @@ object OracleSql {
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, ${roundSpark("score", 4)} AS score
        |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** Shared CTE body for `cluster_kmeans` / `dedup_semantic`: seeds =
+    * the k lowest-id vectors, `iters` unrolled Lloyd rounds. Mirrors
+    * [[graft.functions.Clustering.kmeansAssign]]'s determinism contract:
+    * float-cast per-dim means each round (absorbing summation-order
+    * ulps, same as the IVF centroid oracle), argmax ties toward the
+    * smaller cluster index, empty clusters carry the previous centroid
+    * via the LEFT JOIN coalesce.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |           AS cluster,
+         |         v AS centroid
+         |  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT $k))""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++=
+        s""",
+           |asg$i AS (
+           |  SELECT vec_id, v, cluster FROM (
+           |    SELECT e.vec_id, e.v, c.cluster,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
+           |                 c.cluster ASC) AS rn
+           |    FROM ev e CROSS JOIN cent${i - 1} c)
+           |  WHERE rn = 1),
+           |upd$i AS (
+           |  SELECT cluster, g.i AS d, CAST(avg(v[g.i]) AS FLOAT) AS m
+           |  FROM asg$i, generate_series(1, $dim) g(i)
+           |  GROUP BY cluster, g.i),
+           |newc$i AS (
+           |  SELECT cluster, list(m ORDER BY d)::DOUBLE[] AS centroid
+           |  FROM upd$i GROUP BY cluster),
+           |cent$i AS (
+           |  SELECT p.cluster, coalesce(n.centroid, p.centroid) AS centroid
+           |  FROM cent${i - 1} p LEFT JOIN newc$i n USING (cluster))""".stripMargin
+    }
+    sb ++=
+      s""",
+         |fin AS (
+         |  SELECT vec_id, cluster, sim FROM (
+         |    SELECT e.vec_id, c.cluster,
+         |      list_cosine_similarity(e.v, c.centroid) AS sim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
+         |                 c.cluster ASC) AS rn
+         |    FROM ev e CROSS JOIN cent$iters c)
+         |  WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
+
+  /** Oracle for `cluster_kmeans`: final Lloyd assignment with the
+    * 4-decimal-rounded cosine to the winning centroid.
+    */
+  def clusterKmeans(k: Int = 8, iters: Int = 3, dim: Int = 64): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)}
+       |SELECT vec_id, cluster, ${roundSpark("sim", 4)} AS sim
+       |FROM fin""".stripMargin
+
+  /** Oracle for `dedup_semantic`: within-cluster pairs above `minCos`
+    * (on the 4-decimal-rounded cosine), dropped = larger id; reports
+    * the smallest witness and the witness count.
+    */
+  def dedupSemantic(k: Int = 8, iters: Int = 3, dim: Int = 64,
+                    minCos: Double = 0.4): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)},
+       |mem AS (SELECT f.vec_id, f.cluster, e.v
+       |        FROM fin f JOIN ev e USING (vec_id)),
+       |pr AS (
+       |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${roundSpark("list_cosine_similarity(a.v, b.v)", 4)} AS cos
+       |  FROM mem a JOIN mem b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+       |SELECT id_b AS vec_id, cluster, min(id_a) AS dup_of,
+       |  count(*) AS n_witnesses
+       |FROM pr WHERE cos >= $minCos GROUP BY 1, 2""".stripMargin
 }

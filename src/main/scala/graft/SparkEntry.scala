@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, Joins, Merge, Split, Stamping, TemporalJoins}
-import graft.functions.{Curation, Dedup, Packing, Retrieval, Sampling, Similarity, TextFunctions}
+import graft.functions.{Clustering, Curation, Dedup, Packing, Retrieval, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -919,6 +919,22 @@ object SparkEntry {
         emb.filter(col("vec_id") % 4 === 0), "embedding", "label")
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label",
         k = 5, nProbe = 3, centroids = Some(cent))
+    }),
+
+    "cluster_kmeans" -> ((s, dir) => {
+      // cosine k-means (3 Lloyd rounds, lowest-id seeds): per-round
+      // cost = one broadcast-literal map pass + a (cluster, dim) agg —
+      // no vector shuffle; the oracle unrolls the identical rounds
+      Clustering.kmeansAssign(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3)
+    }),
+
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup-style semantic pruning: near-dup pairs only form
+      // WITHIN a k-means cluster — the cluster partition bounds the
+      // candidate set (grow k with the corpus; no O(n^2) cross join)
+      Clustering.semanticDedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3, minCos = 0.4)
     }),
 
     // ---------- LLM-pipeline: multimodal columns ----------
@@ -1950,6 +1966,9 @@ object SparkEntry {
     "sim_lsh_topk" ->
       OracleSql.simLshTopK(nTables = 12, nBits = 3, dim = 64, seed = 42L, k = 5),
     "sim_ivf_topk" -> OracleSql.simIvfTopK(dim = 64, nProbe = 3, k = 5),
+    "cluster_kmeans" -> OracleSql.clusterKmeans(k = 8, iters = 3, dim = 64),
+    "dedup_semantic" ->
+      OracleSql.dedupSemantic(k = 8, iters = 3, dim = 64, minCos = 0.4),
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh(minCos = 0.4),
     "sim_quantized_topk" -> OracleSql.simQuantizedTopK(dim = 64, k = 5),
     "text_decontaminate" ->

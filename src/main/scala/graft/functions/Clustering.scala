@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.exprs
+
+/** Embedding clustering for large-scale corpus organization: Lloyd's
+  * k-means with cosine assignment, plus the SemDeDup-style semantic
+  * near-duplicate pass that runs WITHIN clusters — the published recipe
+  * for pruning semantically redundant training data
+  * (Abbas et al., "SemDeDup", arXiv:2303.09540) without an O(n²)
+  * all-pairs cosine.
+  *
+  * Scale shape per Lloyd iteration: the k centroids are a few KB, so
+  * assignment is a broadcast-literal map pass over the corpus (no
+  * shuffle of vectors); the update aggregates (cluster, dim, mean) —
+  * k·dim rows — with map-side partials. The only driver-side state is
+  * the k·dim float centroid matrix (the same contract as
+  * [[Similarity.trainCentroids]]: a metadata-sized aggregate, not a
+  * data collect). At 100 TB you would train on a systematic sample and
+  * assign the full corpus once — both entry points below take whatever
+  * frame you hand them, so the sample/full split composes naturally.
+  *
+  * Determinism contract (what makes the DuckDB oracle exact): seeds are
+  * the k lowest-id vectors; per-dim means are cast to FLOAT each round
+  * (absorbing summation-order ulps exactly like the IVF centroid
+  * oracle); cosine similarity folds dims left-to-right in double; the
+  * argmax breaks ties toward the smaller cluster index via
+  * `array_position(sims, array_max(sims))`.
+  */
+object Clustering {
+
+  /** One Lloyd assignment pass against a literal centroid matrix:
+    * `cluster` = first index attaining the max cosine sim (0-based).
+    */
+  private def assignCol(vec: Column, cents: Seq[Array[Float]])
+      : (Column, Column) = {
+    val sims = array(cents.map(c =>
+      exprs.cosine_sim(vec, typedLit(c.toSeq))): _*)
+    val best = array_max(sims)
+    (array_position(sims, best).cast("int") - 1, best)
+  }
+
+  /** Train `k` cosine k-means centroids for `iters` Lloyd rounds and
+    * return the final assignment: (idCol, cluster, sim) with `sim` the
+    * 4-decimal-rounded cosine to the winning centroid.
+    *
+    * Seeds: the `k` vectors with the smallest ids (deterministic and
+    * cheap — a bounded sorted-limit, not a sample-dependent init).
+    * Empty clusters keep their previous centroid.
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k/$iters")
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+    // one cache for the iters+1 full passes the Lloyd loop makes
+    vecs.persist()
+    try {
+      val seedRows = vecs.orderBy(col("id")).limit(k).collect()
+      require(seedRows.length == k, s"corpus has < $k vectors")
+      var cents: Seq[Array[Float]] = seedRows.map(
+        _.getSeq[Float](1).toArray).toSeq
+      val dim = cents.head.length
+      for (_ <- 1 to iters) {
+        val (cl, _) = assignCol(col("v"), cents)
+        // update: (cluster, dim, float-cast mean) — k·dim rows to the
+        // driver; empty clusters fall back to the previous centroid
+        val means = vecs.withColumn("cluster", cl)
+          .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("cluster", "d").agg(avg("x").cast("float").as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (c, rows) =>
+            val arr = new Array[Float](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getFloat(2))
+            c -> arr
+          }
+        cents = cents.indices.map(c => means.getOrElse(c, cents(c)))
+      }
+      val (cl, best) = assignCol(col("v"), cents)
+      vecs.select(col("id").as(idCol), cl.as("cluster"),
+        round(best, 4).as("sim"))
+    } finally vecs.unpersist()
+  }
+
+  /** SemDeDup-style semantic near-dup removal: within each k-means
+    * cluster, a vector is dropped when a SMALLER-id cluster-mate sits
+    * above `minCos` cosine. Returns the dropped rows:
+    * (idCol, cluster, dup_of = smallest witness id, n_witnesses).
+    *
+    * Scale shape: pairs only materialize within a cluster (the k-means
+    * partition bounds the candidate set — grow k with the corpus so
+    * per-cluster membership stays constant, the same dial as the
+    * count-adaptive LSH buckets); the pair join shuffles each side's
+    * vectors once, keyed by cluster.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, minCos: Double): DataFrame = {
+    val asg = kmeansAssign(corpus, idCol, vecCol, k, iters)
+      .select(col(idCol).as("id"), col("cluster"))
+    val members = asg.join(
+      corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<float>").as("v")), Seq("id"))
+    val a = members.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("v_a"))
+    val b = members.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(exprs.cosine_sim(col("v_a"), col("v_b")), 4))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("id_b").as(idCol), col("cluster"))
+      .agg(min("id_a").as("dup_of"),
+        count(lit(1)).as("n_witnesses"))
+  }
+}
