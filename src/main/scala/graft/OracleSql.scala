@@ -877,6 +877,48 @@ object OracleSql {
        |SELECT query_id, rank, neighbor_id, ${roundSpark("score", 4)} AS score
        |FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** Oracle for `text_perplexity`: the add-one bigram LM trained on the
+    * corpus — identical long counts, identical `ln((c+1)/(denom+V))`
+    * doubles, per-doc fold in position order (`list_reduce` over
+    * `list(lp ORDER BY pos)`; the engine's `0.0 + x` seed is exact), and
+    * the Spark-rounded 4-decimal mean NLL.
+    */
+  def textPerplexity(): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |t AS (
+       |  SELECT doc_id, unnest(arr) AS w,
+       |    generate_subscripts(arr, 1) AS pos
+       |  FROM d),
+       |uni AS (SELECT w, count(*) AS cu FROM t GROUP BY 1),
+       |st AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM t),
+       |bg AS (
+       |  SELECT doc_id, unnest(arr[1:len(arr) - 1]) AS w1,
+       |    unnest(arr[2:len(arr)]) AS w2,
+       |    generate_subscripts(arr[1:len(arr) - 1], 1) AS pos
+       |  FROM d WHERE len(arr) > 1),
+       |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+       |term1 AS (
+       |  SELECT f.doc_id, 1 AS pos,
+       |    ln((uni.cu + 1.0) / CAST(st.n + st.v AS DOUBLE)) AS lp
+       |  FROM (SELECT doc_id, arr[1] AS w FROM d) f
+       |  JOIN uni USING (w) CROSS JOIN st),
+       |termb AS (
+       |  SELECT bg.doc_id, bg.pos + 1 AS pos,
+       |    ln((bc.cb + 1.0) / CAST(uni.cu + st.v AS DOUBLE)) AS lp
+       |  FROM bg JOIN bc USING (w1, w2)
+       |  JOIN uni ON uni.w = bg.w1 CROSS JOIN st),
+       |terms AS (SELECT * FROM term1 UNION ALL SELECT * FROM termb),
+       |agg AS (
+       |  SELECT doc_id,
+       |    list_reduce(list(lp ORDER BY pos), (a, x) -> a + x) AS raw,
+       |    count(*) AS n_tokens
+       |  FROM terms GROUP BY 1)
+       |SELECT doc_id, n_tokens,
+       |  ${roundSpark("-(raw / n_tokens::DOUBLE)", 4)} AS avg_nll
+       |FROM agg""".stripMargin
+
   /** Shared CTE body for `cluster_kmeans` / `dedup_semantic`: seeds =
     * the k lowest-id vectors, `iters` unrolled Lloyd rounds. Mirrors
     * [[graft.functions.Clustering.kmeansAssign]]'s determinism contract:

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, Joins, Merge, Split, Stamping, TemporalJoins}
-import graft.functions.{Clustering, Curation, Dedup, Packing, Retrieval, Sampling, Similarity, TextFunctions}
+import graft.functions.{Clustering, Curation, Dedup, LanguageModel, Packing, Retrieval, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -640,6 +640,15 @@ object SparkEntry {
             .as("top_token_ratio"),
           round(lit(1.0) - col("db").cast("double") / col("nb"), 4)
             .as("rep_bigram_ratio"))
+    }),
+
+    "text_perplexity" -> ((s, dir) => {
+      // CCNet-style LM quality gate: mean negative log-likelihood per
+      // doc under an add-one bigram model trained on the corpus itself.
+      // Counts are linear aggregations; bigrams derive map-side from
+      // the token array (no positional self-join); per-doc fold is
+      // position-ordered, so the oracle matches bit-for-bit
+      LanguageModel.bigramNll(t(s, dir, "documents"))
     }),
 
     "pack_training" -> ((s, dir) => {
@@ -1648,6 +1657,8 @@ object SparkEntry {
     "sample_stratified" ->
       OracleSql.sampleStratified(LangIdOracle,
         enThreshold = 250000L, defaultThreshold = 750000L),
+
+    "text_perplexity" -> OracleSql.textPerplexity(),
 
     "pack_training" ->
       """WITH n0 AS (
