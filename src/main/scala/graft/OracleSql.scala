@@ -877,6 +877,43 @@ object OracleSql {
        |SELECT query_id, rank, neighbor_id, ${roundSpark("score", 4)} AS score
        |FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** Oracle for `retrieval_metrics`: boolean-AND qrels (doc contains
+    * every distinct query term), BM25 ranking via the shared CTEs, and
+    * recall/MRR/nDCG with the same ascending-order folds and the same
+    * embedded ln2 literal as the engine.
+    */
+  def retrievalMetrics(queries: Seq[(Int, String)], k: Int,
+                       k1: Double = 1.2, b: Double = 0.75): String = {
+    val ln2 = math.log(2.0)
+    s"""WITH ${bm25Ctes(queries, k1, b)},
+       |bmk AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= $k),
+       |dt AS (SELECT DISTINCT doc_id, term FROM t),
+       |nq AS (SELECT query_id, count(*) AS nq FROM qt GROUP BY 1),
+       |ov AS (SELECT qt.query_id, dt.doc_id, count(*) AS c
+       |       FROM dt JOIN qt USING (term) GROUP BY 1, 2),
+       |qr AS (SELECT ov.query_id, ov.doc_id
+       |       FROM ov JOIN nq USING (query_id) WHERE ov.c = nq.nq),
+       |nrel AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY 1),
+       |hit AS (SELECT b2.query_id, b2.rank
+       |        FROM bmk b2 JOIN qr USING (query_id, doc_id)),
+       |hs AS (SELECT query_id,
+       |         list_reduce(list($ln2 / ln(rank + 1.0) ORDER BY rank),
+       |           (a, x) -> a + x) AS dcg,
+       |         min(rank) AS first_rank, count(*) AS n_hits
+       |       FROM hit GROUP BY 1),
+       |met AS (
+       |  SELECT n.query_id, n.n_rel, hs.dcg, hs.first_rank, hs.n_hits,
+       |    list_reduce(list_transform(range(1, least(n.n_rel, $k) + 1),
+       |      i -> $ln2 / ln(i + 1.0)), (a, x) -> a + x) AS idcg
+       |  FROM nrel n LEFT JOIN hs ON hs.query_id = n.query_id)
+       |SELECT query_id, n_rel,
+       |  ${roundSpark("coalesce(n_hits, 0)::DOUBLE / n_rel::DOUBLE", 4)}
+       |    AS recall_$k,
+       |  ${roundSpark("coalesce(1.0 / first_rank, 0.0)", 4)} AS mrr_$k,
+       |  ${roundSpark("coalesce(dcg, 0.0) / idcg", 4)} AS ndcg_$k
+       |FROM met""".stripMargin
+  }
+
   /** Oracle for `text_perplexity`: the add-one bigram LM trained on the
     * corpus — identical long counts, identical `ln((c+1)/(denom+V))`
     * doubles, per-doc fold in position order (`list_reduce` over

@@ -822,6 +822,14 @@ object SparkEntry {
         k = 10)
     }),
 
+    "retrieval_metrics" -> ((s, dir) => {
+      // retrieval evaluation: recall/MRR/nDCG@10 of the BM25 ranking
+      // against boolean-AND qrels (doc contains every query term) —
+      // system-independent judgments both engines recompute exactly
+      Retrieval.retrievalMetrics(s, t(s, dir, "documents"),
+        Bm25Queries, k = 10)
+    }),
+
     "split_train_val_test" -> ((s, dir) => {
       // deterministic disjoint split: a doc's assignment never changes
       // as the corpus grows — leak-free eval sets across versions
@@ -1721,6 +1729,7 @@ object SparkEntry {
 
     "bm25_topk" -> OracleSql.bm25TopK(Bm25Queries, k = 10),
     "hybrid_retrieval_rrf" -> OracleSql.hybridRrf(Bm25Queries, k = 10),
+    "retrieval_metrics" -> OracleSql.retrievalMetrics(Bm25Queries, k = 10),
 
     "heavy_hitters_cms" ->
       OracleSql.heavyHittersCms(d = 4, w = 32, vocabFactor = 32),

@@ -121,6 +121,80 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col(idCol))
   }
 
+  /** Retrieval quality metrics for a ranking against deterministic
+    * relevance judgments: a doc is RELEVANT to a query iff it contains
+    * EVERY distinct query term (boolean-AND qrels — system-independent
+    * and recomputable by the oracle). Returns one row per query with
+    * relevant docs: (query_id, n_rel, recall_k, mrr_k, ndcg_k), all
+    * rounded to 4 decimals.
+    *
+    * Determinism: DCG folds hit ranks ascending and IDCG folds
+    * 1..min(n_rel, k) ascending, both with the exact `0.0 + x` seed;
+    * the log2 discount is `ln2 / ln(rank+1)` with ln2 embedded as one
+    * shared double literal — the identical IEEE operation sequence in
+    * both engines.
+    *
+    * Scale shape: the ranking is whatever retriever produced it (BM25
+    * here — bounded top-k); qrels cost one distinct-(doc, term) pass
+    * joined to the broadcast query terms; everything after is per-query
+    * rows (thousands at most).
+    */
+  def retrievalMetrics(spark: SparkSession, docs: DataFrame,
+                       queries: Seq[(Int, String)], k: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val ln2 = math.log(2.0)
+
+    val ranking = bm25TopK(spark, docs, queries, k, idCol = idCol,
+      textCol = textCol)
+
+    val qterms = queries
+      .flatMap { case (qid, text) =>
+        text.toLowerCase.trim.split("\\s+").toSeq.distinct.map(t => (qid, t))
+      }
+      .toDF("query_id", "term")
+    val nq = queries
+      .map { case (qid, text) =>
+        (qid, text.toLowerCase.trim.split("\\s+").toSeq.distinct.size)
+      }
+      .toDF("query_id", "nq")
+
+    val docTerms = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .distinct()
+    val qrels = docTerms.join(broadcast(qterms), Seq("term"))
+      .groupBy("query_id", idCol).agg(count(lit(1)).as("c"))
+      .join(broadcast(nq), Seq("query_id"))
+      .filter(col("c") === col("nq"))
+      .select("query_id", idCol)
+
+    val nrel = qrels.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+
+    val hits = ranking.join(qrels, Seq("query_id", idCol))
+    val hitStats = hits.groupBy("query_id").agg(
+      aggregate(sort_array(collect_list(col("rank"))), lit(0.0),
+        (acc, r) => acc + lit(ln2) / log(r.cast("double") + lit(1.0)))
+        .as("dcg"),
+      min("rank").as("first_rank"),
+      count(lit(1)).as("n_hits"))
+
+    nrel.join(hitStats, Seq("query_id"), "left")
+      .withColumn("idcg",
+        aggregate(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+          lit(0.0),
+          (acc, i) => acc + lit(ln2) / log(i.cast("double") + lit(1.0))))
+      .select(col("query_id"), col("n_rel"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_rel").cast("double"), 4).as(s"recall_$k"),
+        round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 4)
+          .as(s"mrr_$k"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 4)
+          .as(s"ndcg_$k"))
+  }
+
   /** Reciprocal-rank fusion: `Σ 1/(c + rank)` over the rankings a doc
     * appears in (absent → contributes 0) — the standard way to combine
     * retrievers whose scores aren't comparable (BM25 + ANN, BM25 +

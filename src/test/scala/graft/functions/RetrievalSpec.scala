@@ -34,6 +34,42 @@ class RetrievalSpec extends SparkSpec {
       "order-defined fold must make scores partitioning-invariant")
   }
 
+  test("retrievalMetrics: perfect retrieval scores 1.0 across the board") {
+    val docs = Seq(
+      (1L, "apple banana"),
+      (2L, "apple apple banana"),
+      (3L, "cherry plum"),
+      (4L, "apple only here")
+    ).toDF("doc_id", "text")
+    // rel(q) = docs containing BOTH terms = {1, 2}; BM25 must put both
+    // in its top-10, so recall = mrr = ndcg = 1
+    val m = Retrieval.retrievalMetrics(spark, docs,
+        Seq(1 -> "apple banana"), k = 10)
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(m.length == 1)
+    val (_, nRel, recall, mrr, ndcg) = m.head
+    assert(nRel == 2L)
+    assert(recall == 1.0 && mrr == 1.0 && ndcg == 1.0, m.head.toString)
+  }
+
+  test("retrievalMetrics stay in [0, 1] on the real corpus") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text")
+    val qs = Seq(1 -> "join hash table", 2 -> "stream window agg",
+      3 -> "zzz-not-in-corpus qqq")
+    val m = Retrieval.retrievalMetrics(spark, docs, qs, k = 10)
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(m.nonEmpty)
+    m.foreach { case (qid, nRel, recall, mrr, ndcg) =>
+      assert(nRel > 0)
+      assert(recall >= 0 && recall <= 1, s"q$qid recall $recall")
+      assert(mrr >= 0 && mrr <= 1, s"q$qid mrr $mrr")
+      assert(ndcg >= 0 && ndcg <= 1.0001, s"q$qid ndcg $ndcg")
+    }
+    // the nonsense query has no all-term doc => contributes no row
+    assert(!m.exists(_._1 == 3), "no-relevant-docs query must be absent")
+  }
+
   test("rrf fusion rewards docs ranked by both retrievers") {
     val a = Seq((1, 1, 10L), (1, 2, 20L)).toDF("query_id", "rank", "doc_id")
       .select(col("query_id"), col("doc_id"), col("rank"))
