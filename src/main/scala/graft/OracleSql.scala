@@ -964,7 +964,7 @@ object OracleSql {
     * smaller cluster index, empty clusters carry the previous centroid
     * via the LEFT JOIN coalesce.
     */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansCtes(kSql: String, iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb ++=
       s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -972,7 +972,7 @@ object OracleSql {
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
          |           AS cluster,
          |         v AS centroid
-         |  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT $k))""".stripMargin
+         |  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT $kSql))""".stripMargin
     for (i <- 1 to iters) {
       sb ++=
         s""",
@@ -1009,11 +1009,21 @@ object OracleSql {
     sb.toString
   }
 
-  /** Oracle for `cluster_kmeans`: final Lloyd assignment with the
-    * 4-decimal-rounded cosine to the winning centroid.
+  /** Count-adaptive k as a LIMIT subquery — mirrors
+    * [[graft.functions.Clustering.adaptiveK]] exactly (`greatest` /
+    * integer-exact ceil over the same corpus count).
     */
-  def clusterKmeans(k: Int = 8, iters: Int = 3, dim: Int = 64): String =
-    s"""WITH ${kmeansCtes(k, iters, dim)}
+  private def adaptiveKSql(target: Int, minK: Int): String =
+    s"(SELECT greatest($minK, CAST(ceil(count(*)::DOUBLE / $target) " +
+      "AS BIGINT)) FROM ev)"
+
+  /** Oracle for `cluster_kmeans`: final Lloyd assignment with the
+    * 4-decimal-rounded cosine to the winning centroid; cluster count
+    * adapts to the corpus like the engine's.
+    */
+  def clusterKmeans(targetClusterSize: Int = 256, minK: Int = 8,
+                    iters: Int = 3, dim: Int = 64): String =
+    s"""WITH ${kmeansCtes(adaptiveKSql(targetClusterSize, minK), iters, dim)}
        |SELECT vec_id, cluster, ${roundSpark("sim", 4)} AS sim
        |FROM fin""".stripMargin
 
@@ -1021,9 +1031,10 @@ object OracleSql {
     * (on the 4-decimal-rounded cosine), dropped = larger id; reports
     * the smallest witness and the witness count.
     */
-  def dedupSemantic(k: Int = 8, iters: Int = 3, dim: Int = 64,
+  def dedupSemantic(targetClusterSize: Int = 256, minK: Int = 8,
+                    iters: Int = 3, dim: Int = 64,
                     minCos: Double = 0.4): String =
-    s"""WITH ${kmeansCtes(k, iters, dim)},
+    s"""WITH ${kmeansCtes(adaptiveKSql(targetClusterSize, minK), iters, dim)},
        |mem AS (SELECT f.vec_id, f.cluster, e.v
        |        FROM fin f JOIN ev e USING (vec_id)),
        |pr AS (

@@ -941,17 +941,23 @@ object SparkEntry {
     "cluster_kmeans" -> ((s, dir) => {
       // cosine k-means (3 Lloyd rounds, lowest-id seeds): per-round
       // cost = one broadcast-literal map pass + a (cluster, dim) agg —
-      // no vector shuffle; the oracle unrolls the identical rounds
-      Clustering.kmeansAssign(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 8, iters = 3)
+      // no vector shuffle; the oracle unrolls the identical rounds.
+      // Cluster count adapts to the corpus (fixed k at 10x the corpus
+      // means 10x members and 100x semantic-dedup pair work — the same
+      // cliff the count-adaptive LSH resolution closes)
+      Clustering.kmeansAssignAdaptive(t(s, dir, "embeddings"),
+        "vec_id", "embedding", iters = 3,
+        targetClusterSize = 256, minK = 8)
     }),
 
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup-style semantic pruning: near-dup pairs only form
       // WITHIN a k-means cluster — the cluster partition bounds the
-      // candidate set (grow k with the corpus; no O(n^2) cross join)
-      Clustering.semanticDedup(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 8, iters = 3, minCos = 0.4)
+      // candidate set (count-adaptive k keeps per-cluster membership
+      // ~constant as the corpus grows; no O(n^2) cross join)
+      Clustering.semanticDedupAdaptive(t(s, dir, "embeddings"),
+        "vec_id", "embedding", iters = 3, minCos = 0.4,
+        targetClusterSize = 256, minK = 8)
     }),
 
     // ---------- LLM-pipeline: multimodal columns ----------
@@ -1986,9 +1992,10 @@ object SparkEntry {
     "sim_lsh_topk" ->
       OracleSql.simLshTopK(nTables = 12, nBits = 3, dim = 64, seed = 42L, k = 5),
     "sim_ivf_topk" -> OracleSql.simIvfTopK(dim = 64, nProbe = 3, k = 5),
-    "cluster_kmeans" -> OracleSql.clusterKmeans(k = 8, iters = 3, dim = 64),
-    "dedup_semantic" ->
-      OracleSql.dedupSemantic(k = 8, iters = 3, dim = 64, minCos = 0.4),
+    "cluster_kmeans" -> OracleSql.clusterKmeans(targetClusterSize = 256,
+      minK = 8, iters = 3, dim = 64),
+    "dedup_semantic" -> OracleSql.dedupSemantic(targetClusterSize = 256,
+      minK = 8, iters = 3, dim = 64, minCos = 0.4),
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh(minCos = 0.4),
     "sim_quantized_topk" -> OracleSql.simQuantizedTopK(dim = 64, k = 5),
     "text_decontaminate" ->

@@ -42,6 +42,37 @@ object Clustering {
     (array_position(sims, best).cast("int") - 1, best)
   }
 
+  /** Count-adaptive cluster count: `max(minK, ceil(n / target))` — the
+    * cluster count must grow WITH the corpus so expected per-cluster
+    * membership (and with it [[semanticDedup]]'s within-cluster pair
+    * work, which is quadratic in membership) stays ~constant. The same
+    * dial as the count-adaptive LSH bucket resolution: a fixed k at 10×
+    * the corpus means 10× members per cluster and 100× pair work.
+    */
+  def adaptiveK(n: Long, targetClusterSize: Int, minK: Int): Int = {
+    require(targetClusterSize > 0 && minK > 0)
+    math.max(minK.toLong,
+      math.ceil(n.toDouble / targetClusterSize).toLong).toInt
+  }
+
+  /** [[kmeansAssign]] with corpus-adaptive k (one narrow count scan up
+    * front; see [[adaptiveK]]).
+    */
+  def kmeansAssignAdaptive(corpus: DataFrame, idCol: String,
+                           vecCol: String, iters: Int,
+                           targetClusterSize: Int = 256,
+                           minK: Int = 8): DataFrame =
+    kmeansAssign(corpus, idCol, vecCol,
+      adaptiveK(corpus.count(), targetClusterSize, minK), iters)
+
+  /** [[semanticDedup]] with corpus-adaptive k (see [[adaptiveK]]). */
+  def semanticDedupAdaptive(corpus: DataFrame, idCol: String,
+                            vecCol: String, iters: Int, minCos: Double,
+                            targetClusterSize: Int = 256,
+                            minK: Int = 8): DataFrame =
+    semanticDedup(corpus, idCol, vecCol,
+      adaptiveK(corpus.count(), targetClusterSize, minK), iters, minCos)
+
   /** Train `k` cosine k-means centroids for `iters` Lloyd rounds and
     * return the final assignment: (idCol, cluster, sim) with `sim` the
     * 4-decimal-rounded cosine to the winning centroid.

@@ -40,6 +40,27 @@ class ClusteringSpec extends SparkSpec {
       "k-means iterations should not worsen mean similarity")
   }
 
+  test("adaptiveK grows with the corpus and floors at minK") {
+    assert(Clustering.adaptiveK(500, 256, 8) == 8)
+    assert(Clustering.adaptiveK(2048, 256, 8) == 8)
+    assert(Clustering.adaptiveK(20000, 256, 8) == 79)
+    assert(Clustering.adaptiveK(2560000, 256, 8) == 10000)
+    // integer-exact ceil: one row past a boundary adds a cluster
+    assert(Clustering.adaptiveK(2049, 256, 8) == 9)
+  }
+
+  test("kmeansAssignAdaptive matches explicit k at the adaptive count") {
+    val n = emb.count()
+    val k = Clustering.adaptiveK(n, 256, 4)
+    val a = Clustering.kmeansAssignAdaptive(emb, "vec_id", "embedding",
+        iters = 2, targetClusterSize = 256, minK = 4)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val b = Clustering.kmeansAssign(emb, "vec_id", "embedding", k,
+        iters = 2)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(a == b)
+  }
+
   test("semanticDedup drops only within-cluster ids with a smaller witness") {
     val asg = Clustering.kmeansAssign(emb, "vec_id", "embedding",
       k = 4, iters = 2).select(col("vec_id"), col("cluster"))
