@@ -642,6 +642,28 @@ object SparkEntry {
             .as("rep_bigram_ratio"))
     }),
 
+    "text_boilerplate" -> ((s, dir) => {
+      // RefinedWeb-style cross-document boilerplate signal: fixed
+      // 32-token chunks, md5 chunk fingerprints, a chunk is SHARED when
+      // it appears in >= 2 distinct docs. Chunks project to (doc_id,
+      // fp) before any shuffle, so the two aggs move narrow rows only
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.chunkTokens(col("text"), 32, 0))
+            .as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("fp"))
+      val shared = chunks.groupBy("fp")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+      chunks.join(shared, Seq("fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L))
+            .as("n_shared_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+          round(col("n_shared_chunks").cast("double")
+            / col("n_chunks").cast("double"), 4).as("shared_ratio"))
+    }),
+
     "text_perplexity" -> ((s, dir) => {
       // CCNet-style LM quality gate: mean negative log-likelihood per
       // doc under an add-one bigram model trained on the corpus itself.
@@ -1673,6 +1695,30 @@ object SparkEntry {
         enThreshold = 250000L, defaultThreshold = 750000L),
 
     "text_perplexity" -> OracleSql.textPerplexity(),
+
+    "text_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(1, len(toks), 32)) AS st
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(toks[st : least(st + 31, len(toks))], ' '))
+        |      AS fp
+        |  FROM s),
+        |sh AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+        |agg AS (
+        |  SELECT ch.doc_id, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN sh.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_shared_chunks
+        |  FROM ch JOIN sh USING (fp) GROUP BY 1)
+        |SELECT doc_id, n_chunks, n_shared_chunks,
+        |  round(CAST(CAST((n_shared_chunks::DOUBLE / n_chunks::DOUBLE)
+        |    AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS shared_ratio
+        |FROM agg""".stripMargin,
 
     "pack_training" ->
       """WITH n0 AS (
