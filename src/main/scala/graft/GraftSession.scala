@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{BloomAgg, BloomContains, BloomMergeAgg, Cms, CmsAgg, CmsEstimate, CosineSim, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, KqMergeAgg, KqQuantile, KqStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg, ZOrderKey}
+import graft.expressions.{BloomAgg, BloomContains, BloomMergeAgg, Cms, CmsAgg, CmsEstimate, CosineSim, DotProduct, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, KqMergeAgg, KqQuantile, KqStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg, ZOrderKey}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -68,6 +68,10 @@ private[graft] object GraftBuilders {
   def cosineSim(exprs: Seq[Expression]): Expression = {
     checkArity("cosine_sim", exprs, 2, 2)
     CosineSim(exprs(0), exprs(1))
+  }
+  def dotProduct(exprs: Seq[Expression]): Expression = {
+    checkArity("dot_product", exprs, 2, 2)
+    DotProduct(exprs(0), exprs(1))
   }
   def topKBy(exprs: Seq[Expression]): TopKByAgg = {
     checkArity("top_k_by", exprs, 3, 3)
@@ -166,6 +170,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_array_jaccard"), GraftBuilders.sortedArrayJaccard _))
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       GraftBuilders.cosineSim _))
+    e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
+      GraftBuilders.dotProduct _))
     e.injectFunction((FunctionIdentifier("top_k_by"), info("top_k_by"),
       exprs => GraftBuilders.topKBy(exprs)))
     e.injectFunction((FunctionIdentifier("pushdown_barrier"),
@@ -213,6 +219,8 @@ object GraftFunctions {
       GraftBuilders.sortedArrayJaccard _, "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       GraftBuilders.cosineSim _, "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      GraftBuilders.dotProduct _, "scala_udf")
     reg.createOrReplaceTempFunction("top_k_by",
       exprs => GraftBuilders.topKBy(exprs).toAggregateExpression(),
       "scala_udf")

@@ -1009,6 +1009,124 @@ object OracleSql {
     sb.toString
   }
 
+  /** Oracle for `sim_pq_topk`: per-subspace codebooks (K lowest-id
+    * subvector seeds, unrolled Lloyd rounds under `|c|² − 2·x·c` with
+    * smaller-code ties and float-cast means), PQ encoding, and the ADC
+    * score as a subspace-ordered `list_reduce` of LUT partials —
+    * matching [[graft.functions.ProductQuantization]] bit-for-bit
+    * before the 4-decimal round.
+    */
+  def simPqTopK(m: Int = 4, k: Int = 16, iters: Int = 2, dim: Int = 64,
+                topK: Int = 5): String =
+    s"""WITH ${pqCtes(m, k, iters, dim)}
+       |SELECT query_id, rank, neighbor_id, score
+       |FROM rk WHERE rank <= $topK""".stripMargin
+
+  /** Oracle for `sim_pq_refined`: the ADC shortlist reranked by the
+    * exact inner product — candidates only, same fold order as the
+    * engine's native dot product.
+    */
+  def simPqRefined(m: Int = 4, k: Int = 16, iters: Int = 2,
+                   dim: Int = 64, topK: Int = 5,
+                   shortlist: Int = 20): String =
+    s"""WITH ${pqCtes(m, k, iters, dim)},
+       |cand AS (SELECT query_id, neighbor_id FROM rk
+       |         WHERE rank <= $shortlist),
+       |ex AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${roundSpark("list_inner_product(q.v, n.v)", 4)} AS score
+       |  FROM cand c
+       |  JOIN ev n ON n.vec_id = c.neighbor_id
+       |  JOIN qv q ON q.query_id = c.query_id),
+       |rk2 AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY CAST(round(score * 10000) AS BIGINT) DESC,
+       |               neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM ex)
+       |SELECT query_id, rank, neighbor_id, score
+       |FROM rk2 WHERE rank <= $topK""".stripMargin
+
+  /** Shared CTE body for the PQ oracles, ending at `rk` (ADC-ranked
+    * candidates) with `ev`/`qv` available for exact reranks.
+    */
+  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int): String = {
+    val sub = dim / m
+    val sb = new StringBuilder
+    sb ++= "ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    def argmin(src: String, cb: String): String =
+      s"""  SELECT vec_id, x, code FROM (
+         |    SELECT s.vec_id, s.x, c.code,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        (list_inner_product(c.c, c.c)
+         |          - 2.0 * list_inner_product(s.x, c.c)) ASC,
+         |        c.code ASC) AS rn
+         |    FROM $src s CROSS JOIN $cb c)
+         |  WHERE rn = 1""".stripMargin
+    for (mi <- 0 until m) {
+      val lo = mi * sub + 1
+      val hi = (mi + 1) * sub
+      sb ++= s""",
+        |sv$mi AS (SELECT vec_id, v[$lo:$hi] AS x FROM ev),
+        |cb${mi}_0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |           AS code,
+        |         x AS c
+        |  FROM (SELECT vec_id, x FROM sv$mi ORDER BY vec_id LIMIT $k))""".stripMargin
+      for (i <- 1 to iters) {
+        sb ++= s""",
+          |as${mi}_$i AS (
+          |${argmin(s"sv$mi", s"cb${mi}_${i - 1}")}),
+          |up${mi}_$i AS (
+          |  SELECT code, g.i AS d, CAST(avg(x[g.i]) AS FLOAT) AS mu
+          |  FROM as${mi}_$i, generate_series(1, $sub) g(i)
+          |  GROUP BY 1, 2),
+          |nc${mi}_$i AS (
+          |  SELECT code, list(mu ORDER BY d)::DOUBLE[] AS c
+          |  FROM up${mi}_$i GROUP BY 1),
+          |cb${mi}_$i AS (
+          |  SELECT p.code, coalesce(n.c, p.c) AS c
+          |  FROM cb${mi}_${i - 1} p LEFT JOIN nc${mi}_$i n USING (code))""".stripMargin
+      }
+      sb ++= s""",
+        |en$mi AS (
+        |${argmin(s"sv$mi", s"cb${mi}_$iters")})""".stripMargin
+    }
+    val encUnion = (0 until m)
+      .map(mi => s"SELECT vec_id, $mi AS m, code FROM en$mi")
+      .mkString("\n  UNION ALL ")
+    val lutUnion = (0 until m).map { mi =>
+      val lo = mi * sub + 1
+      val hi = (mi + 1) * sub
+      s"SELECT q.query_id, $mi AS m, c.code, " +
+        s"list_inner_product(q.v[$lo:$hi], c.c) AS pd " +
+        s"FROM qv q CROSS JOIN cb${mi}_$iters c"
+    }.mkString("\n  UNION ALL ")
+    sb ++= s""",
+      |enc AS (
+      |  $encUnion),
+      |qv AS (SELECT vec_id AS query_id, v FROM ev WHERE vec_id < 8),
+      |lut AS (
+      |  $lutUnion),
+      |sc AS (
+      |  SELECT l.query_id, e.vec_id AS neighbor_id, l.m, l.pd
+      |  FROM enc e JOIN lut l ON l.m = e.m AND l.code = e.code
+      |  WHERE e.vec_id <> l.query_id),
+      |pd AS (
+      |  SELECT query_id, neighbor_id,
+      |    ${roundSpark(
+             "list_reduce(list(pd ORDER BY m), (a, x) -> a + x)", 4)}
+      |      AS score
+      |  FROM sc GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(round(score * 10000) AS BIGINT) DESC,
+      |               neighbor_id ASC) AS INTEGER) AS rank
+      |  FROM pd)""".stripMargin
+    sb.toString
+  }
+
   /** Count-adaptive k as a LIMIT subquery — mirrors
     * [[graft.functions.Clustering.adaptiveK]] exactly (`greatest` /
     * integer-exact ceil over the same corpus count).

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, Joins, Merge, Split, Stamping, TemporalJoins}
-import graft.functions.{Clustering, Curation, Dedup, LanguageModel, Packing, Retrieval, Sampling, Similarity, TextFunctions}
+import graft.functions.{Clustering, Curation, Dedup, LanguageModel, Packing, ProductQuantization, Retrieval, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -958,6 +958,26 @@ object SparkEntry {
         emb.filter(col("vec_id") % 4 === 0), "embedding", "label")
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label",
         k = 5, nProbe = 3, centroids = Some(cent))
+    }),
+
+    "sim_pq_topk" -> ((s, dir) => {
+      // product-quantized ANN (IVF+PQ's memory half): 64 floats ->
+      // 4 codebook bytes per vector; queries answered from a broadcast
+      // LUT of partial dots over narrow (id, m, code) triples — corpus
+      // vectors are read once, at encode time
+      val emb = t(s, dir, "embeddings")
+      ProductQuantization.adcTopK(s, emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", m = 4, k = 16, iters = 2, topK = 5)
+    }),
+
+    "sim_pq_refined" -> ((s, dir) => {
+      // the production PQ pattern: ADC shortlist (4x over-fetch) then
+      // exact rerank on candidates only — recovers PQ's recall loss
+      // with a shortlist-sized vector join, never a corpus rescan
+      val emb = t(s, dir, "embeddings")
+      ProductQuantization.adcTopKRefined(s, emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        m = 4, k = 16, iters = 2, topK = 5, shortlist = 20)
     }),
 
     "cluster_kmeans" -> ((s, dir) => {
@@ -2038,6 +2058,10 @@ object SparkEntry {
     "sim_lsh_topk" ->
       OracleSql.simLshTopK(nTables = 12, nBits = 3, dim = 64, seed = 42L, k = 5),
     "sim_ivf_topk" -> OracleSql.simIvfTopK(dim = 64, nProbe = 3, k = 5),
+    "sim_pq_topk" -> OracleSql.simPqTopK(m = 4, k = 16, iters = 2,
+      dim = 64, topK = 5),
+    "sim_pq_refined" -> OracleSql.simPqRefined(m = 4, k = 16, iters = 2,
+      dim = 64, topK = 5, shortlist = 20),
     "cluster_kmeans" -> OracleSql.clusterKmeans(targetClusterSize = 256,
       minK = 8, iters = 3, dim = 64),
     "dedup_semantic" -> OracleSql.dedupSemantic(targetClusterSize = 256,

@@ -347,6 +347,59 @@ case class CosineSim(left: Expression, right: Expression)
       l: Expression, r: Expression): CosineSim = copy(l, r)
 }
 
+/** Inner product of two float-vector columns, accumulated in double
+  * left-to-right — the ADC primitive for product-quantized search
+  * (and the numerator of [[CosineSim]] when inputs are pre-normalized).
+  * Same determinism contract: identical fold order in interpreted and
+  * codegen paths, so cross-engine comparisons are bit-exact.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val fa = ctx.freshName("fa")
+      val fb = ctx.freshName("fb")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |float[] $fa = $l.toFloatArray();
+         |float[] $fb = $r.toFloatArray();
+         |int $n = Math.min($fa.length, $fb.length);
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $fa[$i] * (double) $fb[$i];
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toFloatArray()
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toFloatArray()
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProduct = copy(l, r)
+}
+
 /** Column-API entry points for the native expressions. Spark 4 wraps
   * Columns around ColumnNodes; `ExpressionUtils` is the classic-API
   * bridge between `Column` and catalyst `Expression`.
@@ -368,6 +421,9 @@ object exprs {
 
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
 
   def hyperplane_sigs(vec: Column,
                       planes: Array[Array[Array[Double]]]): Column =
