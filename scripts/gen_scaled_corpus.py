@@ -35,7 +35,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SHIFT = 10_000
-COPIES = 9          # 1 original + 9 -> 10x
+COPIES = 9          # 1 original + 9 -> 10x (argv[3] overrides)
 NEAR_DUP_FRAC = 0.2 # fraction of copies that are genuine near-dups
 NEAR_REPLACE = 0.05 # token replacement rate for near-dup copies
 FAR_REPLACE = 0.60  # token replacement rate for unrelated copies
@@ -113,8 +113,11 @@ def gen_embeddings(con, src, out):
 
 
 def main():
+    global COPIES
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_corpus"
+    if len(sys.argv) > 3:
+        COPIES = int(sys.argv[3])
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     nd = gen_documents(con, src, out)

@@ -689,6 +689,28 @@ object OracleSql {
        |WHERE ((h.hv % 1000000) + 1000000) % 1000000 <
        |  CASE WHEN l.lang_pred = 'en' THEN $enThreshold ELSE $defaultThreshold END""".stripMargin
 
+  /** Oracle for `sample_temperature`: per-source counts → temperature
+    * keep-thresholds `floor(1e6 * sqrt(n_min/n))` (alpha = 0.5; `sqrt`
+    * is correctly rounded under IEEE 754 in both engines, so the
+    * thresholds match bit-for-bit) → the same xxhash64(doc_id) gate as
+    * `sample_stratified`.
+    */
+  def sampleTemperature(): String =
+    s"""WITH c AS (
+       |  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+       |mn AS (SELECT min(n) AS nmin FROM c),
+       |thr AS (
+       |  SELECT source,
+       |    CAST(floor(1000000 * sqrt(nmin::DOUBLE / n::DOUBLE)) AS BIGINT)
+       |      AS thr
+       |  FROM c, mn),
+       |${idHashCtes()}
+       |SELECT d.doc_id, d.source
+       |FROM documents d
+       |JOIN hashed h ON h.doc_id = d.doc_id
+       |JOIN thr ON thr.source = d.source
+       |WHERE ((h.hv % 1000000) + 1000000) % 1000000 < thr.thr""".stripMargin
+
   /** Oracle for `multimodal_features`: byte stats over the UTF-8 bytes of
     * `text` (ASCII corpus, so `ord` per char IS the byte) — length,
     * Java-style `crc*31+b` wrapping checksum via list_reduce in HUGEINT,

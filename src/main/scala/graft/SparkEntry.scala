@@ -801,6 +801,33 @@ object SparkEntry {
           .zorder_key(21, col("l_partkey"), col("l_suppkey")).as("zkey"))
     }),
 
+    "lake_partition_prune" -> ((s, dir) => {
+      // hive-layout partitioned lake write + pruned read-back: documents
+      // land under lang=<v>/ directories (Scale.writePartitioned,
+      // dynamic-overwrite mode), and the read's lang predicate prunes
+      // whole directories at planning time (PartitionFilters in the
+      // scan — asserted in ScaleSpec), so only en/ files are listed or
+      // read — the 100 TB lake read path
+      val docs = t(s, dir, "documents")
+      val path = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_lake_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      graft.ops.Scale.writePartitioned(docs, path, Seq("lang"))
+      s.read.parquet(path).filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
+    "sample_temperature" -> ((s, dir) => {
+      // alpha=0.5 temperature resampling over sources: one narrow count
+      // pass sizes each source, then a map-only id-hash gate keeps each
+      // source at floor(1e6*sqrt(n_min/n)) per million — thresholds are
+      // sqrt-exact, so the oracle reproduces them bit-for-bit
+      Sampling.sampleTemperature(t(s, dir, "documents"), "doc_id",
+        "source", alpha = 0.5)
+        .select("doc_id", "source")
+    }),
+
     "heavy_hitters_cms" -> ((s, dir) => {
       // count-min frequency sketch: d=4 x w=32 integer grid (1 KB),
       // map-side partial grids merged by elementwise add — frequency
@@ -1798,6 +1825,15 @@ object SparkEntry {
          |  CAST(${terms.mkString(" + ")} AS BIGINT) AS zkey
          |FROM lineitem""".stripMargin
     },
+
+    "lake_partition_prune" ->
+      // the partitioned round-trip is lossless, so the pruned read-back
+      // equals a direct predicate on the base table
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+
+    "sample_temperature" -> OracleSql.sampleTemperature(),
 
     "bm25_topk" -> OracleSql.bm25TopK(Bm25Queries, k = 10),
     "hybrid_retrieval_rrf" -> OracleSql.hybridRrf(Bm25Queries, k = 10),

@@ -64,6 +64,51 @@ object Sampling {
     }
   }
 
+  /** Per-group keep-thresholds for [[sampleTemperature]]: groups sized
+    * `n_g` get threshold `floor(1e6 * (n_min / n_g)^(1-alpha))` — the
+    * subsample-only realization of temperature flattening (the smallest
+    * group keeps everything; a group 100× larger keeps `100^(alpha-1)`
+    * of itself). `alpha = 1` is the natural distribution (keep all),
+    * `alpha = 0` fully flat (every group downsampled to `n_min`).
+    *
+    * `alpha = 0.5` is computed via `sqrt`, which IEEE 754 requires to be
+    * correctly rounded — so the thresholds are bit-identical on every
+    * conforming engine (the DuckDB oracle reproduces them exactly).
+    * Other alphas go through `pow`, which carries no such guarantee;
+    * they are just as valid operationally, but a cross-engine comparison
+    * could disagree on a row whose hash lands exactly on the threshold.
+    */
+  def temperatureThresholds(df: DataFrame, groupCol: String,
+                            alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__n").cast("double")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    counts.crossJoin(broadcast(nmin))
+      .select(col(groupCol), floor(lit(Scale) * rate).cast("long").as("__thr"))
+  }
+
+  /** Temperature-based group resampling (the multilingual-LM "alpha
+    * sampling" rule: sample languages/domains ∝ `n^alpha` so giant
+    * groups stop drowning small ones — cf. the mixing exponents in the
+    * XLM-R and mT5 papers): a count pass sizes each group, then the
+    * same deterministic id-hash gate as [[sample]] keeps each group at
+    * its [[temperatureThresholds]] rate.
+    *
+    * Scale shape: two scans — the count pass reads ONE column (parquet
+    * column pruning makes it cheap) and reduces map-side to one row per
+    * group; the keep pass is map-only with the tiny per-group threshold
+    * table broadcast. No wide shuffle at any point, and the kept set is
+    * partition-independent and monotone under alpha increase.
+    */
+  def sampleTemperature(df: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double): DataFrame =
+    df.join(broadcast(temperatureThresholds(df, groupCol, alpha)),
+        Seq(groupCol))
+      .filter(pmod(xxhash64(col(idCol)), lit(Scale)) < col("__thr"))
+      .drop("__thr")
+
   /** Deterministic disjoint split assignment (train/val/test and
     * friends): each row lands in exactly one named split by its id-hash
     * bucket, with cumulative thresholds over the same `mod 10^6` gate

@@ -55,6 +55,38 @@ object Scale {
     (a.repartition(partitions, col(key)),
       b.repartition(partitions, col(key)))
 
+  /** Hive-layout partitioned write: one `col=value/` directory level per
+    * partition column, so any read with a predicate on those columns
+    * prunes whole directories BEFORE listing files — the difference
+    * between scanning 100 TB and scanning one day/language of it. This
+    * is the lake-zone analogue of the reference's domain-folder layout
+    * (one folder per domain under each zone,
+    * `nh-etl-universal-cleaning.py:58-63`), promoted from a naming
+    * convention to a layout the engine's planner actually exploits
+    * (`PartitionFilters` in the scan, vs a post-scan `Filter`).
+    *
+    * `dynamicOverwrite = true` scopes `mode("overwrite")` to ONLY the
+    * partitions present in `df` (spark.sql `partitionOverwriteMode =
+    * dynamic`) — the incremental daily load: rewriting today's
+    * `etl_date=.../` leaves every other date's data untouched. With
+    * `false`, overwrite is the default static whole-table replace. The
+    * previous session setting is restored either way.
+    *
+    * Choose partition columns with FEW distinct values (language, date,
+    * source bucket — not doc_id): each distinct tuple is a directory,
+    * and millions of tiny directories are their own scale pathology.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String],
+                       dynamicOverwrite: Boolean = true): Unit = {
+    require(partCols.nonEmpty, "writePartitioned needs partition columns")
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.get(key, "STATIC")
+    conf.set(key, if (dynamicOverwrite) "dynamic" else "static")
+    try df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+    finally conf.set(key, prev)
+  }
+
   /** Z-order clustered write: range-partition and sort by the Morton key
     * of `cols`, so each output file covers a compact hyper-rectangle of
     * the interleaved dimensions and its parquet min-max stats are tight

@@ -262,6 +262,28 @@ object EventsStreaming {
         s"r_$tsCol <= $tsCol + interval $windowSeconds seconds"))
   }
 
+  /** Stream-static enrichment join: every micro-batch of the stream is
+    * left-joined against a bounded dimension table — the streaming
+    * analogue of the reference's left-enrich joins
+    * (`nh-etl-provider-transform.py:87-95`), and the most common
+    * production stream shape (events + user/facility dimension).
+    *
+    * Scale shape: the static side is broadcast, so the join is map-only
+    * per micro-batch — no shuffle of the stream, no join state to
+    * watermark (the stateless join shape; contrast
+    * [[intervalJoinStream]]). The dimension is re-resolvable per batch,
+    * so a slowly-changing dim picked up between batches is reflected
+    * without a restart. Keep it genuinely broadcast-sized; a 100 GB
+    * "dimension" belongs in a shuffled join with the stream bucketed on
+    * the key instead.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String): DataFrame = {
+    val d = dim.toDF(dim.columns.map(c =>
+      if (c == key) c else s"d_$c"): _*)
+    events.join(broadcast(d), Seq(key), "left")
+  }
+
   /** Drive a streaming frame to completion against a memory sink —
     * batch-style execution of a streaming plan (used by tests and the
     * AvailableNow "daily drain" mode).

@@ -230,6 +230,48 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("temperature thresholds: exact sqrt flattening, alpha endpoints") {
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence}
+    // groups sized 100 / 400 / 10000
+    val df = Seq(("a", 100L), ("b", 400L), ("c", 10000L)).toDF("g", "n")
+      .select(col("g"), explode(sequence(lit(1L), col("n"))).as("id"))
+    def thr(alpha: Double): Map[String, Long] =
+      Sampling.temperatureThresholds(df, "g", alpha)
+        .as[(String, Long)].collect().toMap
+    // alpha=0.5: floor(1e6*sqrt(100/n)) — smallest keeps all
+    assert(thr(0.5) == Map("a" -> 1000000L, "b" -> 500000L, "c" -> 100000L))
+    // alpha=1: natural distribution, keep everything
+    assert(thr(1.0) == Map("a" -> 1000000L, "b" -> 1000000L,
+      "c" -> 1000000L))
+    // alpha=0: fully flat, every group sized to n_min
+    assert(thr(0.0) == Map("a" -> 1000000L, "b" -> 250000L, "c" -> 10000L))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureThresholds(df, "g", 1.5)
+    }
+  }
+
+  test("temperature sampling: partition-independent, monotone in alpha") {
+    import org.apache.spark.sql.functions.{col, explode, lit, sequence}
+    val df = Seq(("a", 200L), ("b", 3200L)).toDF("g", "n")
+      .select(col("g"), explode(sequence(lit(1L), col("n"))).as("id"),
+        (col("n") * 1000).as("payload"))
+    def kept(d: org.apache.spark.sql.DataFrame, alpha: Double) =
+      Sampling.sampleTemperature(d, "id", "g", alpha)
+        .select("g", "id").as[(String, Long)].collect().toSet
+    val half = kept(df, 0.5)
+    assert(kept(df.repartition(7), 0.5) == half,
+      "kept set must not depend on partitioning")
+    // smallest group fully kept; larger group near its sqrt rate
+    assert(half.count(_._1 == "a") == 200)
+    val bRate = half.count(_._1 == "b") / 3200.0
+    assert(math.abs(bRate - 0.25) < 0.03, s"b rate $bRate, expected ~0.25")
+    // shared hash gate => kept sets are monotone in alpha
+    assert(half.subsetOf(kept(df, 0.8)))
+    // payload columns survive (threshold column is internal)
+    val cols = Sampling.sampleTemperature(df, "id", "g", 0.5).columns.toSeq
+    assert(cols.sorted == Seq("g", "id", "payload"))
+  }
+
   test("redactPii scrubs emails, phones, IPs, and long digit runs") {
     val df = Seq("write bob.smith+x@corp.example.org or call 555-123-4567 " +
       "from 10.0.3.9 ref 12345678 ok 123").toDF("t")

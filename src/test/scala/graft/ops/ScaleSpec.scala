@@ -32,6 +32,63 @@ class ScaleSpec extends SparkSpec {
     assert(out == Seq((1L, "x", "r"), (9L, "y", null)))
   }
 
+  test("writePartitioned: hive layout, partition-pruned read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L),
+      (4L, "de", 40L), (5L, "fr", 50L)).toDF("id", "lang", "v")
+    Scale.writePartitioned(docs, dir, Seq("lang"))
+
+    // hive directory-per-value layout on disk
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq
+    assert(subdirs == Seq("lang=de", "lang=en", "lang=fr"))
+
+    // the predicate must reach the scan as a PARTITION filter (directory
+    // pruning before any file is read), not a post-scan row filter
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .replaceAll("#\\d+", "")
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("(lang = en)"), plan)
+    assert(pruned.select(sum("v")).as[Long].head() == 30L)
+
+    // the layout is physically partition-local: removing another
+    // language's directory cannot affect rows outside it
+    val de = new java.io.File(dir, "lang=de")
+    de.listFiles().foreach(_.delete()); de.delete()
+    val rest = spark.read.parquet(dir)
+    assert(rest.count() == 3)
+    assert(rest.filter(col("lang") === "en").count() == 2)
+  }
+
+  test("writePartitioned: dynamic overwrite touches only written partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dyn").toString
+    val v1 = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"))
+      .toDF("id", "lang")
+    Scale.writePartitioned(v1, dir, Seq("lang"))
+
+    // incremental load: only the en partition is in the frame, so only
+    // en/ is rewritten — de and fr survive
+    val enOnly = Seq((9L, "en")).toDF("id", "lang")
+    Scale.writePartitioned(enOnly, dir, Seq("lang"))
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 3)
+    assert(after.filter(col("lang") === "en").select("id")
+      .as[Long].collect().toSeq == Seq(9L))
+    assert(after.filter(col("lang") === "de").count() == 1)
+
+    // static overwrite is the whole-table replace
+    Scale.writePartitioned(enOnly, dir, Seq("lang"),
+      dynamicOverwrite = false)
+    assert(spark.read.parquet(dir).count() == 1)
+
+    // the session-level overwrite mode is restored afterwards
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("static"))
+  }
+
   test("coPartition co-locates and the join avoids extra exchanges") {
     val (a, b) = Scale.coPartition(
       spark.range(1000).select(col("id").as("k"), col("id").as("va")),

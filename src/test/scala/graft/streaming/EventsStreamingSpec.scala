@@ -36,6 +36,34 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-static enrichment join matches the batch twin, stateless") {
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    val batch = eventsBatch
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    // bounded dimension: a segment for EVEN user ids only, so the left
+    // join provably has both matched rows and null-segment survivors
+    val dim = batch.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(2)) === 0)
+      .select(col("user_id"),
+        concat(lit("seg"), pmod(col("user_id"), lit(3))).as("segment"))
+
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val streamed = EventsStreaming.drainToMemory(
+      EventsStreaming.enrichStream(stream, dim, "user_id")
+        .select("user_id", "event_type", "d_segment"),
+      "enrich", s"$dir/ckpt", OutputMode.Append)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String)] =
+      df.as[(Long, String, String)].collect().toSeq
+        .sortBy(t => (t._1, t._2, String.valueOf(t._3)))
+    val want = canon(EventsStreaming.enrichStream(batch, dim, "user_id")
+      .select("user_id", "event_type", "d_segment"))
+    assert(canon(streamed) == want)
+    assert(want.nonEmpty)
+    assert(want.exists(_._3 == null), "unmatched users must survive the left join")
+    assert(want.exists(_._3 != null))
+  }
+
   test("file stream drains a CSV landing dir incrementally (AvailableNow)") {
     val dir = Files.createTempDirectory("graft-fs").toString
     val schema = StructType(Seq(StructField("id", StringType),
