@@ -773,6 +773,43 @@ object OracleSql {
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
+  /** Oracle for `embed_project`: the k seeded Gaussian projection
+    * planes ([[graft.functions.Projection.gaussianMatrix]], same
+    * generator as the LSH plane oracles) emitted as DOUBLE[] literals;
+    * one row per (vec_id, dim) with the `1/sqrt(k)`-scaled dot.
+    */
+  def embedProject(k: Int = 8, dim: Int = 64, seed: Long = 7L): String = {
+    val planes = graft.functions.Projection.gaussianMatrix(k, dim, seed)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val rows = (0 until k).map { j =>
+      val lits = planes(j).map(_.toString).mkString(", ")
+      s"""SELECT vec_id, $j AS dim,
+         |  ${roundSpark(s"list_dot_product(v, [$lits]::DOUBLE[]) * $scale", 4)}
+         |    AS val FROM ev""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |$rows""".stripMargin
+  }
+
+  /** Oracle for `embed_truncate`: matryoshka prefix stats — first
+    * renormalized component + retained-energy ratio over the 16-dim
+    * prefix (same `sqrt(list_sum(x*x))` norm formulation as
+    * `embed_norms`).
+    */
+  def embedTruncate(k: Int = 16): String =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pre AS (SELECT vec_id, v[1:$k] AS p, v FROM ev),
+       |n AS (SELECT vec_id, p,
+       |  sqrt(list_sum(list_transform(p, x -> x * x))) AS np,
+       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+       |  FROM pre)
+       |SELECT vec_id,
+       |  ${roundSpark("CASE WHEN np > 0 THEN p[1] / np ELSE p[1] END", 4)}
+       |    AS t0,
+       |  ${roundSpark("CASE WHEN nv > 0 THEN np / nv ELSE 0.0 END", 4)}
+       |    AS energy_ratio
+       |FROM n""".stripMargin
+
   /** Oracle for `dedup_embedding_lsh` (count-adaptive resolution): the
     * engine picks `bits = min b in [minBits, maxBits] :
     * targetBucket * 2^b >= count(*)` ([[Similarity.adaptiveBits]], pure

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, Joins, Merge, Split, Stamping, TemporalJoins}
-import graft.functions.{Clustering, Curation, Dedup, LanguageModel, Packing, ProductQuantization, Retrieval, Sampling, Similarity, TextFunctions}
+import graft.functions.{Clustering, Curation, Dedup, LanguageModel, Packing, ProductQuantization, Projection, Retrieval, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -940,6 +940,32 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => {
       Similarity.embeddingNearDups(t(s, dir, "embeddings"),
         "vec_id", "embedding", minCos = 0.4, maxId = 1000)
+    }),
+
+    "embed_project" -> ((s, dir) => {
+      // JL random projection 64 -> 8 dims: map-only, seed-derived
+      // matrix (no training pass, no artifact), norm-preserving in
+      // expectation via the 1/sqrt(k) scale
+      val planes = Projection.gaussianMatrix(k = 8, dim = 64, seed = 7L)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Projection.project(col("embedding"), planes)))
+        .select(col("vec_id"), col("pos").as("dim"),
+          round(col("col"), 4).as("val"))
+    }),
+
+    "embed_truncate" -> ((s, dir) => {
+      // matryoshka prefix truncation to 16 dims + renorm: first
+      // renormalized component and the retained-energy ratio
+      val e = t(s, dir, "embeddings")
+      val full = Similarity.l2Norm(col("embedding"))
+      val prefixNorm = Similarity.l2Norm(
+        slice(col("embedding").cast("array<double>"), 1, 16))
+      e.select(col("vec_id"),
+        round(element_at(
+          Projection.truncateRenorm(col("embedding"), 16), 1), 4).as("t0"),
+        round(when(full > 0, prefixNorm / full).otherwise(lit(0.0)), 4)
+          .as("energy_ratio"))
     }),
 
     "sim_quantized_topk" -> ((s, dir) => {
@@ -1900,6 +1926,10 @@ object SparkEntry {
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
         |    x -> x * x))), 4) AS l2_norm
         |FROM embeddings""".stripMargin,
+
+    "embed_project" -> OracleSql.embedProject(k = 8, dim = 64, seed = 7L),
+
+    "embed_truncate" -> OracleSql.embedTruncate(k = 16),
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings
