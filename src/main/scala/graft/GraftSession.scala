@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{BloomAgg, BloomContains, BloomMergeAgg, Cms, CmsAgg, CmsEstimate, CosineSim, DotProduct, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, KqMergeAgg, KqQuantile, KqStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, TopKByAgg, ZOrderKey}
+import graft.expressions.{BloomAgg, BloomContains, BloomMergeAgg, Cms, CmsAgg, CmsEstimate, CosineSim, DotProduct, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, KqMergeAgg, KqQuantile, KqStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, SortedArrayOverlap, TopKByAgg, ZOrderKey}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -64,6 +64,10 @@ private[graft] object GraftBuilders {
   def sortedArrayJaccard(exprs: Seq[Expression]): Expression = {
     checkArity("sorted_array_jaccard", exprs, 2, 2)
     SortedArrayJaccard(exprs(0), exprs(1))
+  }
+  def sortedArrayOverlap(exprs: Seq[Expression]): Expression = {
+    checkArity("sorted_array_overlap", exprs, 2, 2)
+    SortedArrayOverlap(exprs(0), exprs(1))
   }
   def cosineSim(exprs: Seq[Expression]): Expression = {
     checkArity("cosine_sim", exprs, 2, 2)
@@ -168,6 +172,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes"), GraftBuilders.shingleHashes _))
     e.injectFunction((FunctionIdentifier("sorted_array_jaccard"),
       info("sorted_array_jaccard"), GraftBuilders.sortedArrayJaccard _))
+    e.injectFunction((FunctionIdentifier("sorted_array_overlap"),
+      info("sorted_array_overlap"), GraftBuilders.sortedArrayOverlap _))
     e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
       GraftBuilders.cosineSim _))
     e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
@@ -217,6 +223,8 @@ object GraftFunctions {
       GraftBuilders.shingleHashes _, "scala_udf")
     reg.createOrReplaceTempFunction("sorted_array_jaccard",
       GraftBuilders.sortedArrayJaccard _, "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_array_overlap",
+      GraftBuilders.sortedArrayOverlap _, "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       GraftBuilders.cosineSim _, "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",

@@ -255,6 +255,34 @@ object OracleSql {
        |WHERE $est >= 0.5""".stripMargin
   }
 
+  /** Oracle for `dedup_containment`: MinHash-LSH candidate pairs (same
+    * CTEs as [[dedupMinhash]]), exact containment of the smaller
+    * distinct-shingle-hash set in the larger —
+    * `|A∩B| / min(|A|,|B|)` — computed over the `shash` hash domain the
+    * engine's [[graft.expressions.SortedArrayOverlap]] merges.
+    */
+  def dedupContainment(numHashes: Int = 16, rowsPerBand: Int = 2,
+                       minCont: Double = 0.5): String =
+    s"""WITH ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |ssz AS MATERIALIZED (
+       |  SELECT doc_id, count(DISTINCT shu) AS sz FROM shash GROUP BY doc_id),
+       |ov AS (
+       |  SELECT c.id_a, c.id_b, count(DISTINCT sa.shu) AS ovl
+       |  FROM cand c
+       |  JOIN shash sa ON sa.doc_id = c.id_a
+       |  JOIN shash sb ON sb.doc_id = c.id_b AND sb.shu = sa.shu
+       |  GROUP BY c.id_a, c.id_b),
+       |ct AS (
+       |  SELECT o.id_a, o.id_b,
+       |    ${roundSpark("o.ovl * 1.0 / least(za.sz, zb.sz)", 4)}
+       |      AS containment
+       |  FROM ov o JOIN ssz za ON za.doc_id = o.id_a
+       |            JOIN ssz zb ON zb.doc_id = o.id_b)
+       |SELECT id_a, id_b, containment FROM ct
+       |WHERE containment >= $minCont""".stripMargin
+
   /** Oracle for `approx_distinct_kmv`: the KMV estimate is reproduced
     * EXACTLY — XXH64.hashLong(l_orderkey, 42) via the HUGEINT chain,
     * distinct hashes ranked unsigned-ascending per group, estimate

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cleaning, Joins, Merge, Split, Stamping, TemporalJoins}
+import graft.ops.{Cleaning, Joins, Merge, Scale, Split, Stamping, TemporalJoins}
 import graft.functions.{Clustering, Curation, Dedup, LanguageModel, Packing, ProductQuantization, Projection, Retrieval, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
@@ -573,6 +573,14 @@ object SparkEntry {
         "doc_id", "text", shingleN = 3, minSim = 0.3, blockWidth = 5)
     }),
 
+    "dedup_containment" -> ((s, dir) => {
+      // near-subset screen: containment of the smaller shingle set in
+      // the larger, exact, over MinHash-LSH candidates — catches
+      // quote/excerpt copies that symmetric Jaccard under-scores
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, minCont = 0.5)
+    }),
+
     // ---------- LLM-pipeline: text analysis ----------
     "text_token_count" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -683,6 +691,17 @@ object SparkEntry {
           "pack_offset")
     }),
 
+    "pack_length_batches" -> ((s, dir) => {
+      // length-bucketed inference batching: similar-length docs fill
+      // 512-token batches within (16-token-wide bucket, 2000-id shard)
+      // — one hash shuffle, shard-local window cumsum, no global sort
+      Packing.batchByLength(
+        t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", TextFunctions.tokenCount(col("text")),
+        bucketWidth = 16, budgetTokens = 512, shardSize = 2000)
+        .select("doc_id", "bucket", "shard", "n_tokens", "batch_in_shard")
+    }),
+
     "training_mix" -> ((s, dir) => {
       // the composed pipeline, end to end: near-dup clusters resolved and
       // non-representatives dropped, quality gate, per-language
@@ -715,6 +734,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 === 0), "text", shingleN = 4)
       Dedup.contaminationHits(docs.filter(col("doc_id") % 13 =!= 0),
         "doc_id", "text", contamination, shingleN = 4)
+    }),
+
+    "text_exact_decontaminate" -> ((s, dir) => {
+      // strictest leakage screen: corpus docs containing an eval
+      // snippet VERBATIM (30-char span of each doc_id % 29 == 0 doc);
+      // snippet set broadcast, corpus scanned once map-only
+      val docs = t(s, dir, "documents")
+      val snips = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("snip_id"),
+          substring(col("text"), 11, 30).as("snippet"))
+        .filter(length(col("snippet")) >= 20)
+      Dedup.substringContamination(docs.filter(col("doc_id") % 29 =!= 0),
+        "doc_id", "text", snips, "snip_id", "snippet")
     }),
 
     "sample_stratified" -> ((s, dir) => {
@@ -912,11 +944,52 @@ object SparkEntry {
         .select("doc_id", "source")
     }),
 
+    "curate_quality_gate" -> ((s, dir) => {
+      // linear-classifier keep gate: fixed-weight score over the
+      // quality signal and normalized length, squashed by the algebraic
+      // sigmoid (engine-exact, no libm exp) — map-only scoring pass
+      val docs = t(s, dir, "documents")
+      val quality = TextFunctions.qualityScore(col("text"))
+      val lenNorm = least(
+        TextFunctions.tokenCount(col("text")).cast("double") / lit(256.0),
+        lit(1.0))
+      docs.select(col("doc_id"),
+          Curation.linearKeepProb(-1.4, quality -> 2.2, lenNorm -> 1.1)
+            .as("keep_prob"))
+        .withColumn("keep", col("keep_prob") >= 0.5)
+    }),
+
+    "curate_curriculum" -> ((s, dir) => {
+      // easy-to-hard training order without a global sort: 8 interleave
+      // shards each rank their own docs by token count; global position
+      // deals the shards round-robin
+      Curation.curriculumOrder(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id",
+        TextFunctions.tokenCount(col("text")).cast("long"), nShards = 8)
+        .select("doc_id", "shard", "shard_rank", "global_pos")
+    }),
+
+    "profile_key_skew" -> ((s, dir) =>
+      // join/agg planning diagnostic: per-key count distribution of the
+      // orders fact on its customer key — skew ratio decides salting,
+      // selfjoin_rows prices any within-key quadratic operator
+      Scale.keySkewProfile(t(s, dir, "orders"), "o_custkey")),
+
     // ---------- LLM-pipeline: similarity search ----------
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select("query_id", "rank", "neighbor_id")
+    }),
+
+    "sim_hard_negatives" -> ((s, dir) => {
+      // contrastive hard negatives: most-similar DIFFERENT-label
+      // neighbors per query — broadcast queries, one map-only corpus
+      // scan, label filter ahead of the dot product
+      val emb = t(s, dir, "embeddings")
+      Similarity.mineHardNegatives(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 5)
         .select("query_id", "rank", "neighbor_id")
     }),
 
@@ -1810,10 +1883,87 @@ object SparkEntry {
         |  CAST(strt - (strt // 2048) * 2048 AS BIGINT) AS pack_offset
         |FROM c""".stripMargin,
 
+    "pack_length_batches" ->
+      """WITH n0 AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(n_tokens // 16 AS BIGINT) AS bucket,
+        |    CAST(doc_id // 2000 AS BIGINT) AS shard
+        |  FROM n0),
+        |c AS (
+        |  SELECT doc_id, bucket, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY bucket, shard ORDER BY doc_id)
+        |      - n_tokens AS strt
+        |  FROM b)
+        |SELECT doc_id, bucket, shard, n_tokens,
+        |  CAST(strt // 512 AS BIGINT) AS batch_in_shard
+        |FROM c""".stripMargin,
+
     "training_mix" ->
       OracleSql.trainingMix(LangIdOracle, QualityOracle,
         minQuality = 0.5, enThreshold = 500000L,
         defaultThreshold = 900000L, budgetTokens = 2048, shardSize = 100),
+
+    "curate_quality_gate" ->
+      s"""WITH q AS ($QualityOracle),
+         |n AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+         |      AS n_tokens
+         |  FROM documents),
+         |z AS (
+         |  SELECT q.doc_id,
+         |    -1.4 + q.quality * 2.2 +
+         |      least(n.n_tokens / 256.0, 1.0) * 1.1 AS z
+         |  FROM q JOIN n USING (doc_id)),
+         |p AS (
+         |  SELECT doc_id,
+         |    round(CAST(CAST((0.5 + 0.5 * z / (1.0 + abs(z)))
+         |      AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS keep_prob
+         |  FROM z)
+         |SELECT doc_id, keep_prob, keep_prob >= 0.5 AS keep FROM p""".stripMargin,
+
+    "curate_curriculum" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
+        |      AS difficulty
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, difficulty,
+        |    CAST(row_number() OVER (PARTITION BY doc_id % 8
+        |      ORDER BY difficulty ASC, doc_id ASC) AS BIGINT) AS shard_rank
+        |  FROM n)
+        |SELECT doc_id, shard, shard_rank,
+        |  (shard_rank - 1) * 8 + shard AS global_pos
+        |FROM r""".stripMargin,
+
+    "profile_key_skew" ->
+      """WITH c AS (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+        |a AS (
+        |  SELECT count(*) AS n_keys, sum(cnt)::BIGINT AS n_rows,
+        |    max(cnt) AS max_cnt,
+        |    round(CAST(CAST(avg(cnt) AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE
+        |      AS mean_cnt,
+        |    round(CAST(CAST(quantile_cont(cnt, 0.5) AS VARCHAR)
+        |      AS DECIMAL(38,20)), 4)::DOUBLE AS p50_cnt,
+        |    round(CAST(CAST(quantile_cont(cnt, 0.99) AS VARCHAR)
+        |      AS DECIMAL(38,20)), 4)::DOUBLE AS p99_cnt,
+        |    sum(cnt * cnt)::BIGINT AS selfjoin_rows
+        |  FROM c)
+        |SELECT n_keys, n_rows, max_cnt, mean_cnt, p50_cnt, p99_cnt,
+        |  selfjoin_rows,
+        |  round(CAST(CAST((max_cnt / (n_rows::DOUBLE / n_keys))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS skew_ratio
+        |FROM a""".stripMargin,
 
     "window_range_frame" ->
       """WITH daily AS (
@@ -2109,6 +2259,9 @@ object SparkEntry {
     // ---------- generated oracles (see OracleSql): exact DuckDB
     // emulation of the xxhash64/LSH/IVF pipelines ----------
     "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, rowsPerBand = 2),
+
+    "dedup_containment" -> OracleSql.dedupContainment(
+      numHashes = 16, rowsPerBand = 2, minCont = 0.5),
     "dedup_incremental" ->
       OracleSql.dedupIncremental(numHashes = 16, rowsPerBand = 2),
     "approx_distinct_kmv" -> OracleSql.approxDistinctKmv(k = 256),
@@ -2135,6 +2288,34 @@ object SparkEntry {
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh(minCos = 0.4),
     "sim_quantized_topk" -> OracleSql.simQuantizedTopK(dim = 64, k = 5),
     "text_decontaminate" ->
-      OracleSql.textDecontaminate(shingleN = 4, evalMod = 13)
+      OracleSql.textDecontaminate(shingleN = 4, evalMod = 13),
+
+    "text_exact_decontaminate" ->
+      """WITH snips AS (
+        |  SELECT doc_id AS snip_id, substring(text, 11, 30) AS snippet
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |f AS (SELECT * FROM snips WHERE length(snippet) >= 20)
+        |SELECT d.doc_id, count(*) AS n_hits,
+        |  min(f.snip_id) AS first_snippet_id
+        |FROM documents d JOIN f ON position(f.snippet IN d.text) > 0
+        |WHERE d.doc_id % 29 <> 0
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec,
+        |                  label AS q_label
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec::DOUBLE[])
+        |      AS score
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.label <> q.q_label),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin
   )
 }

@@ -281,6 +281,61 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
       l: Expression, r: Expression): SortedArrayJaccard = copy(l, r)
 }
 
+/** Intersection size of two sorted long arrays (as produced by
+  * [[ShingleHashes]]) by the same linear merge as [[SortedArrayJaccard]].
+  * The shared numerator of Jaccard and the asymmetric containment
+  * measures: containment(A in B) = overlap / |A| catches near-SUBSET
+  * duplicates (a doc embedded whole in a longer one) that symmetric
+  * Jaccard under-scores by the length difference.
+  */
+case class SortedArrayOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_array_overlap"
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
+      s"""
+         |long[] $a = $l.toLongArray();
+         |long[] $b = $r.toLongArray();
+         |int $i = 0; int $j = 0; long $inter = 0L;
+         |while ($i < $a.length && $j < $b.length) {
+         |  if ($a[$i] == $b[$j]) { $inter++; $i++; $j++; }
+         |  else if ($a[$i] < $b[$j]) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    java.lang.Long.valueOf(inter)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedArrayOverlap = copy(l, r)
+}
+
 /** Cosine similarity of two float-vector columns, accumulated in double
   * left-to-right (deterministic). 0.0 when either norm is zero. One tight
   * primitive loop instead of three interpreted HOF folds.
@@ -418,6 +473,9 @@ object exprs {
 
   def sorted_array_jaccard(a: Column, b: Column): Column =
     column(SortedArrayJaccard(expression(a), expression(b)))
+
+  def sorted_array_overlap(a: Column, b: Column): Column =
+    column(SortedArrayOverlap(expression(a), expression(b)))
 
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))

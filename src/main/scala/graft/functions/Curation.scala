@@ -50,4 +50,53 @@ object Curation {
   def qualityOrd(quality: Column, id: Column): Column =
     round(quality * lit(10000)).cast("long") * lit(1L << 48) -
       id.cast("long")
+
+  /** Linear-model keep probability over per-doc signal columns — the
+    * shape of a fasttext-style quality classifier's scoring pass
+    * (features → weighted sum → squash → threshold), with fixed weights
+    * standing in for trained ones.
+    *
+    * The squash is the ALGEBRAIC sigmoid `0.5 + 0.5·z/(1+|z|)` rather
+    * than the logistic `1/(1+e^-z)`: same monotone s-shape and 0.5
+    * decision point at z=0, but built from +,×,÷,|·| only — every step
+    * IEEE-exact-rounded identically in any engine, where `exp` is
+    * libm-dependent and can differ in the last ulp (which a rounded
+    * hash-compare would surface as a phantom mismatch). Map-only,
+    * codegen'd, deterministic.
+    */
+  def linearKeepProb(bias: Double, terms: (Column, Double)*): Column = {
+    val z = terms.foldLeft(lit(bias): Column) {
+      case (acc, (c, w)) => acc + c * lit(w)
+    }
+    round(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)), 4)
+  }
+
+  /** Curriculum ordering: a global training order from easy to hard
+    * WITHOUT a global sort. Docs are hashed into `nShards` interleave
+    * shards (id mod nShards); each shard ranks its own docs by
+    * (difficulty asc, id asc); global position = (rank-1)·nShards +
+    * shard — shards deal their easiest-first cards round-robin, so the
+    * curriculum ramps globally while every window sort stays
+    * shard-local.
+    *
+    * Scale shape: one hash shuffle on shard + a per-shard window sort
+    * (each ~1/nShards of the data; raise nShards with the corpus).
+    * Within ±nShards positions the order equals the true global
+    * difficulty sort wherever shard difficulty distributions match —
+    * the standard trade for removing the single-task total-order
+    * window. Deterministic: pure integer/rounded-difficulty keys.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, difficulty: Column,
+                      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withShard = docs
+      .withColumn("difficulty", difficulty)
+      .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("long"))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("difficulty").asc, col(idCol).asc)
+    withShard
+      .withColumn("shard_rank", row_number().over(w).cast("long"))
+      .withColumn("global_pos",
+        (col("shard_rank") - 1) * nShards + col("shard"))
+  }
 }

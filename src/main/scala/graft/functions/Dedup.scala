@@ -225,6 +225,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-SUBSET duplicate pairs: containment of the smaller shingle set
+    * in the larger — `|A∩B| / min(|A|,|B|)` — over MinHash-LSH candidate
+    * pairs. Symmetric Jaccard under-scores a short doc embedded whole in
+    * a long one by the length ratio (a 100-shingle quote inside a
+    * 2000-shingle page has Jaccard ≈ 0.05 but containment 1.0); this is
+    * the standard screen for quote/excerpt/boilerplate-wrapped copies.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] — narrow
+    * (band, band_hash) candidate generation, distinct (id_a, id_b),
+    * shingle-hash sets joined back once keyed by id, and the
+    * intersection counted by the linear-merge native expression
+    * ([[graft.expressions.SortedArrayOverlap]]) — no per-pair array
+    * materialization beyond the two sorted sets.
+    *
+    * Recall caveat (documented, inherent): band agreement is driven by
+    * JACCARD, so a tiny-doc-in-huge-doc pair with high containment but
+    * Jaccard below the LSH threshold can be missed; catching those needs
+    * asymmetric candidate generation (e.g. banding the small side's full
+    * signature against prefix signatures of the large side). The common
+    * curation case — near-dup pages sharing most content plus chrome —
+    * sits in the high-Jaccard regime the bands do catch.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, minCont: Double = 0.6,
+                       numHashes: Int = 16,
+                       rowsPerBand: Int = 2): DataFrame = {
+    val cands = minHashCandidates(docs, idCol, textCol, shingleN,
+      numHashes, rowsPerBand).select("id_a", "id_b")
+    val sets = docs.select(col(idCol).as("doc_id"),
+      exprs.shingle_hashes(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("containment", round(
+        exprs.sorted_array_overlap(col("sh_a"), col("sh_b")).cast("double")
+          / least(size(col("sh_a")), size(col("sh_b"))), 4))
+      .filter(col("containment") >= minCont)
+      .select("id_a", "id_b", "containment")
+  }
+
   // ---------------- candidate pairs → clusters ----------------
 
   /** Connected components over a near-duplicate pair list: every vertex
@@ -414,6 +456,33 @@ object Dedup {
         Seq("sh"))
       .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
   }
+
+  /** Exact-substring decontamination: corpus docs that contain any eval
+    * snippet VERBATIM (the strictest leakage definition — shingle
+    * overlap ([[contaminationHits]]) catches paraphrase-adjacent overlap,
+    * substring match catches literal inclusion regardless of token
+    * boundaries). Output one row per contaminated doc with the hit count
+    * and the lowest matching snippet id.
+    *
+    * Scale shape: eval snippet sets are small (10³–10⁵ short strings);
+    * the snippet table is broadcast and the corpus scanned once —
+    * map-only + one narrow aggregate, no corpus shuffle. Per-row cost is
+    * `snippets × |text|` via `instr`; beyond ~10⁵ snippets the upgrade
+    * is a single Aho-Corasick automaton expression over the broadcast
+    * pattern set, which makes the scan cost independent of the snippet
+    * count.
+    */
+  def substringContamination(docs: DataFrame, idCol: String,
+                             textCol: String, snippets: DataFrame,
+                             snippetIdCol: String,
+                             snippetCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .crossJoin(broadcast(snippets.select(
+        col(snippetIdCol).as("__snip_id"), col(snippetCol).as("__snip"))))
+      .filter(instr(col("__text"), col("__snip")) > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("__snip_id")).as("first_snippet_id"))
 
   // ---------------- SimHash ----------------
 

@@ -39,4 +39,35 @@ object Packing {
       .withColumn("pack_offset",
         (start - col("pack_in_shard") * budgetTokens).cast("long"))
   }
+
+  /** Length-bucketed inference batching: group documents of similar
+    * token count (bucket = n_tokens / `bucketWidth`) and fill
+    * token-budget batches within each bucket — similar-length batching
+    * is what keeps padding waste low when serving variable-length
+    * sequences.
+    *
+    * Batching is budget-quantized like [[packForTraining]]: batch
+    * boundaries fall at cumulative-token multiples of `budgetTokens`
+    * within a (bucket, shard), so a batch may exceed the budget by at
+    * most its last document — deterministic pure-integer policy, no
+    * first-fit state.
+    *
+    * Scale shape: batches are (bucket, SHARD)-local — a per-bucket
+    * global cumsum would put each length bucket in one task; sharding
+    * by id range keeps the window partitions bounded at `shardSize`
+    * ids while staying deterministic. One hash shuffle, per-partition
+    * window cumsum, embarrassingly parallel.
+    */
+  def batchByLength(docs: DataFrame, idCol: String, tokenCount: Column,
+                    bucketWidth: Int, budgetTokens: Long,
+                    shardSize: Long): DataFrame = {
+    val withN = docs.withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("bucket", floor(col("n_tokens") / bucketWidth)
+        .cast("long"))
+      .withColumn("shard", floor(col(idCol) / shardSize).cast("long"))
+    val w = Window.partitionBy("bucket", "shard").orderBy(col(idCol))
+    val start = sum(col("n_tokens")).over(w) - col("n_tokens")
+    withN.withColumn("batch_in_shard",
+      floor(start / budgetTokens).cast("long"))
+  }
 }

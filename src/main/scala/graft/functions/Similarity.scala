@@ -63,6 +63,40 @@ object Similarity {
         round(col("score"), 4).as("score"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors with a DIFFERENT
+    * label — the "looks like a positive, isn't one" examples that make
+    * embedding models actually learn boundaries (random negatives are
+    * trivially separable).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the query set
+    * (with labels) is broadcast, the corpus scanned once map-only, and
+    * only the per-query top-k survivors reach the final (tiny) rank
+    * shuffle. The label filter runs BEFORE the cosine, so same-label
+    * rows never pay the dot product. For query sets too large to
+    * broadcast, generate candidates with [[lshTopK]]'s bucket join
+    * first and apply the label filter inside the bucket.
+    */
+  def mineHardNegatives(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("c_label"))
+      .crossJoin(q)
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("score", exprs.cosine_sim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a<b) pairs with cosine
     * above the threshold, over a bounded id range. Exact (no LSH) — the
     * oracle-checkable baseline; at corpus scale swap the cross join for

@@ -34,6 +34,35 @@ object Scale {
       .drop("__salt")
   }
 
+  /** Key-distribution diagnostic for join/agg planning: per-key counts
+    * reduced to one summary row — key cardinality, row total, the
+    * max/mean/percentile per-key counts, the skew ratio (max/mean, the
+    * "should this join be salted?" signal), and the exact self-join
+    * cardinality Σ cnt² (what a sessionization or pair-generation join
+    * on this key would produce — the number that decides whether a
+    * within-key quadratic operator is affordable).
+    *
+    * Scale shape: one map-side-combined hash aggregation to per-key
+    * counts (narrow: key + count), then a single-row global reduce over
+    * those counts. Percentiles run on the per-key COUNT frame (one row
+    * per distinct key), not the data — at 100 TB the count frame is the
+    * small derivative. All-integer except the rounded ratios, so the
+    * profile is engine-reproducible.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        round(avg(col("cnt")), 4).as("mean_cnt"),
+        round(percentile(col("cnt"), lit(0.5)), 4).as("p50_cnt"),
+        round(percentile(col("cnt"), lit(0.99)), 4).as("p99_cnt"),
+        sum(col("cnt") * col("cnt")).as("selfjoin_rows"))
+      .withColumn("skew_ratio",
+        round(col("max_cnt") / (col("n_rows").cast("double")
+          / col("n_keys")), 4))
+
   /** Write a frame bucketed by a join key so future joins on that key are
     * shuffle-free (bucket-local). Bucketing requires the table catalog
     * (`saveAsTable`), not a bare path.

@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expressions.exprs
+import graft.ops.Scale
+
+/** Round-4 pipeline operators: containment dedup, exact-substring
+  * decontamination, hard-negative mining, length-bucketed batching,
+  * key-skew profiling, linear quality gate, curriculum ordering.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def countExchanges(df: DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+
+  // ---------------- sorted_array_overlap / containment ----------------
+
+  test("sorted_array_overlap counts the intersection of sorted hash sets") {
+    val df = Seq(
+      ("a b c d e", "c d e f g"),  // 3-shingle sets overlap in 1 (c d e)
+      ("a b c", "a b c"),          // identical single-shingle sets
+      ("a b c", "x y z")           // disjoint
+    ).toDF("x", "y")
+    val got = df.select(
+      exprs.sorted_array_overlap(
+        exprs.shingle_hashes($"x", 3), exprs.shingle_hashes($"y", 3)))
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 1L, 0L))
+  }
+
+  test("containmentPairs scores an embedded excerpt 1.0 where jaccard is the length ratio") {
+    // doc 2 = the first 40 tokens of doc 1 (a verbatim excerpt); doc 3
+    // unrelated. High shingle overlap keeps the pair inside MinHash-LSH
+    // reach; containment must hit 1.0 while jaccard stays at ~40/60.
+    val full = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val excerpt = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (200 to 260).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, full), (2L, excerpt), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 3, minCont = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minSim = 0.1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(jac.nonEmpty && jac.head._3 < 0.7,
+      s"jaccard should under-score the excerpt pair, got $jac")
+  }
+
+  test("containmentPairs bucket join shuffles no array columns") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.ArrayType
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d")).toDF("doc_id", "text")
+    val plan = Dedup.containmentPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the candidate-generation exchanges (band join + distinct) must be
+    // narrow; only the post-distinct shingle-set re-join may carry arrays
+    val bandExchanges = plan.collect {
+      case e: Exchange if e.output.exists(_.name == "band") &&
+        e.output.exists(_.name == "band_hash") => e
+    }
+    assert(bandExchanges.nonEmpty,
+      s"expected the (band, band_hash) exchange:\n$plan")
+    bandExchanges.foreach { e =>
+      val wide = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(wide.isEmpty,
+        s"array columns cross the band exchange: ${wide.map(_.name)}")
+    }
+  }
+
+  // ---------------- exact-substring decontamination ----------------
+
+  test("substringContamination flags verbatim inclusion only") {
+    val docs = Seq(
+      (10L, "alpha beta SECRET EVAL SPAN gamma delta"),
+      (11L, "no leakage in this document at all"),
+      (12L, "prefix SECRET EVAL SPAN suffix")
+    ).toDF("doc_id", "text")
+    val snips = Seq((1L, "SECRET EVAL SPAN"), (2L, "absent pattern"))
+      .toDF("snip_id", "snippet")
+    val got = Dedup.substringContamination(docs, "doc_id", "text",
+      snips, "snip_id", "snippet")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L, 1L), (12L, 1L, 1L)))
+  }
+
+  test("substringContamination counts multiple snippet hits per doc") {
+    val docs = Seq((1L, "xx AAA yy BBB zz")).toDF("doc_id", "text")
+    val snips = Seq((7L, "AAA"), (8L, "BBB"), (9L, "CCC"))
+      .toDF("snip_id", "snippet")
+    val got = Dedup.substringContamination(docs, "doc_id", "text",
+      snips, "snip_id", "snippet")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 7L)))
+  }
+
+  // ---------------- hard-negative mining ----------------
+
+  test("mineHardNegatives never returns a same-label neighbor and ranks by cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),   // same label as 0 — must not appear
+      (2L, Array(0.8f, 0.2f), 1),   // closest different-label
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(-1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mineHardNegatives(vecs,
+      vecs.filter($"vec_id" === 0), "vec_id", "embedding", "label", k = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(got == Seq((1, 2L), (2, 3L)))
+  }
+
+  // ---------------- length-bucketed batching ----------------
+
+  test("batchByLength fills budget-quantized batches within (bucket, shard)") {
+    // 4 docs of 10 tokens in bucket 0 / shard 0 with budget 25:
+    // starts 0,10,20,30 → batches 0,0,0,1
+    val docs = (0L to 3L).map(i => (i, (1 to 10).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.batchByLength(docs, "doc_id",
+      TextFunctions.tokenCount($"text"), bucketWidth = 16,
+      budgetTokens = 25L, shardSize = 100L)
+      .select("doc_id", "batch_in_shard").as[(Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L)))
+  }
+
+  test("batchByLength is partition-independent and single-shuffle") {
+    val docs = (0L until 64L)
+      .map(i => (i, (1L to (i % 7 + 1)).mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(d: DataFrame) = Packing.batchByLength(d, "doc_id",
+      TextFunctions.tokenCount(col("text")), bucketWidth = 2,
+      budgetTokens = 8L, shardSize = 16L)
+      .select("doc_id", "bucket", "shard", "batch_in_shard")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(run(docs.repartition(1)) == run(docs.repartition(7)))
+    assert(countExchanges(
+      Packing.batchByLength(docs, "doc_id",
+        TextFunctions.tokenCount(col("text")), 2, 8L, 16L)) == 1)
+  }
+
+  // ---------------- key-skew profile ----------------
+
+  test("keySkewProfile reports exact distribution stats and self-join size") {
+    val df = (Seq.fill(4)("hot") ++ Seq("cold")).toDF("k")
+    val row = Scale.keySkewProfile(df, "k").collect().head
+    assert(row.getAs[Long]("n_keys") == 2L)
+    assert(row.getAs[Long]("n_rows") == 5L)
+    assert(row.getAs[Long]("max_cnt") == 4L)
+    assert(row.getAs[Double]("mean_cnt") == 2.5)
+    assert(row.getAs[Double]("p50_cnt") == 2.5)
+    assert(row.getAs[Long]("selfjoin_rows") == 17L)  // 16 + 1
+    assert(row.getAs[Double]("skew_ratio") == 1.6)   // 4 / 2.5
+  }
+
+  // ---------------- linear quality gate ----------------
+
+  test("linearKeepProb is 0.5 at z=0, monotone, and bounded in (0,1)") {
+    val df = Seq(-100.0, -1.0, 0.0, 1.0, 100.0).toDF("x")
+    val got = df.select(
+      Curation.linearKeepProb(0.0, col("x") -> 1.0).as("p"))
+      .as[Double].collect().toSeq
+    assert(got(2) == 0.5)
+    assert(got == got.sorted, s"not monotone: $got")
+    assert(got.forall(p => p > 0.0 && p < 1.0))
+    // weighted form: bias -1 + 2*0.5 = 0 → exactly 0.5
+    val p0 = Seq(0.5).toDF("q")
+      .select(Curation.linearKeepProb(-1.0, col("q") -> 2.0))
+      .as[Double].head()
+    assert(p0 == 0.5)
+  }
+
+  // ---------------- curriculum ordering ----------------
+
+  test("curriculumOrder interleaves shards easy-first with unique global positions") {
+    val docs = (0L until 40L).map(i => (i, (40L - i))).toDF("doc_id", "d")
+    val got = Curation.curriculumOrder(docs, "doc_id", col("d"), nShards = 4)
+      .select("doc_id", "shard", "shard_rank", "global_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // positions are a permutation of 0..39 by construction
+    assert(got.map(_._4).toSet == (0L until 40L).toSet)
+    // position mod nShards recovers the shard (round-robin deal)
+    assert(got.forall { case (_, sh, _, p) => p % 4 == sh })
+    // within a shard, difficulty never decreases along the ranks
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._3).map(r => 40L - r._1) // difficulty
+      assert(byRank == byRank.sorted)
+    }
+    // single shuffle: hash on shard + shard-local sort, no global sort
+    assert(countExchanges(Curation.curriculumOrder(
+      docs, "doc_id", col("d"), nShards = 4)) == 1)
+  }
+}
