@@ -13,6 +13,7 @@ import glob
 import json
 import math
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -27,13 +28,17 @@ def canon(df):
     return df
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     results = {}
+    times = {}
     for name in sorted(oracle):
+        t0 = time.time()
         sql = oracle[name]
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
@@ -77,6 +82,9 @@ def main(outdir, sfdir):
             except Exception as e:
                 mism.append(f"{c}: compare error {e}")
         results[name] = "OK" if not mism else "VALS: " + "; ".join(mism)
+        times[name] = time.time() - t0
+        print(f"[{'PASS' if results[name] == 'OK' else 'FAIL'}] {name}"
+              f"  ({times[name]:.1f}s)", flush=True)
     npass = sum(1 for v in results.values() if v == "OK")
     for name, v in results.items():
         mark = "PASS" if v == "OK" else "FAIL"
@@ -94,4 +102,5 @@ def main(outdir, sfdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))

@@ -749,6 +749,20 @@ object SparkEntry {
         "doc_id", "text", snips, "snip_id", "snippet")
     }),
 
+    "text_multipattern_scan" -> ((s, dir) => {
+      // the same screen as text_exact_decontaminate, at snippet-set
+      // scale: all snippets compiled into one Aho-Corasick automaton,
+      // one walk per doc — no nested-loop join, cost independent of the
+      // snippet count
+      val docs = t(s, dir, "documents")
+      val snips = docs.filter(col("doc_id") % 29 === 0)
+        .select(col("doc_id").as("snip_id"),
+          substring(col("text"), 11, 30).as("snippet"))
+        .filter(length(col("snippet")) >= 20)
+      Dedup.substringContaminationAC(docs.filter(col("doc_id") % 29 =!= 0),
+        "doc_id", "text", snips, "snip_id", "snippet")
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       // deterministic per-language training-mix sampling: en kept at
       // 25%, everything else at 75% — map-only, partition-independent.
@@ -2291,6 +2305,19 @@ object SparkEntry {
       OracleSql.textDecontaminate(shingleN = 4, evalMod = 13),
 
     "text_exact_decontaminate" ->
+      """WITH snips AS (
+        |  SELECT doc_id AS snip_id, substring(text, 11, 30) AS snippet
+        |  FROM documents WHERE doc_id % 29 = 0),
+        |f AS (SELECT * FROM snips WHERE length(snippet) >= 20)
+        |SELECT d.doc_id, count(*) AS n_hits,
+        |  min(f.snip_id) AS first_snippet_id
+        |FROM documents d JOIN f ON position(f.snippet IN d.text) > 0
+        |WHERE d.doc_id % 29 <> 0
+        |GROUP BY d.doc_id""".stripMargin,
+
+    // same oracle as text_exact_decontaminate by design: the automaton
+    // formulation is physically different, semantically identical
+    "text_multipattern_scan" ->
       """WITH snips AS (
         |  SELECT doc_id AS snip_id, substring(text, 11, 30) AS snippet
         |  FROM documents WHERE doc_id % 29 = 0),

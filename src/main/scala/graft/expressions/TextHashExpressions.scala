@@ -477,6 +477,10 @@ object exprs {
   def sorted_array_overlap(a: Column, b: Column): Column =
     column(SortedArrayOverlap(expression(a), expression(b)))
 
+  def multi_pattern_matches(text: Column,
+                            patterns: Array[String]): Column =
+    column(MultiPatternMatches(expression(text), patterns))
+
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
 

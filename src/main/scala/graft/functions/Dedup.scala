@@ -484,6 +484,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"),
         min(col("__snip_id")).as("first_snippet_id"))
 
+  /** [[substringContamination]] at pattern-set scale: the snippet set is
+    * collected once driver-side (it is the BROADCAST-SMALL side by
+    * definition — an eval set, not a corpus) and compiled into a single
+    * Aho–Corasick automaton ([[graft.expressions.MultiPatternMatches]])
+    * that rides the plan as a codegen reference object. One automaton
+    * walk per document finds every snippet simultaneously — scan cost
+    * O(|text|), independent of the snippet count, where the `instr`
+    * join formulation pays O(|text| · snippets) per doc and plans as a
+    * nested-loop join. Map-only except the tiny broadcast idx→id map
+    * join for the reported snippet id.
+    *
+    * Output schema and semantics are identical to
+    * [[substringContamination]] (the spec asserts row-for-row equality)
+    * — this is the same operator with the physical plan you would want
+    * at 10⁵ snippets.
+    */
+  def substringContaminationAC(docs: DataFrame, idCol: String,
+                               textCol: String, snippets: DataFrame,
+                               snippetIdCol: String,
+                               snippetCol: String): DataFrame = {
+    val rows = snippets
+      .select(col(snippetIdCol).cast("long"), col(snippetCol).cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val patterns = rows.map(_._2)
+    val m = exprs.multi_pattern_matches(col(textCol), patterns)
+    val hits = docs
+      .select(col(idCol).as("doc_id"), m.as("__m"))
+      .filter(size(col("__m")) > 0)
+      // indices ascending + patterns sorted by snippet id ⇒ element 0
+      // maps to the lowest matching snippet id
+      .select(col("doc_id"), size(col("__m")).cast("long").as("n_hits"),
+        col("__m")(0).as("__first_idx"))
+    val session = docs.sparkSession
+    import session.implicits._
+    val idMap = rows.map(_._1).zipWithIndex
+      .map { case (id, i) => (i, id) }.toSeq
+      .toDF("__first_idx", "first_snippet_id")
+    hits.join(broadcast(idMap), Seq("__first_idx"))
+      .select("doc_id", "n_hits", "first_snippet_id")
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by

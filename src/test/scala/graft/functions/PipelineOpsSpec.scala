@@ -103,6 +103,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 7L)))
   }
 
+  test("aho-corasick matches overlapping/suffix patterns (classic he/she/his/hers)") {
+    val pats = Array("he", "she", "his", "hers")
+    val df = Seq("ushers", "this", "hah", "shehe").toDF("t")
+    val got = df.select(
+      exprs.multi_pattern_matches($"t", pats)).as[Seq[Int]]
+      .collect().toSeq
+    // ushers: she(1) he(0) hers(3); this: his(2); hah: none;
+    // shehe: she(1) he(0)
+    assert(got == Seq(Seq(0, 1, 3), Seq(2), Seq(), Seq(0, 1)))
+  }
+
+  test("aho-corasick handles match at start/end and duplicate patterns") {
+    val pats = Array("abc", "cde", "abc")
+    val df = Seq("abcde", "xxabc", "ab").toDF("t")
+    val got = df.select(
+      exprs.multi_pattern_matches($"t", pats)).as[Seq[Int]]
+      .collect().toSeq
+    assert(got == Seq(Seq(0, 1, 2), Seq(0, 2), Seq()))
+  }
+
+  test("substringContaminationAC equals the instr formulation, with no nested-loop join") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"doc $i body " +
+        (if (i % 7 == 0) "LEAK-A marker " else "") +
+        (if (i % 11 == 0) "LEAK-B marker " else "") + "tail"))
+      .toDF("doc_id", "text")
+    val snips = Seq((100L, "LEAK-A marker"), (200L, "LEAK-B marker"),
+      (300L, "never present")).toDF("snip_id", "snippet")
+    val viaInstr = Dedup.substringContamination(
+      docs, "doc_id", "text", snips, "snip_id", "snippet")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaAc = Dedup.substringContaminationAC(
+      docs, "doc_id", "text", snips, "snip_id", "snippet")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaAc == viaInstr)
+    assert(viaAc.nonEmpty)
+    val plan = Dedup.substringContaminationAC(
+      docs, "doc_id", "text", snips, "snip_id", "snippet")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"AC scan should not plan a nested-loop join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "AC scan should be map-only (broadcast idx map join, no shuffle)")
+  }
+
   // ---------------- hard-negative mining ----------------
 
   test("mineHardNegatives never returns a same-label neighbor and ranks by cosine") {
