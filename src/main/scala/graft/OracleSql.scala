@@ -283,6 +283,41 @@ object OracleSql {
        |SELECT id_a, id_b, containment FROM ct
        |WHERE containment >= $minCont""".stripMargin
 
+  /** Oracle for `text_cdc_chunks`: the same token-hash chain (`tokh`),
+    * boundary rule `thu % 2^maskBits == 0` (u64 low bits == the
+    * engine's two's-complement bitwise-AND), prefix-sum chunk index,
+    * and md5 over the 1-based token slice.
+    */
+  def textCdcChunks(maskBits: Int = 4): String = {
+    val mod = 1L << maskBits
+    s"""WITH ${tokenHashCtes()},
+       |bnd AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN (thu % $mod) = 0 THEN 1 ELSE 0 END AS f
+       |  FROM tokh),
+       |cix AS (
+       |  SELECT doc_id, i,
+       |    coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS chunk_idx
+       |  FROM bnd),
+       |g AS (
+       |  SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       |    min(i)::BIGINT AS start_tok, count(*)::BIGINT AS n_toks
+       |  FROM cix GROUP BY 1, 2),
+       |d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END
+       |      AS toks
+       |  FROM documents)
+       |SELECT g.doc_id, g.chunk_idx, g.start_tok, g.n_toks,
+       |  md5(array_to_string(
+       |    d.toks[g.start_tok : g.start_tok + g.n_toks - 1], ' '))
+       |    AS fingerprint
+       |FROM g JOIN d USING (doc_id)""".stripMargin
+  }
+
   /** Oracle for `approx_distinct_kmv`: the KMV estimate is reproduced
     * EXACTLY — XXH64.hashLong(l_orderkey, 42) via the HUGEINT chain,
     * distinct hashes ranked unsigned-ascending per group, estimate

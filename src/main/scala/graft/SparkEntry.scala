@@ -749,6 +749,21 @@ object SparkEntry {
         "doc_id", "text", snips, "snip_id", "snippet")
     }),
 
+    "text_cdc_chunks" -> ((s, dir) => {
+      // shift-robust chunking: boundaries where the token hash has 4
+      // low zero bits (expected 16-token chunks) — an edit re-chunks
+      // only its neighborhood, so shared-chunk fingerprints survive
+      // prefix insertions that break fixed-stride chunking
+      Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+        maskBits = 4)
+    }),
+
+    "text_rarity" -> ((s, dir) => {
+      // IDF-flavored rarity without ln: integer df sums, one division —
+      // bit-reproducible under any aggregation order
+      TextFunctions.tokenRarity(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     "text_multipattern_scan" -> ((s, dir) => {
       // the same screen as text_exact_decontaminate, at snippet-set
       // scale: all snippets compiled into one Aho-Corasick automaton,
@@ -2314,6 +2329,26 @@ object SparkEntry {
         |FROM documents d JOIN f ON position(f.snippet IN d.text) > 0
         |WHERE d.doc_id % 29 <> 0
         |GROUP BY d.doc_id""".stripMargin,
+
+    "text_cdc_chunks" -> OracleSql.textCdcChunks(maskBits = 4),
+
+    "text_rarity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END))
+        |    AS tok
+        |  FROM documents),
+        |dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |a AS (
+        |  SELECT t.doc_id, sum(d.df)::BIGINT AS sum_df,
+        |    count(*) AS n_distinct
+        |  FROM tk t JOIN dfq d USING (tok) GROUP BY 1)
+        |SELECT doc_id, n_distinct,
+        |  round(CAST(CAST((1.0 - sum_df / (n_distinct * n_docs))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS rarity
+        |FROM a, n""".stripMargin,
 
     // same oracle as text_exact_decontaminate by design: the automaton
     // formulation is physically different, semantically identical

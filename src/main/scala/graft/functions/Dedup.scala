@@ -527,6 +527,48 @@ object Dedup {
       .select("doc_id", "n_hits", "first_snippet_id")
   }
 
+  /** Content-defined chunking: chunk boundaries where the TOKEN's
+    * xxhash64 has `maskBits` low zero bits — boundaries depend only on
+    * local content, so an insertion or deletion re-chunks ONLY its own
+    * neighborhood (fixed-stride chunking, cf. the boilerplate detector,
+    * shifts every later chunk and misses all downstream matches). The
+    * expected chunk length is `2^maskBits` tokens; fingerprints are md5
+    * of the chunk's token span — shared chunks across documents survive
+    * arbitrary prefix edits.
+    *
+    * Scale shape: the per-doc window and chunk aggregation run on
+    * narrow (doc_id, position, hash) rows; the token arrays are joined
+    * back once per doc for fingerprinting. Window partitions are
+    * per-document — bounded by document length, not corpus size.
+    * Output positions are 1-based token indices.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                maskBits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mask = (1L << maskBits) - 1
+    val th = docs.select(col(idCol).as("doc_id"),
+        posexplode(transform(tokens(col(textCol)), t => xxhash64(t)))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("i"), col("h"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = th
+      .withColumn("f",
+        when(col("h").bitwiseAND(mask) === 0, 1).otherwise(0))
+      .withColumn("chunk_idx",
+        coalesce(sum(col("f")).over(w), lit(0)).cast("long"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(min("i").as("start_tok"), count(lit(1)).as("n_toks"))
+    val texts = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__toks"))
+    chunks.join(texts, Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        col("n_toks"),
+        md5(array_join(slice(col("__toks"), col("start_tok").cast("int"),
+          col("n_toks").cast("int")), " ")).as("fingerprint"))
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by

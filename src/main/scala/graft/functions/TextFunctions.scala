@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -122,5 +122,37 @@ object TextFunctions {
     val phone = regexp_replace(ip,
       "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>")
     regexp_replace(phone, "\\b\\d{6,}\\b", "<NUM>")
+  }
+
+  /** Corpus-level token-rarity score per document: the mean document
+    * frequency of the doc's distinct tokens, inverted —
+    * `1 - Σ df(tok) / (|distinct toks| · n_docs)` ∈ [0, 1). High means
+    * the doc is made of tokens few other documents use (specialist or
+    * noisy content), low means common vocabulary — an IDF-flavored
+    * curation signal WITHOUT `ln`: sums stay in exact integer
+    * arithmetic, with exactly one double division at the end, so the
+    * score is bit-reproducible in any engine regardless of aggregation
+    * order (a mean of per-token `log(n/df)` doubles would not be).
+    *
+    * Scale shape: the document-frequency frame is vocabulary-sized (one
+    * narrow row per distinct token), built with one map-side-combined
+    * aggregation; the per-doc reduce joins tokens to it on the token
+    * key and sums integers. The corpus count rides in as a one-row
+    * broadcast.
+    */
+  def tokenRarity(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Dedup.tokens(col(textCol)))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    toks.join(dfreq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum("df").as("sum_df"), count(lit(1)).as("n_distinct"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_distinct"),
+        round(lit(1.0) -
+          col("sum_df") / (col("n_distinct") * col("n_docs")), 4)
+          .as("rarity"))
   }
 }

@@ -148,6 +148,54 @@ class PipelineOpsSpec extends SparkSpec {
       "AC scan should be map-only (broadcast idx map join, no shuffle)")
   }
 
+  // ---------------- content-defined chunking ----------------
+
+  test("cdcChunks covers every token exactly once, in order") {
+    val docs = Seq((1L, (1 to 100).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(docs, "doc_id", "text", maskBits = 3)
+      .select("chunk_idx", "start_tok", "n_toks")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.head._2 == 1L)
+    // chunks tile the token range: each starts where the previous ended
+    got.sliding(2).foreach {
+      case Seq((_, s1, n1), (_, s2, _)) => assert(s2 == s1 + n1)
+      case _ =>
+    }
+    assert(got.map(_._3).sum == 100L)
+  }
+
+  test("cdcChunks is shift-robust: a prefix edit preserves downstream fingerprints") {
+    val body = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, "inserted prefix words " + body))
+      .toDF("doc_id", "text")
+    val fps = Dedup.cdcChunks(docs, "doc_id", "text", maskBits = 3)
+      .select("doc_id", "fingerprint").as[(Long, String)].collect()
+    val a = fps.filter(_._1 == 1L).map(_._2).toSet
+    val b = fps.filter(_._1 == 2L).map(_._2).toSet
+    val shared = a.intersect(b).size
+    // all but the first chunk (perturbed by the prefix) should re-align
+    assert(shared >= a.size - 2,
+      s"expected near-total fingerprint overlap, got $shared of ${a.size}")
+  }
+
+  // ---------------- token rarity ----------------
+
+  test("tokenRarity: ubiquitous tokens → 0, unique vocabulary → high") {
+    val docs = Seq(
+      (1L, "common common words"),
+      (2L, "common words here"),
+      (3L, "common words also"),
+      (4L, "zq1 zq2 zq3")
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.tokenRarity(docs, "doc_id", "text")
+      .select("doc_id", "rarity").as[(Long, Double)].collect().toMap
+    // doc 4: 3 unique tokens, df 1 each → 1 - 3/(3*4) = 0.75
+    assert(got(4L) == 0.75)
+    // docs of corpus-wide tokens score much lower
+    assert(got(1L) < 0.5 && got(4L) > got(1L))
+  }
+
   // ---------------- hard-negative mining ----------------
 
   test("mineHardNegatives never returns a same-label neighbor and ranks by cosine") {
