@@ -727,14 +727,15 @@ object OracleSql {
   /** xxhash64(doc_id) for every document as chained CTEs:
     * hashed(doc_id, hv) with hv signed — the sampling gate's hash.
     */
-  private def idHashCtes(): String = {
-    val unsId = s"(CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + $M " +
-      "ELSE doc_id::HUGEINT END)"
+  private def idHashCtes(table: String = "documents",
+                         idCol: String = "doc_id"): String = {
+    val unsId = s"(CASE WHEN $idCol < 0 THEN $idCol::HUGEINT + $M " +
+      s"ELSE $idCol::HUGEINT END)"
     val ch = new Chain("ih",
-      s"SELECT doc_id, $unsId AS idu FROM documents")
+      s"SELECT $idCol, $unsId AS idu FROM $table")
     val h = hashLong(ch, "idu", "42::HUGEINT", "g")
     ch.add("hv", sig(h))
-    ch.render + s",\nhashed AS (SELECT doc_id, hv FROM ${ch.last})"
+    ch.render + s",\nhashed AS (SELECT $idCol, hv FROM ${ch.last})"
   }
 
   /** Oracle for `sample_stratified`: the deterministic hash gate
@@ -751,6 +752,38 @@ object OracleSql {
        |FROM hashed h JOIN lang l ON l.doc_id = h.doc_id
        |WHERE ((h.hv % 1000000) + 1000000) % 1000000 <
        |  CASE WHEN l.lang_pred = 'en' THEN $enThreshold ELSE $defaultThreshold END""".stripMargin
+
+  /** Oracle for `sample_quality_weighted`: the weighted Bernoulli gate —
+    * keep iff `xxhash64(doc_id) pmod 1e6 < floor(quality·1e6)`, with the
+    * quality score from the shared quality oracle (`qualitySql` reused
+    * verbatim so both queries share one definition of the weight).
+    */
+  def sampleQualityWeighted(qualitySql: String): String =
+    s"""WITH q AS ($qualitySql),
+       |${idHashCtes()}
+       |SELECT h.doc_id, d.source
+       |FROM hashed h
+       |JOIN q ON q.doc_id = h.doc_id
+       |JOIN documents d ON d.doc_id = h.doc_id
+       |WHERE ((h.hv % 1000000) + 1000000) % 1000000 <
+       |  CAST(floor(q.quality * 1000000) AS BIGINT)""".stripMargin
+
+  /** Oracle for `curate_cluster_quota`: the adaptive k-means assignment
+    * (same CTEs as `cluster_kmeans`) with at most `quota` members kept
+    * per cluster by xxhash64(vec_id) DESCENDING — the same top-k-by-hash
+    * winner set the bounded aggregate produces.
+    */
+  def curateClusterQuota(targetClusterSize: Int = 256, minK: Int = 8,
+                         iters: Int = 3, dim: Int = 64,
+                         quota: Int = 16): String =
+    s"""WITH ${kmeansCtes(adaptiveKSql(targetClusterSize, minK), iters, dim)},
+       |${idHashCtes("embeddings", "vec_id")},
+       |r AS (
+       |  SELECT f.vec_id, f.cluster,
+       |    row_number() OVER (PARTITION BY f.cluster
+       |      ORDER BY h.hv DESC, f.vec_id ASC) AS rn
+       |  FROM fin f JOIN hashed h ON h.vec_id = f.vec_id)
+       |SELECT vec_id, cluster FROM r WHERE rn <= $quota""".stripMargin
 
   /** Oracle for `sample_temperature`: per-source counts → temperature
     * keep-thresholds `floor(1e6 * sqrt(n_min/n))` (alpha = 0.5; `sqrt`

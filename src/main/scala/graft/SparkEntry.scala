@@ -764,6 +764,27 @@ object SparkEntry {
       TextFunctions.tokenRarity(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    "sample_quality_weighted" -> ((s, dir) => {
+      // quality-proportional keep: each doc survives with probability
+      // equal to its (rounded, deterministic) quality score — one
+      // map-only hash-gated pass, monotone in the score
+      val docs = t(s, dir, "documents")
+      Sampling.sampleWeighted(docs, "doc_id",
+        TextFunctions.qualityScore(col("text")))
+        .select("doc_id", "source")
+    }),
+
+    "curate_cluster_quota" -> ((s, dir) => {
+      // semantic-diversity pruning: at most 16 members per k-means
+      // cluster, chosen by deterministic id-hash — winner ids from the
+      // bounded top-k aggregate, never a window sort
+      val emb = t(s, dir, "embeddings")
+      val assigned = Clustering.kmeansAssignAdaptive(emb, "vec_id",
+        "embedding", iters = 3, targetClusterSize = 256, minK = 8)
+        .select("vec_id", "cluster")
+      Clustering.clusterQuota(assigned, "vec_id", "cluster", k = 16)
+    }),
+
     "text_multipattern_scan" -> ((s, dir) => {
       // the same screen as text_exact_decontaminate, at snippet-set
       // scale: all snippets compiled into one Aho-Corasick automaton,
@@ -1010,6 +1031,16 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 8)
       Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
         .select("query_id", "rank", "neighbor_id")
+    }),
+
+    "sim_diverse_topk" -> ((s, dir) => {
+      // label-diversified retrieval: at most 2 results per label, then
+      // top-5 by score — quota-based MMR-lite over the broadcast-query
+      // map-only scan
+      val emb = t(s, dir, "embeddings")
+      Similarity.diverseTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 5, perLabel = 2)
+        .select("query_id", "rank", "neighbor_id", "label")
     }),
 
     "sim_hard_negatives" -> ((s, dir) => {
@@ -2362,6 +2393,33 @@ object SparkEntry {
         |FROM documents d JOIN f ON position(f.snippet IN d.text) > 0
         |WHERE d.doc_id % 29 <> 0
         |GROUP BY d.doc_id""".stripMargin,
+
+    "sample_quality_weighted" ->
+      OracleSql.sampleQualityWeighted(QualityOracle),
+
+    "curate_cluster_quota" -> OracleSql.curateClusterQuota(
+      targetClusterSize = 256, minK = 8, iters = 3, dim = 64, quota = 16),
+
+    "sim_diverse_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec::DOUBLE[])
+        |      AS score
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.query_id),
+        |lr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id, label
+        |    ORDER BY score DESC, neighbor_id ASC) AS label_rank
+        |  FROM scored),
+        |r AS (
+        |  SELECT query_id, neighbor_id, label,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM lr WHERE label_rank <= 2)
+        |SELECT query_id, rank, neighbor_id, label FROM r
+        |WHERE rank <= 5""".stripMargin,
 
     "sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec,

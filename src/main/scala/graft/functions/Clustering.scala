@@ -146,4 +146,22 @@ object Clustering {
       .agg(min("id_a").as("dup_of"),
         count(lit(1)).as("n_witnesses"))
   }
+
+  /** Semantic-diversity quota: at most `k` members per cluster, chosen
+    * by deterministic id-hash order — an unbiased, reproducible
+    * within-cluster subsample ("keep a representative slice of every
+    * semantic neighborhood" corpus pruning, the coverage-preserving
+    * complement of [[semanticDedup]]'s redundancy pruning).
+    *
+    * Winner selection rides [[Curation.capPerGroup]]'s bounded top-k
+    * aggregate — map-side partials reduce each partition to ≤k ids per
+    * cluster before the shuffle; never a full window sort. The hash
+    * ordering key is unique for practical purposes (a 64-bit collision
+    * WITHIN one cluster would make that one pair's tie arrival-order
+    * dependent — odds ~n²/2⁶⁵ per cluster).
+    */
+  def clusterQuota(assigned: DataFrame, idCol: String,
+                   clusterCol: String, k: Int): DataFrame =
+    Curation.capPerGroup(assigned, clusterCol, idCol,
+      ord = xxhash64(col(idCol)), k = k)
 }

@@ -64,6 +64,23 @@ object Sampling {
     }
   }
 
+  /** Deterministic WEIGHTED Bernoulli keep: each row survives with
+    * probability `weight` (its own column value in [0,1]) under the same
+    * id-hash gate as [[sample]] — keep iff
+    * `xxhash64(id) pmod 1e6 < floor(weight·1e6)`. The quality-weighted
+    * mixing rule ("keep good documents proportionally more") as one
+    * map-only, shuffle-free, partition-independent pass; monotone in the
+    * weight, so raising a doc's score can only keep it.
+    *
+    * `weight` must itself be engine-deterministic (e.g. a
+    * 4-decimal-rounded quality score) for the kept set to be
+    * reproducible and oracle-checkable.
+    */
+  def sampleWeighted(df: DataFrame, idCol: String,
+                     weight: Column): DataFrame =
+    df.filter(pmod(xxhash64(col(idCol)), lit(Scale)) <
+      floor(weight * lit(Scale)).cast("long"))
+
   /** Per-group keep-thresholds for [[sampleTemperature]]: groups sized
     * `n_g` get threshold `floor(1e6 * (n_min / n_g)^(1-alpha))` — the
     * subsample-only realization of temperature flattening (the smallest

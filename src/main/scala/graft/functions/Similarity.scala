@@ -97,6 +97,41 @@ object Similarity {
         round(col("score"), 4).as("score"))
   }
 
+  /** Label-diversified top-k: per query, at most `perLabel` results from
+    * any one label, ranked by cosine — the cheap deterministic cousin of
+    * MMR reranking (diversity enforced by a category quota instead of
+    * pairwise similarity), for retrieval mixes and negative pools that
+    * must not be dominated by one cluster/domain.
+    *
+    * Scale shape: [[bruteForceTopK]]'s broadcast-queries map-only scan,
+    * plus one extra narrow window (query, label) for the quota before
+    * the per-query rank. Both windows partition on the (small) query
+    * key — the scored-candidate frame, not the corpus, is what sorts.
+    */
+  def diverseTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int,
+                  perLabel: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("label"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", exprs.cosine_sim(col("q_vec"), col("c_vec")))
+    val wl = Window.partitionBy("query_id", "label")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("label_rank", row_number().over(wl))
+      .filter(col("label_rank") <= perLabel)
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label"), round(col("score"), 4).as("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a<b) pairs with cosine
     * above the threshold, over a bounded id range. Exact (no LSH) — the
     * oracle-checkable baseline; at corpus scale swap the cross join for

@@ -243,6 +243,60 @@ class PipelineOpsSpec extends SparkSpec {
         TextFunctions.tokenCount(col("text")), 2, 8L, 16L)) == 1)
   }
 
+  // ---------------- weighted sampling ----------------
+
+  test("sampleWeighted keep rate tracks the weight and is monotone in it") {
+    val df = (0L until 4000L).toDF("id")
+    def kept(w: Double) = Sampling.sampleWeighted(df, "id", lit(w))
+      .count().toDouble / 4000
+    assert(kept(0.0) == 0.0)
+    assert(kept(1.0) == 1.0)
+    val half = kept(0.5)
+    assert(half > 0.45 && half < 0.55, s"got $half")
+    // monotone: rows kept at 0.3 stay kept at 0.6
+    val ids30 = Sampling.sampleWeighted(df, "id", lit(0.3))
+      .as[Long].collect().toSet
+    val ids60 = Sampling.sampleWeighted(df, "id", lit(0.6))
+      .as[Long].collect().toSet
+    assert(ids30.subsetOf(ids60))
+  }
+
+  // ---------------- cluster quota ----------------
+
+  test("clusterQuota caps every cluster at k with a deterministic winner set") {
+    val rows = (0L until 300L).map(i => (i, i % 3)).toDF("id", "cluster")
+    val got = Clustering.clusterQuota(rows, "id", "cluster", k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.keySet == Set(0L, 1L, 2L))
+    assert(byCluster.values.forall(_.size == 10))
+    // winners are the 10 highest xxhash64(id) per cluster — re-run equal
+    val again = Clustering.clusterQuota(rows.repartition(7), "id",
+      "cluster", k = 10).as[(Long, Long)].collect().toSeq
+    assert(got.toSet == again.toSet)
+  }
+
+  // ---------------- diversified top-k ----------------
+
+  test("diverseTopK enforces the per-label quota then ranks by score") {
+    // query 0; labels: 1 has three very close vectors, 2 has one far
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 9),
+      (1L, Array(0.99f, 0.1f), 1),
+      (2L, Array(0.98f, 0.12f), 1),
+      (3L, Array(0.97f, 0.14f), 1),   // third label-1 — must be cut
+      (4L, Array(0.5f, 0.8f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.diverseTopK(vecs,
+      vecs.filter($"vec_id" === 0), "vec_id", "embedding", "label",
+      k = 3, perLabel = 2)
+      .select("rank", "neighbor_id", "label")
+      .as[(Int, Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._2) == Seq(1L, 2L, 4L),
+      s"expected label quota to cut vec 3, got $got")
+    assert(got.count(_._3 == 1) == 2)
+  }
+
   // ---------------- key-skew profile ----------------
 
   test("keySkewProfile reports exact distribution stats and self-join size") {
