@@ -785,6 +785,35 @@ object OracleSql {
        |  FROM fin f JOIN hashed h ON h.vec_id = f.vec_id)
        |SELECT vec_id, cluster FROM r WHERE rn <= $quota""".stripMargin
 
+  /** Oracle for `training_mix_semantic`: the composed embedding-side
+    * mix — `semSql` (the dedup_semantic oracle) names the dropped
+    * vec_ids, `gateSql` (the curate_quality_gate oracle) supplies
+    * keep_prob, and the survivors pack with the same shard-local cumsum
+    * as `pack_training`.
+    */
+  def trainingMixSemantic(semSql: String, gateSql: String,
+                          budgetTokens: Long, shardSize: Long): String =
+    s"""WITH sem AS ($semSql),
+       |gate AS ($gateSql),
+       |keepd AS (
+       |  SELECT d.doc_id, g.keep_prob,
+       |    CAST(len(regexp_extract_all(d.text,
+       |      '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+       |    CAST(d.doc_id // $shardSize AS BIGINT) AS shard
+       |  FROM documents d JOIN gate g ON g.doc_id = d.doc_id
+       |  WHERE g.keep_prob >= 0.5
+       |    AND d.doc_id NOT IN (SELECT vec_id FROM sem)),
+       |c AS (
+       |  SELECT doc_id, keep_prob, n_tokens, shard,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+       |      - n_tokens AS strt
+       |  FROM keepd)
+       |SELECT doc_id, keep_prob, n_tokens, shard,
+       |  CAST(strt // $budgetTokens AS BIGINT) AS pack_in_shard,
+       |  CAST(strt - (strt // $budgetTokens) * $budgetTokens AS BIGINT)
+       |    AS pack_offset
+       |FROM c""".stripMargin
+
   /** Oracle for `sample_temperature`: per-source counts → temperature
     * keep-thresholds `floor(1e6 * sqrt(n_min/n))` (alpha = 0.5; `sqrt`
     * is correctly rounded under IEEE 754 in both engines, so the

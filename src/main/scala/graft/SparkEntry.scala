@@ -691,6 +691,32 @@ object SparkEntry {
           "pack_offset")
     }),
 
+    "training_mix_semantic" -> ((s, dir) => {
+      // the embedding-side training mix, end to end: within-cluster
+      // semantic near-dups dropped, the linear quality gate, shard-
+      // local context-window packing — each stage independently
+      // oracle-verified, composed here (the vector twin of training_mix)
+      val docs = t(s, dir, "documents")
+      val drops = Clustering.semanticDedupAdaptive(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        iters = 3, minCos = 0.4, targetClusterSize = 256, minK = 8)
+        .select(col("vec_id").as("doc_id"))
+      val quality = TextFunctions.qualityScore(col("text"))
+      val lenNorm = least(
+        TextFunctions.tokenCount(col("text")).cast("double") / lit(256.0),
+        lit(1.0))
+      val gated = docs.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text"),
+          Curation.linearKeepProb(-1.4, quality -> 2.2, lenNorm -> 1.1)
+            .as("keep_prob"))
+        .filter(col("keep_prob") >= 0.5)
+      Packing.packForTraining(gated, "doc_id",
+        TextFunctions.subwordCount(col("text")),
+        budgetTokens = 2048, shardSize = 100)
+        .select("doc_id", "keep_prob", "n_tokens", "shard",
+          "pack_in_shard", "pack_offset")
+    }),
+
     "pack_length_batches" -> ((s, dir) => {
       // length-bucketed inference batching: similar-length docs fill
       // 512-token batches within (16-token-wide bucket, 2000-id shard)
@@ -1472,6 +1498,30 @@ object SparkEntry {
       |  ) AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS quality
       |FROM documents""".stripMargin
 
+  /** curate_quality_gate oracle, shared with training_mix_semantic (the
+    * composed mix must gate with the same probabilities the standalone
+    * query verifies).
+    */
+  private lazy val QualityGateOracle: String =
+    s"""WITH q AS ($QualityOracle),
+       |n AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN length(trim(text)) = 0 THEN 0
+       |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+       |      AS n_tokens
+       |  FROM documents),
+       |z AS (
+       |  SELECT q.doc_id,
+       |    -1.4 + q.quality * 2.2 +
+       |      least(n.n_tokens / 256.0, 1.0) * 1.1 AS z
+       |  FROM q JOIN n USING (doc_id)),
+       |p AS (
+       |  SELECT doc_id,
+       |    round(CAST(CAST((0.5 + 0.5 * z / (1.0 + abs(z)))
+       |      AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS keep_prob
+       |  FROM z)
+       |SELECT doc_id, keep_prob, keep_prob >= 0.5 AS keep FROM p""".stripMargin
+
   /** text_langid oracle, shared with sample_stratified (the
     * sampling strata must agree with the verified language-ID).
     */
@@ -1969,25 +2019,13 @@ object SparkEntry {
         minQuality = 0.5, enThreshold = 500000L,
         defaultThreshold = 900000L, budgetTokens = 2048, shardSize = 100),
 
-    "curate_quality_gate" ->
-      s"""WITH q AS ($QualityOracle),
-         |n AS (
-         |  SELECT doc_id,
-         |    (CASE WHEN length(trim(text)) = 0 THEN 0
-         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
-         |      AS n_tokens
-         |  FROM documents),
-         |z AS (
-         |  SELECT q.doc_id,
-         |    -1.4 + q.quality * 2.2 +
-         |      least(n.n_tokens / 256.0, 1.0) * 1.1 AS z
-         |  FROM q JOIN n USING (doc_id)),
-         |p AS (
-         |  SELECT doc_id,
-         |    round(CAST(CAST((0.5 + 0.5 * z / (1.0 + abs(z)))
-         |      AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS keep_prob
-         |  FROM z)
-         |SELECT doc_id, keep_prob, keep_prob >= 0.5 AS keep FROM p""".stripMargin,
+    "training_mix_semantic" ->
+      OracleSql.trainingMixSemantic(
+        OracleSql.dedupSemantic(targetClusterSize = 256, minK = 8,
+          iters = 3, dim = 64, minCos = 0.4),
+        QualityGateOracle, budgetTokens = 2048, shardSize = 100),
+
+    "curate_quality_gate" -> QualityGateOracle,
 
     "curate_curriculum" ->
       """WITH n AS (
