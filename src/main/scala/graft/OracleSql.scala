@@ -814,6 +814,38 @@ object OracleSql {
        |    AS pack_offset
        |FROM c""".stripMargin
 
+  /** Oracle for `embed_outliers`: the k-means assignment's 4-decimal
+    * cosine scaled to integers (`floor(sim·10⁴)`), exact integer
+    * moments per cluster, and the identical IEEE mean/σ/z formula.
+    */
+  def embedOutliers(targetClusterSize: Int = 256, minK: Int = 8,
+                    iters: Int = 3, dim: Int = 64,
+                    zThresh: Double = 2.0): String =
+    s"""WITH ${kmeansCtes(adaptiveKSql(targetClusterSize, minK), iters, dim)},
+       |x AS (
+       |  SELECT vec_id, cluster, ${roundSpark("sim", 4)} AS sim,
+       |    CAST(floor(${roundSpark("sim", 4)} * 10000) AS BIGINT) AS s4
+       |  FROM fin),
+       |st AS (
+       |  SELECT cluster, count(*) AS n, sum(s4)::BIGINT AS s1,
+       |    sum(s4 * s4)::BIGINT AS s2
+       |  FROM x GROUP BY 1),
+       |y AS (
+       |  SELECT x.vec_id, x.cluster, x.sim, x.s4,
+       |    st.s1::DOUBLE / st.n AS mu,
+       |    sqrt(st.s2::DOUBLE / st.n
+       |      - (st.s1::DOUBLE / st.n) * (st.s1::DOUBLE / st.n)) AS sigma
+       |  FROM x JOIN st USING (cluster)),
+       |z AS (
+       |  SELECT vec_id, cluster, sim,
+       |    CASE WHEN sigma > 0
+       |      THEN ${roundSpark("(s4::DOUBLE - mu) / sigma", 4)}
+       |      ELSE 0.0 END AS zscore
+       |  FROM y)
+       |SELECT vec_id, cluster, sim, zscore,
+       |  zscore <= -$zThresh AS is_outlier
+       |FROM z""".stripMargin
+
   /** Oracle for `sample_temperature`: per-source counts → temperature
     * keep-thresholds `floor(1e6 * sqrt(n_min/n))` (alpha = 0.5; `sqrt`
     * is correctly rounded under IEEE 754 in both engines, so the

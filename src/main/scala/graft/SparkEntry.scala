@@ -1204,6 +1204,14 @@ object SparkEntry {
         targetClusterSize = 256, minK = 8)
     }),
 
+    "embed_outliers" -> ((s, dir) => {
+      // per-cluster cohesion z-score: integer-exact moments over the
+      // scaled cosine, so the flag set is aggregation-order independent
+      Clustering.embeddingOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", iters = 3,
+        targetClusterSize = 256, minK = 8, zThresh = 2.0)
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup-style semantic pruning: near-dup pairs only form
       // WITHIN a k-means cluster — the cluster partition bounds the
@@ -2383,6 +2391,8 @@ object SparkEntry {
       minK = 8, iters = 3, dim = 64),
     "dedup_semantic" -> OracleSql.dedupSemantic(targetClusterSize = 256,
       minK = 8, iters = 3, dim = 64, minCos = 0.4),
+    "embed_outliers" -> OracleSql.embedOutliers(targetClusterSize = 256,
+      minK = 8, iters = 3, dim = 64, zThresh = 2.0),
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh(minCos = 0.4),
     "sim_quantized_topk" -> OracleSql.simQuantizedTopK(dim = 64, k = 5),
     "text_decontaminate" ->

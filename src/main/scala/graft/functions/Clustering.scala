@@ -164,4 +164,41 @@ object Clustering {
                    clusterCol: String, k: Int): DataFrame =
     Curation.capPerGroup(assigned, clusterCol, idCol,
       ord = xxhash64(col(idCol)), k = k)
+
+  /** Embedding outlier screen: per-cluster z-score of each vector's
+    * centroid cosine — vectors far below their own neighborhood's
+    * cohesion are corrupt embeddings, mislabeled shards, or genuinely
+    * novel content; either way the rows to quarantine before they skew
+    * a training mix.
+    *
+    * Determinism: the per-cluster moments accumulate the 4-decimal
+    * cosine SCALED TO INTEGERS (`floor(sim·10⁴)` as long), so the sums
+    * are exact under any aggregation order; mean/σ/z derive from those
+    * integers by a fixed IEEE formula both engines evaluate identically.
+    * A double `sum(sim)` would be shuffle-order dependent.
+    *
+    * Scale shape: assignment is the k-means map pass; moments are one
+    * narrow map-side-combined aggregation to k rows, broadcast back.
+    * Degenerate clusters (σ = 0) flag nothing.
+    */
+  def embeddingOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+                        iters: Int = 3, targetClusterSize: Int = 256,
+                        minK: Int = 8, zThresh: Double = 2.0): DataFrame = {
+    val asg = kmeansAssignAdaptive(corpus, idCol, vecCol, iters,
+      targetClusterSize, minK)
+      .withColumn("s4", floor(col("sim") * 10000).cast("long"))
+    val st = asg.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("s4")).as("s1"),
+        sum(col("s4") * col("s4")).as("s2"))
+    asg.join(broadcast(st), Seq("cluster"))
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("sigma",
+        sqrt(col("s2").cast("double") / col("n") - col("mu") * col("mu")))
+      .withColumn("zscore",
+        when(col("sigma") > 0,
+          round((col("s4").cast("double") - col("mu")) / col("sigma"), 4))
+          .otherwise(lit(0.0)))
+      .select(col(idCol), col("cluster"), col("sim"), col("zscore"),
+        (col("zscore") <= -zThresh).as("is_outlier"))
+  }
 }

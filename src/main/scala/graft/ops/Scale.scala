@@ -47,7 +47,11 @@ object Scale {
     * those counts. Percentiles run on the per-key COUNT frame (one row
     * per distinct key), not the data — at 100 TB the count frame is the
     * small derivative. All-integer except the rounded ratios, so the
-    * profile is engine-reproducible.
+    * profile is engine-reproducible. The exact `percentile` buffers the
+    * count frame in the final reducer — fine to ~10⁸ distinct keys;
+    * beyond that swap in the mergeable bottom-k sketch
+    * ([[graft.expressions.KqStateAgg]]) and accept approximate
+    * quantiles.
     */
   def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))

@@ -261,6 +261,12 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ids30.subsetOf(ids60))
   }
 
+  test("sampleWeighted is shuffle-free (map-only gate)") {
+    val df = (0L until 100L).toDF("id")
+    assert(countExchanges(
+      Sampling.sampleWeighted(df, "id", lit(0.4))) == 0)
+  }
+
   // ---------------- cluster quota ----------------
 
   test("clusterQuota caps every cluster at k with a deterministic winner set") {
@@ -295,6 +301,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._2) == Seq(1L, 2L, 4L),
       s"expected label quota to cut vec 3, got $got")
     assert(got.count(_._3 == 1) == 2)
+  }
+
+  // ---------------- embedding outliers ----------------
+
+  test("embeddingOutliers flags the vector far from its cluster's cohesion") {
+    // cluster seeds are lowest ids; 20 tight vectors near axis-x plus
+    // one anti-aligned — the stray must be the only outlier
+    val tight = (0L until 20L).map { i =>
+      (i, Array(1.0f, (i % 5) * 0.01f, 0.0f), 0)
+    }
+    val stray = Seq((20L, Array(-1.0f, 0.2f, 0.0f), 0))
+    val vecs = (tight ++ stray).toDF("vec_id", "embedding", "label")
+    val got = Clustering.embeddingOutliers(vecs, "vec_id", "embedding",
+      iters = 2, targetClusterSize = 256, minK = 1, zThresh = 2.0)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)]
+      .collect().toMap
+    assert(got(20L), "the anti-aligned vector must be flagged")
+    assert(got.count(_._2) == 1,
+      s"only the stray should flag, got ${got.filter(_._2)}")
+  }
+
+  test("embeddingOutliers flag set is partition-independent") {
+    val vecs = (0L until 60L)
+      .map(i => (i, Array((i % 7).toFloat + 1f, (i % 3).toFloat, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Clustering.embeddingOutliers(d, "vec_id", "embedding", iters = 2,
+        targetClusterSize = 20, minK = 2)
+        .select("vec_id", "zscore", "is_outlier")
+        .as[(Long, Double, Boolean)].collect().toSet
+    assert(run(vecs.repartition(1)) == run(vecs.repartition(7)))
   }
 
   // ---------------- key-skew profile ----------------
