@@ -522,6 +522,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
     }),
 
+    "events_drift" -> ((s, dir) => {
+      // week-over-week event-mix drift: L1 distance between consecutive
+      // weeks' type distributions, in exact scaled-integer arithmetic
+      // (shares as millionths; no order-dependent double sums) — the
+      // "did my ingest mix silently change" pipeline monitor. Narrow
+      // (week, type, count) aggregations; the type dimension broadcast.
+      val ev = t(s, dir, "events")
+        .select(date_trunc("week", col("ts")).cast("date").as("wk"),
+          col("event_type"))
+      val cnt = ev.groupBy("wk", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("wk").agg(sum("cnt").as("tot"))
+      val share = cnt.join(tot, Seq("wk"))
+        .select(col("wk"), col("event_type"),
+          floor(col("cnt") * lit(1000000L) / col("tot")).cast("long")
+            .as("share6"))
+      val weeks = share.select("wk").distinct()
+      val pairs = weeks
+        .join(weeks.select(col("wk").as("nwk")),
+          col("nwk") === date_add(col("wk"), 7))
+      val types = share.select("event_type").distinct()
+      val keys = pairs.crossJoin(broadcast(types))
+      val sa = share.select(col("wk"), col("event_type"),
+        col("share6").as("sa"))
+      val sb = share.select(col("wk").as("nwk"), col("event_type"),
+        col("share6").as("sb"))
+      keys.join(sa, Seq("wk", "event_type"), "left")
+        .join(sb, Seq("nwk", "event_type"), "left")
+        .groupBy("wk")
+        .agg(sum(abs(coalesce(col("sa"), lit(0L)) -
+          coalesce(col("sb"), lit(0L)))).as("l1_millionths"))
+    }),
+
     // ---------- LLM-pipeline: dedup ----------
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -1018,6 +1051,24 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")), col("doc_id"))
       Curation.capPerGroup(docs, "source", "doc_id", ord, k = 10)
         .select("doc_id", "source")
+    }),
+
+    "curate_quality_bins" -> ((s, dir) => {
+      // equal-frequency quality quartiles: one global 3-threshold
+      // percentile reduce, broadcast back, map-only binning — balanced
+      // strata for A/B eval splits without a global sort
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val th = scored.agg(
+        percentile(col("quality"), lit(0.25)).as("p25"),
+        percentile(col("quality"), lit(0.5)).as("p50"),
+        percentile(col("quality"), lit(0.75)).as("p75"))
+      scored.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("quality"),
+          when(col("quality") <= col("p25"), 0)
+            .when(col("quality") <= col("p50"), 1)
+            .when(col("quality") <= col("p75"), 2)
+            .otherwise(3).as("bin"))
     }),
 
     "curate_quality_gate" -> ((s, dir) => {
@@ -1875,6 +1926,32 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS prop_k
         |FROM events""".stripMargin,
 
+    "events_drift" ->
+      """WITH cnt AS (
+        |  SELECT date_trunc('week', ts)::DATE AS wk, event_type,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT wk, sum(cnt)::BIGINT AS tot FROM cnt GROUP BY 1),
+        |share AS (
+        |  SELECT c.wk, c.event_type,
+        |    CAST(floor(c.cnt * 1000000 / t.tot) AS BIGINT) AS share6
+        |  FROM cnt c JOIN tot t USING (wk)),
+        |weeks AS (SELECT DISTINCT wk FROM share),
+        |pairs AS (
+        |  SELECT a.wk, b.wk AS nwk FROM weeks a
+        |  JOIN weeks b ON b.wk = a.wk + 7),
+        |types AS (SELECT DISTINCT event_type FROM share),
+        |keys AS (SELECT p.wk, p.nwk, t.event_type FROM pairs p, types t)
+        |SELECT k.wk,
+        |  sum(abs(coalesce(sa.share6, 0) - coalesce(sb.share6, 0)))::BIGINT
+        |    AS l1_millionths
+        |FROM keys k
+        |LEFT JOIN share sa ON sa.wk = k.wk
+        |  AND sa.event_type = k.event_type
+        |LEFT JOIN share sb ON sb.wk = k.nwk
+        |  AND sb.event_type = k.event_type
+        |GROUP BY k.wk""".stripMargin,
+
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
@@ -2034,6 +2111,20 @@ object SparkEntry {
         QualityGateOracle, budgetTokens = 2048, shardSize = 100),
 
     "curate_quality_gate" -> QualityGateOracle,
+
+    "curate_quality_bins" ->
+      s"""WITH q AS ($QualityOracle),
+         |th AS (
+         |  SELECT quantile_cont(quality, 0.25) AS p25,
+         |         quantile_cont(quality, 0.5) AS p50,
+         |         quantile_cont(quality, 0.75) AS p75
+         |  FROM q)
+         |SELECT doc_id, quality,
+         |  CASE WHEN quality <= p25 THEN 0
+         |       WHEN quality <= p50 THEN 1
+         |       WHEN quality <= p75 THEN 2
+         |       ELSE 3 END AS bin
+         |FROM q, th""".stripMargin,
 
     "curate_curriculum" ->
       """WITH n AS (
