@@ -617,7 +617,11 @@ object OracleSql {
     * a recursive CTE: comp(doc_id, rep_id). Emitted after the
     * token/shingle/minhash CTEs.
     */
-  private def componentCtes(numHashes: Int): String = {
+  /** Filtered near-dup candidate pairs (signature estimate >= 0.5) and
+    * their symmetric edge/vertex closure: fcand/edges/verts. Shared by
+    * the components and PageRank oracles.
+    */
+  private def edgeCtes(numHashes: Int): String = {
     val est =
       s"round(len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
     s"""fcand AS MATERIALIZED (
@@ -627,12 +631,51 @@ object OracleSql {
        |  WHERE $est >= 0.5),
        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM fcand
        |          UNION SELECT id_b, id_a FROM fcand),
-       |verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+       |verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)""".stripMargin
+  }
+
+  private def componentCtes(numHashes: Int): String =
+    s"""${edgeCtes(numHashes)},
        |reach(id, r) AS (
        |  SELECT id, id FROM verts
        |  UNION
        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
        |comp AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id)""".stripMargin
+
+  /** Oracle for `graph_pagerank`: the same edge closure, outdegrees,
+    * and `iters` unrolled integer-exact rank rounds
+    * (`floor(rank·damping% / (100·deg))` contributions, long sums,
+    * constant teleport in millionths).
+    */
+  def graphPagerank(numHashes: Int = 16, rowsPerBand: Int = 2,
+                    iters: Int = 3, dampingPct: Int = 85): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH ${tokenHashCtes()},
+         |${shingleHashCtes()},
+         |${minhashCtes(numHashes, rowsPerBand)},
+         |${edgeCtes(numHashes)},
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT id, 1000000::BIGINT AS rank FROM verts)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++=
+        s""",
+           |c$i AS (
+           |  SELECT e.dst AS id,
+           |    CAST(floor(r${i - 1}.rank * $dampingPct
+           |      / (100 * deg.deg)) AS BIGINT) AS c
+           |  FROM edges e
+           |  JOIN r${i - 1} ON r${i - 1}.id = e.src
+           |  JOIN deg ON deg.src = e.src),
+           |r$i AS (
+           |  SELECT v.id,
+           |    (150000 + coalesce(s.i, 0))::BIGINT AS rank
+           |  FROM verts v LEFT JOIN (
+           |    SELECT id, sum(c)::BIGINT AS i FROM c$i GROUP BY 1) s
+           |    USING (id))""".stripMargin
+    }
+    sb ++= s"\nSELECT id AS doc_id, rank FROM r$iters"
+    sb.toString
   }
 
   /** Oracle for `dedup_components`: the same MinHash candidate pairs

@@ -591,6 +591,16 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    "graph_pagerank" -> ((s, dir) => {
+      // authority over the near-dup graph: integer-exact damped rank,
+      // 3 rounds — well-connected cluster members rank high (a quality/
+      // canonicality weight for choosing cluster representatives)
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.pageRank(pairs, "id_a", "id_b", iters = 3)
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, minSim = 0.5)
@@ -2459,6 +2469,9 @@ object SparkEntry {
 
     "dedup_containment" -> OracleSql.dedupContainment(
       numHashes = 16, rowsPerBand = 2, minCont = 0.5),
+
+    "graph_pagerank" -> OracleSql.graphPagerank(
+      numHashes = 16, rowsPerBand = 2, iters = 3, dampingPct = 85),
     "dedup_incremental" ->
       OracleSql.dedupIncremental(numHashes = 16, rowsPerBand = 2),
     "approx_distinct_kmv" -> OracleSql.approxDistinctKmv(k = 256),

@@ -427,6 +427,56 @@ object Dedup {
         coalesce(col("rep"), col("id")).as("rep_id"))
   }
 
+  /** Deterministic integer PageRank over an undirected pair graph
+    * (near-dup candidates, citation/link pairs): authority scores for
+    * quality weighting — a document endorsed by many well-connected
+    * near-dups/links ranks high, the CommonCrawl-host-rank idea applied
+    * per document.
+    *
+    * All arithmetic is EXACT INTEGER: ranks live in millionths,
+    * per-edge contributions are `floor(rank·damping% / (100·outdeg))`,
+    * and the per-vertex reduce sums longs — so the fixpoint iteration
+    * is reproducible under any partitioning or aggregation order
+    * (float PageRank is not). No normalization pass: the teleport
+    * constant keeps scores in a stable integer range, and downstream
+    * use is ordinal. The symmetric edge set means no dangling vertices.
+    *
+    * Scale shape: per round, one narrow (src, rank, deg) join plus one
+    * map-side-combined sum — the connected-components discipline
+    * ([[connectedComponents]]), including the per-round eager
+    * `localCheckpoint` that drops lineage and caches nothing past the
+    * return.
+    */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+               iters: Int = 3, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct > 0 && dampingPct < 100)
+    val e = pairs
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val verts = e.select(col("src").as("id")).distinct()
+    var r = verts.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"),
+          floor(col("rank") * dampingPct / (lit(100) * col("deg")))
+            .cast("long").as("c"))
+      r = verts
+        .join(contrib.groupBy("id").agg(sum("c").as("in")), Seq("id"),
+          "left")
+        .select(col("id"),
+          (lit(150000L) + coalesce(col("in"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    r.select(col("id").as("doc_id"), col("rank"))
+  }
+
   // ---------------- decontamination ----------------
 
   /** The contamination fingerprint of an eval/test set: its distinct

@@ -148,6 +148,36 @@ class PipelineOpsSpec extends SparkSpec {
       "AC scan should be map-only (broadcast idx map join, no shuffle)")
   }
 
+  // ---------------- integer pagerank ----------------
+
+  test("pageRank: hub of a star outranks leaves, exact integer fixpoint") {
+    // star: 0-1, 0-2, 0-3 (symmetric; hub outdeg 3, leaf outdeg 1).
+    // Hand-computed, millionths:
+    // r1: hub = 150000 + 3*floor(1e6*85/(100*1)) = 2700000
+    //     leaf = 150000 + floor(1e6*85/(100*3)) = 433333
+    // r2: hub = 150000 + 3*floor(433333*85/(100*1)) = 1254999
+    //     leaf = 150000 + floor(2700000*85/(100*3)) = 915000
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.pageRank(pairs, "id_a", "id_b", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == 1254999L, s"hub: ${got(0L)}")
+    assert(got(1L) == 915000L && got(2L) == 915000L && got(3L) == 915000L)
+  }
+
+  test("pageRank is partition-independent; uniform ring stays at the fixpoint") {
+    val pairs = (0L until 40L).map(i => (i, (i + 1) % 40))
+      .toDF("id_a", "id_b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.pageRank(d, "id_a", "id_b", iters = 3)
+        .as[(Long, Long)].collect().toSet
+    val base = run(pairs.repartition(1))
+    assert(base == run(pairs.repartition(7)))
+    // degree-2-everywhere ring: 150000 + 2*floor(r*85/200) is the
+    // fixpoint at r = 1e6 — every vertex stays exactly there
+    assert(base.size == 40)
+    assert(base.map(_._2) == Set(1000000L))
+  }
+
   // ---------------- content-defined chunking ----------------
 
   test("cdcChunks covers every token exactly once, in order") {
