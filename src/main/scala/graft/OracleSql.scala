@@ -318,6 +318,26 @@ object OracleSql {
        |FROM g JOIN d USING (doc_id)""".stripMargin
   }
 
+  /** Oracle for `text_novelty`: the same bigram shingle-hash chain,
+    * reference set = distinct hashes of the `doc_id % 10 < 5` half,
+    * per-candidate coverage by hash join, one division, Spark rounding.
+    */
+  def textNovelty(): String =
+    s"""WITH ${tokenHashCtes()},
+       |${shingleHashCtes(2)},
+       |refset AS MATERIALIZED (
+       |  SELECT DISTINCT shu FROM shash WHERE doc_id % 10 < 5),
+       |cs AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, shu FROM shash WHERE doc_id % 10 >= 5),
+       |tot AS (SELECT doc_id, count(*) AS n_bigrams FROM cs GROUP BY 1),
+       |hit AS (
+       |  SELECT c.doc_id, count(*) AS k
+       |  FROM cs c JOIN refset r USING (shu) GROUP BY 1)
+       |SELECT t.doc_id, t.n_bigrams,
+       |  ${roundSpark("1.0 - coalesce(h.k, 0) / t.n_bigrams", 4)}
+       |    AS novelty
+       |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin
+
   /** Oracle for `approx_distinct_kmv`: the KMV estimate is reproduced
     * EXACTLY — XXH64.hashLong(l_orderkey, 42) via the HUGEINT chain,
     * distinct hashes ranked unsigned-ascending per group, estimate

@@ -818,6 +818,32 @@ object SparkEntry {
         "doc_id", "text", snips, "snip_id", "snippet")
     }),
 
+    "text_novelty" -> ((s, dir) => {
+      // bigram novelty vs a reference corpus half: the fraction of a
+      // doc's distinct bigrams unseen in the reference — high = novel
+      // content worth keeping, near-zero = the corpus already says this
+      // (the n-gram-coverage cousin of decontamination, ratio-valued).
+      // Narrow hash-keyed join against the vocabulary-sized ref set.
+      val docs = t(s, dir, "documents")
+      val refSet = docs.filter(col("doc_id") % 10 < 5)
+        .select(explode(
+          graft.expressions.exprs.shingle_hashes(col("text"), 2)).as("sh"))
+        .distinct()
+      val cand = docs.filter(col("doc_id") % 10 >= 5)
+        .select(col("doc_id"),
+          explode(graft.expressions.exprs.shingle_hashes(col("text"), 2))
+            .as("sh"))
+      val tot = cand.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"))
+      val hit = cand.join(refSet, Seq("sh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+      tot.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(lit(1.0) -
+            coalesce(col("n_known"), lit(0L)) / col("n_bigrams"), 4)
+            .as("novelty"))
+    }),
+
     "text_cdc_chunks" -> ((s, dir) => {
       // shift-robust chunking: boundaries where the token hash has 4
       // low zero bits (expected 16-token chunks) — an edit re-chunks
@@ -2514,6 +2540,8 @@ object SparkEntry {
         |GROUP BY d.doc_id""".stripMargin,
 
     "text_cdc_chunks" -> OracleSql.textCdcChunks(maskBits = 4),
+
+    "text_novelty" -> OracleSql.textNovelty(),
 
     "text_rarity" ->
       """WITH tk AS (
