@@ -818,6 +818,26 @@ object SparkEntry {
         "doc_id", "text", snips, "snip_id", "snippet")
     }),
 
+    "corpus_report" -> ((s, dir) => {
+      // one-row dataset datasheet: sizes, source/language mix, mean
+      // quality — all counts integer-exact (quality summed as scaled
+      // ints so the mean is aggregation-order independent), one
+      // map-side-combined global reduce
+      val docs = t(s, dir, "documents")
+      val q4 = floor(TextFunctions.qualityScore(col("text")) * 10000)
+        .cast("long")
+      docs.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"),
+          sum(q4).as("q4sum"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .select(col("n_docs"), col("n_sources"), col("total_tokens"),
+          round(col("q4sum") / (col("n_docs") * lit(10000.0)), 4)
+            .as("mean_quality"),
+          round(col("n_en") / col("n_docs"), 4).as("pct_en"))
+    }),
+
     "text_novelty" -> ((s, dir) => {
       // bigram novelty vs a reference corpus half: the fraction of a
       // doc's distinct bigrams unseen in the reference — high = novel
@@ -2542,6 +2562,21 @@ object SparkEntry {
     "text_cdc_chunks" -> OracleSql.textCdcChunks(maskBits = 4),
 
     "text_novelty" -> OracleSql.textNovelty(),
+
+    "corpus_report" ->
+      s"""WITH q AS ($QualityOracle)
+         |SELECT count(*) AS n_docs,
+         |  count(DISTINCT d.source) AS n_sources,
+         |  sum(CASE WHEN length(trim(d.text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+         |      END)::BIGINT AS total_tokens,
+         |  round(CAST(CAST((sum(CAST(floor(q.quality * 10000) AS BIGINT))::BIGINT
+         |    / (count(*) * 10000.0)) AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE
+         |    AS mean_quality,
+         |  round(CAST(CAST((sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0
+         |    END)::BIGINT / count(*)) AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE
+         |    AS pct_en
+         |FROM documents d JOIN q ON q.doc_id = d.doc_id""".stripMargin,
 
     "text_rarity" ->
       """WITH tk AS (

@@ -237,6 +237,28 @@ object EventsStreaming {
         .as("approx_users"))
       .select(col("window.start").as("hour"), col("approx_users"))
 
+  /** Watermarked per-window count-min frequency sketch — the streaming
+    * sketch-store writer: each closed window emits one mergeable BINARY
+    * state (`d × w` grid, deterministic bytes), so downstream batch
+    * jobs can answer "how often did X occur in any window range" by
+    * `cms_merge`-style OR-ing stored states instead of rescanning the
+    * stream. State per open window is the fixed `d·w·8`-byte grid —
+    * bounded at any stream volume, evicted by the watermark.
+    *
+    * The same expression the batch `heavy_hitters_cms` query
+    * oracle-checks bit-exactly, so the stored bytes are
+    * engine-reproducible.
+    */
+  def windowedFrequencySketch(events: DataFrame,
+                              lateness: String = "30 minutes",
+                              d: Int = 4, w: Int = 32): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.expressions.Cms.cms_state(col("event_type"), d, w)
+        .as("cms"))
+      .select(col("window.start").as("hour"), col("cms"))
+
   /** Watermarked stream-stream interval join: each left event pairs
     * with right-stream events for the same key inside
     * `[l.ts, l.ts + windowSeconds]` — e.g. purchases attributed to the

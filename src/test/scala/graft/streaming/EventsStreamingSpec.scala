@@ -191,6 +191,26 @@ class EventsStreamingSpec extends SparkSpec {
       "stream sketch must equal the batch sketch (same KMV state)")
   }
 
+  test("streaming windowed CMS sketch bytes equal the batch sketch") {
+    val dir = Files.createTempDirectory("graft-cms-stream").toString
+    val batch = eventsBatch
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val streamed = EventsStreaming.drainToMemory(
+      EventsStreaming.windowedFrequencySketch(stream),
+      "cms_win", s"$dir/ckpt", OutputMode.Update)
+    val got = streamed.orderBy("hour")
+      .as[(java.sql.Timestamp, Array[Byte])].collect().toSeq
+    val want = EventsStreaming.windowedFrequencySketch(batch)
+      .orderBy("hour")
+      .as[(java.sql.Timestamp, Array[Byte])].collect().toSeq
+    assert(got.map(_._1) == want.map(_._1) && got.nonEmpty)
+    got.zip(want).foreach { case ((h, a), (_, b)) =>
+      assert(java.util.Arrays.equals(a, b),
+        s"window $h: stream and batch sketch bytes differ")
+    }
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val dir = Files.createTempDirectory("graft-ssjoin").toString
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
