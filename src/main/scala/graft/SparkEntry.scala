@@ -838,6 +838,23 @@ object SparkEntry {
           round(col("n_en") / col("n_docs"), 4).as("pct_en"))
     }),
 
+    "dedup_cdc_shared" -> ((s, dir) => {
+      // cross-document shared-chunk ratio over CONTENT-DEFINED chunks —
+      // the shift-robust upgrade of text_boilerplate's fixed stride: a
+      // prefix edit no longer hides downstream shared chunks. Narrow
+      // fingerprint-keyed aggregation over the chunk frame.
+      val chunks = Dedup.cdcChunks(t(s, dir, "documents"), "doc_id",
+        "text", maskBits = 4).select("doc_id", "fingerprint")
+      val sh = chunks.groupBy("fingerprint")
+        .agg(countDistinct("doc_id").as("nd"))
+      chunks.join(sh, Seq("fingerprint"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+          round(col("n_shared") / col("n_chunks"), 4).as("shared_ratio"))
+    }),
+
     "text_novelty" -> ((s, dir) => {
       // bigram novelty vs a reference corpus half: the fraction of a
       // doc's distinct bigrams unseen in the reference — high = novel
@@ -2562,6 +2579,21 @@ object SparkEntry {
     "text_cdc_chunks" -> OracleSql.textCdcChunks(maskBits = 4),
 
     "text_novelty" -> OracleSql.textNovelty(),
+
+    "dedup_cdc_shared" ->
+      s"""WITH c AS (${OracleSql.textCdcChunks(maskBits = 4)}),
+         |sh AS (
+         |  SELECT fingerprint, count(DISTINCT doc_id) AS nd
+         |  FROM c GROUP BY 1),
+         |a AS (
+         |  SELECT c.doc_id, count(*) AS n_chunks,
+         |    sum(CASE WHEN sh.nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_shared
+         |  FROM c JOIN sh USING (fingerprint) GROUP BY 1)
+         |SELECT doc_id, n_chunks, n_shared,
+         |  round(CAST(CAST((n_shared / n_chunks) AS VARCHAR)
+         |    AS DECIMAL(38,20)), 4)::DOUBLE AS shared_ratio
+         |FROM a""".stripMargin,
 
     "corpus_report" ->
       s"""WITH q AS ($QualityOracle)
