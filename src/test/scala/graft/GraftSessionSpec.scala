@@ -16,14 +16,17 @@ class GraftSessionSpec extends AnyFunSuite {
         """SELECT simhash64('hello world hello') AS sh,
           |       cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cs,
           |       sorted_array_jaccard(array(1L, 2L), array(2L, 3L)) AS j,
+          |       sorted_array_overlap(array(1L, 2L, 3L), array(2L, 3L, 4L))
+          |         AS ov,
           |       size(minhash_sig('a b c d e')) AS nsig,
           |       size(shingle_hashes('a b c d e')) AS nsh
           |""".stripMargin).head()
       assert(row.getLong(0) != 0L)
       assert(row.getDouble(1) == 1.0)
       assert(math.abs(row.getDouble(2) - 1.0 / 3.0) < 1e-12)
-      assert(row.getInt(3) == 16)
-      assert(row.getInt(4) == 3)
+      assert(row.getLong(3) == 2L)
+      assert(row.getInt(4) == 16)
+      assert(row.getInt(5) == 3)
       // aggregate registration: top-2 values by key per group
       spark.range(10).selectExpr("id % 2 AS g", "id AS k", "id * 10 AS v")
         .createOrReplaceTempView("tkb")
