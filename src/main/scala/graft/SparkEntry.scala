@@ -522,6 +522,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
     }),
 
+    "validate_schema_drift" -> ((s, dir) => {
+      // ingestion contract check: the ACTUAL table schema diffed against
+      // the declared column contract — new columns surface as
+      // 'unexpected', contract columns the feed dropped as 'missing'
+      // (the schema-level completion of validate_completeness's
+      // row-level gate; catalog metadata only, no data scan)
+      import s.implicits._
+      val contract = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_audit_contract_col") // declared but never delivered
+      val actual = t(s, dir, "lineitem").columns.toSeq
+      val e = contract.toDF("column_name")
+        .withColumn("__e", lit(true))
+      val a = actual.toDF("column_name").withColumn("__a", lit(true))
+      e.join(a, Seq("column_name"), "full_outer")
+        .select(col("column_name"),
+          when(col("__e").isNotNull && col("__a").isNotNull, "ok")
+            .when(col("__e").isNotNull, "missing")
+            .otherwise("unexpected").as("status"))
+    }),
+
     "events_drift" -> ((s, dir) => {
       // week-over-week event-mix drift: L1 distance between consecutive
       // weeks' type distributions, in exact scaled-integer arithmetic
@@ -1998,6 +2020,22 @@ object SparkEntry {
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS prop_k
         |FROM events""".stripMargin,
+
+    "validate_schema_drift" ->
+      """WITH contract AS (
+        |  SELECT unnest(['l_orderkey', 'l_partkey', 'l_suppkey',
+        |    'l_linenumber', 'l_quantity', 'l_extendedprice',
+        |    'l_discount', 'l_returnflag', 'l_linestatus', 'l_shipdate',
+        |    'l_audit_contract_col']) AS column_name),
+        |actual AS (
+        |  SELECT column_name FROM (DESCRIBE lineitem))
+        |SELECT coalesce(c.column_name, a.column_name) AS column_name,
+        |  CASE WHEN c.column_name IS NOT NULL
+        |         AND a.column_name IS NOT NULL THEN 'ok'
+        |       WHEN c.column_name IS NOT NULL THEN 'missing'
+        |       ELSE 'unexpected' END AS status
+        |FROM contract c FULL OUTER JOIN actual a
+        |  ON a.column_name = c.column_name""".stripMargin,
 
     "events_drift" ->
       """WITH cnt AS (
