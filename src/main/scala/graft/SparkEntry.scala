@@ -522,6 +522,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
     }),
 
+    "events_funnel" -> ((s, dir) => {
+      // 3-step funnel with strict ordering AND a 1-hour conversion
+      // window per hop (first view -> first click within the hour ->
+      // first purchase within the next hour) — per-user mins are
+      // map-side-combined narrow aggregations chained by user_id joins,
+      // one output row per step
+      val ev = t(s, dir, "events")
+      val hour = expr("INTERVAL 1 HOUR")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("ts_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("ts_view") &&
+          col("ts") <= col("ts_view") + hour)
+        .groupBy("user_id").agg(min("ts").as("ts_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("ts_click") &&
+          col("ts") <= col("ts_click") + hour)
+        .groupBy("user_id").agg(min("ts").as("ts_purchase"))
+      v.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_view").as("step"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("step"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("step"), col("n_users")))
+    }),
+
     "validate_schema_drift" -> ((s, dir) => {
       // ingestion contract check: the ACTUAL table schema diffed against
       // the declared column contract — new columns surface as
@@ -2020,6 +2048,28 @@ object SparkEntry {
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS prop_k
         |FROM events""".stripMargin,
+
+    "events_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS ts_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS ts_click
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.ts_view
+        |    AND e.ts <= v.ts_view + INTERVAL 1 HOUR
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS ts_purchase
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+        |    AND e.ts <= c.ts_click + INTERVAL 1 HOUR
+        |  GROUP BY 1)
+        |SELECT '1_view' AS step, count(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click', count(*) FROM c
+        |UNION ALL
+        |SELECT '3_purchase', count(*) FROM p""".stripMargin,
 
     "validate_schema_drift" ->
       """WITH contract AS (
