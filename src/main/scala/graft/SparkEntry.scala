@@ -1378,6 +1378,35 @@ object SparkEntry {
         targetClusterSize = 256, minK = 8)
     }),
 
+    "embed_drift" -> ((s, dir) => {
+      // embedding-distribution drift between two corpus halves: cosine
+      // of the per-dimension MEAN vectors, with the means accumulated
+      // as scaled integers (exact under any aggregation order) and the
+      // final 64-element cosine a deterministic left-to-right fold —
+      // the vector-modality twin of events_drift ("did the new batch's
+      // embedding space shift?"). Norms are reported in the same
+      // millionths domain as the scaled means (cosine is scale-free).
+      val sc = t(s, dir, "embeddings")
+        .select((col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("half"), col("dim"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("xi"))
+      val m = sc.groupBy("half", "dim")
+        .agg(sum("xi").as("sx"), count(lit(1)).as("n"))
+        .select(col("half"), col("dim"),
+          (col("sx").cast("double") / col("n")).as("m"))
+      def meanVec(half: Int) = m.filter(col("half") === half)
+        .groupBy().agg(array_sort(collect_list(struct(col("dim"),
+          col("m")))).as("dm"))
+        .select(transform(col("dm"), _.getField("m")).as(s"v$half"))
+      meanVec(0).crossJoin(meanVec(1))
+        .select(
+          round(Similarity.cosine(col("v0"), col("v1")), 4)
+            .as("mean_cosine"),
+          round(Similarity.l2Norm(col("v0")), 2).as("norm_a"),
+          round(Similarity.l2Norm(col("v1")), 2).as("norm_b"))
+    }),
+
     "embed_outliers" -> ((s, dir) => {
       // per-cluster cohesion z-score: integer-exact moments over the
       // scaled cosine, so the flag set is aggregation-order independent
@@ -2648,6 +2677,29 @@ object SparkEntry {
       minK = 8, iters = 3, dim = 64, minCos = 0.4),
     "embed_outliers" -> OracleSql.embedOutliers(targetClusterSize = 256,
       minK = 8, iters = 3, dim = 64, zThresh = 2.0),
+
+    "embed_drift" ->
+      """WITH s AS (
+        |  SELECT e.vec_id % 2 AS half, d.i AS dim,
+        |    CAST(floor(e.embedding[d.i]::DOUBLE * 1000000) AS BIGINT)
+        |      AS xi
+        |  FROM embeddings e,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      len(e.embedding))) AS i) d),
+        |g AS (
+        |  SELECT half, dim, sum(xi)::BIGINT AS sx, count(*) AS n
+        |  FROM s GROUP BY 1, 2),
+        |m AS (SELECT half, dim, sx::DOUBLE / n AS m FROM g),
+        |a AS (SELECT list(m ORDER BY dim) AS v0 FROM m WHERE half = 0),
+        |b AS (SELECT list(m ORDER BY dim) AS v1 FROM m WHERE half = 1)
+        |SELECT
+        |  round(CAST(CAST(list_cosine_similarity(v0, v1) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 4)::DOUBLE AS mean_cosine,
+        |  round(CAST(CAST(sqrt(list_sum(list_transform(v0, x -> x * x)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 2)::DOUBLE AS norm_a,
+        |  round(CAST(CAST(sqrt(list_sum(list_transform(v1, x -> x * x)))
+        |    AS VARCHAR) AS DECIMAL(38,20)), 2)::DOUBLE AS norm_b
+        |FROM a, b""".stripMargin,
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh(minCos = 0.4),
     "sim_quantized_topk" -> OracleSql.simQuantizedTopK(dim = 64, k = 5),
     "text_decontaminate" ->
