@@ -1587,6 +1587,34 @@ object SparkEntry {
         .withColumnRenamed("asof_c_ts", "last_click_ts")
     }),
 
+    "join_asof_forward" -> ((s, dir) => {
+      // conversion lookahead: each click matched to the user's EARLIEST
+      // purchase at or after it — the forward direction of the same
+      // one-shuffle as-of machinery
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      TemporalJoins.asOfJoin(clicks, purchases, "user_id",
+        "click_ts", "p_ts", Seq("p_ts"), direction = "forward")
+        .withColumnRenamed("asof_p_ts", "next_purchase_ts")
+    }),
+
+    "join_asof_nearest" -> ((s, dir) => {
+      // each error matched to the user's nearest click in either time
+      // direction (ties resolve backward) — both direction fills
+      // evaluated over one exchange
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts").as("err_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      TemporalJoins.asOfJoin(errors, clicks, "user_id",
+        "err_ts", "c_ts", Seq("c_ts"), direction = "nearest")
+        .withColumnRenamed("asof_c_ts", "nearest_click_ts")
+    }),
+
     "join_range" -> ((s, dir) => {
       // errors paired with same-user signups in the preceding hour —
       // coarse-bucket equi-join + exact refine, never O(n·m)
@@ -2613,6 +2641,28 @@ object SparkEntry {
         |       c.c_ts AS last_click_ts
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.purchase_ts >= c.c_ts""".stripMargin,
+
+    "join_asof_forward" ->
+      """WITH cl AS (SELECT event_id, user_id, ts AS click_ts FROM events
+        |            WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT cl.event_id, cl.user_id, cl.click_ts,
+        |       p.p_ts AS next_purchase_ts
+        |FROM cl ASOF LEFT JOIN p
+        |  ON cl.user_id = p.user_id AND cl.click_ts <= p.p_ts""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH er AS (SELECT event_id, user_id, ts AS err_ts FROM events
+        |            WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts AS c_ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT er.event_id, er.user_id, er.err_ts,
+        |  (SELECT c.c_ts FROM c WHERE c.user_id = er.user_id
+        |   ORDER BY abs(epoch(c.c_ts) - epoch(er.err_ts)),
+        |     CASE WHEN c.c_ts <= er.err_ts THEN 0 ELSE 1 END
+        |   LIMIT 1) AS nearest_click_ts
+        |FROM er""".stripMargin,
 
     "join_range" ->
       """SELECT e.event_id AS err_id, s.event_id AS sig_id, e.user_id

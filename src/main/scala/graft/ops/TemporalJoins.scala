@@ -20,8 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
-  /** Keyed as-of join (backward): left enriched with the latest right
-    * observation at-or-before its timestamp.
+  /** Keyed as-of join: left enriched with the right observation nearest
+    * its timestamp in the requested `direction` —
+    * `"backward"` (latest at-or-before, the default), `"forward"`
+    * (earliest at-or-after), or `"nearest"` (smaller absolute time
+    * delta; exact ties resolve backward, the deterministic convention).
+    *
+    * Still ONE shuffle for any direction: the union partitions once on
+    * the key; backward/forward are a single running
+    * `last(_, ignoreNulls)` pass over the ascending/descending sort,
+    * and `nearest` evaluates both windows over the SAME exchange (two
+    * in-partition sorts, no second shuffle).
     *
     * @param left      probe side; keeps all rows
     * @param right     reference side (e.g. quotes, clicks)
@@ -29,34 +38,59 @@ object TemporalJoins {
     * @param leftTime  event-time column on `left`
     * @param rightTime event-time column on `right`
     * @param valueCols right columns to carry (as `asof_<name>`)
+    * @param direction "backward" | "forward" | "nearest"
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String],
+               direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns
     // The observation travels as ONE struct (non-null for every right
     // row) rather than per-column fills: last(_, ignoreNulls) then keys
     // on the ROW, so a null attribute inside the latest observation is
     // surfaced as-is instead of falling back to an older non-null value.
-    // tag: right rows sort BEFORE left rows at equal timestamps so an
-    // exactly-simultaneous observation is visible (<= semantics)
+    // The struct carries the observation time (double domain, so both
+    // TIMESTAMP and numeric time columns work) for nearest's tie-break.
+    // tag: right rows sort BEFORE left rows at equal timestamps in BOTH
+    // sort directions, so an exactly-simultaneous observation is
+    // visible (<= / >= semantics).
+    val obsStruct = struct(
+      (col(rightTime).cast("double").as("__rt") +: valueCols.map(col)): _*)
     val taggedRight = right.select(
       (col(key).as(key) +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
-        struct(valueCols.map(col): _*).as("__obs") +: Nil) ++
+        obsStruct.as("__obs") +: Nil) ++
         leftCols.filterNot(c => c == key).map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
       (col(key).as(key) +: col(leftTime).as("__t") +: lit(1).as("__tag") +:
         lit(null).as("__obs") +: Nil) ++
         leftCols.filterNot(c => c == key).map(col): _*)
+    val union = taggedRight.unionByName(taggedLeft)
 
-    val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__tag").asc)
+    val wB = Window.partitionBy(key).orderBy(col("__t").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = taggedRight.unionByName(taggedLeft)
-      .withColumn("__filled", last(col("__obs"), ignoreNulls = true).over(w))
+    val wF = Window.partitionBy(key).orderBy(col("__t").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def bf = last(col("__obs"), ignoreNulls = true).over(wB)
+    def ff = last(col("__obs"), ignoreNulls = true).over(wF)
 
-    filled.filter(col("__tag") === 1)
+    val picked = direction match {
+      case "backward" => union.withColumn("__pick", bf)
+      case "forward" => union.withColumn("__pick", ff)
+      case "nearest" =>
+        val t = col("__t").cast("double")
+        union.withColumn("__bf", bf).withColumn("__ff", ff)
+          .withColumn("__pick",
+            when(col("__bf").isNull, col("__ff"))
+              .when(col("__ff").isNull, col("__bf"))
+              .when(abs(t - col("__bf").getField("__rt")) <=
+                abs(col("__ff").getField("__rt") - t), col("__bf"))
+              .otherwise(col("__ff")))
+    }
+    picked.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col("__filled").getField(c).as(s"asof_$c")): _*)
+        valueCols.map(c => col("__pick").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Keyed range join: all (left, right) pairs with the same key and

@@ -48,6 +48,40 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.isNullAt(2))
   }
 
+  test("asOfJoin forward picks the earliest at-or-after observation") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 11:00:00")),   // exactly simultaneous with b
+      (1L, ts("2024-01-01 12:30:00"))).toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), "b"),
+      (1L, ts("2024-01-01 12:00:00"), "c")).toDF("k", "rt", "v")
+    val out = TemporalJoins.asOfJoin(left, right, "k", "t", "rt", Seq("v"),
+        direction = "forward")
+      .orderBy("t").collect()
+    // 10:00 → b (11:00 is next), 11:00 → b (>= includes equal),
+    // 12:30 → nothing after
+    assert(out.map(r => Option(r.getString(2))).toSeq ==
+      Seq(Some("b"), Some("b"), None))
+  }
+
+  test("asOfJoin nearest minimizes |delta| and resolves ties backward") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:10:00")),  // 10 min after a, 50 before b
+      (1L, ts("2024-01-01 10:30:00")),  // exact tie: 30/30 → backward a
+      (1L, ts("2024-01-01 08:00:00")),  // before all → forward a
+      (1L, ts("2024-01-01 13:00:00"))). // after all → backward b
+      toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 11:00:00"), "b")).toDF("k", "rt", "v")
+    val out = TemporalJoins.asOfJoin(left, right, "k", "t", "rt", Seq("v"),
+        direction = "nearest")
+      .orderBy("t").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("a", "a", "a", "b"))
+  }
+
   test("rangeJoin bounds pairs to the window") {
     val left = Seq((1L, 100L), (1L, 200L)).toDF("k", "t")
     val right = Seq((1L, 95L), (1L, 40L), (1L, 199L)).toDF("k", "rt")
