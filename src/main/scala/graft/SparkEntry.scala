@@ -1176,6 +1176,27 @@ object SparkEntry {
         .select("doc_id", "source")
     }),
 
+    "curate_source_quality" -> ((s, dir) => {
+      // robust per-source quality: winsorized mean (clamped to the
+      // source's own p10/p90) so a handful of junk or jackpot docs
+      // can't move a source's ranking — thresholds from one per-source
+      // percentile agg, the mean from exact scaled-integer sums
+      val scored = t(s, dir, "documents").select(col("source"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val th = scored.groupBy("source").agg(
+        percentile(col("q"), lit(0.1)).as("p10"),
+        percentile(col("q"), lit(0.9)).as("p90"))
+      scored.join(th, Seq("source"))
+        .select(col("source"),
+          floor(least(greatest(col("q"), col("p10")), col("p90")) * 10000)
+            .cast("long").as("c4"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("c4").as("s4"))
+        .select(col("source"), col("n_docs"),
+          round(col("s4") / (col("n_docs") * lit(10000.0)), 4)
+            .as("robust_mean_quality"))
+    }),
+
     "curate_quality_bins" -> ((s, dir) => {
       // equal-frequency quality quartiles: one global 3-threshold
       // percentile reduce, broadcast back, map-only binning — balanced
@@ -2329,6 +2350,28 @@ object SparkEntry {
         QualityGateOracle, budgetTokens = 2048, shardSize = 100),
 
     "curate_quality_gate" -> QualityGateOracle,
+
+    "curate_source_quality" ->
+      s"""WITH q0 AS ($QualityOracle),
+         |sq AS (
+         |  SELECT d.source, q0.quality AS q
+         |  FROM q0 JOIN documents d ON d.doc_id = q0.doc_id),
+         |th AS (
+         |  SELECT source, quantile_cont(q, 0.1) AS p10,
+         |    quantile_cont(q, 0.9) AS p90
+         |  FROM sq GROUP BY 1),
+         |c AS (
+         |  SELECT sq.source,
+         |    CAST(floor(least(greatest(sq.q, th.p10), th.p90) * 10000)
+         |      AS BIGINT) AS c4
+         |  FROM sq JOIN th USING (source)),
+         |a AS (
+         |  SELECT source, count(*) AS n_docs, sum(c4)::BIGINT AS s4
+         |  FROM c GROUP BY 1)
+         |SELECT source, n_docs,
+         |  round(CAST(CAST((s4 / (n_docs * 10000.0)) AS VARCHAR)
+         |    AS DECIMAL(38,20)), 4)::DOUBLE AS robust_mean_quality
+         |FROM a""".stripMargin,
 
     "curate_quality_bins" ->
       s"""WITH q AS ($QualityOracle),
