@@ -79,7 +79,28 @@ object Bench {
       .mkString("{", ",", "}")
     val un = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = med.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runsN,"spread":$sp,"unstable":$un}""")
+
+    // Environment stamp: a load-contaminated snapshot should be
+    // machine-detectable from the artifact itself, not only by an idle
+    // re-run. loadavg is read at END of the run (it reflects what the
+    // measurements actually endured); other_jvms counts JVM processes
+    // beyond this one and its sbt parent chain — anything > 0 means
+    // another build/bench was competing for the same cores.
+    val loadavg = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
+    val otherJvms = try {
+      import scala.sys.process._
+      val self = ProcessHandle.current()
+      val ancestors = Iterator.iterate(Option(self)) {
+        _.flatMap(p => Option(p.parent().orElse(null)))
+      }.takeWhile(_.isDefined).take(8).flatten.map(_.pid()).toSet
+      Seq("pgrep", "-f", "java").!!.trim.split("\\n")
+        .filter(_.nonEmpty).map(_.trim.toLong)
+        .count(pid => !ancestors.contains(pid))
+    } catch { case _: Throwable => -1 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runsN,"spread":$sp,"unstable":$un,"loadavg":"$loadavg","other_jvms":$otherJvms}""")
     spark.stop()
   }
 }

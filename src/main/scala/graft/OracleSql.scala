@@ -689,7 +689,8 @@ object OracleSql {
            |  JOIN deg ON deg.src = e.src),
            |r$i AS (
            |  SELECT v.id,
-           |    (150000 + coalesce(s.i, 0))::BIGINT AS rank
+           |    (${(100L - dampingPct) * 10000L} + coalesce(s.i, 0))::BIGINT
+           |      AS rank
            |  FROM verts v LEFT JOIN (
            |    SELECT id, sum(c)::BIGINT AS i FROM c$i GROUP BY 1) s
            |    USING (id))""".stripMargin
@@ -1236,22 +1237,26 @@ object OracleSql {
        |FROM agg""".stripMargin
 
   /** Shared CTE body for `cluster_kmeans` / `dedup_semantic`: seeds =
-    * the k lowest-id vectors, `iters` unrolled Lloyd rounds. Mirrors
+    * the k lowest-id vectors OF THE TRAINING SAMPLE (`tv`, the
+    * 1-in-mod systematic slice), `iters` unrolled Lloyd rounds over the
+    * sample, final assignment over the full corpus. Mirrors
     * [[graft.functions.Clustering.kmeansAssign]]'s determinism contract:
     * float-cast per-dim means each round (absorbing summation-order
     * ulps, same as the IVF centroid oracle), argmax ties toward the
     * smaller cluster index, empty clusters carry the previous centroid
     * via the LEFT JOIN coalesce.
     */
-  private def kmeansCtes(kSql: String, iters: Int, dim: Int): String = {
+  private def kmeansCtes(kSql: String, iters: Int, dim: Int,
+                         modSql: String = sampleModSql(4096)): String = {
     val sb = new StringBuilder
     sb ++=
       s"""ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |tv AS (SELECT vec_id, v FROM ev WHERE vec_id % $modSql = 0),
          |cent0 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
          |           AS cluster,
          |         v AS centroid
-         |  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT $kSql))""".stripMargin
+         |  FROM (SELECT vec_id, v FROM tv ORDER BY vec_id LIMIT $kSql))""".stripMargin
     for (i <- 1 to iters) {
       sb ++=
         s""",
@@ -1261,7 +1266,7 @@ object OracleSql {
            |      row_number() OVER (PARTITION BY e.vec_id
            |        ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
            |                 c.cluster ASC) AS rn
-           |    FROM ev e CROSS JOIN cent${i - 1} c)
+           |    FROM tv e CROSS JOIN cent${i - 1} c)
            |  WHERE rn = 1),
            |upd$i AS (
            |  SELECT cluster, g.i AS d, CAST(avg(v[g.i]) AS FLOAT) AS m
@@ -1296,8 +1301,8 @@ object OracleSql {
     * before the 4-decimal round.
     */
   def simPqTopK(m: Int = 4, k: Int = 16, iters: Int = 2, dim: Int = 64,
-                topK: Int = 5): String =
-    s"""WITH ${pqCtes(m, k, iters, dim)}
+                topK: Int = 5, trainBudget: Int = 4096): String =
+    s"""WITH ${pqCtes(m, k, iters, dim, sampleModSql(trainBudget))}
        |SELECT query_id, rank, neighbor_id, score
        |FROM rk WHERE rank <= $topK""".stripMargin
 
@@ -1307,8 +1312,8 @@ object OracleSql {
     */
   def simPqRefined(m: Int = 4, k: Int = 16, iters: Int = 2,
                    dim: Int = 64, topK: Int = 5,
-                   shortlist: Int = 20): String =
-    s"""WITH ${pqCtes(m, k, iters, dim)},
+                   shortlist: Int = 20, trainBudget: Int = 4096): String =
+    s"""WITH ${pqCtes(m, k, iters, dim, sampleModSql(trainBudget))},
        |cand AS (SELECT query_id, neighbor_id FROM rk
        |         WHERE rank <= $shortlist),
        |ex AS (
@@ -1327,12 +1332,19 @@ object OracleSql {
        |FROM rk2 WHERE rank <= $topK""".stripMargin
 
   /** Shared CTE body for the PQ oracles, ending at `rk` (ADC-ranked
-    * candidates) with `ev`/`qv` available for exact reranks.
+    * candidates) with `ev`/`qv` available for exact reranks. Codebook
+    * training (seeds + Lloyd rounds) draws from the 1-in-mod systematic
+    * sample `tv`; encoding covers the full corpus — mirroring
+    * [[graft.functions.ProductQuantization.trainCodebooks]]'s
+    * sample-gated default build.
     */
-  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int): String = {
+  private def pqCtes(m: Int, k: Int, iters: Int, dim: Int,
+                     modSql: String = sampleModSql(4096)): String = {
     val sub = dim / m
     val sb = new StringBuilder
     sb ++= "ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    sb ++= s""",
+      |tv AS (SELECT vec_id, v FROM ev WHERE vec_id % $modSql = 0)""".stripMargin
     def argmin(src: String, cb: String): String =
       s"""  SELECT vec_id, x, code FROM (
          |    SELECT s.vec_id, s.x, c.code,
@@ -1347,15 +1359,16 @@ object OracleSql {
       val hi = (mi + 1) * sub
       sb ++= s""",
         |sv$mi AS (SELECT vec_id, v[$lo:$hi] AS x FROM ev),
+        |ts$mi AS (SELECT vec_id, v[$lo:$hi] AS x FROM tv),
         |cb${mi}_0 AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
         |           AS code,
         |         x AS c
-        |  FROM (SELECT vec_id, x FROM sv$mi ORDER BY vec_id LIMIT $k))""".stripMargin
+        |  FROM (SELECT vec_id, x FROM ts$mi ORDER BY vec_id LIMIT $k))""".stripMargin
       for (i <- 1 to iters) {
         sb ++= s""",
           |as${mi}_$i AS (
-          |${argmin(s"sv$mi", s"cb${mi}_${i - 1}")}),
+          |${argmin(s"ts$mi", s"cb${mi}_${i - 1}")}),
           |up${mi}_$i AS (
           |  SELECT code, g.i AS d, CAST(avg(x[g.i]) AS FLOAT) AS mu
           |  FROM as${mi}_$i, generate_series(1, $sub) g(i)
@@ -1407,12 +1420,21 @@ object OracleSql {
   }
 
   /** Count-adaptive k as a LIMIT subquery — mirrors
-    * [[graft.functions.Clustering.adaptiveK]] exactly (`greatest` /
-    * integer-exact ceil over the same corpus count).
+    * [[graft.functions.Clustering.adaptiveK]] exactly (`least` /
+    * `greatest` / integer-exact ceil over the same corpus count,
+    * including the `maxK` cap).
     */
-  private def adaptiveKSql(target: Int, minK: Int): String =
-    s"(SELECT greatest($minK, CAST(ceil(count(*)::DOUBLE / $target) " +
-      "AS BIGINT)) FROM ev)"
+  private def adaptiveKSql(target: Int, minK: Int,
+                           maxK: Int = 4096): String =
+    s"(SELECT least($maxK, greatest($minK, " +
+      s"CAST(ceil(count(*)::DOUBLE / $target) AS BIGINT))) FROM ev)"
+
+  /** 1-in-mod training-sample modulus as a scalar subquery — mirrors
+    * [[graft.functions.Clustering.trainSampleMod]] exactly (integer
+    * floor division of the corpus count by the training budget).
+    */
+  private def sampleModSql(budget: Int): String =
+    s"(SELECT greatest(1, count(*) // $budget) FROM ev)"
 
   /** Oracle for `cluster_kmeans`: final Lloyd assignment with the
     * 4-decimal-rounded cosine to the winning centroid; cluster count

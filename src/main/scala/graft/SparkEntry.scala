@@ -261,10 +261,10 @@ object SparkEntry {
         .join(cust, ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(n1), supp("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), cust("c_nationkey") === col("c_nk"))
-        .filter((col("supp_nation") === "FRANCE" &&
-          col("cust_nation") === "GERMANY") ||
-          (col("supp_nation") === "GERMANY" &&
-            col("cust_nation") === "FRANCE"))
+        .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("ship_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -277,7 +277,7 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders")
       val supp = t(s, dir, "supplier")
-      val part = t(s, dir, "part").filter(col("p_name").contains("sky"))
+      val part = t(s, dir, "part").filter(col("p_name").contains("gear"))
       val nat = t(s, dir, "nation")
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(part), li("l_partkey") === part("p_partkey"))
@@ -434,7 +434,7 @@ object SparkEntry {
 
     "regexp_filter" -> ((s, dir) => {
       t(s, dir, "part")
-        .filter(col("p_name").rlike("^[a-f].*(ee|oo)"))
+        .filter(col("p_name").rlike("^[a-h].*(ea|od)"))
         .select(col("p_partkey"), col("p_name"),
           size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0)))
             .as("vowel_runs"))
@@ -1374,7 +1374,8 @@ object SparkEntry {
       // vectors are read once, at encode time
       val emb = t(s, dir, "embeddings")
       ProductQuantization.adcTopK(s, emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", m = 4, k = 16, iters = 2, topK = 5)
+        "vec_id", "embedding", m = 4, k = 16, iters = 2, topK = 5,
+        trainBudget = 512)
     }),
 
     "sim_pq_refined" -> ((s, dir) => {
@@ -1384,7 +1385,8 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       ProductQuantization.adcTopKRefined(s, emb,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        m = 4, k = 16, iters = 2, topK = 5, shortlist = 20)
+        m = 4, k = 16, iters = 2, topK = 5, shortlist = 20,
+        trainBudget = 512)
     }),
 
     "cluster_kmeans" -> ((s, dir) => {
@@ -1966,8 +1968,8 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-        |   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q9_product_profit" ->
@@ -1979,7 +1981,7 @@ object SparkEntry {
         |JOIN part ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE p_name LIKE '%sky%'
+        |WHERE p_name LIKE '%gear%'
         |GROUP BY n_name, o_year""".stripMargin,
 
     "unpivot_metrics" ->
@@ -2071,7 +2073,7 @@ object SparkEntry {
       """SELECT p_partkey, p_name,
         |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER)
         |    AS vowel_runs
-        |FROM part WHERE regexp_matches(p_name, '^[a-f].*(ee|oo)')""".stripMargin,
+        |FROM part WHERE regexp_matches(p_name, '^[a-h].*(ea|od)')""".stripMargin,
 
     "set_operations" ->
       """SELECT c_custkey FROM (
@@ -2426,12 +2428,12 @@ object SparkEntry {
     "window_range_frame" ->
       """WITH daily AS (
         |  SELECT l_returnflag,
-        |    datediff('day', DATE '1992-01-01', l_shipdate::DATE) AS day,
-        |    sum(CAST(l_quantity AS BIGINT)) AS day_qty
+        |    datediff('day', DATE '1992-01-01', l_shipdate::DATE)::INT AS day,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS day_qty
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_returnflag, day, day_qty,
         |  sum(day_qty) OVER (PARTITION BY l_returnflag ORDER BY day
-        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS rolling_30d
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)::BIGINT AS rolling_30d
         |FROM daily""".stripMargin,
 
     "window_rank_functions" ->
@@ -2761,9 +2763,9 @@ object SparkEntry {
       OracleSql.simLshTopK(nTables = 12, nBits = 3, dim = 64, seed = 42L, k = 5),
     "sim_ivf_topk" -> OracleSql.simIvfTopK(dim = 64, nProbe = 3, k = 5),
     "sim_pq_topk" -> OracleSql.simPqTopK(m = 4, k = 16, iters = 2,
-      dim = 64, topK = 5),
+      dim = 64, topK = 5, trainBudget = 512),
     "sim_pq_refined" -> OracleSql.simPqRefined(m = 4, k = 16, iters = 2,
-      dim = 64, topK = 5, shortlist = 20),
+      dim = 64, topK = 5, shortlist = 20, trainBudget = 512),
     "cluster_kmeans" -> OracleSql.clusterKmeans(targetClusterSize = 256,
       minK = 8, iters = 3, dim = 64),
     "dedup_semantic" -> OracleSql.dedupSemantic(targetClusterSize = 256,

@@ -27,6 +27,12 @@ object MultiPattern {
     */
   final class Automaton(patterns: Array[Array[Byte]]) extends Serializable {
     private val root = new Node()
+    // captured so matched() never references the constructor param:
+    // if `patterns` were used in a method body it would be retained as
+    // a field, and the executor cache's weak KEY (the same array) would
+    // then be strongly reachable from its VALUE — entries could never
+    // be collected and finished plans would pin their pattern sets
+    private val nPatterns = patterns.length
 
     // trie build
     {
@@ -70,7 +76,7 @@ object MultiPattern {
     /** Distinct matched pattern indices, ascending. */
     def matched(text: UTF8String): GenericArrayData = {
       val bytes = text.getBytes
-      val hits = new java.util.BitSet(patterns.length)
+      val hits = new java.util.BitSet(nPatterns)
       var node = root
       var i = 0
       while (i < bytes.length) {

@@ -1,0 +1,100 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization encoding as ONE native expression.
+  *
+  * The composed formulation (an `array(...)` of K per-code distance
+  * subtrees per subspace, each holding a 16-float literal) is
+  * semantically identical but plans as ~M·K expression nodes whose
+  * whole-stage codegen compiles in seconds — and codebooks CHANGE every
+  * Lloyd round, so training pays that compile cost per iteration. Here
+  * the codebook tensor rides along as a codegen reference object (same
+  * pattern as [[MultiPatternMatches]] / [[HyperplaneSigs]]) and the
+  * argmin loop is a single static method: one compact plan node
+  * regardless of M, K, or dim, for both the training argmin and the
+  * corpus encode pass.
+  *
+  * Determinism contract (bit-exact vs the composed form and the DuckDB
+  * oracle): per code, the distance is `dot(c,c) − 2·dot(x,c)` with both
+  * dots accumulated in double left-to-right (`dot(c,c)` over the FULL
+  * subvector, `dot(x,c)` over the overlap, mirroring `slice` + the
+  * min-length [[DotProduct]] fold); ties break toward the smaller code
+  * via strict `<`.
+  */
+object PqCodes {
+
+  /** Static entry point for generated code: the M argmin codes of
+    * `vec` against `books` (m × k × sub), concatenated subspace layout.
+    */
+  def codes(vec: ArrayData,
+            books: Array[Array[Array[Float]]]): GenericArrayData = {
+    val x = vec.toFloatArray()
+    val m = books.length
+    val out = new Array[Int](m)
+    var mi = 0
+    var off = 0
+    while (mi < m) {
+      val cb = books(mi)
+      val sub = cb(0).length
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var code = 0
+      while (code < cb.length) {
+        val c = cb(code)
+        var dcc = 0.0
+        var i = 0
+        while (i < c.length) {
+          val cv = c(i).toDouble
+          dcc += cv * cv
+          i += 1
+        }
+        // overlap length mirrors slice-then-min-length dot semantics
+        val lim = math.min(c.length, math.max(0, x.length - off))
+        var dxc = 0.0
+        i = 0
+        while (i < lim) {
+          dxc += x(off + i).toDouble * c(i).toDouble
+          i += 1
+        }
+        val d = dcc - 2.0 * dxc
+        if (d < bestD) { bestD = d; best = code }
+        code += 1
+      }
+      out(mi) = best
+      off += sub
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `array<int>` of the M PQ codes for a float-vector column — the
+  * subspace-argmin encode of [[graft.functions.ProductQuantization]]
+  * in one plan node. `books(m)(code)` = subspace-m centroid `code`.
+  */
+case class PqEncodeCodes(child: Expression,
+                         books: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_codes"
+
+  override def nullSafeEval(input: Any): Any =
+    PqCodes.codes(input.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val bk = ctx.addReferenceObj("books", books, "float[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.PqCodes.codes($c, $bk)")
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): PqEncodeCodes = copy(child = c)
+}

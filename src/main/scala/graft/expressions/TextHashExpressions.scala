@@ -487,6 +487,10 @@ object exprs {
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
 
+  def pq_encode_codes(vec: Column,
+                      books: Array[Array[Array[Float]]]): Column =
+    column(PqEncodeCodes(expression(vec), books))
+
   def hyperplane_sigs(vec: Column,
                       planes: Array[Array[Array[Double]]]): Column =
     column(HyperplaneSigs(expression(vec), planes))

@@ -18,9 +18,11 @@ import graft.expressions.exprs
   * k·dim rows — with map-side partials. The only driver-side state is
   * the k·dim float centroid matrix (the same contract as
   * [[Similarity.trainCentroids]]: a metadata-sized aggregate, not a
-  * data collect). At 100 TB you would train on a systematic sample and
-  * assign the full corpus once — both entry points below take whatever
-  * frame you hand them, so the sample/full split composes naturally.
+  * data collect). The adaptive entry points train on a bounded
+  * systematic sample (~`trainBudget` rows, `id % mod == 0`) and assign
+  * the full corpus exactly once, so total FLOPs are
+  * O(budget·k·iters + n·k) with k capped at `maxK` — linear in the
+  * corpus at scale, never n·k·iters.
   *
   * Determinism contract (what makes the DuckDB oracle exact): seeds are
   * the k lowest-id vectors; per-dim means are cast to FLOAT each round
@@ -42,55 +44,97 @@ object Clustering {
     (array_position(sims, best).cast("int") - 1, best)
   }
 
-  /** Count-adaptive cluster count: `max(minK, ceil(n / target))` — the
-    * cluster count must grow WITH the corpus so expected per-cluster
-    * membership (and with it [[semanticDedup]]'s within-cluster pair
-    * work, which is quadratic in membership) stays ~constant. The same
-    * dial as the count-adaptive LSH bucket resolution: a fixed k at 10×
-    * the corpus means 10× members per cluster and 100× pair work.
+  /** Count-adaptive cluster count: `min(maxK, max(minK, ceil(n /
+    * target)))` — the cluster count must grow WITH the corpus so
+    * expected per-cluster membership (and with it [[semanticDedup]]'s
+    * within-cluster pair work, which is quadratic in membership) stays
+    * ~constant. The same dial as the count-adaptive LSH bucket
+    * resolution: a fixed k at 10× the corpus means 10× members per
+    * cluster and 100× pair work. The `maxK` cap bounds the per-row
+    * assignment cost (rows × k × dim FLOPs): past the cap, flat k-means
+    * stops being the right index and the IVF/PQ operators
+    * ([[Similarity.ivfTopK]], [[ProductQuantization]]) are the
+    * billion-vector hand-off.
     */
-  def adaptiveK(n: Long, targetClusterSize: Int, minK: Int): Int = {
-    require(targetClusterSize > 0 && minK > 0)
-    math.max(minK.toLong,
-      math.ceil(n.toDouble / targetClusterSize).toLong).toInt
+  def adaptiveK(n: Long, targetClusterSize: Int, minK: Int,
+                maxK: Int = 4096): Int = {
+    require(targetClusterSize > 0 && minK > 0 && maxK >= minK)
+    math.min(maxK.toLong, math.max(minK.toLong,
+      math.ceil(n.toDouble / targetClusterSize).toLong)).toInt
+  }
+
+  /** 1-in-`mod` systematic training sample: `max(1, n / budget)` by
+    * integer division, so Lloyd rounds touch ~`budget` rows regardless
+    * of corpus size. Deterministic (`id % mod == 0`) so the oracle can
+    * reproduce the exact training set.
+    */
+  def trainSampleMod(n: Long, trainBudget: Int): Int = {
+    require(trainBudget > 0)
+    math.max(1L, n / trainBudget).toInt
   }
 
   /** [[kmeansAssign]] with corpus-adaptive k (one narrow count scan up
-    * front; see [[adaptiveK]]).
+    * front; see [[adaptiveK]]) and a bounded training sample: Lloyd
+    * rounds run over ~`trainBudget` systematically-sampled rows, then
+    * ONE full-corpus assignment pass. Total cost is
+    * O(budget·k·dim·iters + n·k·dim) — linear in n once k hits `maxK` —
+    * instead of the super-linear n·k·iters of full-corpus training.
     */
   def kmeansAssignAdaptive(corpus: DataFrame, idCol: String,
                            vecCol: String, iters: Int,
                            targetClusterSize: Int = 256,
-                           minK: Int = 8): DataFrame =
+                           minK: Int = 8, maxK: Int = 4096,
+                           trainBudget: Int = 4096): DataFrame = {
+    val n = corpus.count()
     kmeansAssign(corpus, idCol, vecCol,
-      adaptiveK(corpus.count(), targetClusterSize, minK), iters)
+      adaptiveK(n, targetClusterSize, minK, maxK), iters,
+      trainSampleMod(n, trainBudget))
+  }
 
-  /** [[semanticDedup]] with corpus-adaptive k (see [[adaptiveK]]). */
+  /** [[semanticDedup]] with corpus-adaptive k and sampled training
+    * (see [[kmeansAssignAdaptive]]).
+    */
   def semanticDedupAdaptive(corpus: DataFrame, idCol: String,
                             vecCol: String, iters: Int, minCos: Double,
                             targetClusterSize: Int = 256,
-                            minK: Int = 8): DataFrame =
+                            minK: Int = 8, maxK: Int = 4096,
+                            trainBudget: Int = 4096): DataFrame = {
+    val n = corpus.count()
     semanticDedup(corpus, idCol, vecCol,
-      adaptiveK(corpus.count(), targetClusterSize, minK), iters, minCos)
+      adaptiveK(n, targetClusterSize, minK, maxK), iters, minCos,
+      trainSampleMod(n, trainBudget))
+  }
 
   /** Train `k` cosine k-means centroids for `iters` Lloyd rounds and
     * return the final assignment: (idCol, cluster, sim) with `sim` the
     * 4-decimal-rounded cosine to the winning centroid.
     *
-    * Seeds: the `k` vectors with the smallest ids (deterministic and
-    * cheap — a bounded sorted-limit, not a sample-dependent init).
-    * Empty clusters keep their previous centroid.
+    * Seeds: the `k` lowest-id vectors OF THE TRAINING SAMPLE
+    * (deterministic and cheap — a bounded sorted-limit, not a
+    * sample-dependent init). Empty clusters keep their previous
+    * centroid.
+    *
+    * `sampleMod` > 1 gates the Lloyd rounds to the 1-in-`sampleMod`
+    * systematic slice (`id % sampleMod == 0`); the FULL corpus is
+    * still assigned, exactly once, at the end. The full frame is read
+    * once, so only the (much smaller) training slice is cached.
     */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
-    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k/$iters")
+                   k: Int, iters: Int, sampleMod: Int = 1): DataFrame = {
+    require(k > 0 && iters >= 0 && sampleMod >= 1,
+      s"need k > 0, iters >= 0, sampleMod >= 1; got $k/$iters/$sampleMod")
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v"))
-    // one cache for the iters+1 full passes the Lloyd loop makes
-    vecs.persist()
+    val train =
+      if (sampleMod == 1) vecs
+      else vecs.filter(col("id") % sampleMod === 0)
+    // one cache for the iters+1 passes the Lloyd loop makes over the
+    // TRAINING slice; the final full-corpus assign reads vecs once
+    train.persist()
     try {
-      val seedRows = vecs.orderBy(col("id")).limit(k).collect()
-      require(seedRows.length == k, s"corpus has < $k vectors")
+      val seedRows = train.orderBy(col("id")).limit(k).collect()
+      require(seedRows.length == k,
+        s"training sample has < $k vectors (sampleMod=$sampleMod)")
       var cents: Seq[Array[Float]] = seedRows.map(
         _.getSeq[Float](1).toArray).toSeq
       val dim = cents.head.length
@@ -98,7 +142,7 @@ object Clustering {
         val (cl, _) = assignCol(col("v"), cents)
         // update: (cluster, dim, float-cast mean) — k·dim rows to the
         // driver; empty clusters fall back to the previous centroid
-        val means = vecs.withColumn("cluster", cl)
+        val means = train.withColumn("cluster", cl)
           .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
           .groupBy("cluster", "d").agg(avg("x").cast("float").as("m"))
           .collect()
@@ -113,7 +157,7 @@ object Clustering {
       val (cl, best) = assignCol(col("v"), cents)
       vecs.select(col("id").as(idCol), cl.as("cluster"),
         round(best, 4).as("sim"))
-    } finally vecs.unpersist()
+    } finally train.unpersist()
   }
 
   /** SemDeDup-style semantic near-dup removal: within each k-means
@@ -128,8 +172,9 @@ object Clustering {
     * vectors once, keyed by cluster.
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int, minCos: Double): DataFrame = {
-    val asg = kmeansAssign(corpus, idCol, vecCol, k, iters)
+                    k: Int, iters: Int, minCos: Double,
+                    sampleMod: Int = 1): DataFrame = {
+    val asg = kmeansAssign(corpus, idCol, vecCol, k, iters, sampleMod)
       .select(col(idCol).as("id"), col("cluster"))
     val members = asg.join(
       corpus.select(col(idCol).as("id"),
@@ -171,22 +216,28 @@ object Clustering {
     * novel content; either way the rows to quarantine before they skew
     * a training mix.
     *
-    * Determinism: the per-cluster moments accumulate the 4-decimal
-    * cosine SCALED TO INTEGERS (`floor(sim·10⁴)` as long), so the sums
-    * are exact under any aggregation order; mean/σ/z derive from those
-    * integers by a fixed IEEE formula both engines evaluate identically.
-    * A double `sum(sim)` would be shuffle-order dependent.
+    * Determinism: the per-cluster moments accumulate integer sums of
+    * the already-4-decimal-rounded cosine (`floor(sim·10⁴)` as long),
+    * so the sums are aggregation-order independent; mean/σ/z derive
+    * from those integers by a fixed IEEE formula both engines evaluate
+    * identically. A double `sum(sim)` would be shuffle-order dependent.
     *
-    * Scale shape: assignment is the k-means map pass; moments are one
-    * narrow map-side-combined aggregation to k rows, broadcast back.
+    * Scale shape: assignment is the k-means map pass, materialized ONCE
+    * (`localCheckpoint`) because both the moments aggregation and the
+    * final join consume it — without that the full assignment lineage
+    * would recompute per branch; moments are one narrow
+    * map-side-combined aggregation to k rows, broadcast back.
     * Degenerate clusters (σ = 0) flag nothing.
     */
   def embeddingOutliers(corpus: DataFrame, idCol: String, vecCol: String,
                         iters: Int = 3, targetClusterSize: Int = 256,
-                        minK: Int = 8, zThresh: Double = 2.0): DataFrame = {
+                        minK: Int = 8, zThresh: Double = 2.0,
+                        maxK: Int = 4096,
+                        trainBudget: Int = 4096): DataFrame = {
     val asg = kmeansAssignAdaptive(corpus, idCol, vecCol, iters,
-      targetClusterSize, minK)
+      targetClusterSize, minK, maxK, trainBudget)
       .withColumn("s4", floor(col("sim") * 10000).cast("long"))
+      .localCheckpoint(true)
     val st = asg.groupBy("cluster")
       .agg(count(lit(1)).as("n"), sum(col("s4")).as("s1"),
         sum(col("s4") * col("s4")).as("s2"))

@@ -467,11 +467,14 @@ object Dedup {
         .select(col("dst").as("id"),
           floor(col("rank") * dampingPct / (lit(100) * col("deg")))
             .cast("long").as("c"))
+      // teleport mass in millionths: (1 - damping) · 10⁶, consistent
+      // with the damping factor for ANY dampingPct (not just 85)
+      val teleport = (100L - dampingPct) * 10000L
       r = verts
         .join(contrib.groupBy("id").agg(sum("c").as("in")), Seq("id"),
           "left")
         .select(col("id"),
-          (lit(150000L) + coalesce(col("in"), lit(0L))).as("rank"))
+          (lit(teleport) + coalesce(col("in"), lit(0L))).as("rank"))
         .localCheckpoint(true)
     }
     r.select(col("id").as("doc_id"), col("rank"))
@@ -522,6 +525,10 @@ object Dedup {
     * pattern set, which makes the scan cost independent of the snippet
     * count.
     */
+  // NOTE: null snippets never match (instr null semantics) and empty
+  // snippets match EVERY document (instr returns 1) — feed a clean,
+  // non-null, non-empty snippet set; the automaton twin
+  // [[substringContaminationAC]] rejects such inputs outright.
   def substringContamination(docs: DataFrame, idCol: String,
                              textCol: String, snippets: DataFrame,
                              snippetIdCol: String,
@@ -549,6 +556,12 @@ object Dedup {
     * [[substringContamination]] (the spec asserts row-for-row equality)
     * — this is the same operator with the physical plan you would want
     * at 10⁵ snippets.
+    *
+    * Precondition: snippet ids and texts must be non-null and texts
+    * non-empty (enforced with `require`). A null snippet is silently
+    * ignored by `instr` while an empty one matches EVERY document —
+    * both degenerate inputs the automaton formulation rejects up front
+    * rather than diverging on.
     */
   def substringContaminationAC(docs: DataFrame, idCol: String,
                                textCol: String, snippets: DataFrame,
@@ -557,7 +570,14 @@ object Dedup {
     val rows = snippets
       .select(col(snippetIdCol).cast("long"), col(snippetCol).cast("string"))
       .collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1) && r.getString(1).nonEmpty,
+          "substringContaminationAC requires non-null, non-empty " +
+            "snippets (an empty snippet would match every document via " +
+            "instr but is droppable by the automaton — reject instead " +
+            "of diverging)")
+        (r.getLong(0), r.getString(1))
+      }
       .sortBy(_._1)
     val patterns = rows.map(_._2)
     val m = exprs.multi_pattern_matches(col(textCol), patterns)

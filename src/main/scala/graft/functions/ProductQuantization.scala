@@ -14,7 +14,8 @@ import graft.expressions.exprs
   * per code. 64 floats (256 B) become M bytes; at 100 TB that is the
   * difference between an in-memory index and not having one.
   *
-  * Scale shape: codebook training touches only subvector means
+  * Scale shape: codebook training runs on a bounded systematic sample
+  * (~`trainBudget` rows) and its driver state is only subvector means
   * (M·K·(dim/M) rows per round — metadata-sized, same contract as
   * [[Clustering.kmeansAssign]]); encoding is one broadcast-literal map
   * pass; the query-time join moves only (id, m, code) triples against a
@@ -28,65 +29,69 @@ import graft.expressions.exprs
   */
 object ProductQuantization {
 
-  /** Left-to-right double dot product of two float arrays — must match
-    * [[graft.expressions.DotProduct]] and DuckDB's sequential
-    * `list_inner_product` exactly.
-    */
-  private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
-    var d = 0.0
-    var i = 0
-    while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
-    d
-  }
-
   /** Codebooks: `codebooks(m)(code)` = centroid of subspace `m`. */
   type Codebooks = Seq[IndexedSeq[Array[Float]]]
 
   private def subCol(vec: Column, m: Int, sub: Int): Column =
     slice(vec, m * sub + 1, sub)
 
-  /** Argmin-code column for subspace `m` against its codebook:
-    * `argmin_code (|c|² − 2·x·c)`, ties toward the smaller code.
+  /** All M argmin codes in one native plan node (see
+    * [[graft.expressions.PqCodes]]): `argmin_code (|c|² − 2·x·c)` per
+    * subspace, ties toward the smaller code. The codebook tensor is a
+    * codegen reference object, so re-planning with updated books (every
+    * Lloyd round!) re-compiles one compact node, not M·K literal
+    * subtrees.
     */
-  private def codeCol(vec: Column, m: Int, sub: Int,
-                      cb: IndexedSeq[Array[Float]]): Column = {
-    val x = subCol(vec, m, sub)
-    val dists = array(cb.map { c =>
-      lit(dotLocal(c, c)) -
-        lit(2.0) * exprs.dot_product(x, typedLit(c.toSeq))
-    }: _*)
-    array_position(dists, array_min(dists)).cast("int") - 1
-  }
+  private def codesCol(vec: Column, books: Codebooks): Column =
+    exprs.pq_encode_codes(vec, toTensor(books))
 
-  /** Train per-subspace codebooks: seeds = the K lowest-id subvectors,
-    * `iters` Lloyd rounds with float-cast per-dim means; empty codes
-    * keep their previous centroid. One update shuffle per round covers
-    * ALL subspaces (the M assignment columns ride one projection).
+  private def toTensor(books: Codebooks): Array[Array[Array[Float]]] =
+    books.map(_.toArray).toArray
+
+  /** Train per-subspace codebooks: seeds = the K lowest-id subvectors
+    * of the training sample, `iters` Lloyd rounds with float-cast
+    * per-dim means; empty codes keep their previous centroid. One
+    * update shuffle per round covers ALL subspaces (the M assignment
+    * columns ride one projection).
+    *
+    * `sampleMod` > 1 gates training to the 1-in-`sampleMod` systematic
+    * slice (`id % sampleMod == 0`) — the codebook is a quantizer, not a
+    * statistic of every row, so a bounded sample trains it just as well
+    * and the build cost stops scaling with the corpus. Train ONCE,
+    * persist the result, and pass it to [[adcTopK]] via `books` — at
+    * 100 TB the codebook is a build artifact, never a per-query cost.
     */
   def trainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                     m: Int, k: Int, iters: Int): Codebooks = {
-    val vecs = corpus.select(col(idCol).as("id"),
+                     m: Int, k: Int, iters: Int,
+                     sampleMod: Int = 1): Codebooks = {
+    require(sampleMod >= 1, s"need sampleMod >= 1; got $sampleMod")
+    val all = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v"))
+    val vecs =
+      if (sampleMod == 1) all
+      else all.filter(col("id") % sampleMod === 0)
     vecs.persist()
     try {
       val dim = vecs.head().getSeq[Float](1).length
       require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
       val sub = dim / m
       val seedRows = vecs.orderBy(col("id")).limit(k).collect()
-      require(seedRows.length == k, s"corpus has < $k vectors")
+      require(seedRows.length == k,
+        s"training sample has < $k vectors (sampleMod=$sampleMod)")
       var books: Codebooks = (0 until m).map { mi =>
         seedRows.map(r => r.getSeq[Float](1)
           .slice(mi * sub, (mi + 1) * sub).toArray).toIndexedSeq
       }
       for (_ <- 1 to iters) {
-        // one frame holding every (subspace, code, dim, x): M narrow
-        // unions -> a single (m, code, d) mean aggregate
-        val parts = (0 until m).map { mi =>
-          vecs.select(lit(mi).as("m"),
-            codeCol(col("v"), mi, sub, books(mi)).as("code"),
-            posexplode(subCol(col("v"), mi, sub)).as(Seq("d", "x")))
-        }
-        val means = parts.reduce(_ unionByName _)
+        // one pass: the native encode emits all M codes per row, the
+        // double posexplode fans out to (m, code, d, x) rows, and a
+        // single (m, code, d) mean aggregate updates every subspace
+        val means = vecs
+          .select(col("v"), posexplode(codesCol(col("v"), books))
+            .as(Seq("m", "code")))
+          .select(col("m"), col("code"),
+            posexplode(slice(col("v"), col("m") * sub + 1, lit(sub)))
+              .as(Seq("d", "x")))
           .groupBy("m", "code", "d").agg(avg("x").cast("float").as("mu"))
           .collect()
           .groupBy(r => (r.getInt(0), r.getInt(1)))
@@ -107,28 +112,32 @@ object ProductQuantization {
 
   /** Encode each vector as its M subspace codes: (idCol, codes). */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-             books: Codebooks): DataFrame = {
-    val m = books.size
-    val sub = books.head.head.length
-    val v = col(vecCol).cast("array<float>")
+             books: Codebooks): DataFrame =
     corpus.select(col(idCol),
-      array((0 until m).map(mi => codeCol(v, mi, sub, books(mi))): _*)
-        .as("codes"))
-  }
+      codesCol(col(vecCol).cast("array<float>"), books).as("codes"))
 
   /** ADC top-k: approximate inner-product search over PQ codes.
     * Returns (query_id, rank, neighbor_id, score) with the approximate
     * dot rounded to 4 decimals, rank by (score desc, id asc).
+    *
+    * Pass pre-trained codebooks via `books` to keep training out of the
+    * query path entirely (the 100 TB shape: codebooks are a persisted
+    * build artifact shared across every query). When `books` is None a
+    * default build runs on a bounded systematic sample of ~`trainBudget`
+    * rows (`id % max(1, n/budget) == 0`) — one narrow count scan plus
+    * sample-gated Lloyd rounds, never full-corpus training.
     */
   def adcTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, m: Int, k: Int, iters: Int,
-              topK: Int): DataFrame = {
+              topK: Int, books: Option[Codebooks] = None,
+              trainBudget: Int = 4096): DataFrame = {
     import spark.implicits._
-    val books = trainCodebooks(corpus, idCol, vecCol, m, k, iters)
-    val sub = books.head.head.length
+    val bks = books.getOrElse(trainCodebooks(corpus, idCol, vecCol, m, k,
+      iters, Clustering.trainSampleMod(corpus.count(), trainBudget)))
+    val sub = bks.head.head.length
 
     // per-query LUT: M·K partial dots, built from the tiny query set
-    val cbDf = books.zipWithIndex.flatMap { case (cb, mi) =>
+    val cbDf = bks.zipWithIndex.flatMap { case (cb, mi) =>
       cb.zipWithIndex.map { case (c, code) => (mi, code, c.toSeq) }
     }.toDF("m", "code", "centroid")
     // the slice offset depends on m, so compute the partial with a
@@ -145,7 +154,7 @@ object ProductQuantization {
       .crossJoin(broadcast(cbDf))
       .select(col("query_id"), col("m"), col("code"), pdExpr.as("pd"))
 
-    val codes = encode(corpus, idCol, vecCol, books)
+    val codes = encode(corpus, idCol, vecCol, bks)
       .select(col(idCol).as("neighbor_id"),
         posexplode(col("codes")).as(Seq("m", "code")))
 
@@ -181,10 +190,14 @@ object ProductQuantization {
   def adcTopKRefined(spark: SparkSession, corpus: DataFrame,
                      queries: DataFrame, idCol: String, vecCol: String,
                      m: Int, k: Int, iters: Int, topK: Int,
-                     shortlist: Int): DataFrame = {
+                     shortlist: Int, books: Option[Codebooks] = None,
+                     trainBudget: Int = 4096): DataFrame = {
     require(shortlist >= topK)
+    // train (or accept) the codebooks ONCE; the shortlist pass reuses it
+    val bks = books.getOrElse(trainCodebooks(corpus, idCol, vecCol, m, k,
+      iters, Clustering.trainSampleMod(corpus.count(), trainBudget)))
     val cand = adcTopK(spark, corpus, queries, idCol, vecCol, m, k,
-        iters, shortlist)
+        iters, shortlist, books = Some(bks))
       .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<float>").as("qv"))

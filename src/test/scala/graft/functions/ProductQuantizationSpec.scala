@@ -76,4 +76,38 @@ class ProductQuantizationSpec extends SparkSpec {
         f"most of ADC's ($adc%.2f) distortion loss")
     assert(refined >= adc - 1e-9, "rerank must not lose recall")
   }
+
+  test("trainCodebooks seeds from the 1-in-mod sample only") {
+    // iters = 0 leaves the codebooks at their seeds; with sampleMod = 8
+    // over dense ids the K seed subvectors must come from ids 0, 8, 16,
+    // 24 — so codebook entry 1 equals vec 8's subvector, not vec 1's
+    val k = 4
+    val books = ProductQuantization.trainCodebooks(emb, "vec_id",
+      "embedding", m = 4, k = k, iters = 0, sampleMod = 8)
+    val byId = emb.filter(col("vec_id").isin(1L, 8L))
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val sub = books.head.head.length
+    assert(books.head(1).toSeq == byId(8L).slice(0, sub),
+      "seed 1 must be sampled vec 8's subvector")
+    assert(books.head(1).toSeq != byId(1L).slice(0, sub),
+      "unsampled vec 1 leaked into the codebook seeds")
+  }
+
+  test("pre-trained books reproduce the default build (reuse API)") {
+    val queries = emb.filter(col("vec_id") < 4)
+    val books = ProductQuantization.trainCodebooks(emb, "vec_id",
+      "embedding", m = 4, k = 8, iters = 2,
+      sampleMod = Clustering.trainSampleMod(emb.count(), 4096))
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val default = collect(ProductQuantization.adcTopK(spark, emb,
+      queries, "vec_id", "embedding", m = 4, k = 8, iters = 2, topK = 5))
+    val reused = collect(ProductQuantization.adcTopK(spark, emb,
+      queries, "vec_id", "embedding", m = 4, k = 8, iters = 2, topK = 5,
+      books = Some(books)))
+    assert(default == reused,
+      "externally trained codebooks must reproduce the default build")
+  }
 }
