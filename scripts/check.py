@@ -56,6 +56,18 @@ def main(outdir, sfdir, only=None):
         if list(s.columns) != list(o.columns):
             results[name] = f"COLS: spark={list(s.columns)} oracle={list(o.columns)}"
             continue
+        # STRICT dtype equality — the driver's hash is type-representation
+        # sensitive, so an oracle that lets DuckDB widen (sum(BIGINT) ->
+        # HUGEINT -> pandas object; datediff -> BIGINT vs Spark INT)
+        # hash-mismatches even when every value is equal (the r4
+        # window_range_frame failure class). Catch it here, loudly,
+        # instead of in the driver's ledger.
+        dt_bad = [f"{c}: spark={s[c].dtype} oracle={o[c].dtype}"
+                  for c in s.columns if str(s[c].dtype) != str(o[c].dtype)]
+        if dt_bad:
+            results[name] = "DTYPES: " + "; ".join(dt_bad)
+            print(f"[FAIL] {name}  {results[name]}", flush=True)
+            continue
         if len(s) != len(o):
             results[name] = f"ROWS: spark={len(s)} oracle={len(o)}"
             continue

@@ -465,9 +465,9 @@ object OracleSql {
        |  FROM sc GROUP BY 1, 2),
        |rs AS (SELECT query_id, doc_id,
        |         ${roundSpark("raw", 4)} AS score FROM pd),
-       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |         ORDER BY CAST(round(score * 10000) AS BIGINT) DESC,
-       |                  doc_id ASC) AS rank
+       |                  doc_id ASC) AS INTEGER) AS rank
        |       FROM rs)""".stripMargin
   }
 
@@ -496,9 +496,9 @@ object OracleSql {
                 s"coalesce(1.0 / ($c + ob.rank), 0.0)", 6)} AS rrf
        |  FROM bm FULL OUTER JOIN ob
        |    ON bm.query_id = ob.query_id AND bm.doc_id = ob.doc_id),
-       |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |         ORDER BY CAST(round(rrf * 1000000) AS BIGINT) DESC,
-       |                  doc_id ASC) AS rank
+       |                  doc_id ASC) AS INTEGER) AS rank
        |       FROM fu)
        |SELECT query_id, rank, doc_id, rrf FROM fr WHERE rank <= $k""".stripMargin
 

@@ -2438,11 +2438,11 @@ object SparkEntry {
 
     "window_rank_functions" ->
       """SELECT o_orderstatus, o_orderkey,
-        |  rank() OVER w AS rnk,
-        |  dense_rank() OVER w AS drnk,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
         |  round(percent_rank() OVER w, 6) AS prnk,
         |  round(cume_dist() OVER w, 6) AS cdist,
-        |  ntile(4) OVER w AS quartile
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM orders
         |WHERE o_custkey % 50 = 0
         |WINDOW w AS (PARTITION BY o_orderstatus

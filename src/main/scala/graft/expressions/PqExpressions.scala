@@ -1,6 +1,7 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -69,6 +70,86 @@ object PqCodes {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Cosine argmax against a literal centroid matrix as ONE native
+  * expression — the Lloyd assignment primitive of
+  * [[graft.functions.Clustering]]. The composed form (an `array(...)`
+  * of k cosine subtrees) re-copies the vector ONCE PER CENTROID
+  * (`toFloatArray` inside every [[CosineSim]] child) and materializes a
+  * k-double array per row; here the vector is copied once and the k
+  * dot loops run over it in place — identical FLOPs, a fraction of the
+  * constant, and one compact plan node regardless of k.
+  *
+  * Determinism contract (bit-exact vs the composed form and the DuckDB
+  * oracle): per centroid, dot/‖x‖²/‖c‖² accumulate in one left-to-right
+  * double loop over the min length exactly like [[CosineSim]]; sim =
+  * dot / (√‖x‖²·√‖c‖²), 0 when the denominator is 0; ties break toward
+  * the smaller cluster index via strict `>`.
+  */
+object KmeansOps {
+
+  /** Static entry point for generated code: (argmax cluster, its sim)
+    * of `vec` against `cents`, first-max tie-breaking.
+    */
+  def assign(vec: ArrayData,
+             cents: Array[Array[Float]]): InternalRow = {
+    val x = vec.toFloatArray()
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      val n = math.min(x.length, c.length)
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val a = x(i).toDouble
+        val b = c(i).toDouble
+        dot += a * b
+        na += a * a
+        nb += b * b
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val s = if (denom > 0) dot / denom else 0.0
+      if (s > bestSim) { bestSim = s; best = ci }
+      ci += 1
+    }
+    new GenericInternalRow(Array[Any](best, bestSim))
+  }
+}
+
+/** `struct<cluster:int, sim:double>` of the winning centroid for a
+  * float-vector column (see [[KmeansOps.assign]]). The centroid matrix
+  * rides as a codegen reference object, so re-planning with updated
+  * centroids (every Lloyd round) re-compiles one node.
+  */
+case class KmeansAssignExpr(child: Expression,
+                            cents: Array[Array[Float]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def prettyName: String = "kmeans_assign"
+
+  override def nullSafeEval(input: Any): Any =
+    KmeansOps.assign(input.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ct = ctx.addReferenceObj("cents", cents, "float[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.KmeansOps.assign($c, $ct)")
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): KmeansAssignExpr = copy(child = c)
 }
 
 /** `array<int>` of the M PQ codes for a float-vector column — the

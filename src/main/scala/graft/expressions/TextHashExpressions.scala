@@ -491,6 +491,9 @@ object exprs {
                       books: Array[Array[Array[Float]]]): Column =
     column(PqEncodeCodes(expression(vec), books))
 
+  def kmeans_assign(vec: Column, cents: Array[Array[Float]]): Column =
+    column(KmeansAssignExpr(expression(vec), cents))
+
   def hyperplane_sigs(vec: Column,
                       planes: Array[Array[Array[Double]]]): Column =
     column(HyperplaneSigs(expression(vec), planes))

@@ -34,14 +34,16 @@ import graft.expressions.exprs
 object Clustering {
 
   /** One Lloyd assignment pass against a literal centroid matrix:
-    * `cluster` = first index attaining the max cosine sim (0-based).
+    * `cluster` = first index attaining the max cosine sim (0-based),
+    * `sim` = that cosine. One native plan node (see
+    * [[graft.expressions.KmeansOps]]) — the vector is copied once per
+    * row, not once per centroid, which is what makes the full-corpus
+    * assign pass affordable at adaptive k.
     */
   private def assignCol(vec: Column, cents: Seq[Array[Float]])
       : (Column, Column) = {
-    val sims = array(cents.map(c =>
-      exprs.cosine_sim(vec, typedLit(c.toSeq))): _*)
-    val best = array_max(sims)
-    (array_position(sims, best).cast("int") - 1, best)
+    val a = exprs.kmeans_assign(vec, cents.toArray)
+    (a.getField("cluster"), a.getField("sim"))
   }
 
   /** Count-adaptive cluster count: `min(maxK, max(minK, ceil(n /
