@@ -1436,6 +1436,41 @@ object OracleSql {
   private def sampleModSql(budget: Int): String =
     s"(SELECT greatest(1, count(*) // $budget) FROM ev)"
 
+  /** Oracle for `sim_ivf_kmeans_topk`: learned-cell IVF — the shared
+    * k-means CTEs supply the trained centroids (`cent<iters>`) and the
+    * full-corpus assignment (`fin` = the inverted lists); queries probe
+    * their nProbe nearest centroids and rank exactly within probed
+    * cells, mirroring [[graft.functions.Similarity.ivfKmeansTopK]].
+    */
+  def simIvfKmeansTopK(nProbe: Int, k: Int, iters: Int = 3,
+                       dim: Int = 64, targetClusterSize: Int = 256,
+                       minK: Int = 8): String =
+    s"""WITH ${kmeansCtes(adaptiveKSql(targetClusterSize, minK), iters, dim)},
+       |qv AS (
+       |  SELECT vec_id AS query_id, v FROM ev WHERE vec_id < 8),
+       |probes AS (
+       |  SELECT query_id, cell, v FROM (
+       |    SELECT q.query_id, c.cluster AS cell, q.v,
+       |      CAST(row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.v, c.centroid) DESC,
+       |                 c.cluster ASC) AS INTEGER) AS pr
+       |    FROM qv q CROSS JOIN cent$iters c)
+       |  WHERE pr <= $nProbe),
+       |scored AS (
+       |  SELECT p.query_id, f.vec_id AS neighbor_id,
+       |    list_cosine_similarity(p.v, e.v) AS score
+       |  FROM fin f
+       |  JOIN ev e ON e.vec_id = f.vec_id
+       |  JOIN probes p ON f.cluster = p.cell
+       |  WHERE f.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, ${roundSpark("score", 4)} AS score
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
   /** Oracle for `cluster_kmeans`: final Lloyd assignment with the
     * 4-decimal-rounded cosine to the winning centroid; cluster count
     * adapts to the corpus like the engine's.

@@ -1367,6 +1367,17 @@ object SparkEntry {
         k = 5, nProbe = 3, centroids = Some(cent))
     }),
 
+    "sim_ivf_kmeans_topk" -> ((s, dir) => {
+      // learned-cell IVF: sampled k-means trains the coarse quantizer,
+      // one native-assign pass builds the inverted lists, queries probe
+      // their 8 nearest cells — cells align with embedding geometry, so
+      // recall concentrates on true neighbors instead of the
+      // nProbe/nCells floor of metadata cells (see sim_ivf_topk)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfKmeansTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nProbe = 12)
+    }),
+
     "sim_pq_topk" -> ((s, dir) => {
       // product-quantized ANN (IVF+PQ's memory half): 64 floats ->
       // 4 codebook bytes per vector; queries answered from a broadcast
@@ -1374,7 +1385,7 @@ object SparkEntry {
       // vectors are read once, at encode time
       val emb = t(s, dir, "embeddings")
       ProductQuantization.adcTopK(s, emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", m = 4, k = 16, iters = 2, topK = 5,
+        "vec_id", "embedding", m = 16, k = 32, iters = 2, topK = 5,
         trainBudget = 512)
     }),
 
@@ -1385,7 +1396,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       ProductQuantization.adcTopKRefined(s, emb,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
-        m = 4, k = 16, iters = 2, topK = 5, shortlist = 20,
+        m = 16, k = 32, iters = 2, topK = 5, shortlist = 150,
         trainBudget = 512)
     }),
 
@@ -2762,10 +2773,11 @@ object SparkEntry {
     "sim_lsh_topk" ->
       OracleSql.simLshTopK(nTables = 12, nBits = 3, dim = 64, seed = 42L, k = 5),
     "sim_ivf_topk" -> OracleSql.simIvfTopK(dim = 64, nProbe = 3, k = 5),
-    "sim_pq_topk" -> OracleSql.simPqTopK(m = 4, k = 16, iters = 2,
+    "sim_ivf_kmeans_topk" -> OracleSql.simIvfKmeansTopK(nProbe = 12, k = 5),
+    "sim_pq_topk" -> OracleSql.simPqTopK(m = 16, k = 32, iters = 2,
       dim = 64, topK = 5, trainBudget = 512),
-    "sim_pq_refined" -> OracleSql.simPqRefined(m = 4, k = 16, iters = 2,
-      dim = 64, topK = 5, shortlist = 20, trainBudget = 512),
+    "sim_pq_refined" -> OracleSql.simPqRefined(m = 16, k = 32, iters = 2,
+      dim = 64, topK = 5, shortlist = 150, trainBudget = 512),
     "cluster_kmeans" -> OracleSql.clusterKmeans(targetClusterSize = 256,
       minK = 8, iters = 3, dim = 64),
     "dedup_semantic" -> OracleSql.dedupSemantic(targetClusterSize = 256,

@@ -123,6 +123,22 @@ object Clustering {
     */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int, sampleMod: Int = 1): DataFrame = {
+    val cents = trainKmeans(corpus, idCol, vecCol, k, iters, sampleMod)
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+    val (cl, best) = assignCol(col("v"), cents)
+    vecs.select(col("id").as(idCol), cl.as("cluster"),
+      round(best, 4).as("sim"))
+  }
+
+  /** The Lloyd training loop alone: returns the final centroid matrix
+    * without assigning the corpus. The coarse-quantizer build for
+    * learned-cell IVF ([[Similarity.ivfKmeansTopK]]) — train once on
+    * the sample, reuse the centroids across probes.
+    */
+  def trainKmeans(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int,
+                  sampleMod: Int = 1): Seq[Array[Float]] = {
     require(k > 0 && iters >= 0 && sampleMod >= 1,
       s"need k > 0, iters >= 0, sampleMod >= 1; got $k/$iters/$sampleMod")
     val vecs = corpus.select(col(idCol).as("id"),
@@ -131,7 +147,7 @@ object Clustering {
       if (sampleMod == 1) vecs
       else vecs.filter(col("id") % sampleMod === 0)
     // one cache for the iters+1 passes the Lloyd loop makes over the
-    // TRAINING slice; the final full-corpus assign reads vecs once
+    // TRAINING slice; callers read the full frame once afterwards
     train.persist()
     try {
       val seedRows = train.orderBy(col("id")).limit(k).collect()
@@ -156,9 +172,7 @@ object Clustering {
           }
         cents = cents.indices.map(c => means.getOrElse(c, cents(c)))
       }
-      val (cl, best) = assignCol(col("v"), cents)
-      vecs.select(col("id").as(idCol), cl.as("cluster"),
-        round(best, 4).as("sim"))
+      cents
     } finally train.unpersist()
   }
 

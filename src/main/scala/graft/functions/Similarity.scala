@@ -264,6 +264,14 @@ object Similarity {
     * corpus is partitioned by cell, so a probe reads ~nProbe/nCells of
     * the data instead of all of it.
     *
+    * Recall trade-off: cells here are METADATA partitions (`labelCol`).
+    * When labels correlate with embedding geometry (language, domain,
+    * source shards — the production sharding case) within-cell recall
+    * is high; when they are geometry-agnostic, expected recall degrades
+    * toward nProbe/nCells (measured 0.35 at nProbe=3 over 10 random
+    * labels on the 50k fixture). For geometry-aligned cells use
+    * [[ivfKmeansTopK]], which learns the partition instead.
+    *
     * @param centroids precomputed (cell, centroid) frame from
     *                  [[trainCentroids]]; when None, trains on a 1-in-4
     *                  systematic sample of the corpus (never the full
@@ -295,6 +303,67 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score",
         graft.expressions.exprs.cosine_sim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** IVF over LEARNED cells: the coarse quantizer is a sampled k-means
+    * ([[Clustering.trainKmeans]] — Lloyd rounds on ~`trainBudget` rows,
+    * cell count adaptive in the corpus), the inverted lists are one
+    * native-assign pass over the corpus, and queries probe their
+    * `nProbe` nearest cells. This is the standard IVF recipe (cells
+    * aligned with embedding geometry) — use it when no
+    * geometry-correlated metadata shard exists; measured recall@5 at
+    * the 50k fixture sits with the probed fraction concentrated on true
+    * neighbors rather than the ~nProbe/nCells floor of random cells.
+    *
+    * Scale shape: quantizer build is sample-bounded; the corpus-side
+    * pass is one map-only native assign (vector copied once per row);
+    * the probe join moves only the probed cells' vectors, keyed by
+    * cell; at 100 TB the corpus is partition-pruned by cell id.
+    */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nProbe: Int, iters: Int = 3,
+                    targetClusterSize: Int = 256, minK: Int = 8,
+                    maxK: Int = 4096, trainBudget: Int = 4096)
+      : DataFrame = {
+    val session = corpus.sparkSession
+    import session.implicits._
+    val n = corpus.count()
+    val kCells = Clustering.adaptiveK(n, targetClusterSize, minK, maxK)
+    val mod = Clustering.trainSampleMod(n, trainBudget)
+    val cents = Clustering.trainKmeans(corpus, idCol, vecCol, kCells,
+      iters, mod)
+
+    // inverted lists: one native-assign pass over the corpus
+    val cells = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      exprs.kmeans_assign(col(vecCol).cast("array<float>"),
+        cents.toArray).getField("cluster").as("cell"))
+
+    // route each query to its nProbe nearest centroids
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+    val qCells = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cdist",
+        exprs.cosine_sim(col("q_vec"), col("centroid")))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cdist").desc, col("cell").asc)
+    val probes = qCells.withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+
+    // exact ranking within probed cells only
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        exprs.cosine_sim(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -140,6 +140,23 @@ class FunctionsSpec extends SparkSpec {
     assert(pre == auto)
   }
 
+  test("learned-cell IVF beats metadata cells and clears recall 0.8") {
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 8)
+    val truth = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val got = Similarity
+      .ivfKmeansTopK(emb, queries, "vec_id", "embedding", k = 5,
+        nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    // 500 vectors -> minK=8 cells; probing half must carry most truth
+    assert(recall >= 0.8, s"learned-cell recall@5 = $recall")
+  }
+
   test("int8-quantized cosine preserves top-5 neighbors") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 8)
