@@ -662,6 +662,28 @@ object OracleSql {
        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
        |comp AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id)""".stripMargin
 
+  /** Oracle for `graph_triangles`: canonical a<b near-dup edges,
+    * wedges closed by the (a, c) edge, per-vertex membership counts —
+    * mirrors [[graft.functions.Dedup.triangleCounts]].
+    */
+  def graphTriangles(numHashes: Int = 16, rowsPerBand: Int = 2): String =
+    s"""WITH ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |${edgeCtes(numHashes)},
+       |ce AS MATERIALIZED (SELECT DISTINCT id_a AS a, id_b AS b FROM fcand),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM ce e1
+       |  JOIN ce e2 ON e2.a = e1.b
+       |  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |nodes AS (
+       |  SELECT x AS doc_id FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri)
+       |SELECT doc_id, count(*)::BIGINT AS n_triangles
+       |FROM nodes GROUP BY 1""".stripMargin
+
   /** Oracle for `graph_pagerank`: the same edge closure, outdegrees,
     * and `iters` unrolled integer-exact rank rounds
     * (`floor(rank·damping% / (100·deg))` contributions, long sums,
@@ -709,6 +731,27 @@ object OracleSql {
        |${minhashCtes(numHashes, rowsPerBand)},
        |${componentCtes(numHashes)}
        |SELECT doc_id, rep_id FROM comp""".stripMargin
+
+  /** Oracle for `curate_canonical_docs`: the component closure joined
+    * to the quality oracle; per cluster the (quality desc, doc_id asc)
+    * winner — mirroring the bounded top-1-by aggregate.
+    */
+  def curateCanonicalDocs(qualitySql: String, numHashes: Int = 16,
+                          rowsPerBand: Int = 2): String =
+    s"""WITH RECURSIVE ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |${componentCtes(numHashes)},
+       |q AS ($qualitySql),
+       |j AS (SELECT c.rep_id, c.doc_id, q.quality
+       |      FROM comp c JOIN q USING (doc_id)),
+       |r AS (SELECT rep_id, doc_id, quality,
+       |        row_number() OVER (PARTITION BY rep_id
+       |          ORDER BY CAST(round(quality * 10000) AS BIGINT) DESC,
+       |                   doc_id ASC) AS rn
+       |      FROM j)
+       |SELECT rep_id AS cluster_rep, doc_id AS canonical_id, quality
+       |FROM r WHERE rn = 1""".stripMargin
 
   /** Oracle for `training_mix` — the composed pipeline: quality filter,
     * near-dup removal (cluster non-representatives dropped), stratified

@@ -550,6 +550,23 @@ object SparkEntry {
           .select(lit("3_purchase").as("step"), col("n_users")))
     }),
 
+    "events_retention_cohorts" -> ((s, dir) => {
+      // daily cohort retention: users grouped by first-active day,
+      // distinct actives counted per (cohort, day offset) — two
+      // map-side-combined narrow aggregations and one user_id join;
+      // at 100 TB the distinct (user, day) frame is the only shuffled
+      // state and the output is bounded by days², not events
+      val days = t(s, dir, "events").select(col("user_id"),
+        datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("day"))
+      val cohort = days.groupBy("user_id")
+        .agg(min("day").as("cohort_day"))
+      days.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
+
     "validate_schema_drift" -> ((s, dir) => {
       // ingestion contract check: the ACTUAL table schema diffed against
       // the declared column contract — new columns surface as
@@ -649,6 +666,64 @@ object SparkEntry {
         .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
         .filter(col("est_jaccard") >= 0.5)
       Dedup.pageRank(pairs, "id_a", "id_b", iters = 3)
+    }),
+
+    "graph_triangles" -> ((s, dir) => {
+      // local clustering over the near-dup graph: triangle-dense
+      // vertices sit in genuine duplicate cliques; chains of borderline
+      // pairs carry none — a cheap cluster-vs-bridge separator
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.triangleCounts(pairs, "id_a", "id_b")
+    }),
+
+    "dedup_edit_distance" -> ((s, dir) => {
+      // title-key fuzzy matching: exact-prefix blocks bound the pair
+      // space, Levenshtein over the 40-char leading span keeps dist<=4
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        prefixLen = 8, titleLen = 40, maxDist = 4)
+    }),
+
+    "curate_canonical_docs" -> ((s, dir) => {
+      // canonical-doc selection: per near-dup cluster keep the highest-
+      // quality member (ties to the smaller id) via the bounded
+      // top-1-by aggregate — map-side partials, never a cluster-wide
+      // window sort; the production step between dedup and training mix
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val q = docs.select(col("doc_id"),
+        functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      val j = comp.join(q, Seq("doc_id"))
+      val ord = round(col("quality") * 10000).cast("long") *
+        lit(1L << 40) - col("doc_id")
+      functions.Curation.capPerGroup(j, "rep_id", "doc_id", ord, 1)
+        .select(col("rep_id").as("cluster_rep"),
+          col("doc_id").as("canonical_id"), col("quality"))
+    }),
+
+    "events_sessions_batch" -> ((s, dir) => {
+      // gap-based sessionization in batch: a session break is >30 min
+      // of user inactivity; session ids are a running sum of break
+      // flags. All windows partition by user_id — bounded by one user's
+      // history, never corpus-wide; the batch twin of the streaming
+      // mapGroupsWithState sessions
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+      val gap = 1800L * 1000000L
+      ev.withColumn("prev", lag("us", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > gap, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum("new_s").over(w))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).as("n_events"), min("us").as("start_us"),
+          max("us").as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -2758,6 +2833,52 @@ object SparkEntry {
 
     "graph_pagerank" -> OracleSql.graphPagerank(
       numHashes = 16, rowsPerBand = 2, iters = 3, dampingPct = 85),
+    "graph_triangles" -> OracleSql.graphTriangles(
+      numHashes = 16, rowsPerBand = 2),
+
+    "dedup_edit_distance" ->
+      """WITH t AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS title,
+        |         substring(text, 1, 8) AS blk
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.title, b.title)::INT AS edit_dist
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 4""".stripMargin,
+
+    "curate_canonical_docs" ->
+      OracleSql.curateCanonicalDocs(QualityOracle),
+
+    "events_sessions_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s2 AS (
+        |  SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id)::BIGINT AS session_no
+        |  FROM s1)
+        |SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+        |  min(us)::BIGINT AS start_us, max(us)::BIGINT AS end_us,
+        |  (max(us) - min(us))::BIGINT AS duration_us
+        |FROM s2 GROUP BY 1, 2""".stripMargin,
+
+    "events_retention_cohorts" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', DATE '2024-01-01', ts::DATE)
+        |      AS INTEGER) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM w GROUP BY 1)
+        |SELECT c.cohort_day, w.day - c.cohort_day AS day_offset,
+        |  count(DISTINCT w.user_id)::BIGINT AS n_users
+        |FROM w JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
     "dedup_incremental" ->
       OracleSql.dedupIncremental(numHashes = 16, rowsPerBand = 2),
     "approx_distinct_kmv" -> OracleSql.approxDistinctKmv(k = 256),

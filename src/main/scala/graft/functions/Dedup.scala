@@ -480,6 +480,67 @@ object Dedup {
     r.select(col("id").as("doc_id"), col("rank"))
   }
 
+  /** Per-vertex triangle counts over the undirected near-dup graph —
+    * the local clustering signal: near-dup CLIQUES (true duplicate
+    * groups) are triangle-dense, while chains of borderline pairs
+    * (threshold noise) carry none, so the count separates "genuine
+    * cluster member" from "bridge artifact" better than degree.
+    *
+    * Shape: edges canonicalized to a < b and deduplicated; wedges
+    * (a<b<c) materialize via one self-join on the middle vertex and
+    * close via a second join on the (a, c) edge — both joins move only
+    * narrow id pairs, shuffled by join key. Output: (doc_id,
+    * n_triangles) for every vertex in at least one triangle.
+    */
+  def triangleCounts(pairs: DataFrame, aCol: String,
+                     bCol: String): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    // wedges x<y<z: e(x,y) ⋈ e(y,z); closed by the (x,z) edge
+    val wedge = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tri = wedge.join(
+      e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Edit-distance near-dup pairs for SHORT text keys (titles, names,
+    * leading spans): candidate pairs materialize only within an exact
+    * `prefixLen`-character block, then Levenshtein over the
+    * `titleLen`-character key keeps pairs at distance <= `maxDist`.
+    *
+    * Shape: one narrow (id, title, block) shuffle keyed by block;
+    * quadratic only WITHIN a block, so cost is bounded by prefix
+    * diversity, not corpus size — the right tool for title/entity
+    * fuzzy matching where edits cluster past the first characters. For
+    * unbounded full-text near-dup, the MinHash/SimHash family is the
+    * scale path (a block here is an exact-prefix partition, the same
+    * role LSH bands play there).
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int = 8, titleLen: Int = 40,
+                        maxDist: Int = 4): DataFrame = {
+    require(prefixLen <= titleLen)
+    val t = docs.select(col(idCol).cast("long").as("id"),
+      substring(col(textCol), 1, titleLen).as("title"),
+      substring(col(textCol), 1, prefixLen).as("blk"))
+    val a = t.select(col("blk"), col("id").as("id_a"),
+      col("title").as("title_a"))
+    val b = t.select(col("blk"), col("id").as("id_b"),
+      col("title").as("title_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("title_a"), col("title_b")))
+      .filter(col("edit_dist") <= maxDist)
+      .select("id_a", "id_b", "edit_dist")
+  }
+
   // ---------------- decontamination ----------------
 
   /** The contamination fingerprint of an eval/test set: its distinct

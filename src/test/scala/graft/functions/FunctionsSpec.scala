@@ -352,6 +352,34 @@ class FunctionsSpec extends SparkSpec {
       (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)))
   }
 
+  test("triangle counts: clique counts C(n-1,2) per node, chains none") {
+    // K4 on 1-4 (each node in C(3,2)=3 triangles), triangle 10-12
+    // (1 each), chain 20-21-22 (none), duplicate/reversed edges ignored
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (2L, 1L), // reversed duplicates must not double-count
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.triangleCounts(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
+
+  test("edit-distance pairs: blocked candidates, bounded distance") {
+    val docs = Seq(
+      (1L, "prefix00 alpha beta gamma"),
+      (2L, "prefix00 alpha beta gamme"),   // dist 1 from doc 1
+      (3L, "prefix00 wholly different text here"), // same block, far
+      (4L, "prefix99 alpha beta gamma")    // near doc 1 but other block
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        prefixLen = 8, titleLen = 40, maxDist = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1)),
+      s"expected only the in-block near pair, got $got")
+  }
+
   test("star contraction matches plain propagation on mixed clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
