@@ -933,8 +933,13 @@ object SparkEntry {
     "text_exact_decontaminate" -> ((s, dir) => {
       // strictest leakage screen: corpus docs containing an eval
       // snippet VERBATIM (30-char span of each doc_id % 29 == 0 doc);
-      // snippet set broadcast, corpus scanned once map-only
-      val docs = t(s, dir, "documents")
+      // snippet set broadcast, corpus scanned once map-only.
+      // Oracle-twin variant over a FIXED doc slice (same convention as
+      // dedup_ngram_blocked): the instr nested-loop is O(docs·snippets)
+      // by construction, so the verifiable twin stays constant-size
+      // across scale factors; text_multipattern_scan (one Aho-Corasick
+      // walk per doc, full corpus, full snippet set) is the scale path
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 5000)
       val snips = docs.filter(col("doc_id") % 29 === 0)
         .select(col("doc_id").as("snip_id"),
           substring(col("text"), 11, 30).as("snippet"))
@@ -1603,6 +1608,60 @@ object SparkEntry {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
         round(min("o_totalprice"), 2).as("lo"),
         round(max("o_totalprice"), 2).as("hi"))
+    }),
+
+    "agg_regression" -> ((s, dir) => {
+      // OLS price-on-quantity fit per return flag: the linear-model
+      // aggregate family (slope/intercept/R², fit count) — one
+      // map-side-combined pass, same moment sums as corr/covar
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity"))
+          .as("n_fit"))
+    }),
+
+    "join_lateral_topn" -> ((s, dir) => {
+      // per-region top-2 customers by balance via a LATERAL correlated
+      // subquery — the SQL-standard form of per-group top-k; Catalyst
+      // rewrites the correlation to a ranked join
+      t(s, dir, "region").createOrReplaceTempView("lat_region")
+      t(s, dir, "nation").createOrReplaceTempView("lat_nation")
+      t(s, dir, "customer").createOrReplaceTempView("lat_customer")
+      s.sql(
+        """SELECT r.r_name, t.c_name, t.c_acctbal
+          |FROM lat_region r,
+          |LATERAL (
+          |  SELECT c_name, c_acctbal
+          |  FROM lat_customer c JOIN lat_nation n
+          |    ON c.c_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  ORDER BY c_acctbal DESC, c_name ASC
+          |  LIMIT 2) t""".stripMargin)
+    }),
+
+    "profile_numeric_stats" -> ((s, dir) => {
+      // generic column profiler: null/distinct/min/max per numeric
+      // column in one pass over the unpivoted frame — the data-quality
+      // datasheet for a relational feed (documents get corpus_report)
+      t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").as("l_extendedprice"),
+          col("l_discount").as("l_discount"))
+        .unpivot(Array.empty[Column],
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          "column_name", "v")
+        .groupBy("column_name")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"),
+          round(min("v"), 4).as("vmin"),
+          round(max("v"), 4).as("vmax"))
     }),
 
     "stats_agg" -> ((s, dir) => {
@@ -2703,6 +2762,39 @@ object SparkEntry {
         |  round(max(o_totalprice), 2) AS hi
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4)
+        |    AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  regr_count(l_extendedprice, l_quantity)::BIGINT AS n_fit
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "join_lateral_topn" ->
+      """SELECT r.r_name, t.c_name, t.c_acctbal
+        |FROM region r,
+        |LATERAL (
+        |  SELECT c_name, c_acctbal
+        |  FROM customer c JOIN nation n
+        |    ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  ORDER BY c_acctbal DESC, c_name ASC
+        |  LIMIT 2) t""".stripMargin,
+
+    "profile_numeric_stats" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS column_name, l_quantity::DOUBLE AS v
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |SELECT column_name, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |  count(DISTINCT v)::BIGINT AS n_distinct,
+        |  round(min(v), 4) AS vmin, round(max(v), 4) AS vmax
+        |FROM u GROUP BY 1""".stripMargin,
+
     "stats_agg" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
@@ -2934,13 +3026,14 @@ object SparkEntry {
       OracleSql.textDecontaminate(shingleN = 4, evalMod = 13),
 
     "text_exact_decontaminate" ->
-      """WITH snips AS (
+      """WITH sl AS (SELECT * FROM documents WHERE doc_id < 5000),
+        |snips AS (
         |  SELECT doc_id AS snip_id, substring(text, 11, 30) AS snippet
-        |  FROM documents WHERE doc_id % 29 = 0),
+        |  FROM sl WHERE doc_id % 29 = 0),
         |f AS (SELECT * FROM snips WHERE length(snippet) >= 20)
         |SELECT d.doc_id, count(*) AS n_hits,
         |  min(f.snip_id) AS first_snippet_id
-        |FROM documents d JOIN f ON position(f.snippet IN d.text) > 0
+        |FROM sl d JOIN f ON position(f.snippet IN d.text) > 0
         |WHERE d.doc_id % 29 <> 0
         |GROUP BY d.doc_id""".stripMargin,
 

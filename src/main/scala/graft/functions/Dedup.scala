@@ -535,9 +535,12 @@ object Dedup {
       col("title").as("title_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
+      // threshold form runs the banded DP — O(len·maxDist) per pair
+      // instead of O(len²), and returns -1 past the bound, so the
+      // filter and the distance come from one evaluation
       .withColumn("edit_dist",
-        levenshtein(col("title_a"), col("title_b")))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("title_a"), col("title_b"), maxDist))
+      .filter(col("edit_dist") >= 0)
       .select("id_a", "id_b", "edit_dist")
   }
 

@@ -67,6 +67,16 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("k-means assignment plans as one native node, not k subtrees") {
+    val df = SparkEntry.queries("cluster_kmeans")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("kmeans_assign"),
+      "expected the native kmeans_assign expression in the plan")
+    assert(!plan.contains("cosine_sim"),
+      "composed per-centroid cosine subtrees crept back into the " +
+        "assignment plan (k vector copies per row)")
+  }
+
   test("hash sampling is a pure map-side filter (zero shuffles)") {
     val df = graft.functions.Sampling.sample(
       spark.read.parquet(sf("sf0.001") + "/documents.parquet"),
