@@ -1280,9 +1280,13 @@ object SparkEntry {
     "curate_quality_bins" -> ((s, dir) => {
       // equal-frequency quality quartiles: one global 3-threshold
       // percentile reduce, broadcast back, map-only binning — balanced
-      // strata for A/B eval splits without a global sort
+      // strata for A/B eval splits without a global sort. The scored
+      // frame is materialized ONCE (localCheckpoint): both the
+      // percentile agg and the binning consume it, and the regex-heavy
+      // quality score must not be recomputed per branch
       val scored = t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality"))
+        .localCheckpoint(true)
       val th = scored.agg(
         percentile(col("quality"), lit(0.25)).as("p25"),
         percentile(col("quality"), lit(0.5)).as("p50"),

@@ -152,6 +152,109 @@ case class KmeansAssignExpr(child: Expression,
       c: Expression): KmeansAssignExpr = copy(child = c)
 }
 
+/** Cosine over int8-quantized vectors as one native node — the
+  * composed `zip_with`/`aggregate` higher-order form allocates
+  * intermediate arrays and evaluates a lambda per element per row; this
+  * is one fused integer loop. Integer dot/norm sums are exact (order
+  * independent); the final `dot / √na / √nb` divides left-to-right in
+  * double exactly like the composed form.
+  */
+object Int8Ops {
+
+  /** Symmetric int8 quantization of a double vector in one loop —
+    * bit-identical to the composed form: absMax by a left-to-right
+    * `greatest` fold, scale = 127/absMax (1.0 for the zero vector),
+    * and Spark's Round-expression semantics per element
+    * (`BigDecimal.valueOf(x).setScale(0, HALF_UP)` — shortest-decimal
+    * HALF_UP, NOT `Math.round`, which differs on negative halves).
+    */
+  def quantize(a: ArrayData): GenericArrayData = {
+    val x = a.toDoubleArray()
+    var absMax = 0.0
+    var i = 0
+    while (i < x.length) {
+      val v = math.abs(x(i))
+      if (v > absMax) absMax = v
+      i += 1
+    }
+    val scale = if (absMax > 0) 127.0 / absMax else 1.0
+    val out = new Array[Int](x.length)
+    i = 0
+    while (i < x.length) {
+      out(i) = java.math.BigDecimal.valueOf(x(i) * scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Static entry point for generated code. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toIntArray()
+    val y = b.toIntArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += (x(i) * y(i)).toLong; i += 1 }
+    var na = 0L
+    i = 0
+    while (i < x.length) { na += (x(i) * x(i)).toLong; i += 1 }
+    var nb = 0L
+    i = 0
+    while (i < y.length) { nb += (y(i) * y(i)).toLong; i += 1 }
+    if (na > 0 && nb > 0)
+      dot.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
+    else 0.0
+  }
+}
+
+/** `array<int>` int8 quantization of an `array<double>` vector (see
+  * [[Int8Ops.quantize]]).
+  */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "int8_quantize"
+
+  override def nullSafeEval(input: Any): Any =
+    Int8Ops.quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Int8Ops.quantize($c)")
+
+  override protected def withNewChildInternal(
+      c: Expression): Int8Quantize = copy(child = c)
+}
+
+/** `double` cosine of two `array<int>` int8-quantized vectors (see
+  * [[Int8Ops.cosine]]).
+  */
+case class Int8CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(Int8Ops.cosine(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.expressions.Int8Ops.cosine($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Int8CosineSim = copy(l, r)
+}
+
 /** `array<int>` of the M PQ codes for a float-vector column — the
   * subspace-argmin encode of [[graft.functions.ProductQuantization]]
   * in one plan node. `books(m)(code)` = subspace-m centroid `code`.

@@ -494,6 +494,12 @@ object exprs {
   def kmeans_assign(vec: Column, cents: Array[Array[Float]]): Column =
     column(KmeansAssignExpr(expression(vec), cents))
 
+  def int8_cosine_sim(a: Column, b: Column): Column =
+    column(Int8CosineSim(expression(a), expression(b)))
+
+  def int8_quantize(vec: Column): Column =
+    column(Int8Quantize(expression(vec)))
+
   def hyperplane_sigs(vec: Column,
                       planes: Array[Array[Array[Double]]]): Column =
     column(HyperplaneSigs(expression(vec), planes))

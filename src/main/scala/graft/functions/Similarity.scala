@@ -382,8 +382,10 @@ object Similarity {
     val absMax = aggregate(vec.cast("array<double>"), lit(0.0),
       (acc, x) => greatest(acc, abs(x)))
     val scale = when(absMax > 0, lit(127.0) / absMax).otherwise(lit(1.0))
-    val q = transform(vec.cast("array<double>"),
-      x => round(x * scale).cast("int"))
+    // one fused native loop (absMax fold + HALF_UP rounds) — the
+    // transform composition re-evaluated a lambda per element per row;
+    // bit-identical (see [[graft.expressions.Int8Ops.quantize]])
+    val q = exprs.int8_quantize(vec.cast("array<double>"))
     (scale, q)
   }
 
@@ -392,15 +394,12 @@ object Similarity {
     * of accumulation order, unlike float sums. The quantization error is
     * the accuracy dial; ranks survive for well-spread embeddings.
     */
-  def quantizedCosine(qa: Column, qb: Column): Column = {
-    val dot = aggregate(zip_with(qa, qb, (x, y) => (x * y).cast("long")),
-      lit(0L), _ + _).cast("double")
-    val na = aggregate(transform(qa, x => (x * x).cast("long")),
-      lit(0L), _ + _).cast("double")
-    val nb = aggregate(transform(qb, x => (x * x).cast("long")),
-      lit(0L), _ + _).cast("double")
-    when(na > 0 && nb > 0, dot / sqrt(na) / sqrt(nb)).otherwise(lit(0.0))
-  }
+  def quantizedCosine(qa: Column, qb: Column): Column =
+    // one fused native integer loop (see [[graft.expressions.Int8Ops]])
+    // — the zip_with/aggregate composition allocated intermediate
+    // arrays and ran a lambda per element per row; bit-identical result
+    // for equal-length vectors (integer sums are exact either way)
+    exprs.int8_cosine_sim(qa, qb)
 
   /** Random-hyperplane signature: `planes(p)(d)` dotted with the vector,
     * sign bit per plane packed into a long. Deterministic given the
