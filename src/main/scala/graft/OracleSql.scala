@@ -1542,4 +1542,25 @@ object OracleSql {
        |SELECT id_b AS vec_id, cluster, min(id_a) AS dup_of,
        |  count(*) AS n_witnesses
        |FROM pr WHERE cos >= $minCos GROUP BY 1, 2""".stripMargin
+
+  /** Oracle for `text_classifier_score`: per-token xxhash64 → low-bits
+    * bucket (`dim` a power of two, so the HUGEINT mod equals the
+    * engine's signed-long mask) → the query's derived integer weight
+    * `((b·2654435761) mod 2001) − 1000`, summed exactly per document.
+    * Blank docs (no tokh rows) left-join back as (0, 0, false).
+    */
+  def textClassifierScore(dim: Int = 4096): String = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two: $dim")
+    s"""WITH ${tokenHashCtes()},
+       |ds AS (
+       |  SELECT doc_id, count(*)::INT AS n_tokens,
+       |    sum((((thu % $dim) * 2654435761) % 2001) - 1000)::BIGINT
+       |      AS score
+       |  FROM tokh GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(ds.n_tokens, 0)::INT AS n_tokens,
+       |  coalesce(ds.score, 0)::BIGINT AS score,
+       |  (coalesce(ds.score, 0) > 0) AS keep
+       |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin
+  }
 }

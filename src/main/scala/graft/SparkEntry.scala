@@ -1026,6 +1026,19 @@ object SparkEntry {
       TextFunctions.tokenRarity(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    "text_classifier_score" -> ((s, dir) => {
+      // fastText-style hashed linear gate, one map-only pass: the
+      // "model" here is a derived integer weight per bucket (the
+      // multiplicative-mix formula below, reproduced by the oracle) —
+      // a trained model would ship its real weight array through the
+      // same parameter
+      val dim = 4096
+      val weights = Array.tabulate(dim)(b =>
+        ((b.toLong * 2654435761L) % 2001L).toInt - 1000)
+      TextFunctions.classifierScore(t(s, dir, "documents"),
+        "doc_id", "text", weights)
+    }),
+
     "sample_quality_weighted" -> ((s, dir) => {
       // quality-proportional keep: each doc survives with probability
       // equal to its (rounded, deterministic) quality score — one
@@ -3043,6 +3056,7 @@ object SparkEntry {
 
     "text_cdc_chunks" -> OracleSql.textCdcChunks(maskBits = 4),
 
+    "text_classifier_score" -> OracleSql.textClassifierScore(),
     "text_novelty" -> OracleSql.textNovelty(),
 
     "dedup_cdc_shared" ->

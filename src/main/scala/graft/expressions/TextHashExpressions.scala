@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -455,6 +455,68 @@ case class DotProduct(left: Expression, right: Expression)
       l: Expression, r: Expression): DotProduct = copy(l, r)
 }
 
+/** Hashing-trick linear text classifier in ONE map-only pass — the
+  * fastText-style quality/domain filter of an LLM data pipeline
+  * (Joulin et al., "Bag of Tricks for Efficient Text Classification",
+  * arXiv:1607.01759): each whitespace token hashes (xxhash64, seed 42 —
+  * the corpus-wide token hash) into one of `weights.length` buckets and
+  * contributes that bucket's integer weight; the document's score is
+  * the exact int64 sum. Vocabulary-free, model-as-array: at 100 TB the
+  * learned weight vector (|W| = dim ints, typically ≤ 2²⁰) rides along
+  * as a codegen reference object on every executor — no vocabulary
+  * join, no shuffle, no per-token explode.
+  *
+  * Determinism contract: bucket = low bits of the UNSIGNED 64-bit hash
+  * (`dim` must be a power of two, so the mask equals `hash mod dim` on
+  * the unsigned value the DuckDB oracle computes); integer sums are
+  * exact under any order. Blank/whitespace-only docs score (0, 0).
+  */
+object HashedLinearOps {
+
+  /** Static entry point for generated code. */
+  def score(s: UTF8String, weights: Array[Int]): InternalRow = {
+    val hashes = TextHash.tokenHashes(s)
+    val mask = weights.length - 1
+    var sum = 0L
+    var i = 0
+    while (i < hashes.length) {
+      sum += weights((hashes(i) & mask).toInt)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](hashes.length, sum))
+  }
+}
+
+/** `struct<n_tokens:int, score:bigint>` of the hashed linear model for
+  * a text column (see [[HashedLinearOps.score]]).
+  */
+case class HashedLinearScore(child: Expression, weights: Array[Int])
+    extends UnaryExpression {
+
+  require(weights.length >= 2 && (weights.length & (weights.length - 1)) == 0,
+    s"weights.length must be a power of two; got ${weights.length}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("score", LongType, nullable = false)))
+  override def prettyName: String = "hashed_linear_score"
+
+  override def nullSafeEval(input: Any): Any =
+    HashedLinearOps.score(input.asInstanceOf[UTF8String], weights)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.HashedLinearOps.score($c, $w)")
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): HashedLinearScore = copy(child = c)
+}
+
 /** Column-API entry points for the native expressions. Spark 4 wraps
   * Columns around ColumnNodes; `ExpressionUtils` is the classic-API
   * bridge between `Column` and catalyst `Expression`.
@@ -493,6 +555,9 @@ object exprs {
 
   def kmeans_assign(vec: Column, cents: Array[Array[Float]]): Column =
     column(KmeansAssignExpr(expression(vec), cents))
+
+  def hashed_linear_score(text: Column, weights: Array[Int]): Column =
+    column(HashedLinearScore(expression(text), weights))
 
   def int8_cosine_sim(a: Column, b: Column): Column =
     column(Int8CosineSim(expression(a), expression(b)))

@@ -140,6 +140,26 @@ object TextFunctions {
     * key and sums integers. The corpus count rides in as a one-row
     * broadcast.
     */
+  /** Hashing-trick linear classifier scores for every document — the
+    * fastText-style model-based quality/domain gate (see
+    * [[graft.expressions.HashedLinearScore]] for the contract). One
+    * map-only pass, no vocabulary, no shuffle: `weights` (a learned
+    * bucket→weight model, |dim| ints, dim a power of two) is shipped
+    * once per executor as a codegen reference. Returns
+    * (idCol, n_tokens, score, keep) where `keep` = score > `threshold`
+    * — the binary gate a pretraining mix applies before sampling.
+    */
+  def classifierScore(docs: DataFrame, idCol: String, textCol: String,
+                      weights: Array[Int],
+                      threshold: Long = 0L): DataFrame = {
+    val sc = graft.expressions.exprs.hashed_linear_score(
+      col(textCol), weights)
+    docs.select(col(idCol), sc.as("__s"))
+      .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+        col("__s.score").as("score"),
+        (col("__s.score") > threshold).as("keep"))
+  }
+
   def tokenRarity(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

@@ -85,6 +85,17 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(1500))
   }
 
+  test("hashed classifier scoring is map-only (zero shuffles, one node)") {
+    val weights = Array.tabulate(4096)(b =>
+      ((b.toLong * 2654435761L) % 2001L).toInt - 1000)
+    val df = graft.functions.TextFunctions.classifierScore(
+      spark.read.parquet(sf("sf0.001") + "/documents.parquet"),
+      "doc_id", "text", weights)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+    assert(plan.contains("hashed_linear_score"), plan.take(1500))
+  }
+
   test("sequence packing shuffles exactly once (shard hash partitioning)") {
     val df = SparkEntry.queries("pack_training")(spark, sf("sf0.001"))
     val exchanges = df.queryExecution.executedPlan.toString.linesIterator

@@ -24,6 +24,23 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq("en", "de", "und"))
   }
 
+  test("hashed classifier: exact token-weight sums, blank → (0,0)") {
+    // dim=2: bucket = low bit of the token hash, weights = (+5, -3) —
+    // score is the exact count-weighted sum, independent of row order
+    val w = Array(5, -3)
+    val df = Seq((1L, "alpha beta gamma alpha"), (2L, ""), (3L, "  "))
+      .toDF("doc_id", "text")
+    val got = TextFunctions.classifierScore(df, "doc_id", "text", w)
+      .as[(Long, Int, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // recompute expected from the same public hash the engine uses
+    val hv = df.filter($"doc_id" === 1)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      .select(xxhash64($"tok")).as[Long].collect()
+    val exp1 = hv.map(h => w((h & 1L).toInt).toLong).sum
+    assert(got == Seq((1L, 4, exp1, exp1 > 0),
+      (2L, 0, 0L, false), (3L, 0, 0L, false)))
+  }
+
   test("fingerprint is whitespace/case canonical") {
     val df = Seq(("A  B\tc", "a b c")).toDF("x", "y")
     val r = df.select(
