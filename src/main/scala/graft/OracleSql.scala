@@ -1543,6 +1543,47 @@ object OracleSql {
        |  count(*) AS n_witnesses
        |FROM pr WHERE cos >= $minCos GROUP BY 1, 2""".stripMargin
 
+  /** Oracle for `curate_dsir_sample`: DSIR importance weights from the
+    * same token-xxhash bucket stream — add-one-smoothed bucket models
+    * for the target slice vs the raw corpus, per-doc position-ordered
+    * fold of the `ln` ratio terms (identical long counts → identical
+    * IEEE doubles on both engines, same contract as `text_perplexity`),
+    * top-quartile keep via `quantile_cont` over the rounded weights
+    * (the `percentile` mirror established by `curate_quality_bins`).
+    */
+  def curateDsirSample(dim: Int = 4096,
+                       targetLang: String = "en"): String =
+    s"""WITH ${tokenHashCtes()},
+       |tb AS MATERIALIZED (
+       |  SELECT k.doc_id, k.i AS pos, (k.thu % $dim) AS b,
+       |    (d.lang = '$targetLang') AS is_target
+       |  FROM tokh k JOIN documents d USING (doc_id)),
+       |tcn AS (SELECT b, count(*) AS ct FROM tb WHERE is_target
+       |        GROUP BY 1),
+       |rcn AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+       |tot AS (SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT
+       |          AS nt, count(*)::BIGINT AS nr
+       |        FROM tb),
+       |terms AS (
+       |  SELECT tb.doc_id, tb.pos,
+       |    ln((coalesce(tcn.ct, 0) + 1.0)
+       |        / CAST(tot.nt + $dim AS DOUBLE))
+       |    - ln((rcn.cr + 1.0) / CAST(tot.nr + $dim AS DOUBLE)) AS lr
+       |  FROM tb LEFT JOIN tcn USING (b) JOIN rcn USING (b)
+       |    CROSS JOIN tot),
+       |agg AS (
+       |  SELECT doc_id,
+       |    list_reduce(list(lr ORDER BY pos), (a, x) -> a + x) AS raw,
+       |    count(*) AS n_tokens
+       |  FROM terms GROUP BY 1),
+       |w AS (
+       |  SELECT doc_id, n_tokens,
+       |    ${roundSpark("raw / n_tokens::DOUBLE", 4)} AS imp_weight
+       |  FROM agg),
+       |th AS (SELECT quantile_cont(imp_weight, 0.75) AS p75 FROM w)
+       |SELECT doc_id, n_tokens, imp_weight, (imp_weight > p75) AS keep
+       |FROM w, th""".stripMargin
+
   /** Oracle for `text_classifier_score`: per-token xxhash64 → low-bits
     * bucket (`dim` a power of two, so the HUGEINT mod equals the
     * engine's signed-long mask) → the query's derived integer weight

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, Joins, Merge, Scale, Split, Stamping, TemporalJoins}
-import graft.functions.{Clustering, Curation, Dedup, LanguageModel, Packing, ProductQuantization, Projection, Retrieval, Sampling, Similarity, TextFunctions}
+import graft.functions.{Clustering, Curation, Dedup, Importance, LanguageModel, Packing, ProductQuantization, Projection, Retrieval, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -1024,6 +1024,19 @@ object SparkEntry {
       // IDF-flavored rarity without ln: integer df sums, one division —
       // bit-reproducible under any aggregation order
       TextFunctions.tokenRarity(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "curate_dsir_sample" -> ((s, dir) => {
+      // DSIR: importance weights of every doc toward the en slice
+      // (hashed-unigram target/raw likelihood ratio), then a one-row
+      // percentile reduce broadcast back as the top-quartile gate —
+      // no global sort, no window
+      val w = Importance.dsirWeights(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", dim = 4096)
+      val th = w.agg(percentile(col("imp_weight"), lit(0.75)).as("p75"))
+      w.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_tokens"), col("imp_weight"),
+          (col("imp_weight") > col("p75")).as("keep"))
     }),
 
     "text_classifier_score" -> ((s, dir) => {
@@ -3056,6 +3069,7 @@ object SparkEntry {
 
     "text_cdc_chunks" -> OracleSql.textCdcChunks(maskBits = 4),
 
+    "curate_dsir_sample" -> OracleSql.curateDsirSample(),
     "text_classifier_score" -> OracleSql.textClassifierScore(),
     "text_novelty" -> OracleSql.textNovelty(),
 

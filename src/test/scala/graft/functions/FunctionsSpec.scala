@@ -41,6 +41,23 @@ class FunctionsSpec extends SparkSpec {
       (2L, 0, 0L, false), (3L, 0, 0L, false)))
   }
 
+  test("DSIR weights rank target-vocabulary docs above raw-only docs") {
+    val docs = Seq(
+      (1L, "aaa aaa aaa", true), (2L, "aaa aaa bbb", true),
+      (3L, "bbb bbb bbb", false), (4L, "aaa bbb bbb", false),
+      (5L, "", false)).toDF("doc_id", "text", "is_t")
+    val w = Importance.dsirWeights(docs, "doc_id", "text",
+      $"is_t", dim = 64)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(w.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L)) // blank excluded
+    val byId = w.map(x => x._1 -> x._3).toMap
+    // all-target-vocab doc beats mixed beats raw-only; monotone in the
+    // share of target-typical tokens (absolute sign is smoothing-
+    // dominated at toy scale, so only the ordering is contractual)
+    assert(byId(1L) > byId(2L) && byId(2L) > byId(4L) &&
+      byId(4L) > byId(3L), byId.toString)
+  }
+
   test("fingerprint is whitespace/case canonical") {
     val df = Seq(("A  B\tc", "a b c")).toDF("x", "y")
     val r = df.select(
