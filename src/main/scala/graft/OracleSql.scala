@@ -1543,6 +1543,33 @@ object OracleSql {
        |  count(*) AS n_witnesses
        |FROM pr WHERE cos >= $minCos GROUP BY 1, 2""".stripMargin
 
+  /** Oracle for `text_collocations`: bigram lift over exact integer
+    * counts, one IEEE division, TOTAL-ordered top-k (lift desc, then
+    * the pair) so the LIMIT boundary is deterministic on both engines.
+    */
+  def textCollocations(minCount: Long = 5, topK: Int = 50): String =
+    s"""WITH d AS (
+       |  SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |t AS (SELECT unnest(arr) AS w FROM d),
+       |uni AS (SELECT w, count(*) AS cu FROM t GROUP BY 1),
+       |bg AS (
+       |  SELECT unnest(arr[1:len(arr) - 1]) AS w1,
+       |    unnest(arr[2:len(arr)]) AS w2
+       |  FROM d WHERE len(arr) > 1),
+       |bc AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY 1, 2),
+       |tot AS (SELECT count(*) AS n FROM bg)
+       |SELECT bc.w1, bc.w2, bc.cab,
+       |  ${roundSpark("(bc.cab * tot.n)::DOUBLE / (ua.cu * ub.cu)::DOUBLE", 4)}
+       |    AS lift
+       |FROM bc
+       |JOIN uni ua ON ua.w = bc.w1
+       |JOIN uni ub ON ub.w = bc.w2
+       |CROSS JOIN tot
+       |WHERE bc.cab >= $minCount
+       |ORDER BY lift DESC, bc.w1, bc.w2
+       |LIMIT $topK""".stripMargin
+
   /** Oracle for `curate_dsir_sample`: DSIR importance weights from the
     * same token-xxhash bucket stream — add-one-smoothed bucket models
     * for the target slice vs the raw corpus, per-doc position-ordered

@@ -1026,6 +1026,33 @@ object SparkEntry {
       TextFunctions.tokenRarity(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    "snapshot_diff" -> ((s, dir) => {
+      // CDC between two synthetic snapshots of orders: keys divisible
+      // by 97 exist only in the new snapshot (added), by 83 only in the
+      // old (removed, shifted out of the key range), by 89 carry a
+      // perturbed price (changed) — one full-outer pk join, columnar
+      // null-safe compare, no row hashing
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val changedOld = orders
+        .filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(89)) === 0,
+            col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+      val removedOld = orders
+        .filter(pmod(col("o_orderkey"), lit(83)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      Merge.snapshotDiff(changedOld.unionByName(removedOld), orders,
+        "o_orderkey", Seq("o_orderstatus", "o_totalprice"))
+    }),
+
+    "text_collocations" -> ((s, dir) => {
+      // phrase mining: top-50 adjacent pairs by lift (monotone PMI),
+      // exact integer counts, one division, bounded TakeOrdered top-k
+      TextFunctions.collocations(t(s, dir, "documents"), "text")
+    }),
+
     "curate_dsir_sample" -> ((s, dir) => {
       // DSIR: importance weights of every doc toward the en slice
       // (hashed-unigram target/raw likelihood ratio), then a one-row
@@ -3070,6 +3097,28 @@ object SparkEntry {
     "text_cdc_chunks" -> OracleSql.textCdcChunks(maskBits = 4),
 
     "curate_dsir_sample" -> OracleSql.curateDsirSample(),
+    "text_collocations" -> OracleSql.textCollocations(),
+
+    "snapshot_diff" ->
+      """WITH n AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 83 = 0)
+        |SELECT * FROM (
+        |  SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |           THEN 'changed' END AS change_type
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |WHERE change_type IS NOT NULL""".stripMargin,
     "text_classifier_score" -> OracleSql.textClassifierScore(),
     "text_novelty" -> OracleSql.textNovelty(),
 

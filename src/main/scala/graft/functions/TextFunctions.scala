@@ -140,6 +140,44 @@ object TextFunctions {
     * key and sums integers. The corpus count rides in as a one-row
     * broadcast.
     */
+  /** Corpus collocations: adjacent token pairs whose observed count
+    * exceeds `minCount`, ranked by lift `c(ab)·N / (c(a)·c(b))` — the
+    * PMI ordering without `ln` (lift is `e^PMI`; the map is monotone,
+    * so ranking is identical and the arithmetic stays one exact-integer
+    * product per side plus a single IEEE division — bit-reproducible
+    * under any aggregation order). The phrase-mining signal for
+    * tokenizer vocab construction and boilerplate phrase discovery.
+    *
+    * Scale shape: unigram/bigram counts are vocabulary-sized narrow
+    * aggregates (map-side partials); the `minCount` filter prunes the
+    * candidate set BEFORE the unigram joins; top-k is an
+    * orderBy+limit, which plans as TakeOrdered (per-partition top-k,
+    * driver merges k·partitions rows — never a full global sort).
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val d = docs.filter(length(trim(col(textCol))) > 0)
+      .select(split(lower(trim(col(textCol))), "\\s+").as("arr"))
+    val toks = d.select(explode(col("arr")).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+    val bg = d.filter(size(col("arr")) > 1).select(
+        explode(arrays_zip(
+          slice(col("arr"), lit(1), size(col("arr")) - 1),
+          slice(col("arr"), lit(2), size(col("arr")) - 1))).as("z"))
+      .select(col("z.0").as("w1"), col("z.1").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+    val tot = bg.agg(count(lit(1)).as("n"))
+    bc.filter(col("cab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cu").as("ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cb")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("cab"),
+        round((col("cab") * col("n")).cast("double") /
+          (col("ca") * col("cb")).cast("double"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Hashing-trick linear classifier scores for every document — the
     * fastText-style model-based quality/domain gate (see
     * [[graft.expressions.HashedLinearScore]] for the contract). One

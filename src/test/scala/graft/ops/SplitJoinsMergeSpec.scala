@@ -67,6 +67,17 @@ class SplitJoinsMergeSpec extends SparkSpec {
       (3, "c", load, open, true)))    // brand-new pk
   }
 
+  test("snapshotDiff classifies added/removed/changed, drops unchanged") {
+    val old = Seq((1, "a", Some(10.0)), (2, "b", Some(20.0)),
+      (3, "c", None), (4, "d", Some(40.0))).toDF("pk", "s", "v")
+    val neu = Seq((1, "a", Some(10.0)), (2, "b", Some(21.0)),
+      (3, "c", None), (5, "e", Some(50.0))).toDF("pk", "s", "v")
+    val got = Merge.snapshotDiff(old, neu, "pk", Seq("s", "v"))
+      .as[(Int, String)].collect().sortBy(_._1).toSeq
+    // pk 1 unchanged (dropped), pk 3 null-safely unchanged (dropped)
+    assert(got == Seq((2, "changed"), (4, "removed"), (5, "added")))
+  }
+
   test("stamping: deterministic ids are dense and ordered") {
     val df = Seq(30, 10, 20).toDF("k")
     val out = Stamping.withRowId(df, Stamping.Deterministic(Seq("k")))
