@@ -1026,6 +1026,22 @@ object SparkEntry {
       TextFunctions.tokenRarity(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    "validate_constraints" -> ((s, dir) => {
+      // dbt-test-style contract: the three row-local rules fuse into
+      // ONE full-scan aggregate; unique adds one narrow key agg; the
+      // FK check is a broadcast anti-join against distinct parent keys.
+      // o_orderstatus 'P' and prices above 300k violate on purpose —
+      // nonzero counts prove the counting path
+      import graft.ops.Validation
+      import graft.ops.Validation._
+      Validation.validate(t(s, dir, "orders"), Seq(
+        NotNull("o_orderkey"),
+        AcceptedValues("o_orderstatus", Seq("F", "O")),
+        InRange("o_totalprice", 0.0, 300000.0),
+        Unique(Seq("o_custkey")),
+        RefIntegrity("o_custkey", t(s, dir, "customer"), "c_custkey")))
+    }),
+
     "snapshot_diff" -> ((s, dir) => {
       // CDC between two synthetic snapshots of orders: keys divisible
       // by 97 exist only in the new snapshot (added), by 83 only in the
@@ -3098,6 +3114,37 @@ object SparkEntry {
 
     "curate_dsir_sample" -> OracleSql.curateDsirSample(),
     "text_collocations" -> OracleSql.textCollocations(),
+
+    "validate_constraints" ->
+      """SELECT 'o_orderkey_not_null' AS rule, 'not_null' AS rule_type,
+        |  count(*) FILTER (o_orderkey IS NULL)::BIGINT AS n_violations,
+        |  (count(*) FILTER (o_orderkey IS NULL) = 0) AS passed
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus_accepted_values', 'accepted_values',
+        |  count(*) FILTER (o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('F', 'O'))::BIGINT,
+        |  (count(*) FILTER (o_orderstatus IS NOT NULL
+        |    AND o_orderstatus NOT IN ('F', 'O')) = 0)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice_in_range', 'in_range',
+        |  count(*) FILTER (o_totalprice IS NOT NULL
+        |    AND o_totalprice NOT BETWEEN 0.0 AND 300000.0)::BIGINT,
+        |  (count(*) FILTER (o_totalprice IS NOT NULL
+        |    AND o_totalprice NOT BETWEEN 0.0 AND 300000.0) = 0)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey_unique', 'unique',
+        |  coalesce(sum(c), 0)::BIGINT, (coalesce(sum(c), 0) = 0)
+        |FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)
+        |WHERE c > 1
+        |UNION ALL
+        |SELECT 'o_custkey_ref_integrity', 'ref_integrity',
+        |  count(*)::BIGINT, (count(*) = 0)
+        |FROM orders o
+        |WHERE o.o_custkey IS NOT NULL
+        |  AND o.o_custkey NOT IN (SELECT c_custkey FROM customer)""".stripMargin,
 
     "snapshot_diff" ->
       """WITH n AS (

@@ -78,6 +78,31 @@ class SplitJoinsMergeSpec extends SparkSpec {
     assert(got == Seq((2, "changed"), (4, "removed"), (5, "added")))
   }
 
+  test("validation rules count violations; local rules share one scan") {
+    import graft.ops.Validation
+    import graft.ops.Validation._
+    val t = Seq((Some(1), "a", 5.0), (None, "b", 50.0), (Some(2), "z", 5.0),
+      (Some(2), "a", -1.0)).toDF("pk", "status", "v")
+    val parent = Seq("a", "b").toDF("status")
+    val got = Validation.validate(t, Seq(
+        NotNull("pk"), AcceptedValues("status", Seq("a", "b")),
+        InRange("v", 0.0, 10.0), Unique(Seq("pk")),
+        RefIntegrity("status", parent, "status")))
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got("pk_not_null") == (1L, false))
+    assert(got("status_accepted_values") == (1L, false)) // the "z" row
+    assert(got("v_in_range") == (2L, false))             // 50.0 and -1.0
+    assert(got("pk_unique") == (2L, false))              // both pk=2 rows
+    assert(got("status_ref_integrity") == (1L, false))   // "z" unmatched
+    // a clean frame passes everything
+    val clean = Validation.validate(
+      Seq((1, "a", 5.0)).toDF("pk", "status", "v"),
+      Seq(NotNull("pk"), Unique(Seq("pk"))))
+      .as[(String, String, Long, Boolean)].collect()
+    assert(clean.forall(r => r._3 == 0L && r._4))
+  }
+
   test("stamping: deterministic ids are dense and ordered") {
     val df = Seq(30, 10, 20).toDF("k")
     val out = Stamping.withRowId(df, Stamping.Deterministic(Seq("k")))
