@@ -684,6 +684,40 @@ object OracleSql {
        |SELECT doc_id, count(*)::BIGINT AS n_triangles
        |FROM nodes GROUP BY 1""".stripMargin
 
+  /** Oracle for `graph_clustering_coeff`: same candidate-edge closure
+    * as `graph_triangles`; degrees from the exploded edge list, cc =
+    * exact-integer `2·T / (deg·(deg−1))` with one IEEE division.
+    */
+  def graphClusteringCoeff(numHashes: Int = 16,
+                           rowsPerBand: Int = 2): String =
+    s"""WITH ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |${edgeCtes(numHashes)},
+       |ce AS MATERIALIZED (SELECT DISTINCT id_a AS a, id_b AS b FROM fcand),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM ce e1
+       |  JOIN ce e2 ON e2.a = e1.b
+       |  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |nodes AS (
+       |  SELECT x AS doc_id FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri),
+       |tc AS (SELECT doc_id, count(*)::BIGINT AS n_triangles
+       |       FROM nodes GROUP BY 1),
+       |degn AS (SELECT a AS doc_id FROM ce
+       |         UNION ALL SELECT b FROM ce),
+       |deg AS (SELECT doc_id, count(*)::BIGINT AS degree
+       |        FROM degn GROUP BY 1)
+       |SELECT d.doc_id, d.degree,
+       |  coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+       |  ${roundSpark(
+            "(2 * coalesce(tc.n_triangles, 0))::DOUBLE" +
+              " / (d.degree * (d.degree - 1))::DOUBLE", 4)} AS cc
+       |FROM deg d LEFT JOIN tc USING (doc_id)
+       |WHERE d.degree >= 2""".stripMargin
+
   /** Oracle for `graph_pagerank`: the same edge closure, outdegrees,
     * and `iters` unrolled integer-exact rank rounds
     * (`floor(rank·damping% / (100·deg))` contributions, long sums,
@@ -1542,6 +1576,24 @@ object OracleSql {
        |SELECT id_b AS vec_id, cluster, min(id_a) AS dup_of,
        |  count(*) AS n_witnesses
        |FROM pr WHERE cos >= $minCos GROUP BY 1, 2""".stripMargin
+
+  /** Oracle for `profile_histogram`: identical one-division equi-width
+    * binning (floor over the shared IEEE width, top edge folded into
+    * the last bin), bin_lo recomputed per row then grouped.
+    */
+  def profileHistogram(nBins: Int = 20): String =
+    s"""WITH mm AS (
+       |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+       |  FROM orders),
+       |b AS (
+       |  SELECT CAST(least(floor((o_totalprice - lo)
+       |      / ((hi - lo) / $nBins.0)), ${nBins - 1}.0) AS INTEGER)
+       |      AS bin,
+       |    lo, (hi - lo) / $nBins.0 AS w
+       |  FROM orders, mm)
+       |SELECT bin, ${roundSpark("lo + bin * w", 4)} AS bin_lo,
+       |  count(*) AS n
+       |FROM b GROUP BY 1, 2""".stripMargin
 
   /** Oracle for `text_collocations`: bigram lift over exact integer
     * counts, one IEEE division, TOTAL-ordered top-k (lift desc, then

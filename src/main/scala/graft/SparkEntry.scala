@@ -522,6 +522,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
     }),
 
+    "events_hopping" -> ((s, dir) => {
+      // hopping (sliding) windows: 1-hour windows every 15 minutes —
+      // each event lands in exactly 4 windows (Spark's epoch-aligned
+      // `window()` grid; the oracle replays the same grid arithmetic
+      // in epoch-µs). The batch twin of the streaming sliding agg
+      t(s, dir, "events")
+        .groupBy(
+          window(col("ts"), "1 hour", "15 minutes")
+            .getField("start").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("total_value"))
+    }),
+
     "events_funnel" -> ((s, dir) => {
       // 3-step funnel with strict ordering AND a 1-hour conversion
       // window per hop (first view -> first click within the hour ->
@@ -676,6 +690,15 @@ object SparkEntry {
         .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
         .filter(col("est_jaccard") >= 0.5)
       Dedup.triangleCounts(pairs, "id_a", "id_b")
+    }),
+
+    "graph_clustering_coeff" -> ((s, dir) => {
+      // clique-vs-bridge separation on the same candidate graph as
+      // graph_triangles: dup cliques score cc≈1, borderline chains ≈0
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.clusteringCoefficient(pairs, "id_a", "id_b")
     }),
 
     "dedup_edit_distance" -> ((s, dir) => {
@@ -1717,6 +1740,28 @@ object SparkEntry {
           |  LIMIT 2) t""".stripMargin)
     }),
 
+    "profile_histogram" -> ((s, dir) => {
+      // equi-width histogram of order prices: one min/max reduce
+      // broadcast back, then a map-only bin assignment and a
+      // 20-row aggregate — the distribution-shape profiler (skew,
+      // outlier mass, modality) a datasheet needs beyond min/max.
+      // All rows share one IEEE width division, so binning is
+      // bit-reproducible; the top edge folds into the last bin
+      val nBins = 20
+      val mm = t(s, dir, "orders").agg(
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      val w = (col("hi") - col("lo")) / lit(nBins.toDouble)
+      t(s, dir, "orders").crossJoin(broadcast(mm))
+        .select(least(floor((col("o_totalprice") - col("lo")) / w),
+          lit((nBins - 1).toDouble)).cast("int").as("bin"),
+          col("lo"), w.as("w"))
+        .select(col("bin"),
+          round(col("lo") + col("bin") * col("w"), 4).as("bin_lo"))
+        .groupBy("bin", "bin_lo")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "profile_numeric_stats" -> ((s, dir) => {
       // generic column profiler: null/distinct/min/max per numeric
       // column in one pass over the unpivoted frame — the data-quality
@@ -2416,6 +2461,18 @@ object SparkEntry {
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "events_hopping" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS eu FROM events),
+        |w AS (
+        |  SELECT make_timestamp(
+        |      (eu - (eu % 900000000)) - k * 900000000) AS win_start,
+        |    event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS k))
+        |SELECT win_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |    AS fingerprint,
@@ -3000,6 +3057,8 @@ object SparkEntry {
       numHashes = 16, rowsPerBand = 2, iters = 3, dampingPct = 85),
     "graph_triangles" -> OracleSql.graphTriangles(
       numHashes = 16, rowsPerBand = 2),
+    "graph_clustering_coeff" -> OracleSql.graphClusteringCoeff(
+      numHashes = 16, rowsPerBand = 2),
 
     "dedup_edit_distance" ->
       """WITH t AS (
@@ -3114,6 +3173,7 @@ object SparkEntry {
 
     "curate_dsir_sample" -> OracleSql.curateDsirSample(),
     "text_collocations" -> OracleSql.textCollocations(),
+    "profile_histogram" -> OracleSql.profileHistogram(),
 
     "validate_constraints" ->
       """SELECT 'o_orderkey_not_null' AS rule, 'not_null' AS rule_type,

@@ -509,6 +509,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient over the candidate graph:
+    * `cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))` for nodes of degree ≥ 2 —
+    * the clique-vs-bridge separator ([[triangleCounts]] gives the
+    * numerator; a dup CLIQUE scores ~1, a chain of borderline pairs
+    * ~0). Integer-exact numerator/denominator with a single IEEE
+    * division, so cross-engine comparison is bit-stable.
+    *
+    * Scale shape: degrees are one narrow aggregate over the exploded
+    * edge list; the triangle join is the standard x<y<z wedge closure
+    * (cost bounded by candidate-graph density, which dedup banding
+    * already bounds); one final key join.
+    */
+  def clusteringCoefficient(pairs: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(pairs, aCol, bCol)
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round((lit(2L) * coalesce(col("n_triangles"), lit(0L)))
+            .cast("double") /
+          (col("degree") * (col("degree") - 1)).cast("double"), 4)
+          .as("cc"))
+  }
+
   /** Edit-distance near-dup pairs for SHORT text keys (titles, names,
     * leading spans): candidate pairs materialize only within an exact
     * `prefixLen`-character block, then Levenshtein over the
