@@ -1940,6 +1940,119 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
+    }),
+
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // Correlated scalar subquery — Catalyst rewrites it to an
+      // aggregate + join (RewriteCorrelatedScalarSubquery), never a
+      // per-row re-execution; exercised through spark.sql on purpose.
+      t(s, dir, "part").createOrReplaceTempView("q2_part")
+      t(s, dir, "lineitem").createOrReplaceTempView("q2_lineitem")
+      t(s, dir, "supplier").createOrReplaceTempView("q2_supplier")
+      s.sql("""
+        SELECT DISTINCT p_partkey, p_name, s_name,
+               round(l_extendedprice, 2) AS min_price
+        FROM q2_part
+        JOIN q2_lineitem ON l_partkey = p_partkey
+        JOIN q2_supplier ON l_suppkey = s_suppkey
+        WHERE p_size < 10
+          AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                 FROM q2_lineitem l2
+                                 WHERE l2.l_partkey = p_partkey)""")
+    }),
+
+    "q13_customer_distribution" -> ((s, dir) => {
+      // filtered LEFT OUTER join (condition on the right side only)
+      // + two-level aggregation: orders-per-customer, then histogram
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey") &&
+          ord("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    "q14_promo_revenue" -> ((s, dir) => {
+      // conditional-aggregate ratio over a month of shipments
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01") &&
+          col("l_shipdate") < lit("1995-10-01"))
+      val part = t(s, dir, "part")
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))) * 100 /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_pct"))
+    }),
+
+    "q16_supplier_cnt" -> ((s, dir) => {
+      // NOT IN exclusion (anti join on a non-null key) + distinct agg
+      val excl = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val li0 = t(s, dir, "lineitem")
+      val li = li0.join(broadcast(excl),
+        li0("l_suppkey") === excl("s_suppkey"), "left_anti")
+      val part = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 10, 15, 20))
+      part.join(li, col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      // in-subquery over a grouped HAVING: orders whose total quantity
+      // clears a threshold (sum of integer-valued doubles — exact)
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey").as("big_okey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      ord.join(big, ord("o_orderkey") === col("big_okey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+    }),
+
+    "q19_disjunctive_join" -> ((s, dir) => {
+      // disjunctive multi-attribute join predicate (brand × size ×
+      // quantity bands) — pushed as one OR filter after the equi-join
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    "q22_idle_balances" -> ((s, dir) => {
+      // scalar-aggregate threshold (integer-exact cents mean so the
+      // boundary can't flip between engines) + NOT EXISTS anti join
+      val cust = t(s, dir, "customer")
+        .withColumn("cents", floor(col("c_acctbal") * 100).cast("long"))
+      val pos = cust.filter(col("c_acctbal") > 0)
+      val thr = pos.agg(expr("sum(cents) div count(1)").as("thr"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      pos.join(broadcast(thr))
+        .filter(col("cents") > col("thr"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
     })
   )
 
@@ -2246,6 +2359,79 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_name LIKE '%gear%'
         |GROUP BY n_name, o_year""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """SELECT DISTINCT p_partkey, p_name, s_name,
+        |       round(l_extendedprice, 2) AS min_price
+        |FROM part
+        |JOIN lineitem ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_size < 10
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(
+        |    100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN l_extendedprice * (1 - l_discount)
+        |                     ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(sum_qty, 2) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q19_disjunctive_join" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_idle_balances" ->
+      """WITH pos AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_acctbal > 0),
+        |thr AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM pos)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       round(sum(c_acctbal), 2) AS totacctbal
+        |FROM pos, thr
+        |WHERE cents > thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey""".stripMargin,
 
     "unpivot_metrics" ->
       """SELECT p_partkey, metric, value FROM (
