@@ -2053,6 +2053,170 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("c_acctbal")), 2).as("totacctbal"))
+    }),
+
+    "q4_priority_semijoin" -> ((s, dir) => {
+      // EXISTS semi-join + priority histogram: orders in a quarter with
+      // at least one returned line. The semi-join never widens the
+      // orders row, so the shuffle carries only (o_orderkey) probes.
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01") &&
+          col("o_orderdate") < lit("1996-10-01"))
+      val ret = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      ord.join(ret, ord("o_orderkey") === ret("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    "q8_market_share" -> ((s, dir) => {
+      // national market share: NATION_3 suppliers' slice of STANDARD-part
+      // revenue sold to EUROPE customers, per order year. Two broadcast
+      // nation/region dims; one wide fact join; conditional-sum ratio.
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val part = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+      val natC = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_regionkey").as("c_rk"))
+      val natS = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val reg = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(broadcast(natC), cust("c_nationkey") === col("c_nk"))
+        .join(broadcast(reg), col("c_rk") === col("r_regionkey"))
+        .join(broadcast(natS), supp("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0)))
+            / sum(vol), 4).as("mkt_share"))
+    }),
+
+    "q11_important_stock" -> ((s, dir) => {
+      // per-part value with a HAVING gate against a global scalar —
+      // integer-cents sums so the threshold boundary is exact in any
+      // aggregation order, and `div` (not double /) for the fraction.
+      val li = t(s, dir, "lineitem")
+      val supp = t(s, dir, "supplier").filter(col("s_acctbal") > 0)
+        .select(col("s_suppkey"))
+      val cents = (floor(col("l_extendedprice") * 100).cast("long")
+        * col("l_quantity").cast("long"))
+      val perPart = li.join(broadcast(supp),
+          li("l_suppkey") === supp("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents).as("value_cents"))
+      // 1.5x the mean per-part value, in exact integer arithmetic —
+      // a fixed fraction-of-total gate goes vacuous as the part count
+      // grows, a mean-relative gate selects the same tail at any scale
+      val thr = perPart.agg(
+        expr("(3 * sum(value_cents)) div (2 * count(1))").as("thr"))
+      perPart.join(broadcast(thr))
+        .filter(col("value_cents") > col("thr"))
+        .select(col("l_partkey"), col("value_cents"))
+    }),
+
+    "q12_priority_by_flag" -> ((s, dir) => {
+      // two-way conditional counts (q12 shape, return-flag standing in
+      // for the fixture's missing ship-mode column)
+      val li = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+      val ord = t(s, dir, "orders")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1)).as("low_line_count"))
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // max-over-aggregated-view: quarterly revenue per supplier in
+      // exact integer cents (per-row floor, then sum — deterministic in
+      // any order), winner(s) selected by equality with the broadcast max
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+      val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(sum(cents).as("total_revenue_cents"))
+      val mx = rev.agg(max(col("total_revenue_cents")).as("mx"))
+      val supp = t(s, dir, "supplier")
+      rev.join(broadcast(mx)).filter(col("total_revenue_cents") === col("mx"))
+        .join(supp, col("l_suppkey") === supp("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+    }),
+
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      // correlated per-part average-quantity threshold (decorrelated to
+      // an aggregate + broadcast join; avg of integer-valued doubles is
+      // IEEE-exact so the 0.5*avg comparison cannot flip between engines)
+      val li = t(s, dir, "lineitem")
+      val avgq = li.groupBy(col("l_partkey").as("apk"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      val part = t(s, dir, "part").filter(col("p_brand") === "Brand#12")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(avgq, li("l_partkey") === col("apk"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    "q20_promo_suppliers" -> ((s, dir) => {
+      // nested IN-with-aggregate-threshold: suppliers who moved more
+      // than 1.1x the mean PROMO-part quantity in 1996 (a mean-relative
+      // gate stays ~equally selective at any scale; exact integer sums
+      // so the boundary cannot flip with aggregation order; the
+      // threshold agg runs on the fact side only)
+      val promo = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1996)
+      val perSupp = li.join(broadcast(promo),
+          li("l_partkey") === promo("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("promo_qty"))
+      val thr = perSupp.agg(
+        expr("(11 * sum(promo_qty)) div (10 * count(1))").as("thr"))
+      val heavy = perSupp.join(broadcast(thr))
+        .filter(col("promo_qty") > col("thr"))
+      val supp = t(s, dir, "supplier")
+      supp.join(heavy, supp("s_suppkey") === heavy("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      // double-correlated EXISTS / NOT EXISTS (q21 shape): suppliers
+      // with a returned line in a finished multi-supplier order where
+      // no OTHER supplier also had a return. Composed as distinct
+      // (order, supplier) pair frames + one semi and one anti join —
+      // every shuffle carries only the narrow key pair.
+      val ordF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val lo = t(s, dir, "lineitem")
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
+          col("l_returnflag"))
+      val pairs = lo.select(col("okey"), col("skey")).distinct()
+      val rpairs = lo.filter(col("l_returnflag") === "R")
+        .select(col("okey"), col("skey")).distinct()
+      val others = pairs.select(col("okey").as("okey2"), col("skey").as("skey2"))
+      val rothers = rpairs.select(col("okey").as("okey3"), col("skey").as("skey3"))
+      val waiting = rpairs
+        .join(others, col("okey") === col("okey2") &&
+          col("skey") =!= col("skey2"), "left_semi")
+        .join(rothers, col("okey") === col("okey3") &&
+          col("skey") =!= col("skey3"), "left_anti")
+      val supp = t(s, dir, "supplier")
+      waiting.join(supp, col("skey") === supp("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
     })
   )
 
@@ -2432,6 +2596,106 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey""".stripMargin,
+
+    "q4_priority_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                 THEN l_extendedprice * (1 - l_discount)
+        |                 ELSE 0.0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |GROUP BY o_year""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      WHERE s_acctbal > 0)
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value_cents FROM pp
+        |WHERE value_cents > (SELECT CAST((3 * sum(value_cents))
+        |                                 // (2 * count(*)) AS BIGINT)
+        |                     FROM pp)""".stripMargin,
+
+    "q12_priority_by_flag" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE year(l_shipdate) = 1997
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |                  AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_cents = (SELECT max(total_revenue_cents)
+        |                             FROM rev)""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#12'
+        |  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q20_promo_suppliers" ->
+      """WITH h AS (
+        |  SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT))
+        |                         AS BIGINT) AS promo_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO' AND year(l_shipdate) = 1996
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM h
+        |  WHERE promo_qty > (SELECT CAST((11 * sum(promo_qty))
+        |                                 // (10 * count(*)) AS BIGINT)
+        |                     FROM h))""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey AS okey, l_suppkey AS skey, l_returnflag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |r AS (SELECT DISTINCT okey, skey FROM lo WHERE l_returnflag = 'R')
+        |SELECT s_name, count(*) AS numwait
+        |FROM r JOIN supplier ON skey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.okey = r.okey AND l2.skey <> r.skey)
+        |  AND NOT EXISTS (SELECT 1 FROM r r2
+        |                  WHERE r2.okey = r.okey AND r2.skey <> r.skey)
+        |GROUP BY s_name""".stripMargin,
 
     "unpivot_metrics" ->
       """SELECT p_partkey, metric, value FROM (
