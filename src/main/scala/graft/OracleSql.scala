@@ -723,6 +723,142 @@ object OracleSql {
     * (`floor(rank·damping% / (100·deg))` contributions, long sums,
     * constant teleport in millionths).
     */
+  /** Oracle for `incr_agg_merge`: the direct full recompute the
+    * incremental merge must equal — per-customer count/sum/min/max over
+    * exact integer cents plus the derived rounded mean.
+    */
+  def incrAggMerge(): String =
+    s"""WITH c AS (
+       |  SELECT o_custkey,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders)
+       |SELECT o_custkey,
+       |  count(*) AS st_cnt,
+       |  CAST(sum(cents) AS BIGINT) AS st_sum,
+       |  min(cents) AS st_min,
+       |  max(cents) AS st_max,
+       |  ${roundSpark("CAST(sum(cents) AS BIGINT)::DOUBLE / count(*)::DOUBLE", 4)} AS st_avg
+       |FROM c GROUP BY o_custkey""".stripMargin
+
+  /** Oracle for `analytics_linreg`: identical sufficient statistics in
+    * HUGEINT, identical final IEEE association (num::DOUBLE/den::DOUBLE,
+    * then (sy - slope*sx)/n), Spark-semantics rounding.
+    */
+  def analyticsLinreg(): String = {
+    val slope = "(n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE"
+    s"""WITH m AS (
+       |  SELECT l_returnflag,
+       |    CAST(l_quantity AS BIGINT)::HUGEINT AS x,
+       |    CAST(floor(l_extendedprice * 100) AS BIGINT)::HUGEINT AS y
+       |  FROM lineitem),
+       |st AS (
+       |  SELECT l_returnflag, count(*)::HUGEINT AS n,
+       |    sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy
+       |  FROM m GROUP BY l_returnflag)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       |  ${roundSpark(slope, 6)} AS slope,
+       |  ${roundSpark(s"(sy::DOUBLE - ($slope) * sx::DOUBLE) / n::DOUBLE", 2)} AS intercept
+       |FROM st""".stripMargin
+  }
+
+  /** Oracle for `profile_correlations`: one sufficient-statistics row
+    * in HUGEINT, three long-form Pearson r values with the engine's
+    * exact IEEE association (num::DOUBLE / sqrt(da::DOUBLE * db::DOUBLE)).
+    */
+  def profileCorrelations(): String = {
+    def r(a: String, b: String): String = roundSpark(
+      s"(n*s_${a}_$b - s_$a*s_$b)::DOUBLE / " +
+        s"sqrt((n*s_${a}_$a - s_$a*s_$a)::DOUBLE * " +
+        s"(n*s_${b}_$b - s_$b*s_$b)::DOUBLE)", 6)
+    s"""WITH m AS (
+       |  SELECT CAST(l_quantity AS BIGINT)::HUGEINT AS qty,
+       |    CAST(floor(l_extendedprice * 100) AS BIGINT)::HUGEINT AS price,
+       |    CAST(floor(l_discount * 10000) AS BIGINT)::HUGEINT AS disc
+       |  FROM lineitem),
+       |st AS (
+       |  SELECT count(*)::HUGEINT AS n,
+       |    sum(qty) AS s_qty, sum(price) AS s_price, sum(disc) AS s_disc,
+       |    sum(qty * qty) AS s_qty_qty,
+       |    sum(price * price) AS s_price_price,
+       |    sum(disc * disc) AS s_disc_disc,
+       |    sum(qty * price) AS s_qty_price,
+       |    sum(qty * disc) AS s_qty_disc,
+       |    sum(price * disc) AS s_price_disc
+       |  FROM m)
+       |SELECT 'qty_price' AS pair, ${r("qty", "price")} AS r FROM st
+       |UNION ALL
+       |SELECT 'qty_disc', ${r("qty", "disc")} FROM st
+       |UNION ALL
+       |SELECT 'price_disc', ${r("price", "disc")} FROM st""".stripMargin
+  }
+
+  /** Oracle for `text_bpe_pairs`: word histogram → in-word adjacent
+    * character pairs weighted by word count → deterministic top-k cut
+    * (count desc, pair asc).
+    */
+  def textBpePairs(topK: Int = 30): String =
+    s"""WITH w AS (
+       |  SELECT w, count(*) AS wc FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+       |      AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |p AS (
+       |  SELECT unnest(list_transform(range(1, length(w)),
+       |                i -> substr(w, i, 2))) AS pair, wc
+       |  FROM w),
+       |c AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+       |      FROM p GROUP BY pair)
+       |SELECT pair, cnt FROM c
+       |ORDER BY cnt DESC, pair ASC LIMIT $topK""".stripMargin
+
+  /** Oracle for `graph_kcore`: the same near-dup edge set, peeled for
+    * `rounds` unrolled iterations — each round recomputes degrees over
+    * the surviving edges and keeps vertices with degree >= k, exactly
+    * mirroring [[graft.functions.Dedup.kCore]]'s bounded-round loop.
+    */
+  def graphKcore(numHashes: Int = 16, rowsPerBand: Int = 2,
+                 k: Int = 2, rounds: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH ${tokenHashCtes()},
+         |${shingleHashCtes()},
+         |${minhashCtes(numHashes, rowsPerBand)},
+         |${edgeCtes(numHashes)},
+         |e0 AS (SELECT src, dst FROM edges)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++=
+        s""",
+           |d$i AS (SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY src),
+           |a$i AS (SELECT src AS node FROM d$i WHERE deg >= $k),
+           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           |        JOIN a$i x ON x.node = e.src
+           |        JOIN a$i y ON y.node = e.dst)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e$rounds GROUP BY src HAVING count(*) >= $k""".stripMargin
+    sb.toString
+  }
+
+  /** Oracle for `export_shards`: xxhash64(doc_id) mod nShards shard
+    * assignment (the integer-hash CTE chain) + per-shard volume stats.
+    */
+  def exportShards(nShards: Int = 8): String =
+    s"""WITH ${idHashCtes()},
+       |sh AS (
+       |  SELECT d.doc_id,
+       |         ((h.hv % $nShards) + $nShards) % $nShards AS shard,
+       |         length(d.text) AS chars
+       |  FROM documents d JOIN hashed h ON h.doc_id = d.doc_id)
+       |SELECT CAST(shard AS INTEGER) AS shard,
+       |  count(*) AS n_docs,
+       |  CAST(sum(chars) AS BIGINT) AS total_chars,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM sh GROUP BY shard""".stripMargin
+
   def graphPagerank(numHashes: Int = 16, rowsPerBand: Int = 2,
                     iters: Int = 3, dampingPct: Int = 85): String = {
     val sb = new StringBuilder

@@ -6,8 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cleaning, Joins, Merge, Scale, Split, Stamping, TemporalJoins}
-import graft.functions.{Clustering, Curation, Dedup, Importance, LanguageModel, Packing, ProductQuantization, Projection, Retrieval, Sampling, Similarity, TextFunctions}
+import graft.ops.{Cleaning, IncrementalAgg, Joins, Merge, Scale, Split, Stamping, TemporalJoins}
+import graft.functions.{Analytics, Clustering, Curation, Dedup, Importance, LanguageModel, Packing, ProductQuantization, Projection, Retrieval, Sampling, Similarity, TextFunctions}
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -2217,7 +2217,55 @@ object SparkEntry {
       waiting.join(supp, col("skey") === supp("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
-    })
+    }),
+
+    "incr_agg_merge" -> ((s, dir) => {
+      // incremental rollup maintenance: history and delta aggregated
+      // separately, states merged — provably equal to the full
+      // recompute (which is what the oracle runs). Recurring cost is
+      // O(delta), never O(history).
+      val ord = t(s, dir, "orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+      val base = ord.filter(col("o_orderdate") < lit("1999-01-01"))
+      val delta = ord.filter(col("o_orderdate") >= lit("1999-01-01"))
+      IncrementalAgg.readView(IncrementalAgg.mergeStates(
+        IncrementalAgg.aggState(base, Seq("o_custkey"), col("cents")),
+        IncrementalAgg.aggState(delta, Seq("o_custkey"), col("cents")),
+        Seq("o_custkey")))
+    }),
+
+    "analytics_linreg" -> ((s, dir) => {
+      // per-flag OLS of price (cents) on quantity from one-pass
+      // decimal-exact sufficient statistics
+      Analytics.linregByGroup(t(s, dir, "lineitem"), "l_returnflag",
+        col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") * 100).cast("long"))
+    }),
+
+    "profile_correlations" -> ((s, dir) => {
+      // pairwise Pearson r over scaled-integer measures, ONE scan for
+      // all three pairs (shared sufficient statistics)
+      Analytics.correlationPairs(t(s, dir, "lineitem"),
+        Seq("qty" -> col("l_quantity").cast("long"),
+          "price" -> floor(col("l_extendedprice") * 100).cast("long"),
+          "disc" -> floor(col("l_discount") * 10000).cast("long")),
+        Seq("qty" -> "price", "qty" -> "disc", "price" -> "disc"))
+    }),
+
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextFunctions.bpePairCounts(t(s, dir, "documents"), "text", 30)),
+
+    "graph_kcore" -> ((s, dir) => {
+      // dense-duplicate-community extraction: 2-core of the near-dup
+      // graph after 4 peel rounds — cliques survive, chains/stars don't
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.kCore(pairs, "id_a", "id_b", k = 2, rounds = 4)
+    }),
+
+    "export_shards" -> ((s, dir) =>
+      Packing.shardManifest(t(s, dir, "documents"), "doc_id", "text", 8))
   )
 
   // ------------------------------------------------------------------
@@ -2696,6 +2744,13 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM r r2
         |                  WHERE r2.okey = r.okey AND r2.skey <> r.skey)
         |GROUP BY s_name""".stripMargin,
+
+    "incr_agg_merge" -> OracleSql.incrAggMerge(),
+    "analytics_linreg" -> OracleSql.analyticsLinreg(),
+    "profile_correlations" -> OracleSql.profileCorrelations(),
+    "text_bpe_pairs" -> OracleSql.textBpePairs(topK = 30),
+    "graph_kcore" -> OracleSql.graphKcore(k = 2, rounds = 4),
+    "export_shards" -> OracleSql.exportShards(nShards = 8),
 
     "unpivot_metrics" ->
       """SELECT p_partkey, metric, value FROM (

@@ -480,6 +480,54 @@ object Dedup {
     r.select(col("id").as("doc_id"), col("rank"))
   }
 
+  /** Bounded-round k-core peeling over the undirected near-dup graph:
+    * repeatedly drop vertices with degree < k (and their edges) for
+    * `rounds` iterations, then report the survivors with their final
+    * within-core degree. The k-core separates DENSE duplicate
+    * communities (every member ≥ k strong neighbours) from stars and
+    * chains that exact-threshold pairing can't tell apart — the
+    * canonical "keep one per clique, review the periphery" split.
+    *
+    * Bounded rounds (like [[pageRank]]'s `iters`) keep the operator a
+    * fixed-depth DAG the oracle can unroll; on near-dup graphs the
+    * peel converges in a handful of rounds because cliques are stable
+    * under deletion.
+    *
+    * Scale shape: each round is two semi-joins of the narrow (src,
+    * dst) edge list against a key-only survivor set, plus one
+    * map-side-combined degree count — no row ever carries more than
+    * two longs, and the per-round eager `localCheckpoint` truncates
+    * the iterative lineage ([[connectedComponents]] discipline).
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = pairs
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      val alive = deg.filter(col("deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint(true)
+      e = e
+        .join(alive.withColumnRenamed("node", "src"), Seq("src"),
+          "left_semi")
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"),
+          "left_semi")
+        .localCheckpoint(true)
+    }
+    // survivors with their degree inside the final peeled graph
+    e.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+      .select(col("src").as("doc_id"), col("core_deg"))
+  }
+
   /** Per-vertex triangle counts over the undirected near-dup graph —
     * the local clustering signal: near-dup CLIQUES (true duplicate
     * groups) are triangle-dense, while chains of borderline pairs

@@ -70,4 +70,30 @@ object Packing {
     withN.withColumn("batch_in_shard",
       floor(start / budgetTokens).cast("long"))
   }
+
+  /** Output-shard manifest for a training export: every document is
+    * assigned a shard by `xxhash64(id) mod nShards` (stable under
+    * corpus growth and id distribution — new docs never move old ones
+    * between shards), and the manifest row carries the per-shard
+    * volume statistics a dataloader needs to plan epochs (doc count,
+    * total characters, id range).
+    *
+    * Scale shape: map-only hash + length projection, then ONE
+    * aggregation to `nShards` rows with map-side combine — the
+    * manifest never materializes document text, and writing the actual
+    * shards is `df.write.partitionBy("shard")` with this same hash
+    * column, so manifest and data provably agree.
+    */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+                    nShards: Int): DataFrame =
+    docs.select(
+        pmod(xxhash64(col(idCol)), lit(nShards.toLong)).cast("int")
+          .as("shard"),
+        col(idCol).as("__id"),
+        length(col(textCol)).cast("long").as("__chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__chars").as("total_chars"),
+        min("__id").as("min_id"),
+        max("__id").as("max_id"))
 }

@@ -213,4 +213,32 @@ object TextFunctions {
           col("sum_df") / (col("n_distinct") * col("n_docs")), 4)
           .as("rarity"))
   }
+
+  /** One counting round of BPE tokenizer training: adjacent-symbol
+    * pair frequencies over the corpus, weighted by word frequency —
+    * the statistic each merge step of byte-pair encoding maximizes
+    * (Sennrich et al. 2016, arXiv:1508.07909). Emits the `topK` most
+    * frequent character pairs, ordered (count desc, pair asc) so the
+    * cut is deterministic.
+    *
+    * Scale shape: the corpus is touched ONCE (lowercase → split →
+    * word-count shuffle with map-side combine); the pair explosion
+    * runs on the VOCABULARY frame (distinct words), which is bounded
+    * by language, not corpus size — the same two-level trick real BPE
+    * trainers use (count words first, train on the word histogram).
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String,
+                    topK: Int): DataFrame = {
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words
+      .select(explode(expr(
+        "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))"))
+        .as("pair"), col("wc"))
+      .groupBy("pair").agg(sum("wc").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

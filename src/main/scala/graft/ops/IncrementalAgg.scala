@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: keep a per-key mergeable state
+  * table (count / sum / min / max over an exact integer measure) and
+  * fold delta batches into it without touching historical raw rows —
+  * the standard warehouse pattern behind "update the daily rollup from
+  * today's partition only" (the reference's recurring Snowflake task
+  * layer re-aggregates from scratch each run; this is the 100 TB
+  * alternative where each run's work is O(delta), not O(history)).
+  *
+  * All four statistics are self-mergeable (`sum` of counts/sums, `min`
+  * of mins, `max` of maxes), so merging partials is EXACTLY equal to
+  * aggregating the union of the raw inputs — the property the oracle
+  * query checks end-to-end. Derived read-time statistics (avg) come
+  * from `readView`.
+  *
+  * Scale shape: `aggState` on a delta shuffles only the delta (narrow
+  * (keys, measure) rows with map-side combine); `mergeStates` shuffles
+  * two ALREADY-AGGREGATED key-sized frames, never raw history. At a
+  * fixed key cardinality the recurring cost is independent of total
+  * history size.
+  */
+object IncrementalAgg {
+
+  /** Per-key mergeable state over an exact-integer `measure`. */
+  def aggState(df: DataFrame, keyCols: Seq[String],
+               measure: Column): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("st_cnt"),
+        sum(measure).as("st_sum"),
+        min(measure).as("st_min"),
+        max(measure).as("st_max"))
+
+  /** Fold a delta state into a base state: union of partials, one
+    * key-sized shuffle. Associative and commutative — any batch
+    * arrival order yields the same table.
+    */
+  def mergeStates(base: DataFrame, delta: DataFrame,
+                  keyCols: Seq[String]): DataFrame =
+    base.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum("st_cnt").as("st_cnt"),
+        sum("st_sum").as("st_sum"),
+        min("st_min").as("st_min"),
+        max("st_max").as("st_max"))
+
+  /** Read-time view: exact integer stats plus the derived mean (IEEE
+    * division of two exact integers — deterministic), rounded for the
+    * comparison gate.
+    */
+  def readView(state: DataFrame): DataFrame =
+    state.select(state.columns.map(col).toIndexedSeq :+
+      round(col("st_sum").cast("double") / col("st_cnt").cast("double"), 4)
+        .as("st_avg"): _*)
+}
