@@ -813,6 +813,51 @@ object OracleSql {
        |SELECT pair, cnt FROM c
        |ORDER BY cnt DESC, pair ASC LIMIT $topK""".stripMargin
 
+  /** Oracle for `sample_budget_fill`: one global per-source window
+    * cumsum in (shard, hash, id) order — provably the same order as the
+    * engine's two-phase shard-offset + intra-shard prefix sum.
+    */
+  def sampleBudgetFill(budget: Long, shardBits: Int = 6): String = {
+    val shift = 64 - shardBits
+    val mask = (1L << shardBits) - 1
+    s"""WITH ${idHashCtes()},
+       |b AS (
+       |  SELECT d.source, d.doc_id, length(d.text)::BIGINT AS cost,
+       |         h.hv, ((h.hv >> $shift) & $mask) AS shard
+       |  FROM documents d JOIN hashed h ON h.doc_id = d.doc_id),
+       |c AS (
+       |  SELECT source, doc_id, cost,
+       |    CAST(sum(cost) OVER (PARTITION BY source
+       |      ORDER BY shard, hv, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cost
+       |      AS BIGINT) AS cum_before
+       |  FROM b)
+       |SELECT source, doc_id, cost, cum_before
+       |FROM c WHERE cum_before < $budget""".stripMargin
+  }
+
+  /** Oracle for `events_anomaly`: hourly counts per type, the z>3 gate
+    * in exact HUGEINT arithmetic, z derived from the same integers with
+    * the engine's IEEE association and Spark-semantics rounding.
+    */
+  def eventsAnomaly(): String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    CAST(CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS BIGINT)
+       |      AS hour,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type, count(*)::HUGEINT AS n,
+       |    sum(cnt::HUGEINT) AS sc, sum(cnt::HUGEINT * cnt) AS scc
+       |  FROM hourly GROUP BY event_type)
+       |SELECT h.event_type, h.hour, h.cnt,
+       |  ${roundSpark(
+          "(n*h.cnt - sc)::DOUBLE / sqrt((n*scc - sc*sc)::DOUBLE)", 4)} AS z
+       |FROM hourly h JOIN st ON st.event_type = h.event_type
+       |WHERE (n*h.cnt - sc)*(n*h.cnt - sc) > 9*(n*scc - sc*sc)
+       |  AND n*h.cnt - sc > 0""".stripMargin
+
   /** Oracle for `graph_kcore`: the same near-dup edge set, peeled for
     * `rounds` unrolled iterations — each round recomputes degrees over
     * the surviving edges and keeps vertices with degree >= k, exactly

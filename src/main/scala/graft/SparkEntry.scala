@@ -2265,7 +2265,39 @@ object SparkEntry {
     }),
 
     "export_shards" -> ((s, dir) =>
-      Packing.shardManifest(t(s, dir, "documents"), "doc_id", "text", 8))
+      Packing.shardManifest(t(s, dir, "documents"), "doc_id", "text", 8)),
+
+    "sample_budget_fill" -> ((s, dir) =>
+      // deterministic per-source budget fill in hash order — the
+      // distributed-prefix-sum mix constructor (4000 chars per source)
+      Sampling.budgetFill(t(s, dir, "documents"), "doc_id", "source",
+        length(col("text")), budget = 4000L)),
+
+    "events_anomaly" -> ((s, dir) => {
+      // hourly-count anomaly flags per event type. The z>3 gate runs in
+      // EXACT integer arithmetic — flag iff (n·cnt − Σc)² > 9·(n·Σc² −
+      // (Σc)²) and cnt above mean — so no float accumulation can flip a
+      // boundary; the reported z derives once per row from the same
+      // exact integers (decimal sums: the squares overflow long at
+      // petabyte event volumes)
+      val d = "decimal(38,0)"
+      val ev = t(s, dir, "events")
+      val hourly = ev.groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val st = hourly.groupBy("event_type")
+        .agg(count(lit(1)).cast(d).as("n"),
+          sum(col("cnt").cast(d)).as("sc"),
+          sum(col("cnt").cast(d) * col("cnt").cast(d)).as("scc"))
+      hourly.join(broadcast(st), Seq("event_type"))
+        .withColumn("num", col("n") * col("cnt").cast(d) - col("sc"))
+        .withColumn("den2", col("n") * col("scc") - col("sc") * col("sc"))
+        .filter(col("num") * col("num") > lit(9) * col("den2") &&
+          col("num") > 0)
+        .select(col("event_type"), col("hour"), col("cnt"),
+          round(col("num").cast("double") /
+            sqrt(col("den2").cast("double")), 4).as("z"))
+    })
   )
 
   // ------------------------------------------------------------------
@@ -2751,6 +2783,8 @@ object SparkEntry {
     "text_bpe_pairs" -> OracleSql.textBpePairs(topK = 30),
     "graph_kcore" -> OracleSql.graphKcore(k = 2, rounds = 4),
     "export_shards" -> OracleSql.exportShards(nShards = 8),
+    "sample_budget_fill" -> OracleSql.sampleBudgetFill(budget = 4000L),
+    "events_anomaly" -> OracleSql.eventsAnomaly(),
 
     "unpivot_metrics" ->
       """SELECT p_partkey, metric, value FROM (

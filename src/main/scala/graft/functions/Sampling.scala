@@ -149,4 +149,47 @@ object Sampling {
       when(bucket < thr, name).otherwise(acc)
     }
   }
+
+  /** Fill a per-source budget deterministically: documents are taken in
+    * xxhash64(id) order (an arbitrary-but-stable shuffle of each
+    * source) until the source's cumulative cost reaches `budget` — the
+    * "give me exactly N tokens of web, N of code" mix-construction
+    * primitive. A document is kept iff the cost BEFORE it is under
+    * budget, so each source overshoots by at most one document.
+    *
+    * Scale shape — a distributed prefix sum, NOT a global sort: the
+    * hash's top `shardBits` bits give 2^shardBits range-shards whose
+    * unsigned order equals hash order (within a shard all signs agree,
+    * so the signed sort is unsigned-correct). Phase 1 aggregates
+    * per-(source, shard) costs (map-side combined); phase 2 turns those
+    * `sources × 2^shardBits` rows into shard offsets with a window over
+    * a TINY frame; phase 3 is a bounded window cumsum within each
+    * (source, shard) plus the broadcast offset. No partition ever holds
+    * more than ~1/2^shardBits of a source.
+    */
+  def budgetFill(docs: DataFrame, idCol: String, sourceCol: String,
+                 cost: Column, budget: Long,
+                 shardBits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardBits >= 1 && shardBits <= 16)
+    val base = docs.select(col(sourceCol).as("source"),
+        col(idCol).as("doc_id"), cost.cast("long").as("cost"))
+      .withColumn("h", xxhash64(col("doc_id")))
+      .withColumn("shard", shiftrightunsigned(col("h"), 64 - shardBits))
+    val wOff = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy("source", "shard")
+      .agg(sum("cost").as("ssum"))
+      .withColumn("offset", sum("ssum").over(wOff) - col("ssum"))
+      .select("source", "shard", "offset")
+    val wIn = Window.partitionBy("source", "shard")
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("cum_before",
+        col("offset") + sum("cost").over(wIn) - col("cost"))
+      .filter(col("cum_before") < budget)
+      .select(col("source"), col("doc_id"), col("cost"),
+        col("cum_before"))
+  }
 }
