@@ -2273,6 +2273,22 @@ object SparkEntry {
       Sampling.budgetFill(t(s, dir, "documents"), "doc_id", "source",
         length(col("text")), budget = 4000L)),
 
+    "curate_pareto" -> ((s, dir) => {
+      // multi-objective skyline: documents not strictly dominated on
+      // (quality, rarity) — band-pruned, never the quadratic NOT EXISTS
+      val docs = t(s, dir, "documents")
+      val q = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val r = TextFunctions.tokenRarity(docs, "doc_id", "text")
+        .select(col("doc_id"), col("rarity"))
+      val m = q.join(r, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(col("quality") * 10000, 0).cast("long").as("quality_s"),
+          round(col("rarity") * 10000, 0).cast("long").as("rarity_s"))
+      Curation.paretoFront(m, "doc_id", "quality_s", "rarity_s",
+        bandWidth = 64L)
+    }),
+
     "events_anomaly" -> ((s, dir) => {
       // hourly-count anomaly flags per event type. The z>3 gate runs in
       // EXACT integer arithmetic — flag iff (n·cnt − Σc)² > 9·(n·Σc² −
@@ -2379,6 +2395,27 @@ object SparkEntry {
       |      / length(text) * 10.0, 1.0) ELSE 0 END)
       |  ) AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS quality
       |FROM documents""".stripMargin
+
+  /** text_rarity oracle, shared with curate_pareto (the skyline must
+    * rank on the same rarity the standalone query verifies).
+    */
+  private val RarityOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END))
+      |    AS tok
+      |  FROM documents),
+      |dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |a AS (
+      |  SELECT t.doc_id, sum(d.df)::BIGINT AS sum_df,
+      |    count(*) AS n_distinct
+      |  FROM tk t JOIN dfq d USING (tok) GROUP BY 1)
+      |SELECT doc_id, n_distinct,
+      |  round(CAST(CAST((1.0 - sum_df / (n_distinct * n_docs))
+      |    AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS rarity
+      |FROM a, n""".stripMargin
 
   /** curate_quality_gate oracle, shared with training_mix_semantic (the
     * composed mix must gate with the same probabilities the standalone
@@ -3798,23 +3835,20 @@ object SparkEntry {
          |    AS pct_en
          |FROM documents d JOIN q ON q.doc_id = d.doc_id""".stripMargin,
 
-    "text_rarity" ->
-      """WITH tk AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END))
-        |    AS tok
-        |  FROM documents),
-        |dfq AS (SELECT tok, count(*) AS df FROM tk GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |a AS (
-        |  SELECT t.doc_id, sum(d.df)::BIGINT AS sum_df,
-        |    count(*) AS n_distinct
-        |  FROM tk t JOIN dfq d USING (tok) GROUP BY 1)
-        |SELECT doc_id, n_distinct,
-        |  round(CAST(CAST((1.0 - sum_df / (n_distinct * n_docs))
-        |    AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS rarity
-        |FROM a, n""".stripMargin,
+    "text_rarity" -> RarityOracle,
+
+    "curate_pareto" ->
+      s"""WITH q AS ($QualityOracle),
+         |rr AS ($RarityOracle),
+         |m AS (
+         |  SELECT q.doc_id,
+         |    CAST(round(q.quality * 10000) AS BIGINT) AS quality_s,
+         |    CAST(round(rr.rarity * 10000) AS BIGINT) AS rarity_s
+         |  FROM q JOIN rr ON rr.doc_id = q.doc_id)
+         |SELECT m.doc_id, m.quality_s, m.rarity_s FROM m
+         |WHERE NOT EXISTS (SELECT 1 FROM m m2
+         |                  WHERE m2.quality_s > m.quality_s
+         |                    AND m2.rarity_s > m.rarity_s)""".stripMargin,
 
     // same oracle as text_exact_decontaminate by design: the automaton
     // formulation is physically different, semantically identical

@@ -41,6 +41,54 @@ object Curation {
     docs.join(rhs, Seq(idCol), "left_semi")
   }
 
+  /** Pareto-front (skyline) multi-objective curation: keep the
+    * documents NOT strictly dominated on two scaled-integer criteria —
+    * no other document is better on BOTH `xCol` and `yCol`. The
+    * selection a mix builder wants when quality and rarity (or quality
+    * and freshness) trade off and a single weighted score would bury
+    * one axis.
+    *
+    * Scalable band-pruned formulation, never the quadratic
+    * NOT-EXISTS self-join: bucket x into `bandWidth`-wide bands, then
+    * a document is dominated iff some y' > y exists at strictly
+    * larger x — which decomposes into (a) the max y of all HIGHER
+    * bands (every such doc has strictly larger x), from a bands×bands
+    * join over a #bands-sized frame, and (b) the running max y over
+    * strictly-larger DISTINCT x within its own band, from a window
+    * whose partitions hold at most `bandWidth` rows. The only
+    * corpus-sized operation is one (band, x) group-by; the dominator
+    * lookup joins back broadcast (x is a bounded-cardinality scaled
+    * score, so distinct (band, x) pairs are at most the score range).
+    *
+    * Precondition: x and y are scaled-integer scores with |x| < 2⁵²
+    * (band arithmetic runs through exact doubles).
+    */
+  def paretoFront(df: DataFrame, idCol: String, xCol: String,
+                  yCol: String, bandWidth: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bandWidth >= 1)
+    val base = df.select(col(idCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .withColumn("__band",
+        floor(col("__x").cast("double") / bandWidth).cast("long"))
+    val gx = base.groupBy("__band", "__x").agg(max("__y").as("__my"))
+    val wIn = Window.partitionBy("__band").orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inband = gx.withColumn("__domIn", max("__my").over(wIn))
+    val bandmax = gx.groupBy("__band").agg(max("__my").as("__bm"))
+    val above = bandmax.as("a")
+      .join(bandmax.as("b"), col("b.__band") > col("a.__band"), "left")
+      .groupBy(col("a.__band").as("__band"))
+      .agg(max(col("b.__bm")).as("__domAbove"))
+    val dom = inband.join(broadcast(above), Seq("__band"))
+      .select(col("__band"), col("__x"),
+        greatest(coalesce(col("__domIn"), lit(Long.MinValue)),
+          coalesce(col("__domAbove"), lit(Long.MinValue))).as("__dom"))
+    base.join(broadcast(dom), Seq("__band", "__x"))
+      .filter(col("__dom") <= col("__y"))
+      .select(col(idCol), col("__x").as(xCol), col("__y").as(yCol))
+  }
+
   /** Quality-desc ordering key for [[capPerGroup]] with doc-id
     * tie-break: `round(quality * 10^4) * 2^48 - id`. Exact in long
     * arithmetic for quality ∈ [0,1] rounded to 4 decimals and ids below
