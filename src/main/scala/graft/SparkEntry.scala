@@ -2313,6 +2313,74 @@ object SparkEntry {
         .select(col("event_type"), col("hour"), col("cnt"),
           round(col("num").cast("double") /
             sqrt(col("den2").cast("double")), 4).as("z"))
+    }),
+
+    "events_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix over each user's event
+      // stream: lead() pairs every event with its successor in
+      // (ts, event_id) order — ONE user-partitioned sort-shuffle, no
+      // self-join; the output is bounded by |event types|² and the
+      // per-from-type rate is an exact integer division (per-million)
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val cnt = ev
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = cnt.groupBy("from_type").agg(sum("cnt").as("tot"))
+      cnt.join(broadcast(tot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          expr("(cnt * 1000000) div tot").as("per_million"))
+    }),
+
+    "profile_equidepth" -> ((s, dir) => {
+      // equi-depth histogram of l_quantity per return flag WITHOUT a
+      // per-row NTILE sort: one corpus-sized (flag, qty) count
+      // aggregation, then prefix sums over the bounded distinct-value
+      // frame (flags × 50 rows) assign bucket =
+      // floor(cum_before · k / tot) — every distinct value lands
+      // wholly in one bucket, counts stay exact longs
+      val k = 4
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      val wPre = Window.partitionBy("l_returnflag").orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("l_returnflag")
+      g.withColumn("cum", coalesce(sum("cnt").over(wPre), lit(0L)))
+        .withColumn("tot", sum("cnt").over(wAll))
+        .withColumn("bucket", expr(s"(cum * $k) div tot"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(min("qty").as("qty_min"), max("qty").as("qty_max"),
+          sum("cnt").as("n_rows"))
+    }),
+
+    "events_attribution" -> ((s, dir) => {
+      // last-touch revenue attribution: each purchase credits the
+      // user's most recent view/click at-or-before it, valid only
+      // within a 3-day lookback — the one-shuffle as-of machinery
+      // (no range explosion), then a penny-exact scaled-long rollup
+      // per touch type ('none' = organic / stale touch)
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ts"),
+          col("value"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts").as("t_ts"),
+          col("event_type").as("touch_type"))
+      TemporalJoins.asOfJoin(purchases, touches, "user_id", "p_ts",
+          "t_ts", Seq("touch_type", "t_ts"))
+        .withColumn("touch",
+          when(col("asof_t_ts").isNotNull &&
+            col("p_ts") <= col("asof_t_ts") + expr("INTERVAL 3 DAY"),
+            col("asof_touch_type")).otherwise(lit("none")))
+        .groupBy(col("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 100).cast("long"))
+            .as("revenue_cents"))
     })
   )
 
@@ -3905,6 +3973,58 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
         |  FROM scored)
-        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin
+        |SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "events_transitions" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_type, to_type, count(*) AS cnt FROM pairs
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, sum(cnt)::BIGINT AS tot FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.cnt,
+        |  ((c.cnt * 1000000) // t.tot)::BIGINT AS per_million
+        |FROM cnt c JOIN tot t USING (from_type)""".stripMargin,
+
+    "profile_equidepth" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (
+        |  SELECT l_returnflag, qty, cnt,
+        |    coalesce(sum(cnt) OVER (PARTITION BY l_returnflag
+        |      ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS cum,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag)::BIGINT AS tot
+        |  FROM g)
+        |SELECT l_returnflag, ((cum * 4) // tot)::BIGINT AS bucket,
+        |  min(qty) AS qty_min, max(qty) AS qty_max,
+        |  sum(cnt)::BIGINT AS n_rows
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "events_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts AS p_ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |tc AS (
+        |  SELECT user_id, ts AS t_ts, event_type AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |a AS (
+        |  SELECT p.event_id, p.p_ts, p.value, tc.t_ts, tc.touch_type
+        |  FROM p ASOF LEFT JOIN tc
+        |    ON p.user_id = tc.user_id AND p.p_ts >= tc.t_ts)
+        |SELECT CASE WHEN t_ts IS NOT NULL
+        |              AND p_ts <= t_ts + INTERVAL 3 DAY
+        |            THEN touch_type ELSE 'none' END AS touch,
+        |  count(*) AS n_purchases,
+        |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+        |    AS revenue_cents
+        |FROM a GROUP BY 1""".stripMargin
   )
 }
