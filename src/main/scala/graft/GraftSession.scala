@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{BloomAgg, BloomContains, BloomMergeAgg, Cms, CmsAgg, CmsEstimate, CosineSim, DotProduct, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, KqMergeAgg, KqQuantile, KqStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, SortedArrayOverlap, TopKByAgg, ZOrderKey}
+import graft.expressions.{BloomAgg, BloomContains, BloomMergeAgg, Cms, CmsAgg, CmsEstimate, CosineSim, DotProduct, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, KqMergeAgg, KqQuantile, KqStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, SortedArrayOverlap, TopKByAgg, UnicodeNormalize, UnicodeNormalizeImpl, ZOrderKey}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -152,6 +152,19 @@ private[graft] object GraftBuilders {
     ZOrderKey(CreateArray(exprs.tail.map(e => Cast(e, LongType))),
       intLit("zorder_key", exprs.head, 0))
   }
+
+  def unicodeNormalize(exprs: Seq[Expression]): Expression = {
+    checkArity("unicode_normalize", exprs, 1, 2)
+    val form =
+      if (exprs.length < 2) "NFC"
+      else (if (exprs(1).foldable) exprs(1).eval() else null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          "unicode_normalize: argument 2 must be a string literal " +
+            s"(NFC|NFD|NFKC|NFKD), got $other")
+      }
+    UnicodeNormalize(exprs.head, UnicodeNormalizeImpl.formOrdinal(form))
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -206,6 +219,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kq_quantile"), GraftBuilders.kqQuantile _))
     e.injectFunction((FunctionIdentifier("kq_merge"),
       info("kq_merge"), exprs => GraftBuilders.kqMerge(exprs)))
+    e.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize"), GraftBuilders.unicodeNormalize _))
   }
 }
 
@@ -266,6 +281,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("kq_merge",
       exprs => GraftBuilders.kqMerge(exprs).toAggregateExpression(),
       "scala_udf")
+    reg.createOrReplaceTempFunction("unicode_normalize",
+      GraftBuilders.unicodeNormalize _, "scala_udf")
   }
 }
 

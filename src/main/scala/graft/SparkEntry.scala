@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, IncrementalAgg, Joins, Merge, Scale, Split, Stamping, TemporalJoins}
 import graft.functions.{Analytics, Clustering, Curation, Dedup, Importance, LanguageModel, Packing, ProductQuantization, Projection, Retrieval, Sampling, Similarity, TextFunctions}
+import graft.expressions.UnicodeNormalizeCol
 import graft.multimodal.Multimodal
 
 /** Driver contract — one named query per implemented operator
@@ -2381,6 +2382,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           sum(round(col("value") * 100).cast("long"))
             .as("revenue_cents"))
+    }),
+
+    "text_normalize" -> ((s, dir) => {
+      // canonical text normalization: NFC compose (native codegen'd
+      // expression — Spark ships no normalization builtin), casefold,
+      // whitespace collapse, trim — the canonicalization pass that
+      // runs BEFORE fingerprint/shingle hashing so codepoint-variant
+      // twins dedup together. The fixture text is pure ASCII, so a
+      // decomposed suffix ("e" + combining acute U+0301) is injected
+      // to make the NFC step observable: both engines must compose it
+      // to the single codepoint U+00E9. Map-only, stays inside
+      // whole-stage codegen.
+      val dirty = concat(col("text"), lit("  Cafe\u0301  "))
+      val norm = trim(regexp_replace(
+        lower(UnicodeNormalizeCol.unicode_normalize(dirty)),
+        "\\s+", " "))
+      t(s, dir, "documents").select(col("doc_id"),
+        length(dirty).as("len_raw"),
+        length(norm).as("len_norm"),
+        substring(norm, 1, 30).as("norm_prefix"))
     })
   )
 
@@ -4025,6 +4046,20 @@ object SparkEntry {
         |  count(*) AS n_purchases,
         |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT
         |    AS revenue_cents
-        |FROM a GROUP BY 1""".stripMargin
+        |FROM a GROUP BY 1""".stripMargin,
+
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || '  Cafe' || chr(769) || '  ' AS dirty
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, dirty,
+        |    trim(regexp_replace(lower(nfc_normalize(dirty)),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM d)
+        |SELECT doc_id, length(dirty)::INT AS len_raw,
+        |  length(norm)::INT AS len_norm,
+        |  substr(norm, 1, 30) AS norm_prefix
+        |FROM n""".stripMargin
   )
 }
