@@ -1,0 +1,88 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("vtbl").resolve("t").toString
+
+  private def df(v: Int) = (1 to 3).map(i => (i.toLong, v)).toDF("id", "val")
+
+  test("commit / read latest / read pinned / versions") {
+    val root = tmpRoot()
+    assert(VersionedTable.commit(df(1), root, () => 1000L) == 1L)
+    assert(VersionedTable.commit(df(2), root, () => 2000L) == 2L)
+    assert(VersionedTable.commit(df(3), root, () => 3000L) == 3L)
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 3L))
+    assert(VersionedTable.read(spark, root)
+      .agg(max("val")).head().getInt(0) == 3)
+    assert(VersionedTable.read(spark, root, Some(1L))
+      .agg(max("val")).head().getInt(0) == 1)
+  }
+
+  test("time travel resolves the newest version at or before ts") {
+    val root = tmpRoot()
+    VersionedTable.commit(df(1), root, () => 1000L)
+    VersionedTable.commit(df(2), root, () => 2000L)
+    assert(VersionedTable.versionAsOf(spark, root, 999L).isEmpty)
+    assert(VersionedTable.versionAsOf(spark, root, 1000L).contains(1L))
+    assert(VersionedTable.versionAsOf(spark, root, 1500L).contains(1L))
+    assert(VersionedTable.readAsOf(spark, root, 5000L)
+      .agg(max("val")).head().getInt(0) == 2)
+  }
+
+  test("torn commit (no marker) is invisible and vacuumed") {
+    val root = tmpRoot()
+    VersionedTable.commit(df(1), root, () => 1000L)
+    // simulate a writer that died after the data write, before the
+    // marker: a v=2 dir with parquet but no _COMMITTED
+    df(99).write.parquet(s"$root/v=2")
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    assert(VersionedTable.read(spark, root)
+      .agg(max("val")).head().getInt(0) == 1)
+    // next commit allocates PAST the orphan — never reuses its number
+    assert(VersionedTable.commit(df(3), root, () => 3000L) == 3L)
+    assert(VersionedTable.read(spark, root)
+      .agg(max("val")).head().getInt(0) == 3)
+    // vacuum removes the orphan (and old versions beyond the window)
+    assert(VersionedTable.vacuum(spark, root, keepLast = 1) == Seq(1L, 2L))
+    assert(VersionedTable.versions(spark, root) == Seq(3L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(1L))
+    }
+  }
+
+  test("stale or missing _LATEST cache never breaks reads") {
+    val root = tmpRoot()
+    VersionedTable.commit(df(1), root, () => 1000L)
+    VersionedTable.commit(df(2), root, () => 2000L)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, "_LATEST"), false)
+    assert(VersionedTable.latestVersion(spark, root).contains(2L))
+    val out = fs.create(new Path(root, "_LATEST"), true)
+    out.write("garbage".getBytes); out.close()
+    assert(VersionedTable.latestVersion(spark, root).contains(2L))
+    assert(VersionedTable.read(spark, root)
+      .agg(max("val")).head().getInt(0) == 2)
+  }
+
+  test("vacuum keeps the newest keepLast committed versions") {
+    val root = tmpRoot()
+    (1 to 5).foreach(v =>
+      VersionedTable.commit(df(v), root, () => v * 1000L))
+    assert(VersionedTable.vacuum(spark, root, keepLast = 2) ==
+      Seq(1L, 2L, 3L))
+    assert(VersionedTable.versions(spark, root) == Seq(4L, 5L))
+    // rollback to the older retained snapshot still works
+    assert(VersionedTable.read(spark, root, Some(4L))
+      .agg(max("val")).head().getInt(0) == 4)
+  }
+}
