@@ -275,13 +275,37 @@ object EventsStreaming {
   def intervalJoinStream(left: DataFrame, right: DataFrame,
                          key: String = "user_id", tsCol: String = "ts",
                          windowSeconds: Long = 600,
-                         lateness: String = "30 minutes"): DataFrame = {
+                         lateness: String = "30 minutes"): DataFrame =
+    intervalJoin(left, right, key, tsCol, windowSeconds, lateness, "inner")
+
+  /** Left-outer variant of [[intervalJoinStream]]: left events with NO
+    * right match inside the interval still emit — with null `r_`
+    * columns — once the right watermark passes `l.ts + windowSeconds`
+    * (only then can "no match" be final under late data). The outer
+    * rows therefore trail the watermark by `lateness`; a funnel that
+    * wants "purchases WITHOUT a preceding click" gets them exactly one
+    * watermark delay late, never provisionally wrong.
+    *
+    * Same bounded-state shape as the inner join: the two-sided time
+    * bound is what lets buffered rows be evicted (and, here, what
+    * triggers the null-padded emission on eviction).
+    */
+  def intervalJoinOuterStream(left: DataFrame, right: DataFrame,
+                              key: String = "user_id", tsCol: String = "ts",
+                              windowSeconds: Long = 600,
+                              lateness: String = "30 minutes"): DataFrame =
+    intervalJoin(left, right, key, tsCol, windowSeconds, lateness,
+      "leftOuter")
+
+  private def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                           tsCol: String, windowSeconds: Long,
+                           lateness: String, joinType: String): DataFrame = {
     val l = left.withWatermark(tsCol, lateness)
     val r = right.toDF(right.columns.map("r_" + _): _*)
       .withWatermark(s"r_$tsCol", lateness)
     l.join(r, expr(
       s"$key = r_$key AND r_$tsCol >= $tsCol AND " +
-        s"r_$tsCol <= $tsCol + interval $windowSeconds seconds"))
+        s"r_$tsCol <= $tsCol + interval $windowSeconds seconds"), joinType)
   }
 
   /** Stream-static enrichment join: every micro-batch of the stream is

@@ -244,4 +244,64 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got == Set((1L, 10L, 9.0), (2L, 11L, 5.0)),
       s"attribution pairs wrong: $got")
   }
+
+  test("left-outer interval join emits null-padded rows after watermark") {
+    val dir = Files.createTempDirectory("graft-ssojoin").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // user 1's click converts; user 2's click never does
+    Seq(EventsStreaming.Event(1, ts(0), 1L, "click", 0.0),
+        EventsStreaming.Event(2, ts(0), 2L, "click", 0.0))
+      .toDS().write.parquet(s"$dir/a/b0")
+    Seq(EventsStreaming.Event(10, ts(5), 1L, "purchase", 9.0))
+      .toDS().write.parquet(s"$dir/b/b0")
+
+    val schema =
+      implicitly[org.apache.spark.sql.Encoder[EventsStreaming.Event]].schema
+    // a parquet sink (unlike the memory sink) resumes from its
+    // checkpoint, so repeated drains accumulate into one output dir
+    def drain(): Set[(Long, Option[Long])] = {
+      val sa = spark.readStream.schema(schema).parquet(s"$dir/a/*")
+      val sb = spark.readStream.schema(schema).parquet(s"$dir/b/*")
+      val q = EventsStreaming.intervalJoinOuterStream(sa, sb,
+          windowSeconds = 600)
+        .select(col("event_id"), col("r_event_id"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$dir/out").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+    }
+
+    val emitted = scala.collection.mutable.Set[(Long, Option[Long])]()
+    emitted ++= drain()
+    // the matched pair may emit immediately; the outer row CANNOT —
+    // "no match" is only final once the watermark passes the interval
+    assert(!emitted.contains((2L, None)),
+      s"outer row emitted before the watermark allowed it: $emitted")
+    // push both watermarks past click-time + window + lateness with
+    // far-future sentinels; outer emission happens on state eviction,
+    // which uses the watermark committed by the PREVIOUS batch — so
+    // up to two more drains may be needed
+    var round = 0
+    while (!emitted.contains((2L, None)) && round < 3) {
+      round += 1
+      val far = 300 + 300 * round
+      Seq(EventsStreaming.Event(90L + round, ts(far), 9L, "click", 0.0))
+        .toDS().write.parquet(s"$dir/a/s$round")
+      Seq(EventsStreaming.Event(190L + round, ts(far), 9L, "purchase", 0.0))
+        .toDS().write.parquet(s"$dir/b/s$round")
+      emitted ++= drain()
+    }
+    assert(emitted.contains((1L, Some(10L))),
+      s"matched pair missing: $emitted")
+    assert(emitted.contains((2L, None)),
+      s"unmatched click never emitted null-padded: $emitted")
+  }
 }
