@@ -2402,6 +2402,75 @@ object SparkEntry {
         length(dirty).as("len_raw"),
         length(norm).as("len_norm"),
         substring(norm, 1, 30).as("norm_prefix"))
+    }),
+
+    "events_ewma" -> ((s, dir) => {
+      // exponentially-weighted daily revenue smoothing (alpha = 1/2) +
+      // one-step-ahead forecast, in EXACT integer arithmetic: the fold
+      // ewma' = (ewma + cents) div 2 runs over the day-sorted per-type
+      // array, so no float accumulation order can flip a result. The
+      // corpus-sized work is the (type, day) cents rollup; the per-type
+      // fold array is bounded by the calendar (30 days here), which is
+      // what makes collect_list safe at 100 TB.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+          .as("series"))
+        .select(col("event_type"),
+          size(col("series")).as("n_days"),
+          expr("series[size(series) - 1].cents").as("last_cents"),
+          expr("aggregate(slice(series, 2, size(series) - 1), " +
+            "series[0].cents, (acc, x) -> (acc + x.cents) div 2)")
+            .as("ewma_cents"))
+    }),
+
+    "join_salted" -> ((s, dir) => {
+      // the skew-mitigation join on the oracle surface: lineitem is
+      // salted (random fan of the hot key's rows), orders replicated
+      // across the salt fan, so one pathological key can't pin a
+      // single reducer. The salt column is internal — the join RESULT
+      // is provably salt-invariant, which is exactly what the oracle
+      // (a plain join) checks.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority"))
+      Scale.saltedJoin(li, ord, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"))
+    }),
+
+    "events_mad_anomaly" -> ((s, dir) => {
+      // robust twin of events_anomaly: hourly counts flagged via
+      // median + MAD instead of mean + sigma, so a heavy-tailed hour
+      // can't inflate its own threshold. Counts are integers; the
+      // type-7 median of integers is exact at .5 resolution and the
+      // MAD of those residuals at .25, so every double here is an
+      // exact dyadic and the flag boundary is engine-reproducible.
+      // Scale shape: the corpus-sized pass is the hourly rollup; the
+      // medians run on the bounded (type × hours) count frame.
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = hourly.groupBy("event_type")
+        .agg(expr("percentile(cnt, 0.5)").as("med"))
+      val mad = hourly.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile(abs(cnt - med), 0.5)").as("mad"))
+      hourly.join(broadcast(mad), Seq("event_type"))
+        .filter(col("cnt") > col("med") + lit(3) * col("mad"))
+        .select(col("event_type"), col("hour"), col("cnt"),
+          col("med"), col("mad"))
     })
   )
 
@@ -4060,6 +4129,44 @@ object SparkEntry {
         |SELECT doc_id, length(dirty)::INT AS len_raw,
         |  length(norm)::INT AS len_norm,
         |  substr(norm, 1, 30) AS norm_prefix
-        |FROM n""".stripMargin
+        |FROM n""".stripMargin,
+
+    "events_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, list(cents ORDER BY day) AS series
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, len(series)::INT AS n_days,
+        |  series[-1] AS last_cents,
+        |  list_reduce(series, (acc, x) -> (acc + x) // 2) AS ewma_cents
+        |FROM ser""".stripMargin,
+
+    "join_salted" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |    AS BIGINT))::BIGINT AS revenue_cents
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "events_mad_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    CAST(CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS BIGINT)
+        |      AS hour,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, median(cnt) AS med FROM hourly GROUP BY 1),
+        |mad AS (
+        |  SELECT h.event_type, m.med,
+        |    median(abs(h.cnt - m.med)) AS mad
+        |  FROM hourly h JOIN med m USING (event_type) GROUP BY 1, 2)
+        |SELECT h.event_type, h.hour, h.cnt, m.med, m.mad
+        |FROM hourly h JOIN mad m USING (event_type)
+        |WHERE h.cnt > m.med + 3 * m.mad""".stripMargin
   )
 }
