@@ -793,6 +793,70 @@ object OracleSql {
        |SELECT 'price_disc', ${r("price", "disc")} FROM st""".stripMargin
   }
 
+  /** Oracle for `text_bpe_encode`: re-derives the top-`nMerges` merge
+    * table exactly like [[textBpePairs]], then emulates the engine's
+    * rank-ordered left-to-right merge passes WITHOUT recursion. Each
+    * token is wrapped in its OWN delimiter pair (`D tok D`, D =
+    * chr(31), never inside an `[a-z0-9]` word), so a word starts as
+    * `Dc1DDc2D...DcnD` and one merge pass is ONE SQL
+    * `replace(DaDDbD → DabD)`. Each match consumes exactly two
+    * complete self-contained token wrappers — adjacent candidate pairs
+    * share NO characters (an interleaved `Dc1Dc2D` encoding would make
+    * neighboring matches share a delimiter, and `replace`'s
+    * non-overlapping scan would skip every other merge: "bbbb" with
+    * (b,b) must give 2 tokens, not 3). Left-to-right non-overlapping
+    * `replace` is then bit-for-bit the engine's token-level pass
+    * ([[graft.expressions.BpeOps.wordTokens]]). Token count =
+    * delimiter count / 2. Missing ranks (tiny corpora) fall back to
+    * an unmatchable chr(1) pair.
+    */
+  def textBpeEncode(nMerges: Int = 8): String = {
+    val d = "chr(31)"
+    val enc = (1 to nMerges).foldLeft(
+      s"regexp_replace(w, '(.)', $d || '\\1' || $d, 'g')") { (prev, i) =>
+      val m = s"coalesce((SELECT pair FROM m WHERE rk = $i), " +
+        "chr(1) || chr(1))"
+      s"""replace($prev,
+         |      $d || substr($m, 1, 1) || $d || $d || substr($m, 2, 1) || $d,
+         |      $d || $m || $d)""".stripMargin
+    }
+    s"""WITH w0 AS (
+       |  SELECT w, count(*) AS wc FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+       |      AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |p AS (
+       |  SELECT unnest(list_transform(range(1, length(w)),
+       |                i -> substr(w, i, 2))) AS pair, wc
+       |  FROM w0),
+       |c AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+       |      FROM p GROUP BY pair),
+       |m AS (
+       |  SELECT pair, CAST(row_number() OVER
+       |    (ORDER BY cnt DESC, pair ASC) AS INT) AS rk
+       |  FROM c ORDER BY cnt DESC, pair ASC LIMIT $nMerges),
+       |dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 1),
+       |e AS (
+       |  SELECT doc_id, w,
+       |    $enc AS enc
+       |  FROM dw),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_words, sum(length(w)) AS n_chars,
+       |    sum((length(enc) - length(replace(enc, chr(31), ''))) // 2)
+       |      AS n_tokens
+       |  FROM e GROUP BY 1)
+       |SELECT doc.doc_id, coalesce(a.n_words, 0)::INT AS n_words,
+       |  coalesce(a.n_chars, 0)::BIGINT AS n_chars,
+       |  coalesce(a.n_tokens, 0)::INT AS n_tokens
+       |FROM documents doc LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   /** Oracle for `text_bpe_pairs`: word histogram → in-word adjacent
     * character pairs weighted by word count → deterministic top-k cut
     * (count desc, pair asc).

@@ -2471,6 +2471,28 @@ object SparkEntry {
         .filter(col("cnt") > col("med") + lit(3) * col("mad"))
         .select(col("event_type"), col("hour"), col("cnt"),
           col("med"), col("mad"))
+    }),
+
+    "text_bpe_encode" -> ((s, dir) => {
+      // apply a trained BPE merge table corpus-wide: the per-document
+      // post-merge token count (the number that prices packing, token
+      // budgets, and per-token costs). The merge table is the top-8
+      // first-pass pairs (count desc, pair asc — the trained artifact
+      // text_bpe_pairs verifies); collecting 8 rows is the
+      // broadcast-small artifact hand-off, and the encode itself is
+      // ONE map-only native expression per doc, O(len · merges),
+      // inside whole-stage codegen.
+      val docs = t(s, dir, "documents")
+      val merges = TextFunctions.bpePairCounts(docs, "text", 8)
+        .collect().map(_.getString(0)).toSeq
+      val ws = "filter(split(lower(text), '[^a-z0-9]+'), " +
+        "w -> length(w) >= 1)"
+      docs.select(col("doc_id"),
+        size(expr(ws)).as("n_words"),
+        expr(s"aggregate($ws, 0L, (a, x) -> a + length(x))")
+          .as("n_chars"),
+        graft.expressions.BpeCol.bpe_token_count(col("text"), merges)
+          .as("n_tokens"))
     })
   )
 
@@ -2976,6 +2998,7 @@ object SparkEntry {
     "analytics_linreg" -> OracleSql.analyticsLinreg(),
     "profile_correlations" -> OracleSql.profileCorrelations(),
     "text_bpe_pairs" -> OracleSql.textBpePairs(topK = 30),
+    "text_bpe_encode" -> OracleSql.textBpeEncode(nMerges = 8),
     "graph_kcore" -> OracleSql.graphKcore(k = 2, rounds = 4),
     "export_shards" -> OracleSql.exportShards(nShards = 8),
     "sample_budget_fill" -> OracleSql.sampleBudgetFill(budget = 4000L),
