@@ -176,6 +176,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     // plan rewrite: windowed inequality joins -> bucketed equi-join
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // custom operator: AsOfJoinNode -> partition-local merge exec
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
 
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       GraftBuilders.simhash64 _))

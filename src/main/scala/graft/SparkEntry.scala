@@ -1874,6 +1874,23 @@ object SparkEntry {
         .withColumnRenamed("asof_c_ts", "last_click_ts")
     }),
 
+    "join_asof_merge" -> ((s, dir) => {
+      // same attribution semantics as join_asof (and the SAME oracle
+      // by design), executed on the custom tier-(c) physical operator:
+      // AsOfJoinNode -> AsOfJoinStrategy -> AsOfJoinExec, a
+      // partition-local two-pointer merge with O(1) state instead of
+      // the union+window pass
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      TemporalJoins.asOfJoinMerge(purchases, clicks, "user_id",
+          "purchase_ts", "c_ts", Seq("c_ts"))
+        .withColumnRenamed("asof_c_ts", "last_click_ts")
+    }),
+
     "join_asof_forward" -> ((s, dir) => {
       // conversion lookahead: each click matched to the user's EARLIEST
       // purchase at or after it — the forward direction of the same
@@ -3743,6 +3760,18 @@ object SparkEntry {
         |FROM orders GROUP BY o_custkey""".stripMargin,
 
     "join_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts AS purchase_ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS c_ts FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.purchase_ts,
+        |       c.c_ts AS last_click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.purchase_ts >= c.c_ts""".stripMargin,
+
+    // same oracle as join_asof by design: the custom-exec formulation
+    // is physically different, semantically identical
+    "join_asof_merge" ->
       """WITH p AS (SELECT event_id, user_id, ts AS purchase_ts FROM events
         |           WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts AS c_ts FROM events

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Temporal join operators Spark lacks natively, built by composition
   * (preference (a) of the custom-operator ladder — the semantics ARE
-  * expressible with existing operators, so no custom SparkPlan needed):
+  * expressible with existing operators; [[asOfJoinMerge]] is the same
+  * backward semantics on the tier-(c) custom physical operator
+  * [[graft.plans.AsOfJoinExec]] for layouts that deserve it):
   *
   *  - [[asOfJoin]]: for each left row, the latest right row with
   *    `rightTime <= leftTime` per key. ONE sort-shuffle over the union —
@@ -133,6 +135,57 @@ object TemporalJoins {
     * evaluated in the same IEEE association by the SQL oracle and
     * rounded to 4 decimals.
     */
+  /** Backward as-of join on the custom sort-merge physical operator
+    * ([[graft.plans.AsOfJoinNode]] → `AsOfJoinExec`): semantically
+    * identical to `asOfJoin(..., direction = "backward")` — the spec
+    * and the shared DuckDB oracle pin the equivalence — but executed
+    * as a partition-local two-pointer merge with O(1) state instead of
+    * a union + window pass. Carried right columns come back as
+    * `asof_<name>`, like [[asOfJoin]].
+    *
+    * Requires the `graft.GraftExtensions` strategy injection (the
+    * [[graft.GraftSession]] builder does this); without it the node
+    * has no physical plan.
+    */
+  def asOfJoinMerge(left: DataFrame, right: DataFrame, key: String,
+                    leftTime: String, rightTime: String,
+                    valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val lp = PlanBridge.analyzed(left)
+    val rpRaw = PlanBridge.analyzed(right)
+    // self-join hygiene: if the two sides share attribute ids (both
+    // derive from the same frame), re-alias every right output with a
+    // fresh id — otherwise the captured right key/time attrs resolve
+    // against the LEFT child after the analyzer deduplicates the
+    // shared relation, and column pruning silently drops them from
+    // the right side (the same dedup Dataset.join performs)
+    val rp =
+      if (lp.outputSet.intersect(rpRaw.outputSet).isEmpty) rpRaw
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rpRaw.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+        rpRaw)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String, side: String) =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"asOfJoinMerge: no column '$n' on the $side side " +
+          s"(have: ${p.output.map(_.name).mkString(", ")})"))
+    val node = graft.plans.AsOfJoinNode(lp, rp,
+      attr(lp, key, "left"), attr(rp, key, "right"),
+      attr(lp, leftTime, "left"), attr(rp, rightTime, "right"),
+      valueCols.map(attr(rp, _, "right")))
+    // idempotent runtime registration: sessions built without
+    // GraftExtensions (notebooks, tests) still get a physical plan; a
+    // duplicate alongside the injected strategy is harmless (first
+    // match wins, both produce the same exec)
+    val exp = left.sparkSession.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies =
+        exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val out = PlanBridge.ofRows(left.sparkSession, node)
+    valueCols.foldLeft(out)((df, c) => df.withColumnRenamed(c, s"asof_$c"))
+  }
+
   def interpolateHourly(events: DataFrame, keyCol: String, tsCol: String,
                         valueCol: String): DataFrame = {
     val obs = events
