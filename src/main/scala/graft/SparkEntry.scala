@@ -2490,6 +2490,57 @@ object SparkEntry {
           col("med"), col("mad"))
     }),
 
+    "incr_join_merge" -> ((s, dir) => {
+      // incremental join maintenance: history splits into base + a
+      // late-arriving delta on EACH side; the maintained result is the
+      // old join plus deltaJoin's two delta-sided terms — equal, row
+      // for row, to re-joining everything (what the oracle computes).
+      // Per-batch cost is O(delta · matched), never O(history²).
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      val bl = li.filter(col("l_orderkey") % 20 =!= 0)
+      val dl = li.filter(col("l_orderkey") % 20 === 0)
+      val br = ord.filter(col("l_orderkey") % 10 =!= 0)
+      val dr = ord.filter(col("l_orderkey") % 10 === 0)
+      bl.join(br, Seq("l_orderkey"))
+        .unionByName(
+          IncrementalAgg.deltaJoin(bl, dl, br, dr, Seq("l_orderkey")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"))
+    }),
+
+    "curate_quality_calibrated" -> ((s, dir) => {
+      // cross-source quality calibration: a raw score gate is unfair
+      // when sources have different score distributions (a web-crawl
+      // 0.6 ≠ a curated-corpus 0.6) — so each doc gets its
+      // WITHIN-SOURCE percentile, in exact integer arithmetic:
+      // pct = (#docs in source with strictly lower score)·10⁴ div n.
+      // The corpus-sized work is one (source, score) count agg; the
+      // prefix sums run on the bounded distinct-score frame
+      // (sources × 10⁴ scores max) and join back broadcast.
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("source"),
+        round(TextFunctions.qualityScore(col("text")) * 10000, 0)
+          .cast("long").as("score_s"))
+      val g = scored.groupBy("source", "score_s")
+        .agg(count(lit(1)).as("cnt"))
+      val wPre = Window.partitionBy("source").orderBy("score_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("source")
+      val pctMap = g
+        .withColumn("below", coalesce(sum("cnt").over(wPre), lit(0L)))
+        .withColumn("n", sum("cnt").over(wAll))
+        .select(col("source"), col("score_s"),
+          expr("(below * 10000) div n").as("pct"))
+      scored.join(broadcast(pctMap), Seq("source", "score_s"))
+        .select(col("doc_id"), col("source"), col("score_s"), col("pct"))
+    }),
+
     "text_bpe_encode" -> ((s, dir) => {
       // apply a trained BPE merge table corpus-wide: the per-document
       // post-merge token count (the number that prices packing, token
@@ -4182,6 +4233,36 @@ object SparkEntry {
         |  length(norm)::INT AS len_norm,
         |  substr(norm, 1, 30) AS norm_prefix
         |FROM n""".stripMargin,
+
+    // the incremental path must equal the monolithic re-join — so the
+    // oracle IS the plain join
+    "incr_join_merge" ->
+      """SELECT o.o_orderstatus, count(*) AS n_items,
+        |  sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |    AS BIGINT))::BIGINT AS revenue_cents
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    "curate_quality_calibrated" ->
+      s"""WITH q AS ($QualityOracle),
+         |sc AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(round(q.quality * 10000) AS BIGINT) AS score_s
+         |  FROM documents d JOIN q ON q.doc_id = d.doc_id),
+         |g AS (
+         |  SELECT source, score_s, count(*) AS cnt
+         |  FROM sc GROUP BY 1, 2),
+         |pm AS (
+         |  SELECT source, score_s,
+         |    ((coalesce(sum(cnt) OVER (PARTITION BY source
+         |        ORDER BY score_s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |        0)::BIGINT * 10000)
+         |      // (sum(cnt) OVER (PARTITION BY source))::BIGINT)::BIGINT
+         |      AS pct
+         |  FROM g)
+         |SELECT sc.doc_id, sc.source, sc.score_s, pm.pct
+         |FROM sc JOIN pm USING (source, score_s)""".stripMargin,
 
     "events_ewma" ->
       """WITH daily AS (

@@ -45,4 +45,33 @@ class IncrementalAggSpec extends SparkSpec {
     val row = IncrementalAgg.readView(st).head()
     assert(row.getAs[Double]("st_avg") == 1.5)
   }
+
+  private def multiset(d: org.apache.spark.sql.DataFrame) =
+    d.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+
+  test("deltaJoin + old join equals the monolithic re-join, row for row") {
+    val rng = new scala.util.Random(5)
+    val l = (1 to 200).map(i =>
+      ((rng.nextInt(30) + 1).toLong, i.toLong)).toDF("k", "lv")
+    val r = (1 to 150).map(i =>
+      ((rng.nextInt(40) + 1).toLong, 1000L + i)).toDF("k", "rv")
+    val (bl, dl) = (l.filter($"lv" % 4 =!= 0), l.filter($"lv" % 4 === 0))
+    val (br, dr) = (r.filter($"rv" % 3 =!= 0), r.filter($"rv" % 3 === 0))
+    val incremental = bl.join(br, Seq("k"))
+      .unionByName(IncrementalAgg.deltaJoin(bl, dl, br, dr, Seq("k")))
+    assert(multiset(incremental) == multiset(l.join(r, Seq("k"))))
+  }
+
+  test("deltaJoin with empty deltas is empty; delta×delta pairs appear once") {
+    val l = Seq((1L, 1L)).toDF("k", "lv")
+    val r = Seq((1L, 2L)).toDF("k", "rv")
+    val empty = l.limit(0)
+    val emptyR = r.limit(0)
+    assert(IncrementalAgg.deltaJoin(l, empty, r, emptyR, Seq("k"))
+      .count() == 0)
+    // both rows arrive IN the delta: exactly one joined row, produced
+    // by the ΔL ⋈ (R ∪ ΔR) term, not duplicated by the L ⋈ ΔR term
+    assert(IncrementalAgg.deltaJoin(empty, l, emptyR, r, Seq("k"))
+      .count() == 1)
+  }
 }
