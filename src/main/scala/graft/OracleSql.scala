@@ -1110,6 +1110,18 @@ object OracleSql {
        |WHERE bit_count(xor(a.sm, b.sm)) <= $maxDist""".stripMargin
   }
 
+  /** Oracle for `text_feature_hash`: the hashing-trick featurization —
+    * every whitespace-token OCCURRENCE hashed with the exact XXH64
+    * emulation ([[tokenHashCtes]]), bucketed by unsigned mod (equal to
+    * Spark's `pmod` of the signed hash: the 2⁶⁴ offset vanishes mod a
+    * power of two), counted per (doc, bucket).
+    */
+  def textFeatureHash(buckets: Int = 64): String =
+    s"""WITH ${tokenHashCtes()}
+       |SELECT doc_id, (thu % $buckets)::BIGINT AS bucket,
+       |  count(*) AS cnt
+       |FROM tokh GROUP BY 1, 2""".stripMargin
+
   /** xxhash64(doc_id) for every document as chained CTEs:
     * hashed(doc_id, hv) with hv signed — the sampling gate's hash.
     */

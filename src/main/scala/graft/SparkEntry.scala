@@ -2490,6 +2490,44 @@ object SparkEntry {
           col("med"), col("mad"))
     }),
 
+    "text_feature_hash" -> ((s, dir) => {
+      // hashing-trick featurization: every token OCCURRENCE lands in
+      // one of 64 hash buckets — the fixed-width sparse text features
+      // (COO form) a linear classifier or quality model trains on, at
+      // any vocabulary size and with no vocabulary shuffle or
+      // dictionary build. Map-only explode + one (doc, bucket) agg;
+      // the same whitespace tokenization the simhash family verifies.
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"), pmod(xxhash64(col("tok")), lit(64))
+          .as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    }),
+
+    "profile_gini" -> ((s, dir) => {
+      // categorical concentration profile via Gini impurity — the
+      // log-free dispersion statistic, so it runs in EXACT integer
+      // arithmetic (libm log would be engine-dependent):
+      // gini_ppm = (n² − Σ cnt²)·10⁶ div n², decimal sums because the
+      // squares overflow long at petabyte row counts. One narrow
+      // unpivot scan + two bounded aggs.
+      val d = "decimal(38,0)"
+      val m = t(s, dir, "orders").select(explode(map(
+          lit("o_orderstatus"), col("o_orderstatus"),
+          lit("o_orderpriority"), col("o_orderpriority")))
+        .as(Seq("column_name", "val")))
+      m.groupBy("column_name", "val")
+        .agg(count(lit(1)).cast(d).as("cnt"))
+        .groupBy("column_name")
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"),
+          sum(col("cnt") * col("cnt")).as("s2"))
+        .select(col("column_name"), col("n").cast("long").as("n_rows"),
+          col("n_distinct"),
+          expr("((n * n - s2) * 1000000) div (n * n)").as("gini_ppm"))
+    }),
+
     "incr_join_merge" -> ((s, dir) => {
       // incremental join maintenance: history splits into base + a
       // late-arriving delta on EACH side; the maintained result is the
@@ -4233,6 +4271,25 @@ object SparkEntry {
         |  length(norm)::INT AS len_norm,
         |  substr(norm, 1, 30) AS norm_prefix
         |FROM n""".stripMargin,
+
+    "text_feature_hash" -> OracleSql.textFeatureHash(buckets = 64),
+
+    "profile_gini" ->
+      """WITH m AS (
+        |  SELECT 'o_orderstatus' AS column_name, o_orderstatus AS val
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders),
+        |g AS (
+        |  SELECT column_name, val, count(*)::HUGEINT AS cnt
+        |  FROM m GROUP BY 1, 2),
+        |a AS (
+        |  SELECT column_name, sum(cnt) AS n, count(*) AS n_distinct,
+        |    sum(cnt * cnt) AS s2
+        |  FROM g GROUP BY 1)
+        |SELECT column_name, n::BIGINT AS n_rows, n_distinct,
+        |  (((n * n - s2) * 1000000) // (n * n))::BIGINT AS gini_ppm
+        |FROM a""".stripMargin,
 
     // the incremental path must equal the monolithic re-join — so the
     // oracle IS the plain join

@@ -210,6 +210,63 @@ class PlanHygieneSpec extends SparkSpec {
     assert(n == 1, s"derived stratum evaluated $n times:\n${plan.take(3000)}")
   }
 
+  test("pareto skyline nested-loop only touches the bounded bands frame") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = SparkEntry.queries("curate_pareto")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(!unwrapped.toString.contains("CartesianProduct"))
+    // every nested-loop must have a BOUNDED side: a single-row global
+    // aggregate (the scalar n_docs broadcast inside rarity) or the
+    // __band/__bm band-maxima frame (score range / bandWidth rows).
+    // A per-document side on BOTH inputs is the quadratic NOT-EXISTS
+    // shape this operator exists to avoid.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def bounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      val globalAgg = p.collectFirst {
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+      }.isDefined
+      val bandFrame = p.output.nonEmpty &&
+        p.output.forall(_.name.startsWith("__"))
+      globalAgg || bandFrame
+    }
+    unwrapped.collect { case j: BroadcastNestedLoopJoinExec => j }
+      .foreach { j =>
+        assert(bounded(j.left) || bounded(j.right),
+          s"skyline dominance join has two corpus-sized sides:\n$j")
+      }
+  }
+
+  test("equi-depth histogram windows run over the aggregated value frame") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("profile_equidepth")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = unwrapped.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    // every window's subtree must contain the (flag, qty) count
+    // aggregate — prefix sums run on the bounded distinct-value frame,
+    // never on raw rows
+    windows.foreach { w =>
+      assert(w.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+        s"window over raw rows:\n$w")
+    }
+  }
+
+  test("feature hashing is explode + one aggregation, no joins") {
+    val plan = SparkEntry.queries("text_feature_hash")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n${plan.take(1500)}")
+    assert(plan.contains("xxhash64"), "bucket must come from xxhash64")
+  }
+
   test("200-column cleaning stays a constant-depth plan") {
     import scala.jdk.CollectionConverters._
     val cols = (1 to 200).map(i => s"Col $i (X$i)")
