@@ -1110,6 +1110,38 @@ object OracleSql {
        |WHERE bit_count(xor(a.sm, b.sm)) <= $maxDist""".stripMargin
   }
 
+  /** Oracle for `multimodal_ahash`: recompute the 8×8 average-hash
+    * straight from the fixture's pixel formula
+    * (`p(x,y) = (id + 7x + 13y) % 256`, dims `16 + id % 32` by
+    * `16 + 7·id % 32`) with the engine's exact sample-index math
+    * (`x = col·w div 8`), integer mean, and u64→i64 reinterpretation.
+    * PNG is lossless and the JDK raster reads gray samples directly,
+    * so the real-codec round trip must land on these bits exactly.
+    */
+  def multimodalAhash(): String =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    CAST(16 + doc_id % 32 AS INT) AS width,
+       |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height
+       |  FROM documents),
+       |s AS (
+       |  SELECT d.doc_id, d.width, d.height, g.k,
+       |    ((d.doc_id + 7 * (((g.k % 8) * d.width) // 8)
+       |      + 13 * (((g.k // 8) * d.height) // 8)) % 256) AS p
+       |  FROM dims d,
+       |    LATERAL (SELECT unnest(generate_series(0, 63)) AS k) g),
+       |m AS (
+       |  SELECT doc_id, sum(p)::BIGINT // 64 AS mean
+       |  FROM s GROUP BY 1),
+       |hb AS (
+       |  SELECT s.doc_id, s.width, s.height,
+       |    sum(CASE WHEN s.p > m.mean
+       |        THEN (1::HUGEINT << s.k) ELSE 0::HUGEINT END) AS hu
+       |  FROM s JOIN m USING (doc_id) GROUP BY 1, 2, 3)
+       |SELECT doc_id AS media_id, width, height,
+       |  ${sig("hu")} AS ahash
+       |FROM hb""".stripMargin
+
   /** Oracle for `text_feature_hash`: the hashing-trick featurization —
     * every whitespace-token OCCURRENCE hashed with the exact XXH64
     * emulation ([[tokenHashCtes]]), bucketed by unsigned mod (equal to

@@ -2490,6 +2490,15 @@ object SparkEntry {
           col("med"), col("mad"))
     }),
 
+    "multimodal_ahash" -> ((s, dir) => {
+      // perceptual near-dup identity for images: REAL PNG decode →
+      // 8×8 average-hash in exact integer arithmetic (no DCT/libm).
+      // The oracle recomputes the bits from the fixture pixel formula;
+      // lossless codec + integer math ⇒ bit equality.
+      Multimodal.averageHashes(
+        Multimodal.renderPngImages(t(s, dir, "documents"))).toDF()
+    }),
+
     "text_feature_hash" -> ((s, dir) => {
       // hashing-trick featurization: every token OCCURRENCE lands in
       // one of 64 hash buckets — the fixed-width sparse text features
@@ -4272,6 +4281,7 @@ object SparkEntry {
         |  substr(norm, 1, 30) AS norm_prefix
         |FROM n""".stripMargin,
 
+    "multimodal_ahash" -> OracleSql.multimodalAhash(),
     "text_feature_hash" -> OracleSql.textFeatureHash(buckets = 64),
 
     "profile_gini" ->

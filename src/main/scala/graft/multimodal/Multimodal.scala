@@ -190,6 +190,61 @@ object Multimodal {
       }
       ImageStats(id, w, h, w.toLong * h, sum, checksum)
     }
+
+    /** Average-hash (aHash) perceptual fingerprint: sample the 8×8
+      * nearest-neighbor grid (`x = col·w div 8`, `y = row·h div 8`),
+      * integer mean (div 64), bit k set iff sample > mean — 64 bits of
+      * layout-invariant image identity in EXACT integer arithmetic (no
+      * DCT, no libm: a pHash's cosine transform would be
+      * engine-dependent in the last ulp; aHash is reproducible down to
+      * the bit, which is what lets the oracle recompute it from the
+      * fixture's pixel formula). Near-duplicate images then dedup by
+      * hamming distance exactly like [[graft.functions.Dedup]]'s
+      * simhash family (pigeonhole blocks on 16-bit quarters).
+      */
+    def averageHash(id: Long, bytes: Array[Byte]): ImageHash = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"media_id=$id: not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val samples = new Array[Int](64)
+      var sum = 0L
+      var k = 0
+      while (k < 64) {
+        val x = ((k % 8) * w) / 8
+        val y = ((k / 8) * h) / 8
+        samples(k) = raster.getSample(x, y, 0)
+        sum += samples(k)
+        k += 1
+      }
+      val mean = sum / 64
+      var hash = 0L
+      k = 0
+      while (k < 64) {
+        if (samples(k) > mean) hash |= 1L << k
+        k += 1
+      }
+      ImageHash(id, w, h, hash)
+    }
+  }
+
+  /** One perceptual-hash row (see [[ImageCodec.averageHash]]). */
+  final case class ImageHash(media_id: Long, width: Int, height: Int,
+                             ahash: Long)
+
+  /** Average-hash every image: the same per-partition codec shape as
+    * [[decodeImages]] (decoder init amortized across the partition).
+    */
+  def averageHashes(media: DataFrame): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) => ImageCodec.averageHash(id, bytes) }
+      }
   }
 
   /** One decoded-image row: dimensions + exact pixel statistics. */
