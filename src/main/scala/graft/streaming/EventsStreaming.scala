@@ -330,6 +330,29 @@ object EventsStreaming {
     events.join(broadcast(d), Seq(key), "left")
   }
 
+  /** Exactly-once versioned lake sink: every micro-batch commits as a
+    * new [[graft.ops.VersionedTable]] snapshot version, keyed by batch
+    * id — Spark re-delivers the last batch after a crash-restart, and
+    * [[graft.ops.VersionedTable.commitBatch]] makes that replay a
+    * no-op, so the lake sees each batch exactly once. Readers get
+    * snapshot isolation (they pin a version while batches land) and
+    * time travel over the stream's history for free.
+    *
+    * 100 TB shape: the sink writes each batch once, never rewrites
+    * history, and the idempotence check reads two tiny metadata files
+    * — no output-log scan, no reconciliation join.
+    */
+  def versionedSink(events: DataFrame, root: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.VersionedTable.commitBatch(batch, root, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Drive a streaming frame to completion against a memory sink —
     * batch-style execution of a streaming plan (used by tests and the
     * AvailableNow "daily drain" mode).
