@@ -1110,6 +1110,32 @@ object OracleSql {
        |WHERE bit_count(xor(a.sm, b.sm)) <= $maxDist""".stripMargin
   }
 
+  /** Oracle for `events_ab_test`: deterministic experiment assignment
+    * — `arm = pmod(xxhash64(user_id), 2)` over DISTINCT users (the
+    * exact hashLong emulation, so assignment is user-sticky and
+    * engine-reproducible) — then per-arm funnel metrics in exact
+    * integers.
+    */
+  def eventsAbTest(): String =
+    s"""WITH ${idHashCtes("(SELECT DISTINCT user_id FROM events)",
+         "user_id")},
+       |arm AS (
+       |  SELECT user_id, ((hv % 2) + 2) % 2 AS arm FROM hashed),
+       |m AS (
+       |  SELECT e.user_id, a.arm,
+       |    count(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS np,
+       |    sum(CASE WHEN e.event_type = 'purchase'
+       |        THEN CAST(round(e.value * 100) AS BIGINT)
+       |        ELSE 0 END) AS rev
+       |  FROM events e JOIN arm a USING (user_id) GROUP BY 1, 2)
+       |SELECT arm, count(*) AS n_users,
+       |  sum(CASE WHEN np >= 14 THEN 1 ELSE 0 END)::BIGINT AS n_heavy,
+       |  sum(np)::BIGINT AS n_purchases,
+       |  sum(rev)::BIGINT AS revenue_cents,
+       |  ((sum(CASE WHEN np >= 14 THEN 1 ELSE 0 END)::BIGINT * 1000000)
+       |    // count(*))::BIGINT AS heavy_ppm
+       |FROM m GROUP BY 1""".stripMargin
+
   /** Oracle for `multimodal_ahash`: recompute the 8×8 average-hash
     * straight from the fixture's pixel formula
     * (`p(x,y) = (id + 7x + 13y) % 256`, dims `16 + id % 32` by

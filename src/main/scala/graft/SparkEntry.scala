@@ -2490,6 +2490,32 @@ object SparkEntry {
           col("med"), col("mad"))
     }),
 
+    "events_ab_test" -> ((s, dir) => {
+      // deterministic A/B harness: users assigned to arms by
+      // pmod(xxhash64(user_id), 2) — sticky across runs and restarts,
+      // no assignment table to store — then per-arm conversion and
+      // revenue in exact integers (heavy-user rate — >= 14 purchases,
+      // the near-mean cut, since EVERY fixture user purchases — as a
+      // ppm integer div). The
+      // corpus-sized work is one user-grouped agg; arms are bounded.
+      val ev = t(s, dir, "events")
+      val arm = ev.select("user_id").distinct()
+        .withColumn("arm", pmod(xxhash64(col("user_id")), lit(2)))
+      ev.join(arm, Seq("user_id"))
+        .groupBy("user_id", "arm")
+        .agg(count(when(col("event_type") === "purchase", 1)).as("np"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L))
+            .as("rev"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("np") >= 14, 1L).otherwise(0L)).as("n_heavy"),
+          sum("np").as("n_purchases"),
+          sum("rev").as("revenue_cents"))
+        .withColumn("heavy_ppm",
+          expr("(n_heavy * 1000000) div n_users"))
+    }),
+
     "multimodal_ahash" -> ((s, dir) => {
       // perceptual near-dup identity for images: REAL PNG decode →
       // 8×8 average-hash in exact integer arithmetic (no DCT/libm).
@@ -4281,6 +4307,7 @@ object SparkEntry {
         |  substr(norm, 1, 30) AS norm_prefix
         |FROM n""".stripMargin,
 
+    "events_ab_test" -> OracleSql.eventsAbTest(),
     "multimodal_ahash" -> OracleSql.multimodalAhash(),
     "text_feature_hash" -> OracleSql.textFeatureHash(buckets = 64),
 
