@@ -330,6 +330,60 @@ object EventsStreaming {
     events.join(broadcast(d), Seq(key), "left")
   }
 
+  /** One throttled-through event (see [[throttleStream]]). */
+  final case class ThrottleOut(user_id: Long, event_id: Long,
+                               ts: java.sql.Timestamp)
+
+  /** Per-key rate limiting: at most `maxPerKeyWindow` events pass per
+    * (key, tumbling window), chosen deterministically — lowest
+    * (ts, event_id) first — the ingestion-protection / cost-cap
+    * operator in front of an expensive downstream (enrichment API,
+    * model scoring). Batch twin: `row_number() over (key, window
+    * ORDER BY ts, event_id) <= max` — the equality the spec checks,
+    * including quota continuation across micro-batches.
+    *
+    * Bounded state by construction: one (windowStart → count) entry
+    * per key, capped at the `retainWindows` NEWEST windows (an event
+    * older than the retained horizon is dropped — the conservative
+    * choice for a rate cap: never re-admit what may already be over
+    * quota). No per-event state, no watermark needed.
+    */
+  def throttleStream(events: Dataset[Event], windowSeconds: Long = 3600,
+                     maxPerKeyWindow: Int = 3,
+                     retainWindows: Int = 8): Dataset[ThrottleOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(windowSeconds > 0 && maxPerKeyWindow > 0 && retainWindows > 0)
+    val wMs = windowSeconds * 1000L
+
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[Map[Long, Int]]): Iterator[ThrottleOut] = {
+      val counts = scala.collection.mutable.Map[Long, Int]() ++=
+        state.getOption.getOrElse(Map.empty)
+      val out = Seq.newBuilder[ThrottleOut]
+      val horizon =
+        if (counts.isEmpty) Long.MinValue
+        else counts.keys.max - (retainWindows - 1) * wMs
+      for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+        val w = math.floorDiv(e.ts.getTime, wMs) * wMs
+        if (w >= horizon) {
+          val c = counts.getOrElse(w, 0)
+          if (c < maxPerKeyWindow) {
+            out += ThrottleOut(userId, e.event_id, e.ts)
+            counts(w) = c + 1
+          }
+        }
+      }
+      val retained = counts.toSeq.sortBy(-_._1).take(retainWindows).toMap
+      state.update(retained)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Exactly-once versioned lake sink: every micro-batch commits as a
     * new [[graft.ops.VersionedTable]] snapshot version, keyed by batch
     * id — Spark re-delivers the last batch after a crash-restart, and

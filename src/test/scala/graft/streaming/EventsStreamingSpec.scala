@@ -245,6 +245,57 @@ class EventsStreamingSpec extends SparkSpec {
       s"attribution pairs wrong: $got")
   }
 
+  test("throttle passes the first N per (key, window), quota survives batches") {
+    val dir = Files.createTempDirectory("graft-throttle").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // hour windows, max 3 per user per window
+    val batch1 = Seq(
+      EventsStreaming.Event(1, ts(1), 1L, "view", 0.0),
+      EventsStreaming.Event(2, ts(2), 1L, "view", 0.0),
+      EventsStreaming.Event(3, ts(3), 1L, "view", 0.0),
+      EventsStreaming.Event(4, ts(4), 1L, "view", 0.0), // over quota
+      EventsStreaming.Event(10, ts(5), 2L, "view", 0.0))
+    val batch2 = Seq(
+      EventsStreaming.Event(5, ts(6), 1L, "view", 0.0),  // same window:
+      EventsStreaming.Event(6, ts(70), 1L, "view", 0.0), // still over
+      EventsStreaming.Event(11, ts(71), 2L, "view", 0.0))
+    batch1.toDS().write.parquet(s"$dir/land/b0")
+
+    val schema =
+      implicitly[org.apache.spark.sql.Encoder[EventsStreaming.Event]].schema
+    def drain(): Set[Long] = {
+      val src = spark.readStream.schema(schema).parquet(s"$dir/land/*")
+        .as[EventsStreaming.Event]
+      val q = EventsStreaming.throttleStream(src, windowSeconds = 3600,
+          maxPerKeyWindow = 3)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$dir/out").select("event_id")
+        .as[Long].collect().toSet
+    }
+
+    assert(drain() == Set(1L, 2L, 3L, 10L)) // 4 dropped: 4th in window
+    batch2.toDS().write.parquet(s"$dir/land/b1")
+    val all = drain()
+    // 5 hits the carried quota; 6 and 11 open a new hour window
+    assert(all == Set(1L, 2L, 3L, 10L, 6L, 11L), s"got $all")
+
+    // batch twin: row_number over (user, window) in (ts, event_id)
+    // order, <= 3
+    import org.apache.spark.sql.expressions.Window
+    val twin = (batch1 ++ batch2).toDS()
+      .withColumn("w", (col("ts").cast("long") / 3600).cast("long"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("user_id", "w").orderBy("ts", "event_id")))
+      .filter(col("rn") <= 3).select("event_id").as[Long].collect().toSet
+    assert(all == twin)
+  }
+
   test("left-outer interval join emits null-padded rows after watermark") {
     val dir = Files.createTempDirectory("graft-ssojoin").toString
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
