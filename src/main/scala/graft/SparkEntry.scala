@@ -2490,6 +2490,55 @@ object SparkEntry {
           col("med"), col("mad"))
     }),
 
+    "scd2_from_events" -> ((s, dir) => {
+      // rebuild SCD2 validity history from a change-event log: each
+      // user's purchase events become [valid_from, valid_to) intervals
+      // (half-open, lead-closed; the open current row has null
+      // valid_to) — the reverse direction of scd2_merge: log → dim
+      // instead of dim + batch → dim. One user-partitioned window.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .drop("ts")
+    }),
+
+    "basket_lift" -> ((s, dir) => {
+      // market-basket association: part pairs co-purchased in one
+      // order, ranked by support with integer-exact lift
+      // (co·N·10⁶ div (c1·c2), decimal intermediates). The self-join
+      // fans out only WITHIN an order (bounded items/order) — never
+      // across the fact table.
+      val d = "decimal(38,0)"
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = li.select(countDistinct("l_orderkey").as("n_orders"))
+      val pc = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("pc"))
+      val pairs = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("co"))
+      pairs
+        .join(broadcast(pc).withColumnRenamed("l_partkey", "part_a")
+          .withColumnRenamed("pc", "ca"), Seq("part_a"))
+        .join(broadcast(pc).withColumnRenamed("l_partkey", "part_b")
+          .withColumnRenamed("pc", "cb"), Seq("part_b"))
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("co"),
+          expr(s"(cast(co AS $d) * n_orders * 1000000)" +
+            s" div (cast(ca AS $d) * cb)").as("lift_ppm"))
+        .orderBy(col("co").desc, col("part_a").asc, col("part_b").asc)
+        .limit(20)
+    }),
+
     "events_ab_test" -> ((s, dir) => {
       // deterministic A/B harness: users assigned to arms by
       // pmod(xxhash64(user_id), 2) — sticky across runs and restarts,
@@ -4306,6 +4355,38 @@ object SparkEntry {
         |  length(norm)::INT AS len_norm,
         |  substr(norm, 1, 30) AS norm_prefix
         |FROM n""".stripMargin,
+
+    "scd2_from_events" ->
+      """SELECT user_id, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |  ts AS valid_from,
+        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  (lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL) AS is_current
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "basket_lift" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (
+        |  SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM li),
+        |pc AS (SELECT l_partkey, count(*) AS pc FROM li GROUP BY 1),
+        |pr AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS co
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT pr.part_a, pr.part_b, pr.co,
+        |  ((pr.co::HUGEINT * n.n_orders * 1000000)
+        |    // (ca.pc::HUGEINT * cb.pc))::BIGINT AS lift_ppm
+        |FROM pr
+        |JOIN pc ca ON ca.l_partkey = pr.part_a
+        |JOIN pc cb ON cb.l_partkey = pr.part_b
+        |CROSS JOIN n
+        |ORDER BY pr.co DESC, pr.part_a ASC, pr.part_b ASC
+        |LIMIT 20""".stripMargin,
 
     "events_ab_test" -> OracleSql.eventsAbTest(),
     "multimodal_ahash" -> OracleSql.multimodalAhash(),
