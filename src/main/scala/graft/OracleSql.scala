@@ -952,6 +952,40 @@ object OracleSql {
     sb.toString
   }
 
+  /** Oracle for `graph_label_prop`: the same near-dup edge set,
+    * `rounds` unrolled synchronous label-propagation steps — per step,
+    * neighbor-label counts then the (count desc, label asc) mode —
+    * mirroring [[graft.functions.Dedup.labelPropagation]] exactly.
+    */
+  def graphLabelProp(numHashes: Int = 16, rowsPerBand: Int = 2,
+                     rounds: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH ${tokenHashCtes()},
+         |${shingleHashCtes()},
+         |${minhashCtes(numHashes, rowsPerBand)},
+         |${edgeCtes(numHashes)},
+         |l0 AS (SELECT id AS node, id AS label FROM verts)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++=
+        s""",
+           |n$i AS (
+           |  SELECT e.src AS node, l.label, count(*) AS cnt
+           |  FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+           |  GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (PARTITION BY node
+           |      ORDER BY cnt DESC, label ASC) AS rn
+           |    FROM n$i)
+           |  WHERE rn = 1)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT node AS doc_id, label AS community FROM l$rounds""".stripMargin
+    sb.toString
+  }
+
   /** Oracle for `export_shards`: xxhash64(doc_id) mod nShards shard
     * assignment (the integer-hash CTE chain) + per-shard volume stats.
     */

@@ -2282,6 +2282,16 @@ object SparkEntry {
       Dedup.kCore(pairs, "id_a", "id_b", k = 2, rounds = 4)
     }),
 
+    "graph_label_prop" -> ((s, dir) => {
+      // community detection on the near-dup graph: 3 synchronous
+      // mode-label rounds — bridges join their heavier side instead of
+      // gluing components (contrast dedup_components)
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
+    }),
+
     "export_shards" -> ((s, dir) =>
       Packing.shardManifest(t(s, dir, "documents"), "doc_id", "text", 8)),
 
@@ -3190,6 +3200,7 @@ object SparkEntry {
     "text_bpe_pairs" -> OracleSql.textBpePairs(topK = 30),
     "text_bpe_encode" -> OracleSql.textBpeEncode(nMerges = 8),
     "graph_kcore" -> OracleSql.graphKcore(k = 2, rounds = 4),
+    "graph_label_prop" -> OracleSql.graphLabelProp(rounds = 3),
     "export_shards" -> OracleSql.exportShards(nShards = 8),
     "sample_budget_fill" -> OracleSql.sampleBudgetFill(budget = 4000L),
     "events_anomaly" -> OracleSql.eventsAnomaly(),

@@ -528,6 +528,47 @@ object Dedup {
       .select(col("src").as("doc_id"), col("core_deg"))
   }
 
+  /** Synchronous label propagation over the undirected near-dup graph,
+    * `rounds` fixed iterations: every vertex adopts the MODE of its
+    * neighbors' labels (count desc, label asc tie-break — fully
+    * deterministic, unlike classic randomized LPA), seeded with its own
+    * id. Communities differ from [[connectedComponents]]: a bridge
+    * vertex joins the side with more of its neighbors instead of
+    * gluing both sides into one component — the granularity that
+    * separates two near-dup families connected by one borderline pair.
+    *
+    * Shape: per round, one edge×labels join (narrow id pairs) and one
+    * (vertex, label) count agg; the mode is a bounded `min(struct)`
+    * fold, never a per-vertex window sort. `localCheckpoint` per round
+    * caps lineage exactly like [[kCore]].
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = pairs
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = e
+        .join(labels.select(col("node").as("dst"), col("label")),
+          Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src").as("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label")))
+          .getField("label").as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("community"))
+  }
+
   /** Per-vertex triangle counts over the undirected near-dup graph —
     * the local clustering signal: near-dup CLIQUES (true duplicate
     * groups) are triangle-dense, while chains of borderline pairs
