@@ -2500,6 +2500,56 @@ object SparkEntry {
           col("med"), col("mad"))
     }),
 
+    "customer_rfm" -> ((s, dir) => {
+      // RFM segmentation — recency / frequency / monetary with FIXED
+      // integer cut points (data-dependent tercile cuts would be a
+      // moving target across batches; fixed cuts are the reproducible
+      // production choice). One customer-grouped agg; penny-exact
+      // monetary; segment code is pure integer comparison.
+      val ref = lit("2001-09-01").cast("date")
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("monetary_cents"))
+        .select(col("o_custkey"),
+          datediff(ref, col("last_order")).as("recency_days"),
+          col("frequency"), col("monetary_cents"))
+        .withColumn("segment", concat(
+          when(col("recency_days") <= 180, "R1")
+            .when(col("recency_days") <= 720, "R2").otherwise("R3"),
+          when(col("frequency") >= 20, "F1")
+            .when(col("frequency") >= 10, "F2").otherwise("F3"),
+          when(col("monetary_cents") >= 280000000L, "M1")
+            .when(col("monetary_cents") >= 200000000L, "M2")
+            .otherwise("M3")))
+    }),
+
+    "profile_abc_classes" -> ((s, dir) => {
+      // ABC / Pareto classification: suppliers by cumulative revenue
+      // share — A covers the first 80% of revenue, B to 95%, C the
+      // tail. The corpus-sized pass is ONE supplier rollup; the
+      // cumulative share runs on the bounded supplier frame
+      // (dimension-sized at any scale), in exact integer ppm.
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_cents"))
+      val w = Window.orderBy(col("revenue_cents").desc,
+        col("l_suppkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.select(sum("revenue_cents").as("tot"))
+      rev.withColumn("cum", sum("revenue_cents").over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("l_suppkey"), col("revenue_cents"),
+          expr("(cum * 1000000) div tot").as("cum_share_ppm"))
+        .withColumn("abc_class",
+          when(col("cum_share_ppm") <= 800000, "A")
+            .when(col("cum_share_ppm") <= 950000, "B").otherwise("C"))
+    }),
+
     "scd2_from_events" -> ((s, dir) => {
       // rebuild SCD2 validity history from a change-event log: each
       // user's purchase events become [valid_from, valid_to) intervals
@@ -4366,6 +4416,50 @@ object SparkEntry {
         |  length(norm)::INT AS len_norm,
         |  substr(norm, 1, 30) AS norm_prefix
         |FROM n""".stripMargin,
+
+    "customer_rfm" ->
+      """WITH a AS (
+        |  SELECT o_custkey, max(o_orderdate::DATE) AS last_order,
+        |    count(*) AS frequency,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', last_order, DATE '2001-09-01') AS INT)
+        |      AS recency_days,
+        |    frequency, monetary_cents
+        |  FROM a)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |  (CASE WHEN recency_days <= 180 THEN 'R1'
+        |        WHEN recency_days <= 720 THEN 'R2' ELSE 'R3' END ||
+        |   CASE WHEN frequency >= 20 THEN 'F1'
+        |        WHEN frequency >= 10 THEN 'F2' ELSE 'F3' END ||
+        |   CASE WHEN monetary_cents >= 280000000 THEN 'M1'
+        |        WHEN monetary_cents >= 200000000 THEN 'M2'
+        |        ELSE 'M3' END) AS segment
+        |FROM r""".stripMargin,
+
+    "profile_abc_classes" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT))::BIGINT AS revenue_cents
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_suppkey, revenue_cents,
+        |    sum(revenue_cents) OVER (ORDER BY revenue_cents DESC,
+        |      l_suppkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum,
+        |    (SELECT sum(revenue_cents)::BIGINT FROM rev) AS tot
+        |  FROM rev)
+        |SELECT l_suppkey, revenue_cents,
+        |  ((cum * 1000000) // tot)::BIGINT AS cum_share_ppm,
+        |  CASE WHEN (cum * 1000000) // tot <= 800000 THEN 'A'
+        |       WHEN (cum * 1000000) // tot <= 950000 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
 
     "scd2_from_events" ->
       """SELECT user_id, event_id,
