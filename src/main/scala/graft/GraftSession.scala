@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.expressions.{BloomAgg, BloomContains, BloomMergeAgg, Cms, CmsAgg, CmsEstimate, CosineSim, DotProduct, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, KqMergeAgg, KqQuantile, KqStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, SortedArrayOverlap, TopKByAgg, UnicodeNormalize, UnicodeNormalizeImpl, ZOrderKey}
+import graft.expressions.{BloomAgg, BloomContains, BloomMergeAgg, Cms, CmsAgg, CmsEstimate, CosineSim, DotProduct, HllAgg, HllMergeAgg, HllStateAgg, KmvDistinctAgg, KmvMergeAgg, KmvStateAgg, KqMergeAgg, KqQuantile, KqStateAgg, MinHashSig, ShingleHashes, SimHash64, SortedArrayJaccard, SortedArrayOverlap, TopKByAgg, UnicodeNormalize, UnicodeNormalizeImpl, ZOrderKey}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT simhash64(text) FROM docs`), via the standard
@@ -100,6 +100,20 @@ private[graft] object GraftBuilders {
   def kmvMergeEst(exprs: Seq[Expression]): KmvMergeAgg = {
     checkArity("kmv_merge_est", exprs, 1, 1)
     KmvMergeAgg(exprs.head)
+  }
+  def hllDistinct(exprs: Seq[Expression]): HllAgg = {
+    checkArity("hll_distinct", exprs, 1, 1)
+    HllAgg(
+      org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs.head), 42L))
+  }
+  def hllState(exprs: Seq[Expression]): HllStateAgg = {
+    checkArity("hll_state", exprs, 1, 1)
+    HllStateAgg(
+      org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs.head), 42L))
+  }
+  def hllMergeEst(exprs: Seq[Expression]): HllMergeAgg = {
+    checkArity("hll_merge_est", exprs, 1, 1)
+    HllMergeAgg(exprs.head)
   }
   def bloomAgg(exprs: Seq[Expression]): BloomAgg = {
     checkArity("bloom_agg", exprs, 3, 3)
@@ -203,6 +217,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_state"), exprs => GraftBuilders.kmvState(exprs)))
     e.injectFunction((FunctionIdentifier("kmv_merge_est"),
       info("kmv_merge_est"), exprs => GraftBuilders.kmvMergeEst(exprs)))
+    e.injectFunction((FunctionIdentifier("hll_distinct"),
+      info("hll_distinct"), exprs => GraftBuilders.hllDistinct(exprs)))
+    e.injectFunction((FunctionIdentifier("hll_state"),
+      info("hll_state"), exprs => GraftBuilders.hllState(exprs)))
+    e.injectFunction((FunctionIdentifier("hll_merge_est"),
+      info("hll_merge_est"), exprs => GraftBuilders.hllMergeEst(exprs)))
     e.injectFunction((FunctionIdentifier("bloom_agg"),
       info("bloom_agg"), exprs => GraftBuilders.bloomAgg(exprs)))
     e.injectFunction((FunctionIdentifier("bloom_contains"),
@@ -259,6 +279,15 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("kmv_merge_est",
       exprs => GraftBuilders.kmvMergeEst(exprs).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("hll_distinct",
+      exprs => GraftBuilders.hllDistinct(exprs).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("hll_state",
+      exprs => GraftBuilders.hllState(exprs).toAggregateExpression(),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("hll_merge_est",
+      exprs => GraftBuilders.hllMergeEst(exprs).toAggregateExpression(),
       "scala_udf")
     reg.createOrReplaceTempFunction("bloom_agg",
       exprs => GraftBuilders.bloomAgg(exprs).toAggregateExpression(),

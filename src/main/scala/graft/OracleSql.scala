@@ -370,6 +370,66 @@ object OracleSql {
        |FROM ag a JOIN ex e ON e.grp = a.grp""".stripMargin
   }
 
+  /** Oracle for `approx_distinct_hll` (and, via lossless elementwise-max
+    * register merge, `approx_distinct_hll_rollup`): the whole HLL
+    * pipeline re-derived in SQL from the shared constants in
+    * [[graft.expressions.Hll]] — bucket/rank by integer bit tests on
+    * the emulated XXH64, the harmonic sum as the exact dyadic HUGEINT
+    * `Σ 2^(59-M_j)`, the raw estimate as one HUGEINT floor division
+    * with α pre-scaled to millionths, and the linear-counting
+    * correction from the SAME 64-entry scaled-ln table the engine
+    * compiles in. No floats anywhere, so the approximation matches the
+    * engine bit-for-bit.
+    */
+  def approxDistinctHll(): String = {
+    import graft.expressions.Hll
+    val sb = Hll.SuffixBits
+    val two = BigInt(1) << sb
+    val ch = new Chain("hl",
+      "SELECT DISTINCT l_returnflag AS grp, l_orderkey::HUGEINT AS lv FROM lineitem")
+    val hv = hashLong(ch, "lv", "42", "h")
+    val rankCase = (1 to sb)
+      .map(r => s"WHEN sfx >= ${BigInt(1) << (sb - r)} THEN $r")
+      .mkString("\n|     ")
+    val termCase = (0 to sb + 1)
+      .map(m => s"WHEN $m THEN ${BigInt(1) << (sb + 1 - m)}")
+      .mkString("\n|           ")
+    val lnCase = (1 to Hll.M)
+      .map(v => s"WHEN $v THEN ${Hll.LnTable(v - 1)}")
+      .mkString("\n|            ")
+    s"""WITH ${ch.render},
+       |hh AS MATERIALIZED (SELECT DISTINCT grp, $hv AS hv FROM ${ch.last}),
+       |bx AS (SELECT grp, hv // $two AS j, hv % $two AS sfx FROM hh),
+       |br AS (SELECT grp, j,
+       |   CASE WHEN sfx = 0 THEN ${sb + 1}
+       |     $rankCase END AS r FROM bx),
+       |regs AS (SELECT grp, j, max(r) AS m FROM br GROUP BY 1, 2),
+       |fr AS (SELECT g.grp, t.j, coalesce(rg.m, 0) AS m
+       |       FROM (SELECT DISTINCT grp FROM regs) g
+       |       CROSS JOIN range(0, ${Hll.M}) t(j)
+       |       LEFT JOIN regs rg ON rg.grp = g.grp AND rg.j = t.j),
+       |ag AS (SELECT grp,
+       |         sum(CASE m
+       |           $termCase END)::HUGEINT AS s,
+       |         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS v
+       |       FROM fr GROUP BY grp),
+       |es AS (SELECT grp, v,
+       |         CAST('${Hll.RawNumerator}' AS HUGEINT) // (s * 1000000)
+       |           AS raw
+       |       FROM ag),
+       |ex AS (SELECT l_returnflag AS grp,
+       |         count(DISTINCT l_orderkey) AS exact_orders
+       |       FROM lineitem GROUP BY 1)
+       |SELECT e.grp AS l_returnflag,
+       |  CASE WHEN e.v > 0 AND e.raw <= ${Hll.LinearThreshold}
+       |       THEN (${Hll.M}::HUGEINT * (CASE e.v
+       |            $lnCase END)) // 1000000
+       |       ELSE least(e.raw, 9223372036854775807) END::BIGINT
+       |    AS approx_orders,
+       |  x.exact_orders
+       |FROM es e JOIN ex x ON x.grp = e.grp""".stripMargin
+  }
+
   /** Oracle for `split_train_val_test`: same id-hash bucket, same
     * cumulative thresholds, first-match-wins CASE.
     */
@@ -951,6 +1011,27 @@ object OracleSql {
          |FROM e$rounds GROUP BY src HAVING count(*) >= $k""".stripMargin
     sb.toString
   }
+
+  /** Oracle for `graph_bfs_depth`: the same near-dup edge set as the
+    * engine ([[graft.functions.Dedup.bfsDepths]]); a depth-bounded
+    * recursive closure records every (vertex, hops) pair reachable
+    * from a seed within `rounds` hops, and `min(hops)` per vertex IS
+    * the BFS distance — the frontier discipline is an engine-side
+    * efficiency, not a semantic difference.
+    */
+  def graphBfsDepth(numHashes: Int = 16, rowsPerBand: Int = 2,
+                    seedMod: Int = 100, rounds: Int = 4): String =
+    s"""WITH RECURSIVE ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |${edgeCtes(numHashes)},
+       |reach(id, d) AS (
+       |  SELECT id, 0 FROM verts WHERE id % $seedMod = 0
+       |  UNION
+       |  SELECT e.dst, r.d + 1 FROM reach r
+       |  JOIN edges e ON e.src = r.id WHERE r.d < $rounds)
+       |SELECT id AS doc_id, min(d)::BIGINT AS depth
+       |FROM reach GROUP BY 1""".stripMargin
 
   /** Oracle for `graph_label_prop`: the same near-dup edge set,
     * `rounds` unrolled synchronous label-propagation steps — per step,

@@ -366,6 +366,34 @@ object SparkEntry {
           .as("approx_orders"))
     }),
 
+    "approx_distinct_hll" -> ((s, dir) => {
+      // HyperLogLog distinct sketch: 64 BYTES of state per group (vs
+      // KMV's 8·k) with the whole estimator — bucket/rank bit ops,
+      // dyadic-integer harmonic sum, scaled-α floor division, shared
+      // scaled-ln linear-counting table — in exact integer arithmetic,
+      // so the DuckDB oracle reproduces the approximation bit-for-bit
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          graft.expressions.HllSketches
+            .hll_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+    }),
+
+    "approx_distinct_hll_rollup" -> ((s, dir) => {
+      // the 64-byte sketch-store pattern: one persistable register
+      // array per (flag, ship-month), per-flag answer by elementwise-max
+      // MERGE of stored states. HLL merges losslessly (max of maxes),
+      // so this equals the single-pass sketch and shares its oracle.
+      val bySegment = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"),
+          date_trunc("month", col("l_shipdate")))
+        .agg(graft.expressions.HllSketches
+          .hll_state(col("l_orderkey")).as("sk"))
+      bySegment.groupBy("l_returnflag")
+        .agg(graft.expressions.HllSketches.hll_merge_est(col("sk"))
+          .as("approx_orders"))
+    }),
+
     "topk_agg" -> ((s, dir) => {
       // bounded-heap TypedImperativeAggregate: map-side partial top-k,
       // shuffles <=k rows per group per partition (vs the window
@@ -2282,6 +2310,19 @@ object SparkEntry {
       Dedup.kCore(pairs, "id_a", "id_b", k = 2, rounds = 4)
     }),
 
+    "graph_bfs_depth" -> ((s, dir) => {
+      // contamination blast radius: minimum near-dup hops (bounded at
+      // 4) from a seed set of flagged docs (id % 100 == 0) to every
+      // reachable doc — "how much corpus sits within h hops of a
+      // known-bad document?". Frontier BFS: each edge expands only at
+      // its endpoint's discovery round, never once per round.
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.bfsDepths(pairs, "id_a", "id_b", id => id % 100 === 0,
+        rounds = 4)
+    }),
+
     "graph_label_prop" -> ((s, dir) => {
       // community detection on the near-dup graph: 3 synchronous
       // mode-label rounds — bridges join their heavier side instead of
@@ -2361,6 +2402,30 @@ object SparkEntry {
       cnt.join(broadcast(tot), Seq("from_type"))
         .select(col("from_type"), col("to_type"), col("cnt"),
           expr("(cnt * 1000000) div tot").as("per_million"))
+    }),
+
+    "events_top_paths" -> ((s, dir) => {
+      // dominant early user journeys: each user's FIRST FOUR event
+      // types in (ts, event_id) order concatenated into a path string,
+      // top-20 paths by user count. Complements events_transitions
+      // (memoryless bigrams) with order-sensitive whole-prefix shapes.
+      // One user-partitioned sort-shuffle; the per-user slot-pivot is a
+      // bounded 4-way conditional max, never a collect; tie-break
+      // (count desc, path asc) makes the limit deterministic.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4)
+        .groupBy("user_id")
+        .agg(concat_ws(">",
+          max(when(col("rn") === 1, col("event_type"))),
+          max(when(col("rn") === 2, col("event_type"))),
+          max(when(col("rn") === 3, col("event_type"))),
+          max(when(col("rn") === 4, col("event_type")))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path").asc)
+        .limit(20)
     }),
 
     "profile_equidepth" -> ((s, dir) => {
@@ -2453,6 +2518,36 @@ object SparkEntry {
           expr("aggregate(slice(series, 2, size(series) - 1), " +
             "series[0].cents, (acc, x) -> (acc + x.cents) div 2)")
             .as("ewma_cents"))
+    }),
+
+    "events_cusum" -> ((s, dir) => {
+      // CUSUM changepoint detection over hourly event volume — the
+      // drift alarm that catches slow level shifts z-score/MAD monitors
+      // miss. The textbook recurrence C_t = max(0, C_{t−1} + x_t − μ − k)
+      // has the closed form C_t = S_t − min(0, min_{j≤t} S_j) over
+      // prefix sums S of the slack-adjusted deviations, so it runs as
+      // two cumulative windows (sum, then min) instead of a sequential
+      // fold — one hour-sorted shuffle per type, no recursion. All
+      // integer (counts in millionths; slack = μ/20; alarm at 3μ), so
+      // order-independent and oracle-exact.
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val mu = hourly.groupBy("event_type")
+        .agg(sum("cnt").as("tot"), count(lit(1)).as("nh"))
+        .select(col("event_type"),
+          expr("(tot * 1000000) div nh").as("mu_mil"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly.join(broadcast(mu), Seq("event_type"))
+        .withColumn("d",
+          col("cnt") * 1000000L - col("mu_mil") - expr("mu_mil div 20"))
+        .withColumn("ps", sum("d").over(w))
+        .withColumn("pmin", min("ps").over(w))
+        .select(col("event_type"), col("hour"),
+          (col("ps") - least(lit(0L), col("pmin"))).as("cusum_mil"),
+          (col("ps") - least(lit(0L), col("pmin")) > col("mu_mil") * 3)
+            .as("alarm"))
     }),
 
     "join_salted" -> ((s, dir) => {
@@ -2670,6 +2765,78 @@ object SparkEntry {
         .select(col("column_name"), col("n").cast("long").as("n_rows"),
           col("n_distinct"),
           expr("((n * n - s2) * 1000000) div (n * n)").as("gini_ppm"))
+    }),
+
+    "profile_chi2" -> ((s, dir) => {
+      // χ²-of-independence between two categorical columns — the
+      // drift/association monitor that tells "are these columns
+      // independent?" without libm: per FULL contingency cell (cross of
+      // observed row/col values, absent combos count 0) the scaled term
+      // floor(100·(O·N − R·C)² / (R·C·N)) is exact in DECIMAL(38,0) —
+      // the classic (O−E)²/E with E = R·C/N multiplied through by N² —
+      // and cell terms are integers, so the sum is order-independent.
+      // Shape: one narrow count agg per pair + broadcast-joined bounded
+      // margins; the cross of distinct values is |R|·|C| ≤ dozens.
+      def chi2(df: DataFrame, a: String, b: String,
+               pair: String): DataFrame = {
+        val cells = df.groupBy(col(a).as("va"), col(b).as("vb"))
+          .agg(count(lit(1)).as("o"))
+        val rows = cells.groupBy("va").agg(sum("o").as("r"))
+        val cols = cells.groupBy("vb").agg(sum("o").as("c"))
+        val n = cells.agg(sum(col("o")).as("n"))
+        val full = rows.crossJoin(cols)
+          .join(cells, Seq("va", "vb"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+          .crossJoin(broadcast(n))
+        full
+          .withColumn("d", expr(
+            "cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c"))
+          .withColumn("term", expr(
+            """(cast(100 as decimal(38,0)) * d * d)
+              |div (cast(r as decimal(38,0)) * c * n)""".stripMargin))
+          .agg(sum("term").as("chi2_centi"),
+            countDistinct("va").as("nr"), countDistinct("vb").as("nc"),
+            max("n").as("n_rows"))
+          .select(lit(pair).as("pair"),
+            col("chi2_centi").cast("long").as("chi2_centi"),
+            ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+            col("n_rows"))
+      }
+      chi2(t(s, dir, "orders"), "o_orderpriority", "o_orderstatus",
+          "orders:priority_x_status")
+        .unionByName(chi2(t(s, dir, "lineitem"), "l_returnflag",
+          "l_linestatus", "lineitem:flag_x_status"))
+    }),
+
+    "privacy_k_anonymity" -> ((s, dir) => {
+      // k-anonymity risk profile over quasi-identifiers (nation,
+      // market segment, account-balance band): every individual falls
+      // in a QI equivalence class of size k; the re-identification
+      // report buckets classes by k — singletons are re-identifiable,
+      // small classes risky. l-diversity rides along: classes whose
+      // members all share one sensitive value (here: the balance SIGN)
+      // leak the attribute even at k > 1. One narrow two-level agg.
+      val qi = t(s, dir, "customer")
+        .select(col("c_nationkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).as("bal_band"),
+          when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos"))
+            .as("sensitive"))
+      qi.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("sensitive")).as("l_div"))
+        .select(
+          when(col("k") === 1, lit("1_unique"))
+            .when(col("k") < 5, lit("2_high_risk"))
+            .when(col("k") < 20, lit("3_medium"))
+            .otherwise(lit("4_low")).as("risk_class"),
+          col("k"), col("l_div"))
+        .groupBy("risk_class")
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("k")).as("n_individuals"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(when(col("l_div") === 1, 1L).otherwise(0L))
+            .as("classes_lacking_diversity"))
     }),
 
     "incr_join_merge" -> ((s, dir) => {
@@ -3250,6 +3417,8 @@ object SparkEntry {
     "text_bpe_pairs" -> OracleSql.textBpePairs(topK = 30),
     "text_bpe_encode" -> OracleSql.textBpeEncode(nMerges = 8),
     "graph_kcore" -> OracleSql.graphKcore(k = 2, rounds = 4),
+    "graph_bfs_depth" ->
+      OracleSql.graphBfsDepth(seedMod = 100, rounds = 4),
     "graph_label_prop" -> OracleSql.graphLabelProp(rounds = 3),
     "export_shards" -> OracleSql.exportShards(nShards = 8),
     "sample_budget_fill" -> OracleSql.sampleBudgetFill(budget = 4000L),
@@ -4129,6 +4298,10 @@ object SparkEntry {
     // lossless merge: the rolled-up estimate equals the single-pass one
     "approx_distinct_kmv_rollup" ->
       s"SELECT l_returnflag, approx_orders FROM (${OracleSql.approxDistinctKmv(k = 256)}) kr",
+    "approx_distinct_hll" -> OracleSql.approxDistinctHll(),
+    // elementwise-max register merge is lossless: rollup == single-pass
+    "approx_distinct_hll_rollup" ->
+      s"SELECT l_returnflag, approx_orders FROM (${OracleSql.approxDistinctHll()}) hr",
     "dedup_components" ->
       OracleSql.dedupComponents(numHashes = 16, rowsPerBand = 2),
     "dedup_ngram_jaccard" ->
@@ -4366,6 +4539,48 @@ object SparkEntry {
         |  ((c.cnt * 1000000) // t.tot)::BIGINT AS per_million
         |FROM cnt c JOIN tot t USING (from_type)""".stripMargin,
 
+    "events_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, concat_ws('>',
+        |      max(CASE WHEN rn = 1 THEN event_type END),
+        |      max(CASE WHEN rn = 2 THEN event_type END),
+        |      max(CASE WHEN rn = 3 THEN event_type END),
+        |      max(CASE WHEN rn = 4 THEN event_type END)) AS path
+        |  FROM r WHERE rn <= 4 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "events_cusum" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (
+        |  SELECT event_type,
+        |    ((sum(cnt) * 1000000) // count(*))::BIGINT AS mu_mil
+        |  FROM hourly GROUP BY 1),
+        |d AS (
+        |  SELECT h.event_type, h.hour, m.mu_mil,
+        |    h.cnt * 1000000 - m.mu_mil - m.mu_mil // 20 AS d
+        |  FROM hourly h JOIN mu m USING (event_type)),
+        |s1 AS (
+        |  SELECT event_type, hour, mu_mil,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS ps
+        |  FROM d),
+        |s2 AS (
+        |  SELECT *, min(ps) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS UNBOUNDED PRECEDING) AS pmin
+        |  FROM s1)
+        |SELECT event_type, hour,
+        |  (ps - least(0, pmin))::BIGINT AS cusum_mil,
+        |  (ps - least(0, pmin)) > mu_mil * 3 AS alarm
+        |FROM s2""".stripMargin,
+
     "profile_equidepth" ->
       """WITH g AS (
         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
@@ -4513,6 +4728,64 @@ object SparkEntry {
         |SELECT column_name, n::BIGINT AS n_rows, n_distinct,
         |  (((n * n - s2) * 1000000) // (n * n))::BIGINT AS gini_ppm
         |FROM a""".stripMargin,
+
+    "profile_chi2" ->
+      """WITH cells AS (
+        |  SELECT 'orders:priority_x_status' AS pair,
+        |    o_orderpriority AS va, o_orderstatus AS vb, count(*) AS o
+        |  FROM orders GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT 'lineitem:flag_x_status', l_returnflag, l_linestatus,
+        |    count(*)
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |rw AS (SELECT pair, va, sum(o)::HUGEINT AS r
+        |       FROM cells GROUP BY 1, 2),
+        |cw AS (SELECT pair, vb, sum(o)::HUGEINT AS c
+        |       FROM cells GROUP BY 1, 2),
+        |nw AS (SELECT pair, sum(o)::HUGEINT AS n FROM cells GROUP BY 1),
+        |f AS (
+        |  SELECT r.pair, r.va, c.vb, r.r, c.c, n.n,
+        |    coalesce(cl.o, 0)::HUGEINT AS o
+        |  FROM rw r
+        |  JOIN cw c USING (pair)
+        |  JOIN nw n USING (pair)
+        |  LEFT JOIN cells cl
+        |    ON cl.pair = r.pair AND cl.va = r.va AND cl.vb = c.vb),
+        |t AS (
+        |  SELECT pair, va, vb, n,
+        |    (100::HUGEINT * (o * n - r * c) * (o * n - r * c))
+        |      // (r * c * n) AS term
+        |  FROM f)
+        |SELECT pair, sum(term)::BIGINT AS chi2_centi,
+        |  ((count(DISTINCT va) - 1) * (count(DISTINCT vb) - 1))::BIGINT
+        |    AS dof,
+        |  max(n)::BIGINT AS n_rows
+        |FROM t GROUP BY pair""".stripMargin,
+
+    "privacy_k_anonymity" ->
+      """WITH qi AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    floor(c_acctbal / 1000)::BIGINT AS bal_band,
+        |    CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END
+        |      AS sensitive
+        |  FROM customer),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band,
+        |    count(*) AS k, count(DISTINCT sensitive) AS l_div
+        |  FROM qi GROUP BY 1, 2, 3),
+        |lab AS (
+        |  SELECT CASE WHEN k = 1 THEN '1_unique'
+        |              WHEN k < 5 THEN '2_high_risk'
+        |              WHEN k < 20 THEN '3_medium'
+        |              ELSE '4_low' END AS risk_class,
+        |    k, l_div
+        |  FROM cls)
+        |SELECT risk_class, count(*) AS n_classes,
+        |  sum(k)::BIGINT AS n_individuals,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  sum(CASE WHEN l_div = 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS classes_lacking_diversity
+        |FROM lab GROUP BY 1""".stripMargin,
 
     // the incremental path must equal the monolithic re-join — so the
     // oracle IS the plain join

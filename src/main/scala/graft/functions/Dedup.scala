@@ -569,6 +569,48 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("community"))
   }
 
+  /** Bounded-round multi-source BFS over the undirected near-dup
+    * graph: minimum hop distance from any SEED vertex (a predicate
+    * over vertex ids — e.g. an audited/“known-contaminated” doc set)
+    * within `rounds` hops. The contamination-blast-radius query: given
+    * flagged documents, how much of the corpus sits within h near-dup
+    * hops of one? Vertices unreachable in `rounds` hops are absent
+    * from the output (distance genuinely unknown at this bound, not 0).
+    *
+    * Classic BFS frontier discipline: per round only the NEWLY reached
+    * vertices (left-anti vs the visited set) expand, so each edge is
+    * traversed at most once per endpoint discovery, not once per
+    * round. Per-round eager `localCheckpoint` truncates lineage
+    * ([[connectedComponents]] discipline); every shuffled row is a
+    * pair of longs.
+    */
+  def bfsDepths(pairs: DataFrame, aCol: String, bCol: String,
+                seed: Column => Column, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = pairs
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("id")).distinct()
+    var visited = verts.filter(seed(col("id")))
+      .withColumn("depth", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited
+    for (d <- 1 to rounds) {
+      frontier = e
+        .join(frontier.select(col("id").as("src")), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    visited.select(col("id").as("doc_id"), col("depth"))
+  }
+
   /** Per-vertex triangle counts over the undirected near-dup graph —
     * the local clustering signal: near-dup CLIQUES (true duplicate
     * groups) are triangle-dense, while chains of borderline pairs
