@@ -1115,6 +1115,47 @@ object OracleSql {
     sb.toString
   }
 
+  /** Oracle for `graph_personalized_pagerank`: [[graphPagerank]] with
+    * the initial mass and the per-round teleport gated to the seed set
+    * (`id % seedMod = 0`) — mirroring
+    * [[graft.functions.Dedup.personalizedPageRank]] exactly.
+    */
+  def graphPersonalizedPagerank(numHashes: Int = 16,
+                                rowsPerBand: Int = 2, iters: Int = 3,
+                                dampingPct: Int = 85,
+                                seedMod: Int = 100): String = {
+    val tele = (100L - dampingPct) * 10000L
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH ${tokenHashCtes()},
+         |${shingleHashCtes()},
+         |${minhashCtes(numHashes, rowsPerBand)},
+         |${edgeCtes(numHashes)},
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT id, CASE WHEN id % $seedMod = 0
+         |  THEN 1000000 ELSE 0 END::BIGINT AS rank FROM verts)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++=
+        s""",
+           |c$i AS (
+           |  SELECT e.dst AS id,
+           |    CAST(floor(r${i - 1}.rank * $dampingPct
+           |      / (100 * deg.deg)) AS BIGINT) AS c
+           |  FROM edges e
+           |  JOIN r${i - 1} ON r${i - 1}.id = e.src
+           |  JOIN deg ON deg.src = e.src),
+           |r$i AS (
+           |  SELECT v.id,
+           |    (CASE WHEN v.id % $seedMod = 0 THEN $tele ELSE 0 END
+           |      + coalesce(s.i, 0))::BIGINT AS rank
+           |  FROM verts v LEFT JOIN (
+           |    SELECT id, sum(c)::BIGINT AS i FROM c$i GROUP BY 1) s
+           |    USING (id))""".stripMargin
+    }
+    sb ++= s"\nSELECT id AS doc_id, rank FROM r$iters"
+    sb.toString
+  }
+
   /** Oracle for `dedup_components`: the same MinHash candidate pairs
     * (est >= 0.5), closed into connected components by a recursive CTE —
     * every vertex labeled with the minimum reachable id.

@@ -711,6 +711,18 @@ object SparkEntry {
       Dedup.pageRank(pairs, "id_a", "id_b", iters = 3)
     }),
 
+    "graph_personalized_pagerank" -> ((s, dir) => {
+      // proximity-to-seed ranking: teleport mass returns only to the
+      // flagged seed docs (id % 100 == 0), so rank weighs ALL near-dup
+      // paths back to a seed — the soft counterpart of graph_bfs_depth's
+      // hard hop bound (contamination spread scoring)
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.personalizedPageRank(pairs, "id_a", "id_b",
+        id => id % 100 === 0, iters = 3)
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       // local clustering over the near-dup graph: triangle-dense
       // vertices sit in genuine duplicate cliques; chains of borderline
@@ -799,6 +811,27 @@ object SparkEntry {
       // quote/excerpt copies that symmetric Jaccard under-scores
       Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, minCont = 0.5)
+    }),
+
+    "dedup_chain_overlap" -> ((s, dir) => {
+      // split/concatenation detection: doc A's LAST three tokens equal
+      // doc B's FIRST three — the boundary signature of one document
+      // sliced into shards (or shards re-glued), which symmetric
+      // whole-doc similarity misses entirely. One equi-join on the
+      // short boundary phrase (at 100 TB you'd join on xxhash64 of the
+      // phrase; the string key keeps the oracle trivially mirrorable);
+      // docs under 6 tokens are excluded so head and tail can't overlap.
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 6)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), 1, 3)).as("head_key"),
+          concat_ws(" ", slice(col("toks"), -3, 3)).as("tail_key"))
+      tk.select(col("doc_id").as("id_a"), col("tail_key"))
+        .join(tk.select(col("doc_id").as("id_b"),
+          col("head_key").as("tail_key")), Seq("tail_key"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"), col("tail_key").as("boundary"))
     }),
 
     // ---------- LLM-pipeline: text analysis ----------
@@ -1076,6 +1109,33 @@ object SparkEntry {
       // IDF-flavored rarity without ln: integer df sums, one division —
       // bit-reproducible under any aggregation order
       TextFunctions.tokenRarity(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "text_tfidf_topk" -> ((s, dir) => {
+      // top-5 characteristic terms per doc by tf·idf, with the idf log
+      // made libm-free: idf₂ = floor(log₂(N/df)) computed as the bit
+      // length of the integer quotient (length(bin(N div df)) − 1) —
+      // exact integer both engines, zero float risk. One token-count
+      // shuffle + a vocabulary-frame df agg joined back; the per-doc
+      // ranking is a doc-partitioned window over ≤|distinct tokens per
+      // doc| rows with a total (score desc, token asc) tie-break.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val total = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(total))
+        // two extra resolution bits (4·N) keep common tokens at a
+        // small nonzero weight instead of flattening them all to 0
+        .withColumn("idf2", expr("length(bin((n_docs * 4) div df)) - 1"))
+        .withColumn("score", col("tf") * col("idf2"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5 && col("score") > 0)
+        .select(col("doc_id"), col("rk"), col("tok"), col("tf"),
+          col("score"))
     }),
 
     "validate_constraints" -> ((s, dir) => {
@@ -2548,6 +2608,63 @@ object SparkEntry {
           (col("ps") - least(lit(0L), col("pmin"))).as("cusum_mil"),
           (col("ps") - least(lit(0L), col("pmin")) > col("mu_mil") * 3)
             .as("alarm"))
+    }),
+
+    "events_holt" -> ((s, dir) => {
+      // Holt double-exponential smoothing (level + trend, α = β = ½)
+      // over daily revenue, exact-integer like events_ewma: the coupled
+      // fold l' = (x + l + b) div 2; b' = (b + l' − l) div 2 runs over
+      // the day-sorted per-type array (bounded by the calendar), seeded
+      // l₁ = x₁, b₁ = 0. Adds the trend component EWMA can't express —
+      // the one-step forecast l + b anticipates drift instead of
+      // lagging it. Spark div and DuckDB // both truncate toward zero,
+      // so negative trends reproduce exactly.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      daily.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("cents"))))
+          .as("series"))
+        .select(col("event_type"),
+          size(col("series")).as("n_days"),
+          expr("""aggregate(slice(series, 2, size(series) - 1),
+            named_struct('l', series[0].cents, 'b', cast(0 as bigint)),
+            (acc, x) -> named_struct(
+              'l', (x.cents + acc.l + acc.b) div 2,
+              'b', (acc.b + ((x.cents + acc.l + acc.b) div 2) - acc.l)
+                div 2)) AS st"""))
+        .select(col("event_type"), col("n_days"),
+          col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+          (col("st.l") + col("st.b")).as("forecast_cents"))
+    }),
+
+    "events_streaks" -> ((s, dir) => {
+      // gaps-and-islands: longest run of consecutive days with RISING
+      // daily revenue per event type — the monotone-momentum statistic
+      // windows express without self-joins. rising = cents > lag;
+      // island id = running count of non-rising days; streak length =
+      // rising-day count per island. Two day-ordered windows + one
+      // bounded agg per type, all integers.
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val wo = Window.partitionBy("event_type").orderBy("day")
+      val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val marked = daily
+        .withColumn("rising",
+          when(col("cents") > lag("cents", 1).over(wo), 1L).otherwise(0L))
+        .withColumn("island", sum(lit(1L) - col("rising")).over(wc))
+      marked.groupBy("event_type", "island")
+        .agg(sum("rising").as("run_len"))
+        .groupBy("event_type")
+        .agg(max("run_len").as("longest_rising_streak"),
+          sum("run_len").as("total_rising_days"),
+          // every island is anchored by exactly one non-rising day
+          (count(lit(1)) + sum("run_len")).as("n_days"))
     }),
 
     "join_salted" -> ((s, dir) => {
@@ -4244,6 +4361,25 @@ object SparkEntry {
 
     "graph_pagerank" -> OracleSql.graphPagerank(
       numHashes = 16, rowsPerBand = 2, iters = 3, dampingPct = 85),
+    "graph_personalized_pagerank" -> OracleSql.graphPersonalizedPagerank(
+      numHashes = 16, rowsPerBand = 2, iters = 3, dampingPct = 85,
+      seedMod = 100),
+    "dedup_chain_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+        |    END AS toks
+        |  FROM documents),
+        |ft AS (
+        |  SELECT doc_id,
+        |    array_to_string(toks[1:3], ' ') AS head_key,
+        |    array_to_string(toks[-3:], ' ') AS tail_key
+        |  FROM tk WHERE len(toks) >= 6)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  a.tail_key AS boundary
+        |FROM ft a JOIN ft b
+        |  ON a.tail_key = b.head_key AND a.doc_id <> b.doc_id""".stripMargin,
     "graph_triangles" -> OracleSql.graphTriangles(
       numHashes = 16, rowsPerBand = 2),
     "graph_clustering_coeff" -> OracleSql.graphClusteringCoeff(
@@ -4454,6 +4590,28 @@ object SparkEntry {
 
     "text_rarity" -> RarityOracle,
 
+    "text_tfidf_topk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+        |    END) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT t.doc_id, t.tok, t.tf,
+        |    (length(bin((n.n_docs * 4) // d.df)) - 1)::BIGINT AS idf2
+        |  FROM tf t JOIN dfq d USING (tok), n),
+        |rk AS (
+        |  SELECT doc_id, tok, tf, tf * idf2 AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * idf2 DESC, tok ASC) AS rk
+        |  FROM sc)
+        |SELECT doc_id, rk::INT AS rk, tok, tf, score
+        |FROM rk WHERE rk <= 5 AND score > 0""".stripMargin,
+
     "curate_pareto" ->
       s"""WITH q AS ($QualityOracle),
          |rr AS ($RarityOracle),
@@ -4580,6 +4738,57 @@ object SparkEntry {
         |  (ps - least(0, pmin))::BIGINT AS cusum_mil,
         |  (ps - least(0, pmin)) > mu_mil * 3 AS alarm
         |FROM s2""".stripMargin,
+
+    // the engine's array fold is replayed as a bounded recursion (one
+    // step per day) — DuckDB 1.0's list_reduce corrupts multi-field
+    // struct accumulators mid-chain, so the lambda form is not usable
+    "events_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, list(cents ORDER BY day) AS series
+        |  FROM daily GROUP BY 1),
+        |holt(event_type, i, l, b) AS (
+        |  SELECT event_type, 1, series[1], 0::BIGINT FROM ser
+        |  UNION ALL
+        |  SELECT h.event_type, h.i + 1,
+        |    (s.series[h.i + 1] + h.l + h.b) // 2,
+        |    (h.b + ((s.series[h.i + 1] + h.l + h.b) // 2) - h.l) // 2
+        |  FROM holt h JOIN ser s USING (event_type)
+        |  WHERE h.i < len(s.series))
+        |SELECT s.event_type, len(s.series)::INT AS n_days,
+        |  h.l AS level_cents, h.b AS trend_cents,
+        |  (h.l + h.b)::BIGINT AS forecast_cents
+        |FROM ser s JOIN holt h
+        |  ON h.event_type = s.event_type AND h.i = len(s.series)""".stripMargin,
+
+    "events_streaks" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN cents > lag(cents) OVER w THEN 1 ELSE 0 END
+        |      ::BIGINT AS rising
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |isl AS (
+        |  SELECT event_type, rising,
+        |    sum(1 - rising) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |runs AS (
+        |  SELECT event_type, island, sum(rising)::BIGINT AS run_len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT event_type,
+        |  max(run_len) AS longest_rising_streak,
+        |  sum(run_len)::BIGINT AS total_rising_days,
+        |  (count(*) + sum(run_len))::BIGINT AS n_days
+        |FROM runs GROUP BY 1""".stripMargin,
 
     "profile_equidepth" ->
       """WITH g AS (

@@ -480,6 +480,55 @@ object Dedup {
     r.select(col("id").as("doc_id"), col("rank"))
   }
 
+  /** Personalized PageRank over the undirected near-dup graph:
+    * teleport mass returns ONLY to the seed set (a predicate over
+    * vertex ids) instead of uniformly, so rank measures proximity to
+    * the seeds — the standard "contamination spread" / "related docs"
+    * ranking ([[bfsDepths]] gives hop distance; this weighs ALL paths,
+    * not just the shortest). Same exact-integer discipline as
+    * [[pageRank]]: ranks in millionths, floor-divided contributions,
+    * teleport `(100−d)·10⁴` gated per vertex — deterministic under
+    * any execution order, bit-reproducible by the SQL oracle.
+    *
+    * Scale shape identical to [[pageRank]]: per round one narrow
+    * (src, rank, deg) join + one map-side-combined sum, per-round
+    * eager `localCheckpoint`, nothing cached past the return.
+    */
+  def personalizedPageRank(pairs: DataFrame, aCol: String, bCol: String,
+                           seed: Column => Column, iters: Int = 3,
+                           dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct > 0 && dampingPct < 100)
+    val e = pairs
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val verts = e.select(col("src").as("id")).distinct()
+    val teleport = (100L - dampingPct) * 10000L
+    def gate(c: Column): Column =
+      when(seed(col("id")), c).otherwise(lit(0L))
+    var r = verts.withColumn("rank", gate(lit(1000000L)))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"),
+          floor(col("rank") * dampingPct / (lit(100) * col("deg")))
+            .cast("long").as("c"))
+      r = verts
+        .join(contrib.groupBy("id").agg(sum("c").as("in")), Seq("id"),
+          "left")
+        .select(col("id"),
+          (gate(lit(teleport)) + coalesce(col("in"), lit(0L)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    r.select(col("id").as("doc_id"), col("rank"))
+  }
+
   /** Bounded-round k-core peeling over the undirected near-dup graph:
     * repeatedly drop vertices with degree < k (and their edges) for
     * `rounds` iterations, then report the survivors with their final
