@@ -394,6 +394,36 @@ object SparkEntry {
           .as("approx_orders"))
     }),
 
+    "exact_distinct_bitmap" -> ((s, dir) => {
+      // roaring-style compressed bitmap (ClickHouse groupBitmap / Druid
+      // pattern): EXACT distinct customers per order status in one
+      // bitmap per group — map-side partials OR together word-wise, so
+      // the shuffle moves ~1 bit per dense key instead of 8 bytes per
+      // raw value. The exact complement to the KMV/HLL sketches for
+      // dense surrogate-key domains.
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(graft.expressions.Bitmaps.bitmap_distinct(col("o_custkey"))
+          .as("n_cust"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    "exact_distinct_bitmap_rollup" -> ((s, dir) => {
+      // the exact sketch-store pattern: persist one compressed bitmap
+      // per (status, order-month), answer the per-status distinct count
+      // later by OR-merging stored states — bitmap union is lossless, so
+      // the rolled-up answer EQUALS count(DISTINCT) over raw rows and
+      // the two formulations share an oracle. This is what makes exact
+      // distinct viable at 100 TB: the fine-grain pass runs once.
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"),
+          date_trunc("month", col("o_orderdate")))
+        .agg(graft.expressions.Bitmaps.bitmap_state(col("o_custkey"))
+          .as("bm"))
+      monthly.groupBy("o_orderstatus")
+        .agg(graft.expressions.Bitmaps.bitmap_merge_count(col("bm"))
+          .as("n_cust"))
+    }),
+
     "topk_agg" -> ((s, dir) => {
       // bounded-heap TypedImperativeAggregate: map-side partial top-k,
       // shuffles <=k rows per group per partition (vs the window
@@ -1374,6 +1404,29 @@ object SparkEntry {
         .filter(col("exact_cnt") * 32 >= total)
         .select(col("token"), col("exact_cnt"),
           Cms.cms_estimate(lit(state), col("token"), d = 4).as("cms_cnt"))
+    }),
+
+    "heavy_hitters_mg" -> ((s, dir) => {
+      // Misra-Gries frequent items, candidates-then-verify: one pass
+      // builds a 64-counter mergeable summary whose candidate set
+      // provably contains every token above n/65 of the stream; one
+      // exact counting pass over the <=64 candidates then yields the
+      // deterministic heavy-hitter table. The corpus vocabulary is
+      // never held in memory — the same candidates+verify shape as the
+      // LSH dedup family, applied to frequency.
+      import graft.expressions.Frequent
+      val toks = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(split(lower(trim(col("text"))), "\\s+"))
+          .as("token"))
+      // bounded by construction: the summary holds <= 64 items
+      val cands = toks
+        .agg(Frequent.mg_candidates(col("token"), 64).as("c"))
+        .head().getSeq[String](0)
+      val total = toks.count()
+      toks.filter(col("token").isin(cands: _*))
+        .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .filter(col("exact_cnt") * 64 > lit(total))
     }),
 
     "bm25_topk" -> ((s, dir) => {
@@ -4046,6 +4099,28 @@ object SparkEntry {
 
     "heavy_hitters_cms" ->
       OracleSql.heavyHittersCms(d = 4, w = 32, vocabFactor = 32),
+
+    "heavy_hitters_mg" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |    AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM toks)
+        |SELECT token, count(*)::BIGINT AS exact_cnt
+        |FROM toks CROSS JOIN tot
+        |GROUP BY token, tot.n
+        |HAVING count(*) * 64 > tot.n""".stripMargin,
+
+    "exact_distinct_bitmap" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_cust,
+        |  count(*)::BIGINT AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "exact_distinct_bitmap_rollup" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_cust
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "split_train_val_test" -> OracleSql.assignSplit(
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)),
