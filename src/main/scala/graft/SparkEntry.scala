@@ -2693,6 +2693,38 @@ object SparkEntry {
           (col("st.l") + col("st.b")).as("forecast_cents"))
     }),
 
+    "events_autocorr" -> ((s, dir) => {
+      // ACF of daily revenue at lags 1..7 — the periodicity detector
+      // behind seasonality-aware monitors. The corpus-sized work is one
+      // (day → cents) rollup; the 7 lag self-joins touch only the
+      // calendar-bounded daily frame, and Pearson per lag runs on exact
+      // DECIMAL sufficient statistics (bit-reproducible, see Analytics).
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      Analytics.autocorrelation(daily, "day", col("cents"), maxLag = 7)
+    }),
+
+    "events_seasonality" -> ((s, dir) => {
+      // day-of-week seasonal index: dow mean revenue relative to the
+      // overall mean, as the cross-multiplied integer ratio
+      // (s_dow·N)/(S·n_dow) — one narrow rollup plus a broadcast of the
+      // single global-totals row; no window, no second scan of raw data
+      val ev = t(s, dir, "events")
+        .select(dayofweek(col("ts").cast("date")).as("dow"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val byDow = ev.groupBy("dow")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      val tot = ev.agg(count(lit(1)).as("tn"), sum("cents").as("ts_"))
+      byDow.crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_events"), col("sum_cents"),
+          round((col("sum_cents").cast("decimal(38,0)") * col("tn"))
+            .cast("double") /
+            (col("ts_").cast("decimal(38,0)") * col("n_events"))
+              .cast("double"), 6).as("rev_index"))
+    }),
+
     "events_streaks" -> ((s, dir) => {
       // gaps-and-islands: longest run of consecutive days with RISING
       // daily revenue per event type — the monotone-momentum statistic
@@ -2976,6 +3008,69 @@ object SparkEntry {
           "orders:priority_x_status")
         .unionByName(chi2(t(s, dir, "lineitem"), "l_returnflag",
           "l_linestatus", "lineitem:flag_x_status"))
+    }),
+
+    "privacy_erasure" -> ((s, dir) => {
+      // right-to-be-forgotten propagation audit: a delete-request key
+      // set cascades customer → orders → lineitem, and the report
+      // counts total/erased/remaining per table. The request set is
+      // broadcast (tiny by nature); the lineitem cascade goes through
+      // the affected-orders key list — also broadcast, 1/97th of
+      // orders — so no fact-to-fact shuffle ever happens.
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val delKeys = cust.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("k"))
+      def audit(df: DataFrame, name: String, key: Column): DataFrame =
+        df.select(key.as("kk"))
+          .join(broadcast(delKeys), col("kk") === col("k"), "left")
+          .agg(count(lit(1)).as("rows_total"),
+            sum(when(col("k").isNotNull, 1L).otherwise(0L))
+              .as("rows_erased"))
+          .select(lit(name).as("tbl"), col("rows_total"),
+            col("rows_erased"),
+            (col("rows_total") - col("rows_erased")).as("rows_remaining"))
+      val delOrders = ord
+        .join(broadcast(delKeys), col("o_custkey") === col("k"),
+          "left_semi")
+        .select(col("o_orderkey").as("k"))
+      audit(cust, "customer", col("c_custkey"))
+        .unionAll(audit(ord, "orders", col("o_custkey")))
+        .unionAll(li.select(col("l_orderkey").as("kk"))
+          .join(broadcast(delOrders), col("kk") === col("k"), "left")
+          .agg(count(lit(1)).as("rows_total"),
+            sum(when(col("k").isNotNull, 1L).otherwise(0L))
+              .as("rows_erased"))
+          .select(lit("lineitem").as("tbl"), col("rows_total"),
+            col("rows_erased"),
+            (col("rows_total") - col("rows_erased"))
+              .as("rows_remaining")))
+    }),
+
+    "profile_benford" -> ((s, dir) => {
+      // Benford first-digit screen over order totals — the classic
+      // fabricated-data detector. Expected ratios are fixed 6-dp
+      // literals (not runtime log10) so both engines compare against
+      // the identical constants; observed ratio is one narrow
+      // 9-group rollup + a broadcast totals row.
+      val benford = Seq(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+        4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+        8 -> 0.051153, 9 -> 0.045757)
+      val expect = benford.tail.foldLeft(
+        when(col("digit") === benford.head._1, benford.head._2)) {
+        case (acc, (d, p)) => acc.when(col("digit") === d, p)
+      }
+      val digits = t(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      val tot = digits.agg(count(lit(1)).as("total"))
+      digits.groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_orders"),
+          round(col("n_orders").cast("double") /
+            col("total").cast("double"), 6).as("obs_ratio"),
+          expect.as("benford_ratio"))
     }),
 
     "privacy_k_anonymity" -> ((s, dir) => {
@@ -4840,6 +4935,41 @@ object SparkEntry {
         |FROM ser s JOIN holt h
         |  ON h.event_type = s.event_type AND h.i = len(s.series)""".stripMargin,
 
+    "events_autocorr" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::HUGEINT AS cents
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT l.lag, a.cents AS x, b.cents AS y
+        |  FROM (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN daily a ON true
+        |  JOIN daily b ON a.day = b.day + l.lag),
+        |st AS (
+        |  SELECT lag, count(*)::HUGEINT AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+        |    sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM lagged GROUP BY lag)
+        |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+        |  round((n*sxy - sx*sy)::DOUBLE /
+        |    sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6)
+        |    AS r
+        |FROM st""".stripMargin,
+
+    "events_seasonality" ->
+      """WITH ev AS (
+        |  SELECT (dayofweek(ts::DATE) + 1)::INT AS dow,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |byd AS (SELECT dow, count(*)::BIGINT AS n_events,
+        |    sum(cents)::BIGINT AS sum_cents FROM ev GROUP BY dow),
+        |tot AS (SELECT count(*)::HUGEINT AS tn, sum(cents)::HUGEINT AS ts_
+        |  FROM ev)
+        |SELECT dow, n_events, sum_cents,
+        |  round((sum_cents::HUGEINT * tn)::DOUBLE /
+        |    (ts_ * n_events::HUGEINT)::DOUBLE, 6) AS rev_index
+        |FROM byd CROSS JOIN tot""".stripMargin,
+
     "events_streaks" ->
       """WITH daily AS (
         |  SELECT event_type,
@@ -5045,6 +5175,48 @@ object SparkEntry {
         |    AS dof,
         |  max(n)::BIGINT AS n_rows
         |FROM t GROUP BY pair""".stripMargin,
+
+    "privacy_erasure" ->
+      """WITH del AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        |delord AS (
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM del))
+        |SELECT 'customer' AS tbl, count(*)::BIGINT AS rows_total,
+        |  sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS rows_erased,
+        |  (count(*) - sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END))
+        |    ::BIGINT AS rows_remaining
+        |FROM customer c LEFT JOIN del d ON c.c_custkey = d.k
+        |UNION ALL
+        |SELECT 'orders', count(*)::BIGINT,
+        |  sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  (count(*) - sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END))
+        |    ::BIGINT
+        |FROM orders o LEFT JOIN del d ON o.o_custkey = d.k
+        |UNION ALL
+        |SELECT 'lineitem', count(*)::BIGINT,
+        |  sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  (count(*) - sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END))
+        |    ::BIGINT
+        |FROM lineitem l LEFT JOIN delord d ON l.l_orderkey = d.k"""
+        .stripMargin,
+
+    "profile_benford" ->
+      """WITH dig AS (
+        |  SELECT left(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1)::INT AS digit
+        |  FROM orders),
+        |tot AS (SELECT count(*)::BIGINT AS total FROM dig)
+        |SELECT digit, count(*)::BIGINT AS n_orders,
+        |  round(count(*)::DOUBLE / total::DOUBLE, 6) AS obs_ratio,
+        |  CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |    WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+        |    WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+        |    WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |    WHEN 9 THEN 0.045757 END AS benford_ratio
+        |FROM dig CROSS JOIN tot
+        |GROUP BY digit, total""".stripMargin,
 
     "privacy_k_anonymity" ->
       """WITH qi AS (

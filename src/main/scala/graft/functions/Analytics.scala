@@ -48,6 +48,40 @@ object Analytics {
       round(intercept, 2).as("intercept"))
   }
 
+  /** Sample autocorrelation function of an integer-valued series at
+    * lags 1..maxLag: Pearson r between (v_t, v_{t-lag}) over the pairs
+    * both sides cover, the pairwise-complete estimator pandas'
+    * `Series.autocorr` uses. Input is an already-aggregated
+    * (period, value) frame — the corpus-sized work (rolling 100 TB of
+    * raw events up to one row per period) happens BEFORE this call, so
+    * the lag joins here touch a calendar-bounded frame: maxLag narrow
+    * self-joins over ≤ one row per period, never the raw data. Exact
+    * DECIMAL sufficient statistics + one fixed-association double
+    * division per lag keep the result bit-reproducible (see object
+    * doc).
+    */
+  def autocorrelation(series: DataFrame, periodCol: String,
+                      valueCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val base = series.select(col(periodCol).cast("long").as("p"),
+      valueCol.cast(D).as("v"))
+    val lagged = (1 to maxLag).map { l =>
+      base.as("a").join(base.as("b"), col("a.p") === col("b.p") + l)
+        .select(lit(l).as("lag"), col("a.v").as("x"), col("b.v").as("y"))
+    }.reduce(_ unionAll _)
+    val st = lagged.groupBy("lag")
+      .agg(count(lit(1)).cast(D).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    st.select(col("lag"), col("n").cast("long").as("n_pairs"),
+      round(num / sqrt(dx * dy), 6).as("r"))
+  }
+
   /** Pearson correlation for each named pair of scaled-integer columns,
     * computed in ONE pass: a single global aggregate collects every
     * distinct column's moments and cross-moments, then the long-form
