@@ -1533,6 +1533,77 @@ object SparkEntry {
             .otherwise(3).as("bin"))
     }),
 
+    "ml_calibration_bins" -> ((s, dir) => {
+      // reliability diagram for the keep-prob gate: decile bins of the
+      // predicted probability vs the empirical rate of the quality
+      // pseudo-label. Bins come from the EXACT 4-dp scaled-integer
+      // prob (p4 div 1000), so bucketing can't straddle a float ulp;
+      // one map-only scoring pass + a 10-group rollup.
+      val docs = t(s, dir, "documents")
+      val quality = TextFunctions.qualityScore(col("text"))
+      val lenNorm = least(
+        TextFunctions.tokenCount(col("text")).cast("double") / lit(256.0),
+        lit(1.0))
+      val prob = Curation.linearKeepProb(-1.4, quality -> 2.2,
+        lenNorm -> 1.1)
+      docs.select(
+          round(prob * 10000).cast("long").as("p4"),
+          when(quality >= 0.5, 1L).otherwise(0L).as("pos"))
+        .select(least(col("p4") / 1000, lit(9L)).cast("int").as("bin"),
+          col("p4"), col("pos"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("p4").cast("double") /
+            (count(lit(1)) * 10000).cast("double"), 6).as("mean_prob"),
+          round(sum("pos").cast("double") /
+            count(lit(1)).cast("double"), 6).as("label_rate"))
+    }),
+
+    "ml_eval_metrics" -> ((s, dir) => {
+      // threshold sweep for the same gate: precision/recall/F1/accuracy
+      // at 9 operating points in ONE scan — docs cross the broadcast
+      // 9-row threshold frame, and the map-side-combined rollup leaves
+      // 9 rows. Ratios are single divisions of exact integer counts
+      // (F1 in the 2tp/(2tp+fp+fn) form — no nested rounding).
+      val docs = t(s, dir, "documents")
+      val quality = TextFunctions.qualityScore(col("text"))
+      val lenNorm = least(
+        TextFunctions.tokenCount(col("text")).cast("double") / lit(256.0),
+        lit(1.0))
+      val prob = Curation.linearKeepProb(-1.4, quality -> 2.2,
+        lenNorm -> 1.1)
+      val scored = docs.select(
+        round(prob * 10000).cast("long").as("p4"),
+        when(quality >= 0.5, 1L).otherwise(0L).as("pos"))
+      import s.implicits._
+      val thdf = (1 to 9).map(_ * 1000).toDF("threshold_p4")
+      scored.crossJoin(broadcast(thdf))
+        .groupBy("threshold_p4")
+        .agg(
+          sum(when(col("p4") >= col("threshold_p4") &&
+            col("pos") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("p4") >= col("threshold_p4") &&
+            col("pos") === 0L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("p4") < col("threshold_p4") &&
+            col("pos") === 1L, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("p4") < col("threshold_p4") &&
+            col("pos") === 0L, 1L).otherwise(0L)).as("tn"))
+        .select(col("threshold_p4"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          round(col("tp").cast("double") /
+            nullif(col("tp") + col("fp"), lit(0L)).cast("double"), 6)
+            .as("precision"),
+          round(col("tp").cast("double") /
+            nullif(col("tp") + col("fn"), lit(0L)).cast("double"), 6)
+            .as("recall"),
+          round((col("tp") * 2).cast("double") /
+            nullif(col("tp") * 2 + col("fp") + col("fn"), lit(0L))
+              .cast("double"), 6).as("f1"),
+          round((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn"))
+              .cast("double"), 6).as("accuracy"))
+    }),
+
     "curate_quality_gate" -> ((s, dir) => {
       // linear-classifier keep gate: fixed-weight score over the
       // quality signal and normalized length, squashed by the algebraic
@@ -4069,6 +4140,80 @@ object SparkEntry {
         QualityGateOracle, budgetTokens = 2048, shardSize = 100),
 
     "curate_quality_gate" -> QualityGateOracle,
+
+    "ml_calibration_bins" ->
+      s"""WITH q AS ($QualityOracle),
+         |n AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+         |      AS n_tokens
+         |  FROM documents),
+         |z AS (
+         |  SELECT q.doc_id, q.quality,
+         |    -1.4 + q.quality * 2.2 +
+         |      least(n.n_tokens / 256.0, 1.0) * 1.1 AS z
+         |  FROM q JOIN n USING (doc_id)),
+         |p AS (
+         |  SELECT doc_id, quality,
+         |    round(CAST(CAST((0.5 + 0.5 * z / (1.0 + abs(z)))
+         |      AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS keep_prob
+         |  FROM z),
+         |sc AS (
+         |  SELECT CAST(round(keep_prob * 10000) AS BIGINT) AS p4,
+         |    CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS pos
+         |  FROM p)
+         |SELECT least(p4 // 1000, 9)::INT AS bin,
+         |  count(*)::BIGINT AS n_docs,
+         |  round(sum(p4)::DOUBLE / (count(*) * 10000)::DOUBLE, 6)
+         |    AS mean_prob,
+         |  round(sum(pos)::DOUBLE / count(*)::DOUBLE, 6) AS label_rate
+         |FROM sc GROUP BY 1""".stripMargin,
+
+    "ml_eval_metrics" ->
+      s"""WITH q AS ($QualityOracle),
+         |n AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+         |      AS n_tokens
+         |  FROM documents),
+         |z AS (
+         |  SELECT q.doc_id, q.quality,
+         |    -1.4 + q.quality * 2.2 +
+         |      least(n.n_tokens / 256.0, 1.0) * 1.1 AS z
+         |  FROM q JOIN n USING (doc_id)),
+         |p AS (
+         |  SELECT doc_id, quality,
+         |    round(CAST(CAST((0.5 + 0.5 * z / (1.0 + abs(z)))
+         |      AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS keep_prob
+         |  FROM z),
+         |sc AS (
+         |  SELECT CAST(round(keep_prob * 10000) AS BIGINT) AS p4,
+         |    CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS pos
+         |  FROM p),
+         |th AS (SELECT unnest([1000, 2000, 3000, 4000, 5000, 6000,
+         |    7000, 8000, 9000]) AS threshold_p4),
+         |m AS (
+         |  SELECT threshold_p4,
+         |    sum(CASE WHEN p4 >= threshold_p4 AND pos = 1
+         |      THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |    sum(CASE WHEN p4 >= threshold_p4 AND pos = 0
+         |      THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |    sum(CASE WHEN p4 < threshold_p4 AND pos = 1
+         |      THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |    sum(CASE WHEN p4 < threshold_p4 AND pos = 0
+         |      THEN 1 ELSE 0 END)::BIGINT AS tn
+         |  FROM sc CROSS JOIN th GROUP BY 1)
+         |SELECT threshold_p4::INT AS threshold_p4, tp, fp, fn, tn,
+         |  round(tp::DOUBLE / nullif(tp + fp, 0)::DOUBLE, 6)
+         |    AS "precision",
+         |  round(tp::DOUBLE / nullif(tp + fn, 0)::DOUBLE, 6) AS recall,
+         |  round((tp * 2)::DOUBLE / nullif(tp * 2 + fp + fn, 0)::DOUBLE,
+         |    6) AS f1,
+         |  round((tp + tn)::DOUBLE / (tp + fp + fn + tn)::DOUBLE, 6)
+         |    AS accuracy
+         |FROM m""".stripMargin,
 
     "curate_source_quality" ->
       s"""WITH q0 AS ($QualityOracle),
