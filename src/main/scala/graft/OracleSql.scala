@@ -346,6 +346,72 @@ object OracleSql {
     * must be a non-negative BIGINT (signed bit-pattern == HUGEINT value;
     * l_orderkey >= 1 by construction).
     */
+  /** Oracle for `approx_jaccard_kmv`: KMV/theta set algebra between
+    * the even- and odd-doc token-hash sets, reproduced exactly. Per
+    * side: distinct XXH64 token hashes (seed 42, the [[tokenHashCtes]]
+    * emulation), the k unsigned-smallest retained, theta = k-th value
+    * (2^64 sentinel below k). Global theta = least of the two; the
+    * theta-filtered retained sets give the exact sample intersection/
+    * union the engine computes on its two deserialized sketch buffers,
+    * and the union estimate re-runs the KMV estimator on the merged
+    * k-min set — all HUGEINT, no floats.
+    */
+  def approxJaccardKmv(k: Int = 256): String = {
+    val km1 = k - 1
+    s"""WITH ${tokenHashCtes()},
+       |sides AS (
+       |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END
+       |    AS side, thu FROM tokh),
+       |dh AS (SELECT DISTINCT side, thu FROM sides),
+       |rk AS (SELECT side, thu,
+       |    row_number() OVER (PARTITION BY side ORDER BY thu) AS rn,
+       |    count(*) OVER (PARTITION BY side) AS n
+       |  FROM dh),
+       |ret AS (SELECT side, thu, rn, n FROM rk WHERE rn <= $k),
+       |th AS (SELECT side, max(n) AS n,
+       |    CASE WHEN max(n) >= $k
+       |      THEN max(CASE WHEN rn = $k THEN thu END)
+       |      ELSE 18446744073709551616::HUGEINT END AS theta
+       |  FROM ret GROUP BY side),
+       |est AS (SELECT side,
+       |    CASE WHEN n < $k THEN n::HUGEINT
+       |      ELSE ($km1::HUGEINT * 18446744073709551616) // theta END
+       |      AS est
+       |  FROM th),
+       |g AS (SELECT min(theta) AS theta FROM th),
+       |sa AS (SELECT r.thu FROM ret r, g
+       |  WHERE r.side = 'even' AND r.thu < g.theta),
+       |sb AS (SELECT r.thu FROM ret r, g
+       |  WHERE r.side = 'odd' AND r.thu < g.theta),
+       |samp AS (SELECT
+       |    (SELECT count(*) FROM sa JOIN sb ON sa.thu = sb.thu)::HUGEINT
+       |      AS inter,
+       |    (SELECT count(DISTINCT thu) FROM
+       |      (SELECT thu FROM sa UNION ALL SELECT thu FROM sb))::HUGEINT
+       |      AS uni),
+       |um AS (SELECT DISTINCT thu FROM ret),
+       |urk AS (SELECT thu,
+       |    row_number() OVER (ORDER BY thu) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM um),
+       |uag AS (SELECT max(CASE WHEN rn = $k THEN thu END) AS uk,
+       |    least(max(n), $k) AS n
+       |  FROM urk WHERE rn <= $k),
+       |uest AS (SELECT CASE WHEN n < $k THEN n::HUGEINT
+       |    ELSE ($km1::HUGEINT * 18446744073709551616) // uk END AS est
+       |  FROM uag)
+       |SELECT
+       |  (SELECT est FROM est WHERE side = 'even')::BIGINT AS n_even_est,
+       |  (SELECT est FROM est WHERE side = 'odd')::BIGINT AS n_odd_est,
+       |  (SELECT est FROM uest)::BIGINT AS union_est,
+       |  samp.inter::BIGINT AS sample_inter,
+       |  samp.uni::BIGINT AS sample_union,
+       |  (CASE WHEN samp.uni = 0 THEN 0
+       |    ELSE (samp.inter * 1000000) // samp.uni END)::BIGINT
+       |    AS jaccard_ppm
+       |FROM samp""".stripMargin
+  }
+
   def approxDistinctKmv(k: Int = 256): String = {
     val ch = new Chain("kv",
       "SELECT DISTINCT l_returnflag AS grp, l_orderkey::HUGEINT AS lv FROM lineitem")

@@ -1406,6 +1406,63 @@ object SparkEntry {
           Cms.cms_estimate(lit(state), col("token"), d = 4).as("cms_cnt"))
     }),
 
+    "approx_jaccard_kmv" -> ((s, dir) => {
+      // sketch SET ALGEBRA (Beyer et al. KMV / theta-sketch style):
+      // how much do two corpus partitions overlap, WITHOUT comparing
+      // them? One distributed pass reduces each side's distinct token
+      // hashes to a 256-entry k-min sketch; the driver-side algebra
+      // then runs on two ~2 KB states (bounded by construction):
+      // theta = min of the two k-th values, the theta-filtered
+      // retained sets give a uniform sample of each side, and
+      // |SA∩SB| / |SA∪SB| estimates the Jaccard — everything integer,
+      // so the oracle reproduces each estimate bit-for-bit.
+      import graft.expressions.{KmvBuffer, Sketches}
+      val k = 256
+      val toks = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      val states = toks
+        .select(when(col("doc_id") % 2 === 0, "even").otherwise("odd")
+          .as("side"), col("token"))
+        .groupBy("side")
+        .agg(Sketches.kmv_state(col("token"), k).as("st"))
+        .collect().map(r => r.getString(0) ->
+          r.getAs[Array[Byte]](1)).toMap
+      def parse(bytes: Array[Byte]): Array[Long] = {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        bb.getInt // k
+        Array.fill(bb.getInt)(bb.getLong)
+      }
+      val (ea, eb) = (parse(states("even")), parse(states("odd")))
+      // theta per side: k-th smallest (unsigned) or "infinity" below k
+      def theta(set: Array[Long]): Option[Long] =
+        if (set.length < k) None else Some(set.last)
+      val g = (theta(ea), theta(eb)) match {
+        case (Some(a), Some(b)) =>
+          Some(if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b)
+        case (a, b) => a.orElse(b)
+      }
+      def below(set: Array[Long]): Set[Long] = g match {
+        case None => set.toSet
+        case Some(t) =>
+          set.filter(java.lang.Long.compareUnsigned(_, t) < 0).toSet
+      }
+      val (sa, sb) = (below(ea), below(eb))
+      val inter = (sa & sb).size.toLong
+      val uni = (sa | sb).size.toLong
+      val bufA = KmvBuffer.fromBytes(states("even"))
+      val bufU = KmvBuffer.fromBytes(states("even"))
+      bufU.mergeWith(KmvBuffer.fromBytes(states("odd")))
+      val jacPpm = if (uni == 0L) 0L else inter * 1000000L / uni
+      import s.implicits._
+      Seq((bufA.estimate,
+        KmvBuffer.fromBytes(states("odd")).estimate,
+        bufU.estimate, inter, uni, jacPpm))
+        .toDF("n_even_est", "n_odd_est", "union_est", "sample_inter",
+          "sample_union", "jaccard_ppm")
+    }),
+
     "heavy_hitters_mg" -> ((s, dir) => {
       // Misra-Gries frequent items, candidates-then-verify: one pass
       // builds a 64-counter mergeable summary whose candidate set
@@ -2936,6 +2993,65 @@ object SparkEntry {
         .drop("ts")
     }),
 
+    "recs_item_cosine" -> ((s, dir) => {
+      // item-item collaborative filtering: top-3 neighbors per part by
+      // co-purchase cosine. Squared cosine in exact ppm
+      // (co²·10⁶ div (ca·cb)) keeps the ranking integer-exact without
+      // sqrt; monotone in cosine, so the order is the same. Pair
+      // fan-out stays WITHIN an order (bounded basket); the ranking
+      // window runs on the already-reduced pair frame, not the facts;
+      // per-part order counts are dimension-sized → broadcast.
+      val d = "decimal(38,0)"
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pc = li.groupBy("l_partkey").agg(count(lit(1)).as("pc"))
+      val co = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"),
+          col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("co"))
+      val sym = co.select(col("pa").as("item"), col("pb").as("neighbor"),
+          col("co"))
+        .unionAll(co.select(col("pb").as("item"), col("pa").as("neighbor"),
+          col("co")))
+      val scored = sym
+        .join(broadcast(pc).withColumnRenamed("l_partkey", "item")
+          .withColumnRenamed("pc", "ci"), Seq("item"))
+        .join(broadcast(pc).withColumnRenamed("l_partkey", "neighbor")
+          .withColumnRenamed("pc", "cn"), Seq("neighbor"))
+        .select(col("item"), col("neighbor"), col("co"),
+          expr(s"(cast(co AS $d) * co * 1000000)" +
+            s" div (cast(ci AS $d) * cn)").as("cos2_ppm"))
+      val w = Window.partitionBy("item")
+        .orderBy(col("cos2_ppm").desc, col("co").desc,
+          col("neighbor").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("item"), col("rank").cast("int").as("rank"),
+          col("neighbor"), col("co"), col("cos2_ppm"))
+    }),
+
+    "index_postings" -> ((s, dir) => {
+      // inverted-index construction: per token, document frequency and
+      // the first-10 posting list — the head of each posting list via
+      // the bounded top-k aggregate (ordKey = -doc_id keeps the
+      // SMALLEST ids with <=10 entries of map-side state per token),
+      // never a collect of the full posting list. df >= 5 prunes the
+      // hapax tail that would dominate row count without serving
+      // retrieval.
+      val toks = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .distinct()
+      toks.groupBy("token")
+        .agg(count(lit(1)).as("df"),
+          array_join(graft.expressions.TopKBy.top_k_by(-col("doc_id"),
+            col("doc_id"), 10), ",").as("postings_head"))
+        .filter(col("df") >= 5)
+    }),
+
     "basket_lift" -> ((s, dir) => {
       // market-basket association: part pairs co-purchased in one
       // order, ranked by support with integer-exact lift
@@ -4340,6 +4456,8 @@ object SparkEntry {
     "heavy_hitters_cms" ->
       OracleSql.heavyHittersCms(d = 4, w = 32, vocabFactor = 32),
 
+    "approx_jaccard_kmv" -> OracleSql.approxJaccardKmv(k = 256),
+
     "heavy_hitters_mg" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
@@ -5244,6 +5362,46 @@ object SparkEntry {
         |  (lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    IS NULL) AS is_current
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "recs_item_cosine" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT l_partkey, count(*) AS pc FROM li GROUP BY 1),
+        |co AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS co
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT pa AS item, pb AS neighbor, co FROM co
+        |  UNION ALL
+        |  SELECT pb AS item, pa AS neighbor, co FROM co),
+        |sc AS (
+        |  SELECT s.item, s.neighbor, s.co,
+        |    ((s.co::HUGEINT * s.co * 1000000)
+        |      // (ci.pc::HUGEINT * cn.pc))::BIGINT AS cos2_ppm
+        |  FROM sym s
+        |  JOIN pc ci ON ci.l_partkey = s.item
+        |  JOIN pc cn ON cn.l_partkey = s.neighbor)
+        |SELECT item,
+        |  CAST(row_number() OVER (PARTITION BY item
+        |    ORDER BY cos2_ppm DESC, co DESC, neighbor ASC) AS INTEGER)
+        |    AS rank,
+        |  neighbor, co, cos2_ppm
+        |FROM sc
+        |QUALIFY rank <= 3""".stripMargin,
+
+    "index_postings" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (SELECT DISTINCT doc_id, token FROM raw)
+        |SELECT token, count(*)::BIGINT AS df,
+        |  array_to_string((array_agg(doc_id ORDER BY doc_id))[1:10], ',')
+        |    AS postings_head
+        |FROM toks GROUP BY token HAVING count(*) >= 5""".stripMargin,
 
     "basket_lift" ->
       """WITH li AS (
