@@ -2821,6 +2821,65 @@ object SparkEntry {
           (col("st.l") + col("st.b")).as("forecast_cents"))
     }),
 
+    "events_rolling_dau" -> ((s, dir) => {
+      // exact rolling 7-day active users via the bitmap sketch-store:
+      // ONE distributed pass reduces each day to a compressed user
+      // bitmap; the 7-day window is then an OR-merge over the
+      // calendar-bounded daily states — exact WAU without re-scanning
+      // raw events per window (the sliding-window twin of the
+      // bitmap_rollup pattern). Stickiness = DAU/WAU in exact ppm.
+      import graft.expressions.Bitmaps
+      val ev = t(s, dir, "events")
+        .select(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("day"), col("user_id"))
+      val daily = ev.groupBy("day")
+        .agg(Bitmaps.bitmap_state(col("user_id")).as("bm"),
+          Bitmaps.bitmap_distinct(col("user_id")).as("dau"))
+      daily.as("a")
+        .join(daily.as("b"),
+          col("b.day").between(col("a.day") - 6, col("a.day")))
+        .groupBy(col("a.day").as("day"))
+        .agg(max(col("a.dau")).as("dau"),
+          Bitmaps.bitmap_merge_count(col("b.bm")).as("wau7"))
+        .select(col("day"), col("dau"), col("wau7"),
+          expr("cast((cast(dau AS decimal(38,0)) * 1000000)" +
+            " div wau7 AS bigint)").as("stickiness_ppm"))
+    }),
+
+    "events_new_users" -> ((s, dir) => {
+      // acquisition curve: users attributed to their first-seen day,
+      // plus the cumulative registered base — one narrow (user → min
+      // day) rollup, a per-day count, and a running sum over the
+      // calendar-bounded daily frame
+      val ev = t(s, dir, "events")
+        .select(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("day"), col("user_id"))
+      val firstSeen = ev.groupBy("user_id").agg(min("day").as("day"))
+      val perDay = firstSeen.groupBy("day")
+        .agg(count(lit(1)).as("new_users"))
+      perDay.withColumn("cum_users",
+        sum("new_users").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
+    "events_forecast_backtest" -> ((s, dir) => {
+      // seasonal-naive forecast backtest: predict day d's revenue with
+      // day d-7's, score absolute percentage error in exact ppm — the
+      // baseline every fancier forecaster must beat, and the shape of
+      // a rolling model-quality monitor. Corpus work is one daily
+      // rollup; the lag join and APE math run on the calendar frame.
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      daily.as("a")
+        .join(daily.as("f"), col("a.day") === col("f.day") + 7)
+        .select(col("a.day").as("day"), col("a.cents").as("actual_cents"),
+          col("f.cents").as("forecast_cents"),
+          expr("cast((abs(cast(a.cents AS decimal(38,0)) - f.cents)" +
+            " * 1000000) div a.cents AS bigint)").as("ape_ppm"))
+    }),
+
     "events_autocorr" -> ((s, dir) => {
       // ACF of daily revenue at lags 1..7 — the periodicity detector
       // behind seasonality-aware monitors. The corpus-sized work is one
@@ -5197,6 +5256,47 @@ object SparkEntry {
         |  (h.l + h.b)::BIGINT AS forecast_cents
         |FROM ser s JOIN holt h
         |  ON h.event_type = s.event_type AND h.i = len(s.series)""".stripMargin,
+
+    "events_rolling_dau" ->
+      """WITH ev AS (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::INT
+        |    AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau
+        |  FROM ev GROUP BY 1),
+        |wau AS (
+        |  SELECT d.day, count(DISTINCT e.user_id)::BIGINT AS wau7
+        |  FROM (SELECT DISTINCT day FROM ev) d
+        |  JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau7,
+        |  ((dau.dau::HUGEINT * 1000000) // wau.wau7)::BIGINT
+        |    AS stickiness_ppm
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
+
+    "events_new_users" ->
+      """WITH ev AS (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::INT
+        |    AS day, user_id FROM events),
+        |fs AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+        |pd AS (SELECT day, count(*)::BIGINT AS new_users
+        |  FROM fs GROUP BY 1)
+        |SELECT day, new_users,
+        |  sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cum_users
+        |FROM pd""".stripMargin,
+
+    "events_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::INT
+        |    AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1)
+        |SELECT a.day, a.cents AS actual_cents,
+        |  f.cents AS forecast_cents,
+        |  ((abs(a.cents::HUGEINT - f.cents) * 1000000)
+        |    // a.cents)::BIGINT AS ape_ppm
+        |FROM daily a JOIN daily f ON a.day = f.day + 7""".stripMargin,
 
     "events_autocorr" ->
       """WITH daily AS (
