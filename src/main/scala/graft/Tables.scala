@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-provided synthetic star schema (TESTDATA.md).
   * One parquet file per table under the scale-factor directory.
@@ -21,6 +21,15 @@ object Tables {
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType)) {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else if (name == "events" &&
+        df.schema.fields.exists(f =>
+          f.name == "ts" && f.dataType == TimestampNTZType)) {
+      // the fixture has also shipped as TIMESTAMP(µs) without UTC
+      // adjustment, which Spark reads as TIMESTAMP_NTZ; sessions pin
+      // timeZone=UTC, so the NTZ→LTZ cast reinterprets the wall clock
+      // at the same instant. Streaming watermarks (and the Event
+      // encoders) require TimestampType, so normalize here once.
+      df.withColumn("ts", col("ts").cast(TimestampType))
     } else df
   }
 }

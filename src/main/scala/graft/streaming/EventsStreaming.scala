@@ -259,6 +259,43 @@ object EventsStreaming {
         .as("cms"))
       .select(col("window.start").as("hour"), col("cms"))
 
+  /** Watermarked per-window Misra–Gries trending summary: each closed
+    * window emits the ≤ k candidate items guaranteed (superset bound,
+    * see [[graft.expressions.MisraGriesAgg]]) to contain every item
+    * above `n/(k+1)` of that window's stream — the "what's trending
+    * this hour" feed. State per open window is k counters, evicted by
+    * the watermark; candidate order inside the summary depends on
+    * arrival order (inherent to MG), so consumers treat the array as a
+    * SET and verify counts downstream exactly like the batch
+    * `heavy_hitters_mg` query.
+    */
+  def windowedTrending(events: DataFrame,
+                       lateness: String = "30 minutes",
+                       k: Int = 16): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.expressions.Frequent.mg_candidates(col("event_type"), k)
+        .as("trending"))
+      .select(col("window.start").as("hour"), col("trending"))
+
+  /** Watermarked per-window EXACT user bitmap — the streaming writer
+    * for the [[graft.expressions.BitmapStateAgg]] sketch-store: one
+    * compressed bitmap per closed window, OR-mergeable downstream into
+    * any coarser window (day, rolling 7-day) at zero error — the
+    * streaming twin of the batch `events_rolling_dau` pattern. State
+    * is proportional to distinct users in the open window (1 bit/user
+    * in dense pages), evicted by the watermark.
+    */
+  def windowedUserBitmap(events: DataFrame,
+                         lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.expressions.Bitmaps.bitmap_state(col("user_id"))
+        .as("bm"))
+      .select(col("window.start").as("hour"), col("bm"))
+
   /** Watermarked stream-stream interval join: each left event pairs
     * with right-stream events for the same key inside
     * `[l.ts, l.ts + windowSeconds]` — e.g. purchases attributed to the

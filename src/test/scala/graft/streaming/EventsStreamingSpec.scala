@@ -211,6 +211,56 @@ class EventsStreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed MG trending is a superset of exact heavy hitters") {
+    val dir = Files.createTempDirectory("graft-mg-stream").toString
+    val batch = eventsBatch
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val k = 4
+    val streamed = EventsStreaming.drainToMemory(
+      EventsStreaming.windowedTrending(stream, k = k),
+      "mg_win", s"$dir/ckpt", OutputMode.Update)
+    val got = streamed
+      .as[(java.sql.Timestamp, Seq[String])].collect()
+      .map { case (h, c) => h -> c.toSet }.toMap
+    assert(got.nonEmpty)
+    // exact per-window type counts; every type above n/(k+1) must be
+    // in that window's candidate set, and candidates stay bounded at k
+    val exact = batch
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .groupBy(_._1)
+    exact.foreach { case (hour, rows) =>
+      val n = rows.map(_._3).sum
+      val mustHave = rows.filter(_._3 * (k + 1) > n).map(_._2).toSet
+      val cands = got.getOrElse(hour, Set.empty)
+      assert(cands.size <= k)
+      assert(mustHave.subsetOf(cands),
+        s"window $hour missing ${mustHave -- cands}")
+    }
+  }
+
+  test("streaming windowed user bitmaps OR-merge to the exact batch total") {
+    val dir = Files.createTempDirectory("graft-bm-stream").toString
+    val batch = eventsBatch
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val streamed = EventsStreaming.drainToMemory(
+      EventsStreaming.windowedUserBitmap(stream),
+      "bm_win", s"$dir/ckpt", OutputMode.Update)
+    // the stored per-window states answer the coarser question exactly:
+    // OR-merging every window's bitmap = global distinct users
+    val merged = streamed
+      .agg(graft.expressions.Bitmaps.bitmap_merge_count(col("bm")))
+      .as[Long].head()
+    val exact = batch.select(countDistinct(col("user_id")))
+      .as[Long].head()
+    assert(merged == exact && exact > 0,
+      s"merged window bitmaps ($merged) must equal exact distinct ($exact)")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val dir = Files.createTempDirectory("graft-ssjoin").toString
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
