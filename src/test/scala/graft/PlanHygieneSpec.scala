@@ -67,6 +67,39 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("inverted-index postings use the bounded agg, not a window sort") {
+    val plan = SparkEntry.queries("index_postings")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_by"),
+      "expected the bounded top_k_by aggregate for posting heads")
+    assert(!plan.contains("Window"),
+      "posting heads must not re-sort every posting through a window")
+  }
+
+  test("rolling-DAU merges day bitmaps, never re-shuffles raw user ids") {
+    // the windowed OR-merge must consume the per-day states: exactly
+    // one aggregate over raw user_id (the daily bitmap build); the
+    // 7-day roll touches only the day-keyed state frame
+    val plan = SparkEntry.queries("events_rolling_dau")(
+      spark, sf("sf0.001")).queryExecution.optimizedPlan.toString
+    assert(plan.contains("bitmap_merge_count"),
+      "expected the bitmap state merge for the 7-day window")
+    val rawAggs = plan.linesIterator
+      .count(l => l.contains("bitmap_state(user_id") ||
+        l.contains("bitmap_state(cast(user_id"))
+    assert(rawAggs <= 2, // logical plan may show partial+final
+      s"raw user_id must be bitmapped once, not per window:\n$plan")
+  }
+
+  test("erasure audit broadcasts the delete-key set to every fact scan") {
+    val plan = SparkEntry.queries("privacy_erasure")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "delete keys must broadcast, not shuffle the facts")
+    assert(!plan.contains("SortMergeJoin"),
+      s"erasure cascade must never sort-merge a fact table:\n${plan.take(2000)}")
+  }
+
   test("k-means assignment plans as one native node, not k subtrees") {
     val df = SparkEntry.queries("cluster_kmeans")(spark, sf("sf0.001"))
     val plan = df.queryExecution.optimizedPlan.toString
