@@ -1968,6 +1968,28 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_mktsegment")
     }),
 
+    "profile_iqr_outliers" -> ((s, dir) => {
+      // Tukey-fence outlier monitor per market segment: one exact
+      // quantile pass reduces each segment to (q1, q3) — ROUNDED to
+      // 4 dp BEFORE the fence arithmetic so both engines derive the
+      // fences from identical doubles — then one broadcast-join
+      // counting pass. No window, no second sort.
+      val cust = t(s, dir, "customer")
+      val fences = cust.groupBy("c_mktsegment").agg(
+        round(expr("percentile(c_acctbal, 0.25)"), 4).as("q1"),
+        round(expr("percentile(c_acctbal, 0.75)"), 4).as("q3"))
+      val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+      val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+      cust.join(broadcast(fences), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+          sum(when(col("c_acctbal") < lo, 1L).otherwise(0L))
+            .as("n_low_outliers"),
+          sum(when(col("c_acctbal") > hi, 1L).otherwise(0L))
+            .as("n_high_outliers"))
+    }),
+
     "percentiles" -> ((s, dir) => {
       t(s, dir, "orders").groupBy("o_orderstatus").agg(
         round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
@@ -3166,6 +3188,37 @@ object SparkEntry {
           sum("rev").as("revenue_cents"))
         .withColumn("heavy_ppm",
           expr("(n_heavy * 1000000) div n_users"))
+    }),
+
+    "multimodal_ahash_dups" -> ((s, dir) => {
+      // image near-dup pairs over the perceptual hash: 4×16-bit
+      // pigeonhole bands generate candidates (hamming ≤ 3 ⇒ at least
+      // one band equal — sound by pigeonhole), then the exact
+      // bit_count(XOR) verifies. The same candidates-then-verify shape
+      // as simhash text dedup, applied to the REAL PNG decode path —
+      // no all-pairs comparison ever materializes.
+      val h = Multimodal.averageHashes(
+        Multimodal.renderPngImages(t(s, dir, "documents"))).toDF()
+        .select(col("media_id"), col("ahash"))
+      val bands = h.select(col("media_id"), col("ahash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            (shiftright(col("ahash"), b * 16).cast("long")
+              .bitwiseAND(lit(65535L))).as("bval"))): _*)).as("bb"))
+        .select(col("media_id"), col("ahash"),
+          col("bb.band"), col("bb.bval"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bval") === col("b.bval") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"),
+          col("b.media_id").as("id_b"),
+          col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+        .distinct()
+        .select(col("id_a"), col("id_b"),
+          expr("cast(bit_count(ha ^ hb) AS int)").as("hamming"))
+        .filter(col("hamming") <= 3)
     }),
 
     "multimodal_ahash" -> ((s, dir) => {
@@ -4670,6 +4723,20 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)""".stripMargin,
 
+    "profile_iqr_outliers" ->
+      """WITH f AS (
+        |  SELECT c_mktsegment,
+        |    round(quantile_cont(c_acctbal, 0.25), 4) AS q1,
+        |    round(quantile_cont(c_acctbal, 0.75), 4) AS q3
+        |  FROM customer GROUP BY 1)
+        |SELECT c.c_mktsegment, count(*)::BIGINT AS n_cust, f.q1, f.q3,
+        |  sum(CASE WHEN c.c_acctbal < f.q1 - 1.5 * (f.q3 - f.q1)
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_low_outliers,
+        |  sum(CASE WHEN c.c_acctbal > f.q3 + 1.5 * (f.q3 - f.q1)
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_high_outliers
+        |FROM customer c JOIN f USING (c_mktsegment)
+        |GROUP BY 1, f.q1, f.q3""".stripMargin,
+
     "percentiles" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -5527,6 +5594,21 @@ object SparkEntry {
 
     "events_ab_test" -> OracleSql.eventsAbTest(),
     "multimodal_ahash" -> OracleSql.multimodalAhash(),
+
+    "multimodal_ahash_dups" ->
+      s"""WITH ah AS (${OracleSql.multimodalAhash()}),
+         |bands AS (
+         |  SELECT media_id, ahash, b.band,
+         |    (ahash >> (b.band * 16)) & 65535 AS bval
+         |  FROM ah, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         |    a.ahash AS ha, b.ahash AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bval = b.bval
+         |    AND a.media_id < b.media_id)
+         |SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "text_feature_hash" -> OracleSql.textFeatureHash(buckets = 64),
 
     "profile_gini" ->
