@@ -3191,32 +3191,38 @@ object SparkEntry {
     }),
 
     "multimodal_ahash_dups" -> ((s, dir) => {
-      // image near-dup pairs over the perceptual hash: 4×16-bit
-      // pigeonhole bands generate candidates (hamming ≤ 3 ⇒ at least
-      // one band equal — sound by pigeonhole), then the exact
-      // bit_count(XOR) verifies. The same candidates-then-verify shape
-      // as simhash text dedup, applied to the REAL PNG decode path —
-      // no all-pairs comparison ever materializes.
+      // image near-dup clusters over the perceptual hash, in the
+      // scale-correct order: EXACT-dedup identical hashes first (one
+      // narrow rollup — at web scale identical content dominates, and
+      // image-id pair lists over identical groups are quadratic in
+      // group size), THEN 4×16-bit pigeonhole bands over the DISTINCT
+      // signatures only (hamming ≤ 3 ⇒ some band equal), exact
+      // bit_count(XOR) verify. Output pairs DISTINCT hash groups with
+      // their sizes — the pair explosion can never return.
       val h = Multimodal.averageHashes(
         Multimodal.renderPngImages(t(s, dir, "documents"))).toDF()
-        .select(col("media_id"), col("ahash"))
-      val bands = h.select(col("media_id"), col("ahash"),
+        .groupBy("ahash")
+        .agg(min("media_id").as("rep_id"), count(lit(1)).as("n_images"))
+        .localCheckpoint(true) // decode once; banding + verify reuse
+      val bands = h.select(col("ahash"), col("rep_id"), col("n_images"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             (shiftright(col("ahash"), b * 16).cast("long")
               .bitwiseAND(lit(65535L))).as("bval"))): _*)).as("bb"))
-        .select(col("media_id"), col("ahash"),
+        .select(col("ahash"), col("rep_id"), col("n_images"),
           col("bb.band"), col("bb.bval"))
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") &&
             col("a.bval") === col("b.bval") &&
-            col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("id_a"),
-          col("b.media_id").as("id_b"),
-          col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+            col("a.rep_id") < col("b.rep_id"))
+        .select(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"),
+          col("a.ahash").as("ha"), col("b.ahash").as("hb"),
+          col("a.n_images").as("n_images_a"),
+          col("b.n_images").as("n_images_b"))
         .distinct()
-        .select(col("id_a"), col("id_b"),
+        .select(col("rep_a"), col("rep_b"), col("n_images_a"),
+          col("n_images_b"),
           expr("cast(bit_count(ha ^ hb) AS int)").as("hamming"))
         .filter(col("hamming") <= 3)
     }),
@@ -5597,17 +5603,23 @@ object SparkEntry {
 
     "multimodal_ahash_dups" ->
       s"""WITH ah AS (${OracleSql.multimodalAhash()}),
+         |hg AS (
+         |  SELECT ahash, min(media_id)::BIGINT AS rep_id,
+         |    count(*)::BIGINT AS n_images
+         |  FROM ah GROUP BY ahash),
          |bands AS (
-         |  SELECT media_id, ahash, b.band,
+         |  SELECT ahash, rep_id, n_images, b.band,
          |    (ahash >> (b.band * 16)) & 65535 AS bval
-         |  FROM ah, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |  FROM hg, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) b),
          |cand AS (
-         |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-         |    a.ahash AS ha, b.ahash AS hb
+         |  SELECT DISTINCT a.rep_id AS rep_a, b.rep_id AS rep_b,
+         |    a.ahash AS ha, b.ahash AS hb,
+         |    a.n_images AS n_images_a, b.n_images AS n_images_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bval = b.bval
-         |    AND a.media_id < b.media_id)
-         |SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
+         |    AND a.rep_id < b.rep_id)
+         |SELECT rep_a, rep_b, n_images_a, n_images_b,
+         |  bit_count(xor(ha, hb))::INT AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "text_feature_hash" -> OracleSql.textFeatureHash(buckets = 64),
 
