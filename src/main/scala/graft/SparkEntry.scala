@@ -330,6 +330,17 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
     }),
 
+    "agg_misc_functions" -> ((s, dir) => {
+      // modern-aggregate surface: count_if / bool_and / bool_or /
+      // median — the conveniences an analyst reaches for before any
+      // custom operator
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(expr("count_if(o_totalprice > 200000)").as("n_big"),
+          expr("bool_and(o_totalprice > 0)").as("all_positive"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+          round(expr("median(o_totalprice)"), 4).as("median_price"))
+    }),
+
     // ---------- SQL-surface breadth: windows ----------
     "window_topk_per_group" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -2621,6 +2632,32 @@ object SparkEntry {
         bandWidth = 64L)
     }),
 
+    "events_seasonal_anomaly" -> ((s, dir) => {
+      // seasonality-adjusted outlier days: daily revenue compared
+      // against ITS OWN day-of-week population (a Monday vs Mondays),
+      // so weekly rhythm never masquerades as an anomaly — the gate
+      // events_anomaly can't express. Same exact-integer z machinery:
+      // flag iff (n·cents − Σ)² > (n·Σc² − Σ²), i.e. |z| > 1 over the
+      // dow group, decided in DECIMAL before any float appears.
+      val d = "decimal(38,0)"
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .withColumn("dow", pmod(col("day"), lit(7)).cast("int"))
+      val st = daily.groupBy("dow")
+        .agg(count(lit(1)).cast(d).as("n"),
+          sum(col("cents").cast(d)).as("sc"),
+          sum(col("cents").cast(d) * col("cents").cast(d)).as("scc"))
+      daily.join(broadcast(st), Seq("dow"))
+        .withColumn("num", col("n") * col("cents").cast(d) - col("sc"))
+        .withColumn("den2", col("n") * col("scc") - col("sc") * col("sc"))
+        .filter(col("num") * col("num") > col("den2"))
+        .select(col("dow"), col("day"), col("cents"),
+          round(col("num").cast("double") /
+            sqrt(col("den2").cast("double")), 4).as("z"))
+    }),
+
     "events_anomaly" -> ((s, dir) => {
       // hourly-count anomaly flags per event type. The z>3 gate runs in
       // EXACT integer arithmetic — flag iff (n·cnt − Σc)² > 9·(n·Σc² −
@@ -3993,6 +4030,34 @@ object SparkEntry {
     "export_shards" -> OracleSql.exportShards(nShards = 8),
     "sample_budget_fill" -> OracleSql.sampleBudgetFill(budget = 4000L),
     "events_anomaly" -> OracleSql.eventsAnomaly(),
+
+    "events_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::INT
+        |    AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT day, cents, (day % 7)::INT AS dow FROM daily),
+        |st AS (
+        |  SELECT dow, count(*)::HUGEINT AS n,
+        |    sum(cents::HUGEINT) AS sc,
+        |    sum(cents::HUGEINT * cents) AS scc
+        |  FROM dd GROUP BY 1)
+        |SELECT dd.dow, dd.day, dd.cents,
+        |  round((st.n * dd.cents - st.sc)::DOUBLE /
+        |    sqrt((st.n * st.scc - st.sc * st.sc)::DOUBLE), 4) AS z
+        |FROM dd JOIN st ON dd.dow = st.dow
+        |WHERE (st.n * dd.cents - st.sc) * (st.n * dd.cents - st.sc)
+        |  > (st.n * st.scc - st.sc * st.sc)""".stripMargin,
+
+    "agg_misc_functions" ->
+      """SELECT o_orderstatus,
+        |  sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  round(median(o_totalprice), 4) AS median_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "unpivot_metrics" ->
       """SELECT p_partkey, metric, value FROM (
