@@ -2880,6 +2880,53 @@ object SparkEntry {
           (col("st.l") + col("st.b")).as("forecast_cents"))
     }),
 
+    "incr_distinct_merge" -> ((s, dir) => {
+      // incremental EXACT distinct maintenance: the historical window
+      // is reduced ONCE to per-type bitmap states (persistable), and
+      // each new day's delta state OR-merges in — distinct-users-to-
+      // date without ever rescanning history. The bitmap twin of the
+      // incr_agg/incr_join delta family; equals a full recompute
+      // exactly (lossless merge), which is what the oracle checks.
+      import graft.expressions.Bitmaps
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("day"), col("user_id"))
+      val hist = ev.filter(col("day") < 25)
+        .groupBy("event_type")
+        .agg(Bitmaps.bitmap_state(col("user_id")).as("bm"))
+      val delta = ev.filter(col("day") >= 25)
+        .groupBy("event_type")
+        .agg(Bitmaps.bitmap_state(col("user_id")).as("bm"))
+      hist.unionAll(delta)
+        .groupBy("event_type")
+        .agg(Bitmaps.bitmap_merge_count(col("bm")).as("n_users"))
+    }),
+
+    "orders_purchase_gaps" -> ((s, dir) => {
+      // inter-purchase cadence: days between consecutive orders per
+      // customer (lag window, partitioned by customer — shuffles the
+      // fact once on its natural key), rolled up to segment-level
+      // cadence stats. The repeat-purchase metric behind churn and
+      // replenishment models.
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+      val gaps = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"))
+        .withColumn("prev", lag("o_orderdate", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            col("prev").cast("date")).as("gap_days"))
+      gaps.join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg(col("gap_days")), 4).as("avg_gap_days"),
+          round(expr("percentile(gap_days, 0.5)"), 4)
+            .as("median_gap_days"),
+          max(col("gap_days")).as("max_gap_days"))
+    }),
+
     "events_rolling_dau" -> ((s, dir) => {
       // exact rolling 7-day active users via the bitmap sketch-store:
       // ONE distributed pass reduces each day to a compressed user
@@ -5394,6 +5441,28 @@ object SparkEntry {
         |  (h.l + h.b)::BIGINT AS forecast_cents
         |FROM ser s JOIN holt h
         |  ON h.event_type = s.event_type AND h.i = len(s.series)""".stripMargin,
+
+    "incr_distinct_merge" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "orders_purchase_gaps" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    datediff('day',
+        |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate),
+        |      o_orderdate)::INT AS gap_days
+        |  FROM orders),
+        |j AS (
+        |  SELECT c.c_mktsegment, g.gap_days
+        |  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+        |  WHERE g.gap_days IS NOT NULL)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_gaps,
+        |  round(avg(gap_days), 4) AS avg_gap_days,
+        |  round(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
+        |  max(gap_days) AS max_gap_days
+        |FROM j GROUP BY 1""".stripMargin,
 
     "events_rolling_dau" ->
       """WITH ev AS (
