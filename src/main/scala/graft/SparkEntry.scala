@@ -889,6 +889,23 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("lang_pred"))
     }),
 
+    "text_langid_confusion" -> ((s, dir) => {
+      // classifier eval against REAL labels: the fixture's lang column
+      // is ground truth, so the n-gram language-ID gets a proper
+      // confusion matrix — count + recall per (label, predicted) cell.
+      // One map-only scoring pass, one narrow two-key rollup.
+      val scored = t(s, dir, "documents").select(col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      val perLabel = scored.groupBy("lang")
+        .agg(count(lit(1)).as("n_label"))
+      scored.groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(perLabel), Seq("lang"))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          expr("cast((n * 1000000) div n_label AS bigint)")
+            .as("cell_ppm"))
+    }),
+
     "text_quality" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -2632,6 +2649,22 @@ object SparkEntry {
         bandWidth = 64L)
     }),
 
+    "events_quantile_bands" -> ((s, dir) => {
+      // monitoring bands: P10/P50/P90 of hourly revenue per event type
+      // — the reference envelope a live monitor compares against. One
+      // hourly rollup (corpus-sized work) + exact percentiles over the
+      // calendar-bounded hourly frame.
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts"))
+          .as("hour"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          round(expr("percentile(cents, 0.1)"), 4).as("p10_cents"),
+          round(expr("percentile(cents, 0.5)"), 4).as("p50_cents"),
+          round(expr("percentile(cents, 0.9)"), 4).as("p90_cents"))
+    }),
+
     "events_seasonal_anomaly" -> ((s, dir) => {
       // seasonality-adjusted outlier days: daily revenue compared
       // against ITS OWN day-of-week population (a Monday vs Mondays),
@@ -4078,6 +4111,17 @@ object SparkEntry {
     "sample_budget_fill" -> OracleSql.sampleBudgetFill(budget = 4000L),
     "events_anomaly" -> OracleSql.eventsAnomaly(),
 
+    "events_quantile_bands" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*)::BIGINT AS n_hours,
+        |  round(quantile_cont(cents, 0.1), 4) AS p10_cents,
+        |  round(quantile_cont(cents, 0.5), 4) AS p50_cents,
+        |  round(quantile_cont(cents, 0.9), 4) AS p90_cents
+        |FROM hourly GROUP BY 1""".stripMargin,
+
     "events_seasonal_anomaly" ->
       """WITH daily AS (
         |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::INT
@@ -4368,6 +4412,19 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "text_langid" -> LangIdOracle,
+
+    "text_langid_confusion" ->
+      s"""WITH p AS ($LangIdOracle),
+         |j AS (
+         |  SELECT d.lang, p.lang_pred
+         |  FROM documents d JOIN p ON p.doc_id = d.doc_id),
+         |pl AS (SELECT lang, count(*)::BIGINT AS n_label
+         |  FROM j GROUP BY 1)
+         |SELECT j.lang, j.lang_pred, count(*)::BIGINT AS n,
+         |  ((count(*)::HUGEINT * 1000000) // max(pl.n_label))::BIGINT
+         |    AS cell_ppm
+         |FROM j JOIN pl ON pl.lang = j.lang
+         |GROUP BY j.lang, j.lang_pred""".stripMargin,
 
     "text_redact" ->
       """SELECT doc_id,
