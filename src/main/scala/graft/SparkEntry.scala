@@ -2960,6 +2960,30 @@ object SparkEntry {
           max(col("gap_days")).as("max_gap_days"))
     }),
 
+    "events_daily_kpis" -> ((s, dir) => {
+      // the composed daily KPI frame a BI layer reads: volume, penny-
+      // exact revenue, EXACT distinct actives (bitmap), and first-seen
+      // acquisitions, one row per day. Two narrow rollups over one
+      // scan lineage + a calendar-bounded left join — composition of
+      // independently-verified stages, the analytics twin of
+      // training_mix.
+      import graft.expressions.Bitmaps
+      val ev = t(s, dir, "events")
+        .select(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("day"),
+          col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val daily = ev.groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          sum("cents").as("revenue_cents"),
+          Bitmaps.bitmap_distinct(col("user_id")).as("dau"))
+      val newUsers = ev.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      daily.join(newUsers, Seq("day"), "left")
+        .select(col("day"), col("n_events"), col("revenue_cents"),
+          col("dau"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+    }),
+
     "events_rolling_dau" -> ((s, dir) => {
       // exact rolling 7-day active users via the bitmap sketch-store:
       // ONE distributed pass reduces each day to a compressed user
@@ -5520,6 +5544,25 @@ object SparkEntry {
         |  round(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
         |  max(gap_days) AS max_gap_days
         |FROM j GROUP BY 1""".stripMargin,
+
+    "events_daily_kpis" ->
+      """WITH ev AS (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::INT
+        |    AS day, user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |daily AS (
+        |  SELECT day, count(*)::BIGINT AS n_events,
+        |    sum(cents)::BIGINT AS revenue_cents,
+        |    count(DISTINCT user_id)::BIGINT AS dau
+        |  FROM ev GROUP BY 1),
+        |nu AS (
+        |  SELECT day, count(*)::BIGINT AS new_users FROM (
+        |    SELECT user_id, min(day) AS day FROM ev GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT d.day, d.n_events, d.revenue_cents, d.dau,
+        |  coalesce(nu.new_users, 0)::BIGINT AS new_users
+        |FROM daily d LEFT JOIN nu ON nu.day = d.day""".stripMargin,
 
     "events_rolling_dau" ->
       """WITH ev AS (
