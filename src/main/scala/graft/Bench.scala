@@ -100,7 +100,19 @@ object Bench {
         .filter(_.nonEmpty).map(_.trim.toLong)
         .count(pid => !ancestors.contains(pid))
     } catch { case _: Throwable => -1 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runsN,"spread":$sp,"unstable":$un,"loadavg":"$loadavg","other_jvms":$otherJvms}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runsN,"spread":$sp,"unstable":$un,"loadavg":"$loadavg","other_jvms":$otherJvms}"""
+    println(line)
+    // Also persist the COMPLETE line to a committed artifact: the
+    // driver's BENCH_r*.json keeps only the tail of stdout, truncating
+    // the medians dict — BENCH_FULL.json makes per-query regressions
+    // diffable from git history alone. Overridable for ad-hoc runs; any
+    // write failure must not fail the bench itself.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "BENCH_FULL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

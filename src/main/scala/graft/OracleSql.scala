@@ -1079,20 +1079,24 @@ object OracleSql {
   }
 
   /** Oracle for `graph_bfs_depth`: the same near-dup edge set as the
-    * engine ([[graft.functions.Dedup.bfsDepths]]); a depth-bounded
-    * recursive closure records every (vertex, hops) pair reachable
-    * from a seed within `rounds` hops, and `min(hops)` per vertex IS
-    * the BFS distance — the frontier discipline is an engine-side
-    * efficiency, not a semantic difference.
+    * engine ([[graft.functions.Dedup.bfsDepthsFromSeeds]]); the seed
+    * set is the `nSeeds` smallest vertex ids of the candidate graph (a
+    * deterministic, always-non-empty stand-in for an audit table); a
+    * depth-bounded recursive closure records every (vertex, hops) pair
+    * reachable from a seed within `rounds` hops, and `min(hops)` per
+    * vertex IS the BFS distance — the frontier discipline is an
+    * engine-side efficiency, not a semantic difference.
     */
   def graphBfsDepth(numHashes: Int = 16, rowsPerBand: Int = 2,
-                    seedMod: Int = 100, rounds: Int = 4): String =
+                    nSeeds: Int = 5, rounds: Int = 4): String =
     s"""WITH RECURSIVE ${tokenHashCtes()},
        |${shingleHashCtes()},
        |${minhashCtes(numHashes, rowsPerBand)},
        |${edgeCtes(numHashes)},
+       |seeds AS MATERIALIZED (
+       |  SELECT id FROM verts ORDER BY id LIMIT $nSeeds),
        |reach(id, d) AS (
-       |  SELECT id, 0 FROM verts WHERE id % $seedMod = 0
+       |  SELECT id, 0 FROM seeds
        |  UNION
        |  SELECT e.dst, r.d + 1 FROM reach r
        |  JOIN edges e ON e.src = r.id WHERE r.d < $rounds)

@@ -1504,11 +1504,17 @@ object SparkEntry {
         .filter(length(trim(col("text"))) > 0)
         .select(explode(split(lower(trim(col("text"))), "\\s+"))
           .as("token"))
-      // bounded by construction: the summary holds <= 64 items
-      val cands = toks
-        .agg(Frequent.mg_candidates(col("token"), 64).as("c"))
-        .head().getSeq[String](0)
-      val total = toks.count()
+      // bounded by construction: the summary holds <= 64 items. The
+      // stream length rides in the SAME aggregate, so candidates+total
+      // cost one tokenization scan, and verify a second — never three.
+      // (No cache: an exploded token frame is corpus-sized; at 100 TB a
+      // second scan is cheaper than materializing it.)
+      val head = toks
+        .agg(Frequent.mg_candidates(col("token"), 64).as("c"),
+          count(lit(1)).as("n"))
+        .head()
+      val cands = head.getSeq[String](0)
+      val total = head.getLong(1)
       toks.filter(col("token").isin(cands: _*))
         .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
         .filter(col("exact_cnt") * 64 > lit(total))
@@ -2603,15 +2609,21 @@ object SparkEntry {
 
     "graph_bfs_depth" -> ((s, dir) => {
       // contamination blast radius: minimum near-dup hops (bounded at
-      // 4) from a seed set of flagged docs (id % 100 == 0) to every
-      // reachable doc — "how much corpus sits within h hops of a
-      // known-bad document?". Frontier BFS: each edge expands only at
-      // its endpoint's discovery round, never once per round.
+      // 4) from a seed set of flagged docs to every reachable doc —
+      // "how much corpus sits within h hops of a known-bad document?".
+      // Seeds are the 5 smallest vertex ids of the candidate graph
+      // itself (a deterministic stand-in for an audit/quarantine
+      // table), so the query exercises real frontier expansion at any
+      // fixture scale. Frontier BFS: each edge expands only at its
+      // endpoint's discovery round, never once per round.
       val pairs = Dedup
         .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
         .filter(col("est_jaccard") >= 0.5)
-      Dedup.bfsDepths(pairs, "id_a", "id_b", id => id % 100 === 0,
-        rounds = 4)
+        .localCheckpoint(true)
+      val seeds = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct().orderBy("id").limit(5)
+      Dedup.bfsDepthsFromSeeds(pairs, "id_a", "id_b", seeds, rounds = 4)
     }),
 
     "graph_label_prop" -> ((s, dir) => {
@@ -2995,9 +3007,15 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select(datediff(col("ts").cast("date"),
           lit("2024-01-01").cast("date")).as("day"), col("user_id"))
+      // localCheckpoint: the self-join below references `daily` twice;
+      // without materializing, Catalyst duplicates the aggregation
+      // subtree and the raw events are scanned + bitmapped TWICE. The
+      // daily state frame is calendar-bounded (≤365 rows of compressed
+      // bitmaps), so materializing it is the 100 TB-correct trade.
       val daily = ev.groupBy("day")
         .agg(Bitmaps.bitmap_state(col("user_id")).as("bm"),
           Bitmaps.bitmap_distinct(col("user_id")).as("dau"))
+        .localCheckpoint(true)
       daily.as("a")
         .join(daily.as("b"),
           col("b.day").between(col("a.day") - 6, col("a.day")))
@@ -3005,8 +3023,10 @@ object SparkEntry {
         .agg(max(col("a.dau")).as("dau"),
           Bitmaps.bitmap_merge_count(col("b.bm")).as("wau7"))
         .select(col("day"), col("dau"), col("wau7"),
+          // nullif: a zero-denominator day yields NULL in BOTH engines
+          // (DuckDB's // would otherwise raise where Spark returns NULL)
           expr("cast((cast(dau AS decimal(38,0)) * 1000000)" +
-            " div wau7 AS bigint)").as("stickiness_ppm"))
+            " div nullif(wau7, 0) AS bigint)").as("stickiness_ppm"))
     }),
 
     "events_new_users" -> ((s, dir) => {
@@ -3039,8 +3059,10 @@ object SparkEntry {
         .join(daily.as("f"), col("a.day") === col("f.day") + 7)
         .select(col("a.day").as("day"), col("a.cents").as("actual_cents"),
           col("f.cents").as("forecast_cents"),
+          // nullif: a zero-revenue day yields NULL APE in BOTH engines
+          // (DuckDB's // would otherwise raise where Spark returns NULL)
           expr("cast((abs(cast(a.cents AS decimal(38,0)) - f.cents)" +
-            " * 1000000) div a.cents AS bigint)").as("ape_ppm"))
+            " * 1000000) div nullif(a.cents, 0) AS bigint)").as("ape_ppm"))
     }),
 
     "events_autocorr" -> ((s, dir) => {
@@ -3221,8 +3243,11 @@ object SparkEntry {
       // (co²·10⁶ div (ca·cb)) keeps the ranking integer-exact without
       // sqrt; monotone in cosine, so the order is the same. Pair
       // fan-out stays WITHIN an order (bounded basket); the ranking
-      // window runs on the already-reduced pair frame, not the facts;
-      // per-part order counts are dimension-sized → broadcast.
+      // window runs on the already-reduced pair frame, not the facts.
+      // The per-part order-count frame scales with the part DIMENSION
+      // (≈2B rows at sf10k), so its joins carry NO broadcast hint —
+      // size statistics (AQE) pick broadcast at small SF and
+      // shuffle-hash at large, instead of a forced build-side OOM.
       val d = "decimal(38,0)"
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -3238,9 +3263,9 @@ object SparkEntry {
         .unionAll(co.select(col("pb").as("item"), col("pa").as("neighbor"),
           col("co")))
       val scored = sym
-        .join(broadcast(pc).withColumnRenamed("l_partkey", "item")
+        .join(pc.withColumnRenamed("l_partkey", "item")
           .withColumnRenamed("pc", "ci"), Seq("item"))
-        .join(broadcast(pc).withColumnRenamed("l_partkey", "neighbor")
+        .join(pc.withColumnRenamed("l_partkey", "neighbor")
           .withColumnRenamed("pc", "cn"), Seq("neighbor"))
         .select(col("item"), col("neighbor"), col("co"),
           expr(s"(cast(co AS $d) * co * 1000000)" +
@@ -3292,10 +3317,12 @@ object SparkEntry {
         .groupBy(col("a.l_partkey").as("part_a"),
           col("b.l_partkey").as("part_b"))
         .agg(count(lit(1)).as("co"))
+      // pc scales with the part dimension → no broadcast hint (see
+      // recs_item_cosine); n is a genuine 1-row frame → hint kept.
       pairs
-        .join(broadcast(pc).withColumnRenamed("l_partkey", "part_a")
+        .join(pc.withColumnRenamed("l_partkey", "part_a")
           .withColumnRenamed("pc", "ca"), Seq("part_a"))
-        .join(broadcast(pc).withColumnRenamed("l_partkey", "part_b")
+        .join(pc.withColumnRenamed("l_partkey", "part_b")
           .withColumnRenamed("pc", "cb"), Seq("part_b"))
         .crossJoin(broadcast(n))
         .select(col("part_a"), col("part_b"), col("co"),
@@ -4129,7 +4156,7 @@ object SparkEntry {
     "text_bpe_encode" -> OracleSql.textBpeEncode(nMerges = 8),
     "graph_kcore" -> OracleSql.graphKcore(k = 2, rounds = 4),
     "graph_bfs_depth" ->
-      OracleSql.graphBfsDepth(seedMod = 100, rounds = 4),
+      OracleSql.graphBfsDepth(nSeeds = 5, rounds = 4),
     "graph_label_prop" -> OracleSql.graphLabelProp(rounds = 3),
     "export_shards" -> OracleSql.exportShards(nShards = 8),
     "sample_budget_fill" -> OracleSql.sampleBudgetFill(budget = 4000L),
@@ -4152,7 +4179,8 @@ object SparkEntry {
         |    AS day,
         |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
         |  FROM events GROUP BY 1),
-        |dd AS (SELECT day, cents, (day % 7)::INT AS dow FROM daily),
+        |dd AS (SELECT day, cents,
+        |  (((day % 7) + 7) % 7)::INT AS dow FROM daily),
         |st AS (
         |  SELECT dow, count(*)::HUGEINT AS n,
         |    sum(cents::HUGEINT) AS sc,
@@ -5576,7 +5604,7 @@ object SparkEntry {
         |  JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
         |  GROUP BY 1)
         |SELECT dau.day, dau.dau, wau.wau7,
-        |  ((dau.dau::HUGEINT * 1000000) // wau.wau7)::BIGINT
+        |  ((dau.dau::HUGEINT * 1000000) // nullif(wau.wau7, 0))::BIGINT
         |    AS stickiness_ppm
         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
 
@@ -5602,7 +5630,7 @@ object SparkEntry {
         |SELECT a.day, a.cents AS actual_cents,
         |  f.cents AS forecast_cents,
         |  ((abs(a.cents::HUGEINT - f.cents) * 1000000)
-        |    // a.cents)::BIGINT AS ape_ppm
+        |    // nullif(a.cents, 0))::BIGINT AS ape_ppm
         |FROM daily a JOIN daily f ON a.day = f.day + 7""".stripMargin,
 
     "events_autocorr" ->

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 
@@ -35,8 +35,13 @@ import org.apache.spark.sql.types._
 case class BitmapDistinctAgg(child: Expression,
                              mutableAggBufferOffset: Int = 0,
                              inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[RoaringBuffer] {
+    extends TypedImperativeAggregate[RoaringBuffer]
+    with ImplicitCastInputTypes {
   override def children: Seq[Expression] = Seq(child)
+  // Declared input type: narrower integrals implicit-cast to LONG at
+  // analysis; a non-integral child is an analysis error, not a runtime
+  // ClassCastException in update().
+  override def inputTypes = Seq(LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def prettyName: String = "bitmap_distinct"
@@ -69,8 +74,10 @@ case class BitmapDistinctAgg(child: Expression,
 case class BitmapStateAgg(child: Expression,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[RoaringBuffer] {
+    extends TypedImperativeAggregate[RoaringBuffer]
+    with ImplicitCastInputTypes {
   override def children: Seq[Expression] = Seq(child)
+  override def inputTypes = Seq(LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "bitmap_state"
@@ -102,8 +109,10 @@ case class BitmapStateAgg(child: Expression,
 case class BitmapMergeAgg(state: Expression,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[RoaringBuffer] {
+    extends TypedImperativeAggregate[RoaringBuffer]
+    with ImplicitCastInputTypes {
   override def children: Seq[Expression] = Seq(state)
+  override def inputTypes = Seq(BinaryType)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def prettyName: String = "bitmap_merge_count"

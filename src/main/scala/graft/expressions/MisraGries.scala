@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -39,9 +39,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MisraGriesAgg(child: Expression, k: Int,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[MgBuffer] {
+    extends TypedImperativeAggregate[MgBuffer]
+    with ImplicitCastInputTypes {
   require(k >= 1, s"mg_candidates needs k >= 1, got $k")
   override def children: Seq[Expression] = Seq(child)
+  // Declared input type: non-string children implicit-cast to STRING
+  // at analysis instead of ClassCastException-ing in update().
+  override def inputTypes = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "mg_candidates"

@@ -634,7 +634,28 @@ object Dedup {
     * pair of longs.
     */
   def bfsDepths(pairs: DataFrame, aCol: String, bCol: String,
-                seed: Column => Column, rounds: Int): DataFrame = {
+                seed: Column => Column, rounds: Int): DataFrame =
+    bfsDepthsCore(pairs, aCol, bCol,
+      verts => verts.filter(seed(col("id"))), rounds)
+
+  /** [[bfsDepths]] with the seed set given as a one-column DataFrame of
+    * vertex ids instead of a predicate — the shape for seed sets that
+    * are themselves query results (e.g. "the N lexically-smallest
+    * vertices of the candidate graph", an audit table, a quarantine
+    * list). Seeds not present in the graph are ignored (semi-join), so
+    * a stale quarantine list cannot invent vertices.
+    */
+  def bfsDepthsFromSeeds(pairs: DataFrame, aCol: String, bCol: String,
+                         seeds: DataFrame, rounds: Int): DataFrame = {
+    val s = seeds.select(
+      col(seeds.columns.head).cast("long").as("id"))
+    bfsDepthsCore(pairs, aCol, bCol,
+      verts => verts.join(s, Seq("id"), "left_semi"), rounds)
+  }
+
+  private def bfsDepthsCore(pairs: DataFrame, aCol: String, bCol: String,
+                            seedOf: DataFrame => DataFrame,
+                            rounds: Int): DataFrame = {
     require(rounds >= 1)
     val e = pairs
       .select(col(aCol).cast("long").as("src"),
@@ -644,7 +665,7 @@ object Dedup {
       .distinct()
       .localCheckpoint(true)
     val verts = e.select(col("src").as("id")).distinct()
-    var visited = verts.filter(seed(col("id")))
+    var visited = seedOf(verts)
       .withColumn("depth", lit(0L))
       .localCheckpoint(true)
     var frontier = visited

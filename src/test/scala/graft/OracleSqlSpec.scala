@@ -18,6 +18,24 @@ class OracleSqlSpec extends SparkSpec {
 
   private val GuardedSfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
+  test("events.ts loads as TIMESTAMP_LTZ under the pinned UTC session") {
+    // The driver regenerates testdata between rounds, and the events
+    // `ts` parquet logical type has already shifted once (NANOS →
+    // µs/NTZ), silently breaking every event-time + streaming path
+    // until Tables.load normalized it. This guard makes the NEXT
+    // regeneration fail loudly here instead: whatever physical type
+    // ships, the loaded column must come out TimestampType (LTZ).
+    import org.apache.spark.sql.types.TimestampType
+    GuardedSfs.foreach { s =>
+      val ts = Tables.load(spark, sf(s), "events").schema("ts").dataType
+      assert(ts == TimestampType,
+        s"$s: events.ts loaded as $ts, not TimestampType — the driver " +
+          "regenerated the fixture with a ts type Tables.load does not " +
+          "normalize; extend the normalization before trusting any " +
+          "event-time query")
+    }
+  }
+
   test("fixture tokens stay inside the emulated xxhash64 scope") {
     GuardedSfs.foreach { s =>
       val toks = docs(s).select(

@@ -77,9 +77,12 @@ class PlanHygieneSpec extends SparkSpec {
   }
 
   test("rolling-DAU merges day bitmaps, never re-shuffles raw user ids") {
-    // the windowed OR-merge must consume the per-day states: exactly
-    // one aggregate over raw user_id (the daily bitmap build); the
-    // 7-day roll touches only the day-keyed state frame
+    // the windowed OR-merge must consume the per-day states: the daily
+    // bitmap build is materialized (localCheckpoint) before the self-
+    // join, so the visible plan aggregates ONLY the day-keyed state
+    // frame — zero raw-user_id aggregates. (Without the checkpoint the
+    // self-join duplicates the aggregation subtree and raw events are
+    // scanned + bitmapped twice.)
     val plan = SparkEntry.queries("events_rolling_dau")(
       spark, sf("sf0.001")).queryExecution.optimizedPlan.toString
     assert(plan.contains("bitmap_merge_count"),
@@ -87,8 +90,27 @@ class PlanHygieneSpec extends SparkSpec {
     val rawAggs = plan.linesIterator
       .count(l => l.contains("bitmap_state(user_id") ||
         l.contains("bitmap_state(cast(user_id"))
-    assert(rawAggs <= 2, // logical plan may show partial+final
-      s"raw user_id must be bitmapped once, not per window:\n$plan")
+    assert(rawAggs == 0,
+      s"raw user_id must be bitmapped once (pre-checkpoint), not in " +
+        s"the window plan:\n$plan")
+    assert(plan.contains("LogicalRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected the checkpointed daily state frame in the plan:\n$plan")
+  }
+
+  test("part-count joins carry no forced broadcast (size-driven strategy)") {
+    // The per-part order-count frame scales with the part DIMENSION
+    // (~2B rows at TPC-H sf10k): a forced broadcast() there OOMs the
+    // build side at scale where an un-hinted join lets size stats/AQE
+    // choose. recs_item_cosine must carry ZERO hints; basket_lift
+    // exactly ONE — the genuinely-bounded 1-row n_orders frame.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hints(name: String): Int =
+      SparkEntry.queries(name)(spark, sf("sf0.001"))
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    assert(hints("recs_item_cosine") == 0,
+      "recs_item_cosine: part-count joins must stay hint-free")
+    assert(hints("basket_lift") == 1,
+      "basket_lift: only the 1-row n_orders frame may be hinted")
   }
 
   test("erasure audit broadcasts the delete-key set to every fact scan") {
