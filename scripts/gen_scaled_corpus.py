@@ -112,6 +112,32 @@ def gen_embeddings(con, src, out):
     return len(ids)
 
 
+def gen_skew(out, n_rows=20_000_000, domain=100_000, s=2.0):
+    """Zipf-skewed join fixture (VERDICT r5 #4): skew_facts has keys
+    drawn from a Zipf(s) law over [0, domain) — at s=2.0 the hottest
+    key carries ~60% of all rows, the operational "one key >>
+    everything" straggler profile saltedJoin exists for — plus
+    skew_dim, a uniform (key, attr) dimension. graft.SkewBench joins
+    them plain vs salted and reports wall time + partition spread.
+    """
+    rng = np.random.default_rng(7)
+    ranks = np.arange(1, domain + 1, dtype=np.float64)
+    p = ranks ** -s
+    p /= p.sum()
+    keys = rng.choice(domain, size=n_rows, p=p).astype(np.int64)
+    vals = rng.integers(0, 1000, size=n_rows, dtype=np.int64)
+    pq.write_table(pa.table({"key": keys, "value": vals}),
+                   f"{out}/skew_facts.parquet")
+    dim_keys = np.arange(domain, dtype=np.int64)
+    attrs = (dim_keys % 100).astype(np.int32)
+    pq.write_table(pa.table({"key": dim_keys, "attr": attrs}),
+                   f"{out}/skew_dim.parquet")
+    hot = (keys == 0).mean()
+    print(f"wrote skew fixture: {n_rows} facts over {domain} keys, "
+          f"hot-key share {hot:.3f}")
+    return n_rows
+
+
 def main():
     global COPIES
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -119,12 +145,16 @@ def main():
     if len(sys.argv) > 3:
         COPIES = int(sys.argv[3])
     os.makedirs(out, exist_ok=True)
+    if len(sys.argv) > 4 and sys.argv[4] == "skew-only":
+        gen_skew(out)
+        return
     con = duckdb.connect()
     nd = gen_documents(con, src, out)
     ne = gen_embeddings(con, src, out)
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events"]:
         shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+    gen_skew(out)
     print(f"wrote {out}: documents={nd} embeddings={ne} "
           f"(+8 relational tables copied from {src})")
 
