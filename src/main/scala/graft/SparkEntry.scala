@@ -1836,6 +1836,14 @@ object SparkEntry {
     }),
 
     "sim_ivf_topk" -> ((s, dir) => {
+      // ROLE (measured, BENCH_NOTES r5 recall table): metadata-cell
+      // IVF is the SHARD-PRUNING form — correct when cells correlate
+      // with geometry (language/domain/source shards). On this
+      // fixture's geometry-agnostic labels recall@5 is structurally
+      // ~nProbe/nCells (0.35 at 50k): treat it as a partition-pruned
+      // CANDIDATE GENERATOR, not a standalone ANN. The headline
+      // unlabeled-corpus path is sim_ivf_kmeans_topk (learned cells,
+      // 0.875 at 50k probing ~15%).
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
       // quantizer trained once on a deterministic 1-in-4 systematic
@@ -1862,7 +1870,13 @@ object SparkEntry {
       // product-quantized ANN (IVF+PQ's memory half): 64 floats ->
       // 4 codebook bytes per vector; queries answered from a broadcast
       // LUT of partial dots over narrow (id, m, code) triples — corpus
-      // vectors are read once, at encode time
+      // vectors are read once, at encode time.
+      // ROLE (measured, BENCH_NOTES r5 recall table): pure ADC is the
+      // CANDIDATE GENERATOR — 16-byte quantization distortion exceeds
+      // the fixture's dense cosine-band gaps, so in-band ordering is
+      // noise (recall@5 0.475 at 50k; k=64 codes only 0.55). The
+      // production/headline pattern is sim_pq_refined: ADC shortlist
+      // + exact rerank = 0.95 at the same corpus.
       val emb = t(s, dir, "embeddings")
       ProductQuantization.adcTopK(s, emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", m = 16, k = 32, iters = 2, topK = 5,

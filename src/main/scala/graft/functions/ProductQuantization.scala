@@ -120,6 +120,13 @@ object ProductQuantization {
     * Returns (query_id, rank, neighbor_id, score) with the approximate
     * dot rounded to 4 decimals, rank by (score desc, id asc).
     *
+    * ROLE: pure ADC is a CANDIDATE GENERATOR, not a standalone ANN —
+    * quantization distortion (~16 B/vector) exceeds the score gaps of
+    * dense cosine bands, so in-band ordering is noise (measured
+    * recall@5 0.475 at the 50k fixture; doubling codes only 0.55).
+    * The production pattern is [[adcTopKRefined]]: ADC shortlist +
+    * exact rerank on shortlist rows only (0.95 at the same fixture).
+    *
     * Pass pre-trained codebooks via `books` to keep training out of the
     * query path entirely (the 100 TB shape: codebooks are a persisted
     * build artifact shared across every query). When `books` is None a
