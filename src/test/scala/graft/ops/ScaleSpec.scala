@@ -24,47 +24,37 @@ class ScaleSpec extends SparkSpec {
     assert(salted.head._2 == 10000L)
   }
 
-  test("saltedJoin spreads the hot key's reducer partition") {
-    // the straggler mechanism, asserted: a plain equi-join hash-
-    // partitions its output by key, so a 90%-hot key puts ~90% of all
-    // rows on ONE reducer; salting bounds the max partition near the
-    // mean. (The measured wall-time twin lives in graft.SkewBench /
-    // BENCH_NOTES on the 20M-row zipf fixture.)
+  test("saltedJoin's salt spreads the hot key's reducer partition") {
+    // the straggler mechanism, asserted on the partitioning itself: a
+    // plain equi-join hash-distributes rows by key, so a 90%-hot key
+    // puts ~90% of all rows on ONE reducer; the operator's salt column
+    // (rand(seed=42)*salts — replicated here verbatim) bounds the max
+    // partition near the mean. Explicit repartition(n, cols) mirrors
+    // the join's exchange while staying immune to AQE coalescing and
+    // broadcast thresholds, so the test needs NO session-conf
+    // mutation (the shared test session races under parallel suites).
+    // The measured wall-time twin lives in graft.SkewBench /
+    // BENCH_NOTES on the 20M-row zipf fixture.
+    val salts = 64
     val left = spark.range(90000).select(lit(1L).as("k"), col("id").as("v"))
       .union(spark.range(10000).select((col("id") + 2).as("k"),
         col("id").as("v")))
-    val right = spark.range(20000).select(col("id").as("k"),
-      concat(lit("d"), col("id")).as("name"))
-    // disable auto-broadcast so both joins actually shuffle (the regime
-    // the operator targets); restore after
-    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // AQE would coalesce this test-sized shuffle into 1-2 partitions,
-    // hiding the per-reducer spread this test observes; static
-    // partitioning keeps the reducer-per-hash-bucket view
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      def partSizes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
-        df.queryExecution.toRdd
-          .mapPartitions(it => Iterator.single(it.size.toLong))
-          .collect().toSeq.filter(_ > 0)
-      val plain = partSizes(left.join(right, Seq("k")))
-      val salted = partSizes(Scale.saltedJoin(left, right, "k", salts = 64))
-      val total = 100000.0
-      assert(plain.max >= 0.9 * total,
-        s"fixture no longer skewed: plain max ${plain.max}")
-      // 64 salt buckets over the 4 test reducers: hash binning is
-      // lumpy at this tiny scale, so assert the straggler is at most
-      // half the plain one (the 20M-row SkewBench fixture shows the
-      // production-shaped 7.7x -> 2.3x spread collapse)
-      assert(salted.max <= 0.5 * plain.max,
-        s"salting left a straggler: max ${salted.max} vs plain " +
-          s"${plain.max} (sizes: $salted)")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
-      spark.conf.set("spark.sql.adaptive.enabled", aqe)
-    }
+    val salted = left.withColumn("__salt",
+      (rand(seed = 42) * salts).cast("int"))
+    def partSizes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.queryExecution.toRdd
+        .mapPartitions(it => Iterator.single(it.size.toLong))
+        .collect().toSeq
+    val total = 100000.0
+    val plain = partSizes(left.repartition(32, col("k")))
+    val spread = partSizes(salted.repartition(32, col("k"), col("__salt")))
+    assert(plain.max >= 0.9 * total,
+      s"fixture no longer skewed: plain max ${plain.max}")
+    // 64 salt buckets over 32 reducers is lumpy; anything under 15% of
+    // total proves the straggler is gone (mean is ~3.1%)
+    assert(spread.max <= 0.15 * total,
+      s"salting left a straggler: max ${spread.max} of $total rows " +
+        s"on one partition")
   }
 
   test("saltedJoin left type keeps unmatched left rows") {
