@@ -666,6 +666,51 @@ object OracleSql {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Oracle for `events_rolling_quantiles`: per-day bottom-k sketch
+    * states merged over a trailing `window`-day frame. Reproduces the
+    * engine ([[graft.expressions.KqBuffer]]) EXACTLY: rows hash by
+    * event_id (the emulated xxhash64 chain, seed 42), each day keeps
+    * the k unsigned-smallest (hash → min value) pairs, the window
+    * merge re-applies the same rule over the union of the member
+    * days' samples (bottom-k of bottom-k unions is lossless), and the
+    * quantile is the value at 1-based rank `ceil(q·m)` of the merged
+    * sample's sorted values.
+    */
+  def eventsRollingQuantiles(k: Int = 256, window: Int = 7): String = {
+    val ch = new Chain("rq",
+      "SELECT datediff('day', DATE '2024-01-01', ts::DATE)::INT AS day, " +
+        "CAST(round(value * 100) AS DOUBLE) AS v, " +
+        "event_id::HUGEINT AS ka FROM events")
+    val h = hashLong(ch, "ka", "42", "p")
+    s"""WITH ${ch.render},
+       |dd AS (SELECT day, $h AS hv, min(v) AS v
+       |       FROM ${ch.last} GROUP BY 1, 2),
+       |rk AS (SELECT day, hv, v,
+       |         row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+       |       FROM dd),
+       |smp AS (SELECT day, hv, v FROM rk WHERE rn <= $k),
+       |days AS (SELECT DISTINCT day FROM dd),
+       |wm AS (SELECT t.day AS day, s.hv, min(s.v) AS v
+       |       FROM days t JOIN smp s
+       |         ON s.day BETWEEN t.day - ${window - 1} AND t.day
+       |       GROUP BY 1, 2),
+       |wrk AS (SELECT day, hv, v,
+       |          row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+       |        FROM wm),
+       |wsmp AS (SELECT day, v FROM wrk WHERE rn <= $k),
+       |m AS (SELECT day, count(*) AS m FROM wsmp GROUP BY day),
+       |vr AS (SELECT s.day, s.v,
+       |         row_number() OVER (PARTITION BY s.day ORDER BY s.v) AS r
+       |       FROM wsmp s)
+       |SELECT vr.day,
+       |  max(CASE WHEN vr.r = greatest(1, least(m.m,
+       |    CAST(ceil(0.5 * m.m) AS BIGINT))) THEN vr.v END) AS p50_cents,
+       |  max(CASE WHEN vr.r = greatest(1, least(m.m,
+       |    CAST(ceil(0.9 * m.m) AS BIGINT))) THEN vr.v END) AS p90_cents
+       |FROM vr JOIN m ON m.day = vr.day
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Oracle for `heavy_hitters_cms`: bit-exact count-min emulation.
     * Token strings hash once (the existing xxhash64 string emulation),
     * each distinct hash re-hashes per sketch row via `hashLong(thu,
@@ -936,6 +981,52 @@ object OracleSql {
     * delimiter count / 2. Missing ranks (tiny corpora) fall back to
     * an unmatchable chr(1) pair.
     */
+  /** Oracle for `text_bpe_learn`: the iterative merge loop unrolled —
+    * per round, adjacent-pair counts over the CURRENT segmentation
+    * (DuckDB symbol lists), the (cnt DESC, l, r) argmax, then greedy
+    * left-to-right re-segmentation via the delimiter-string replace
+    * trick (global `replace` over ␟-wrapped tokens merges
+    * non-overlapping left-to-right, the same semantics as the
+    * engine's array fold — verified on the 'abab'→'ab ab' and
+    * 'aaa'→'aa a' shapes).
+    */
+  def textBpeLearn(nMerges: Int = 6): String = {
+    val d = "chr(31)"
+    val sb = new StringBuilder
+    sb ++=
+      """WITH w1 AS (
+        |  SELECT string_split(w, '') AS syms, count(*)::BIGINT AS wc
+        |  FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w)""".stripMargin
+    for (i <- 1 to nMerges) {
+      val l = s"(SELECT l FROM t$i)"
+      val r = s"(SELECT r FROM t$i)"
+      sb ++=
+        s""",
+           |p$i AS (
+           |  SELECT syms[j] AS l, syms[j + 1] AS r, wc
+           |  FROM w$i, LATERAL (SELECT unnest(range(1, len(syms))) AS j) u),
+           |t$i AS (
+           |  SELECT l, r, sum(wc)::BIGINT AS cnt FROM p$i GROUP BY 1, 2
+           |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           |w${i + 1} AS (
+           |  SELECT string_split(trim(replace(
+           |      $d || array_to_string(syms, $d || $d) || $d,
+           |      $d || $l || $d || $d || $r || $d,
+           |      $d || $l || $r || $d),
+           |    $d), $d || $d) AS syms, wc
+           |  FROM w$i)""".stripMargin
+    }
+    sb ++= (1 to nMerges).map { i =>
+      s"""
+         |SELECT $i AS rank, l, r, l || r AS pair, cnt FROM t$i""".stripMargin
+    }.mkString("\nUNION ALL")
+    sb.toString
+  }
+
   def textBpeEncode(nMerges: Int = 8): String = {
     val d = "chr(31)"
     val enc = (1 to nMerges).foldLeft(
@@ -1102,6 +1193,43 @@ object OracleSql {
        |  JOIN edges e ON e.src = r.id WHERE r.d < $rounds)
        |SELECT id AS doc_id, min(d)::BIGINT AS depth
        |FROM reach GROUP BY 1""".stripMargin
+
+  /** Oracle for `graph_sssp`: the same near-dup candidate machinery
+    * with edges carrying integer ppm DISSIMILARITY weights
+    * ((10000 − round(est·10⁴))·100 — exact: est is a 4-dp-rounded
+    * multiple of 1/16, so every product is integer-valued in DOUBLE);
+    * the seed set is the `nSeeds` smallest vertex ids; a depth-bounded
+    * recursive closure enumerates all walks of ≤ `rounds` edges and
+    * `min(total weight)` per vertex IS the Bellman–Ford result after
+    * `rounds` relaxation rounds ([[graft.functions.Dedup.ssspFromSeeds]]).
+    */
+  def graphSssp(numHashes: Int = 16, rowsPerBand: Int = 2,
+                nSeeds: Int = 5, rounds: Int = 4): String = {
+    val est =
+      s"round(len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    s"""WITH RECURSIVE ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |fw AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(10000 - round($est * 10000) AS BIGINT) * 100 AS w
+       |  FROM cand c JOIN sigv sa ON sa.doc_id = c.id_a
+       |              JOIN sigv sb ON sb.doc_id = c.id_b
+       |  WHERE $est >= 0.5),
+       |wedges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst, w FROM fw
+       |  UNION SELECT id_b, id_a, w FROM fw),
+       |wverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM wedges),
+       |wseeds AS MATERIALIZED (
+       |  SELECT id FROM wverts ORDER BY id LIMIT $nSeeds),
+       |wreach(id, d, h) AS (
+       |  SELECT id, 0::BIGINT, 0 FROM wseeds
+       |  UNION
+       |  SELECT e.dst, r.d + e.w, r.h + 1 FROM wreach r
+       |  JOIN wedges e ON e.src = r.id WHERE r.h < $rounds)
+       |SELECT id AS doc_id, min(d)::BIGINT AS dist_ppm
+       |FROM wreach GROUP BY 1""".stripMargin
+  }
 
   /** Oracle for `graph_label_prop`: the same near-dup edge set,
     * `rounds` unrolled synchronous label-propagation steps — per step,
@@ -1665,7 +1793,16 @@ object OracleSql {
   def dedupEmbeddingLsh(minCos: Double, nTables: Int = 8,
                         targetBucket: Int = 128, minBits: Int = 4,
                         maxBits: Int = 16, dim: Int = 64,
-                        seed: Long = 42L): String = {
+                        seed: Long = 42L): String =
+    s"""WITH ${embLshPairsCtes(nTables, targetBucket, minBits, maxBits, dim, seed)}
+       |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $minCos""".stripMargin
+
+  /** Shared CTE body (through `pairs`: id_a < id_b, exact 4-dp cosine)
+    * for the LSH-banded embedding candidate queries.
+    */
+  private def embLshPairsCtes(nTables: Int, targetBucket: Int,
+                              minBits: Int, maxBits: Int, dim: Int,
+                              seed: Long): String = {
     val planes = Similarity.hyperplanes(nTables, maxBits, dim, seed)
     val sigExprs: String =
       (0 until nTables).map { l =>
@@ -1679,7 +1816,7 @@ object OracleSql {
       .map(l => s"SELECT id, $l AS t, s$l % m AS bk FROM sgm")
       .mkString("\n  UNION ALL ")
     val cosR = roundSpark("list_cosine_similarity(va.v, vb.v)", 4)
-    s"""WITH ev AS (
+    s"""ev AS (
        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |prm AS (
        |  SELECT (1::BIGINT << coalesce(
@@ -1697,9 +1834,34 @@ object OracleSql {
        |pairs AS (
        |  SELECT c.id_a, c.id_b, $cosR AS cos
        |  FROM cand c JOIN ev va ON va.id = c.id_a
-       |              JOIN ev vb ON vb.id = c.id_b)
-       |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $minCos""".stripMargin
+       |              JOIN ev vb ON vb.id = c.id_b)""".stripMargin
   }
+
+  /** Oracle for `dedup_mutual_knn`: the same LSH candidate pairs
+    * thresholded at `minCos`, symmetrized; per vertex the neighbors
+    * rank by (cos DESC, id ASC) and only the top `k` survive; a pair
+    * is MUTUAL iff each endpoint ranks the other within its own top-k
+    * — the reciprocal-nearest-neighbor filter that strips asymmetric
+    * hub links from a near-dup graph before clustering.
+    */
+  def dedupMutualKnn(minCos: Double, k: Int, nTables: Int = 8,
+                     targetBucket: Int = 128, minBits: Int = 4,
+                     maxBits: Int = 16, dim: Int = 64,
+                     seed: Long = 42L): String =
+    s"""WITH ${embLshPairsCtes(nTables, targetBucket, minBits, maxBits, dim, seed)},
+       |thr AS (SELECT id_a, id_b, cos FROM pairs WHERE cos >= $minCos),
+       |sym AS (
+       |  SELECT id_a AS a, id_b AS b, cos FROM thr
+       |  UNION ALL SELECT id_b, id_a, cos FROM thr),
+       |rkd AS (
+       |  SELECT a, b, cos, CAST(row_number() OVER (PARTITION BY a
+       |    ORDER BY cos DESC, b ASC) AS INTEGER) AS rnk
+       |  FROM sym),
+       |topk AS (SELECT * FROM rkd WHERE rnk <= $k)
+       |SELECT x.a AS id_a, x.b AS id_b, x.cos,
+       |  x.rnk AS rank_ab, y.rnk AS rank_ba
+       |FROM topk x JOIN topk y ON x.a = y.b AND x.b = y.a
+       |WHERE x.a < x.b""".stripMargin
 
   /** Oracle for `sim_quantized_topk`: int8 quantization (per-vector
     * scale 127/max|x|, Spark-semantics rounding) then exact integer

@@ -1401,6 +1401,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    "source_json_roundtrip" -> ((s, dir) => {
+      // JSONL sink + source: the interchange format every ingest edge
+      // speaks. Write the documents table as JSON lines, read it back
+      // with the EXPLICIT schema — never inference, which is a second
+      // full scan (and a schema gamble) at 100 TB — and prove fidelity
+      // with a grouped checksum that the oracle computes from the
+      // parquet original: any drop, duplicate, or text mangling in the
+      // round trip breaks n_docs/sum_chars/sum_ids.
+      val docs = t(s, dir, "documents")
+      val path = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_json_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      docs.write.mode("overwrite").json(path)
+      s.read.schema(docs.schema).json(path)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    "source_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink + source (the other columnar lake format Spark ships
+      // natively): same explicit-schema round trip + checksum contract
+      // as source_json_roundtrip, proving the engine is not
+      // parquet-locked.
+      val docs = t(s, dir, "documents")
+      val path = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_orc_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      docs.write.mode("overwrite").orc(path)
+      s.read.schema(docs.schema).orc(path)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
     "sample_temperature" -> ((s, dir) => {
       // alpha=0.5 temperature resampling over sources: one narrow count
       // pass sizes each source, then a map-only id-hash gate keeps each
@@ -1833,6 +1870,38 @@ object SparkEntry {
       Similarity.embeddingNearDupsLshAuto(t(s, dir, "embeddings"),
         "vec_id", "embedding", minCos = 0.4, dim = 64,
         targetBucketSize = 128, nTables = 8, minBits = 4, maxBits = 16)
+    }),
+
+    "dedup_mutual_knn" -> ((s, dir) => {
+      // reciprocal-nearest-neighbor filter over the LSH candidate
+      // graph: per vertex only the top-3 neighbors by exact cosine
+      // survive, and a pair is kept iff EACH endpoint ranks the other
+      // in its own top-3 — strips the asymmetric hub links that glue
+      // unrelated clusters through a popular center (SemDeDup-style
+      // pipelines apply exactly this before component-finding). Scale
+      // shape: the window runs on the banded candidate-pair frame
+      // (bounded buckets), never the corpus; mutuality is a self-join
+      // of the top-k frame on the reversed key.
+      val pairs = Similarity.embeddingNearDupsLshAuto(
+          t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.2,
+          dim = 64, targetBucketSize = 128, nTables = 8, minBits = 4,
+          maxBits = 16)
+        .localCheckpoint(true)
+      val sym = pairs
+        .select(col("id_a").as("a"), col("id_b").as("b"), col("cos"))
+        .unionByName(pairs.select(col("id_b").as("a"),
+          col("id_a").as("b"), col("cos")))
+      val w = Window.partitionBy("a")
+        .orderBy(col("cos").desc, col("b").asc)
+      val topk = sym.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+      topk.as("x")
+        .join(topk.as("y"),
+          col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+        .filter(col("x.a") < col("x.b"))
+        .select(col("x.a").as("id_a"), col("x.b").as("id_b"),
+          col("x.cos").as("cos"), col("x.rnk").cast("int").as("rank_ab"),
+          col("y.rnk").cast("int").as("rank_ba"))
     }),
 
     "sim_ivf_topk" -> ((s, dir) => {
@@ -2640,6 +2709,27 @@ object SparkEntry {
       Dedup.bfsDepthsFromSeeds(pairs, "id_a", "id_b", seeds, rounds = 4)
     }),
 
+    "graph_sssp" -> ((s, dir) => {
+      // weighted contamination distance: Bellman-Ford (4 rounds) over
+      // the near-dup graph with integer ppm DISSIMILARITY weights
+      // (10000 - round(est*10^4))*100 — exact: est is a 4-dp multiple
+      // of 1/16 — from the same 5-smallest-vertex seed set as
+      // graph_bfs_depth. Ranks blast-radius vertices by cumulative
+      // similarity decay instead of hop count.
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .withColumn("w",
+          (lit(10000) - round(col("est_jaccard") * 10000)).cast("long")
+            * 100)
+        .localCheckpoint(true)
+      val seeds = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .distinct().orderBy("id").limit(5)
+      Dedup.ssspFromSeeds(pairs, "id_a", "id_b", "w", seeds, rounds = 4)
+        .withColumnRenamed("dist", "dist_ppm")
+    }),
+
     "graph_label_prop" -> ((s, dir) => {
       // community detection on the near-dup graph: 3 synchronous
       // mode-label rounds — bridges join their heavier side instead of
@@ -3041,6 +3131,35 @@ object SparkEntry {
           // (DuckDB's // would otherwise raise where Spark returns NULL)
           expr("cast((cast(dau AS decimal(38,0)) * 1000000)" +
             " div nullif(wau7, 0) AS bigint)").as("stickiness_ppm"))
+    }),
+
+    "events_rolling_quantiles" -> ((s, dir) => {
+      // rolling 7-day revenue-distribution monitor: ONE distributed
+      // pass reduces each day to a 256-entry bottom-k quantile sketch
+      // (deterministic hash sample, lossless merge); the trailing
+      // window is then a state merge over the calendar-bounded daily
+      // frame — per-transaction P50/P90 bands without re-scanning raw
+      // events per window. The quantile twin of events_rolling_dau's
+      // bitmap pattern, and exactly what a drift monitor stores.
+      import graft.expressions.Kq
+      val ev = t(s, dir, "events")
+        .select(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("day"),
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      // localCheckpoint: the window self-join references daily twice
+      // (events_rolling_dau discipline — raw rows sketched ONCE)
+      val daily = ev.groupBy("day")
+        .agg(Kq.kq_state(col("cents"), 256, col("event_id")).as("sk"))
+        .localCheckpoint(true)
+      daily.as("a")
+        .join(daily.as("b"),
+          col("b.day").between(col("a.day") - 6, col("a.day")))
+        .groupBy(col("a.day").as("day"))
+        .agg(Kq.kq_merge(col("b.sk")).as("msk"))
+        .select(col("day"),
+          Kq.kq_quantile(col("msk"), 0.5).as("p50_cents"),
+          Kq.kq_quantile(col("msk"), 0.9).as("p90_cents"))
     }),
 
     "events_new_users" -> ((s, dir) => {
@@ -3642,6 +3761,57 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("score_s"), col("pct"))
     }),
 
+    "text_bpe_learn" -> ((s, dir) => {
+      // TRUE iterative BPE training (vs text_bpe_encode's one-pass
+      // approximation): 6 merge rounds, each re-counting adjacent
+      // symbol pairs over the CURRENT segmentation — the pair picked
+      // at round i reflects rounds 1..i-1's merges, exactly the
+      // Sennrich et al. loop. Distributed-trainer shape: the corpus
+      // is scanned ONCE into a (word, count) frame; every round's
+      // work — pair count + greedy left-to-right re-segmentation — is
+      // VOCABULARY-sized, with the 1-row argmax as the only driver
+      // hand-off per round (how production BPE trainers distribute).
+      val docs = t(s, dir, "documents")
+      var cur = docs
+        .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(expr("split(w, '')").as("syms"), col("wc"))
+        .localCheckpoint(true)
+      val learned =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (i <- 1 to 6) {
+        val top = cur.filter(size(col("syms")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(syms) - 1), j -> " +
+              "struct(element_at(syms, j) AS l, " +
+              "element_at(syms, j + 1) AS r))")).as("p"), col("wc"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("wc").as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (l, r, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          learned += ((i, l, r, c))
+          // greedy left-to-right merge of (l, r) — tokens are
+          // [a-z0-9]+ so literal inlining is injection-safe
+          cur = cur.select(expr(
+            s"""aggregate(syms, cast(array() AS array<string>),
+               |  (acc, x) -> CASE WHEN size(acc) > 0
+               |    AND element_at(acc, -1) = '$l' AND x = '$r'
+               |  THEN concat(slice(acc, 1, size(acc) - 1), array('$l$r'))
+               |  ELSE concat(acc, array(x)) END)""".stripMargin)
+            .as("syms"), col("wc"))
+            .localCheckpoint(true)
+        }
+      }
+      import s.implicits._
+      learned.toSeq.toDF("rank", "l", "r", "cnt")
+        .select(col("rank"), col("l"), col("r"),
+          concat(col("l"), col("r")).as("pair"), col("cnt"))
+    }),
+
     "text_bpe_encode" -> ((s, dir) => {
       // apply a trained BPE merge table corpus-wide: the per-document
       // post-merge token count (the number that prices packing, token
@@ -4167,10 +4337,14 @@ object SparkEntry {
     "analytics_linreg" -> OracleSql.analyticsLinreg(),
     "profile_correlations" -> OracleSql.profileCorrelations(),
     "text_bpe_pairs" -> OracleSql.textBpePairs(topK = 30),
+    "text_bpe_learn" -> OracleSql.textBpeLearn(nMerges = 6),
     "text_bpe_encode" -> OracleSql.textBpeEncode(nMerges = 8),
     "graph_kcore" -> OracleSql.graphKcore(k = 2, rounds = 4),
     "graph_bfs_depth" ->
       OracleSql.graphBfsDepth(nSeeds = 5, rounds = 4),
+
+    "graph_sssp" ->
+      OracleSql.graphSssp(nSeeds = 5, rounds = 4),
     "graph_label_prop" -> OracleSql.graphLabelProp(rounds = 3),
     "export_shards" -> OracleSql.exportShards(nShards = 8),
     "sample_budget_fill" -> OracleSql.sampleBudgetFill(budget = 4000L),
@@ -4782,6 +4956,22 @@ object SparkEntry {
     "approx_quantiles_sample" -> OracleSql.quantileSample(k = 256),
     // lossless merge: the rolled-up sample equals the single-pass one
     "approx_quantiles_rollup" -> OracleSql.quantileSample(k = 256),
+    "events_rolling_quantiles" ->
+      OracleSql.eventsRollingQuantiles(k = 256, window = 7),
+
+    // round-trip checksums: the oracle reads the parquet ORIGINAL, so
+    // any row loss / duplication / text mangling through the JSON/ORC
+    // sink+source paths shows up as a hash mismatch
+    "source_json_roundtrip" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(length(text))::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_ids
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "source_orc_roundtrip" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(length(text))::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_ids
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "zorder_key" -> {
       // bit-interleave emulation: bit b of col c lands at 2b + c
@@ -5282,6 +5472,7 @@ object SparkEntry {
         |    AS VARCHAR) AS DECIMAL(38,20)), 2)::DOUBLE AS norm_b
         |FROM a, b""".stripMargin,
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh(minCos = 0.4),
+    "dedup_mutual_knn" -> OracleSql.dedupMutualKnn(minCos = 0.2, k = 3),
     "sim_quantized_topk" -> OracleSql.simQuantizedTopK(dim = 64, k = 5),
     "text_decontaminate" ->
       OracleSql.textDecontaminate(shingleN = 4, evalMod = 13),

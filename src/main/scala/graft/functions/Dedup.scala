@@ -653,6 +653,49 @@ object Dedup {
       verts => verts.join(s, Seq("id"), "left_semi"), rounds)
   }
 
+  /** Bounded-round single-source(-set) shortest paths over the
+    * WEIGHTED undirected near-dup graph — Bellman–Ford with `rounds`
+    * relaxation rounds: after round r every vertex holds the minimum
+    * total weight over walks of ≤ r edges from any seed (vertices
+    * unreachable in `rounds` hops are absent). The weighted refinement
+    * of [[bfsDepthsFromSeeds]]: with edge weight = 1 − similarity, the
+    * distance is a DISSIMILARITY budget — "everything within ε of a
+    * flagged document, transitively" — which ranks blast-radius
+    * vertices by contamination strength instead of hop count.
+    *
+    * Scale shape: each round joins the narrow (id, dist) frame to the
+    * edge list (both shuffled by key) and takes a per-vertex min —
+    * rows are triples of longs; per-round eager `localCheckpoint`
+    * truncates lineage exactly like [[connectedComponents]]. Weights
+    * are caller-provided integers (exact math end to end).
+    */
+  def ssspFromSeeds(pairs: DataFrame, aCol: String, bCol: String,
+                    wCol: String, seeds: DataFrame,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = pairs
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst"), col(wCol).cast("long").as("w")))
+      .distinct()
+      .localCheckpoint(true)
+    val verts = e.select(col("src").as("id")).distinct()
+    val s = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+    var dist = verts.join(s, Seq("id"), "left_semi")
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("id").as("doc_id"), col("dist"))
+  }
+
   private def bfsDepthsCore(pairs: DataFrame, aCol: String, bCol: String,
                             seedOf: DataFrame => DataFrame,
                             rounds: Int): DataFrame = {

@@ -49,4 +49,39 @@ class GraphBfsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out(40L) == 0L && out(7L) == 1L)
   }
+
+  test("sssp: weighted distances on a path, round bound respected") {
+    // 1 -2- 2 -5- 3 -1- 4 seeded at 1: dists 0/2/7/8; 3 rounds reach 4
+    val g = Seq((1L, 2L, 2L), (2L, 3L, 5L), (3L, 4L, 1L))
+      .toDF("id_a", "id_b", "w")
+    val seeds = Seq(1L).toDF("id")
+    val d3 = Dedup.ssspFromSeeds(g, "id_a", "id_b", "w", seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 2L, 3L -> 7L, 4L -> 8L))
+    val d2 = Dedup.ssspFromSeeds(g, "id_a", "id_b", "w", seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(!d2.contains(4L), "4 needs 3 edges, beyond the 2-round bound")
+  }
+
+  test("sssp: longer-but-lighter path beats the direct heavy edge") {
+    // 1->3 direct w=10 vs 1-1-2-2-3 total 3; Bellman-Ford must relax
+    // the 2-edge path once enough rounds are allowed
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 2L))
+      .toDF("id_a", "id_b", "w")
+    val seeds = Seq(1L).toDF("id")
+    val d1 = Dedup.ssspFromSeeds(g, "id_a", "id_b", "w", seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(d1(3L) == 10L, "one round only sees the direct edge")
+    val d2 = Dedup.ssspFromSeeds(g, "id_a", "id_b", "w", seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d2(3L) == 3L, "two rounds relax through the light path")
+  }
+
+  test("sssp: multi-seed takes the minimum over sources") {
+    val g = Seq((10L, 5L, 4L), (20L, 5L, 2L)).toDF("id_a", "id_b", "w")
+    val seeds = Seq(10L, 20L).toDF("id")
+    val out = Dedup.ssspFromSeeds(g, "id_a", "id_b", "w", seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out(5L) == 2L)
+  }
 }
