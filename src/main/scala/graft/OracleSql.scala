@@ -837,6 +837,100 @@ object OracleSql {
     * wedges closed by the (a, c) edge, per-vertex membership counts —
     * mirrors [[graft.functions.Dedup.triangleCounts]].
     */
+  /** Oracle for `dedup_prefix_filter`: the PPJoin pipeline replayed in
+    * plain SQL — distinct tokens, df rollup, rare-first per-doc prefix
+    * via row_number, prefix-token candidate join, exact intersection
+    * count, integer jac_ppm gate. Mirrors
+    * [[graft.functions.Dedup.prefixFilterPairs]].
+    */
+  def dedupPrefixFilter(minSim: Double = 0.5, shingleN: Int = 3): String = {
+    val minPpm = math.round(minSim * 1000000)
+    val n = shingleN
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+       |    AS a
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |raw AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(a) <= $n THEN [array_to_string(a, ' ')]
+       |    ELSE [array_to_string(a[i+1:i+$n], ' ')
+       |          FOR i IN range(0, len(a) - ${n - 1})] END) AS token
+       |  FROM toks),
+       |tk AS MATERIALIZED (SELECT DISTINCT doc_id, token FROM raw),
+       |dfq AS (SELECT token, count(*) AS df FROM tk GROUP BY 1),
+       |sz AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS sz FROM tk GROUP BY 1),
+       |pref AS MATERIALIZED (
+       |  SELECT doc_id, token FROM (
+       |    SELECT t.doc_id, t.token, s.sz,
+       |      row_number() OVER (PARTITION BY t.doc_id
+       |        ORDER BY d.df ASC, t.token ASC) AS pos
+       |    FROM tk t JOIN dfq d USING (token) JOIN sz s USING (doc_id))
+       |  WHERE pos <= sz - ceil($minSim * sz) + 1),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pref a JOIN pref b ON b.token = a.token
+       |    AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS ic
+       |  FROM cand c
+       |  JOIN tk x ON x.doc_id = c.id_a
+       |  JOIN tk y ON y.doc_id = c.id_b AND y.token = x.token
+       |  GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b, coalesce(i.ic, 0)::BIGINT AS ic,
+       |  ((coalesce(i.ic, 0)::BIGINT * 1000000)
+       |    // (sa.sz + sb.sz - coalesce(i.ic, 0)))::BIGINT AS jac_ppm
+       |FROM cand c
+       |JOIN sz sa ON sa.doc_id = c.id_a
+       |JOIN sz sb ON sb.doc_id = c.id_b
+       |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |WHERE (coalesce(i.ic, 0)::BIGINT * 1000000)
+       |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= $minPpm""".stripMargin
+  }
+
+  /** Oracle for `graph_link_predict`: the mutual-kNN edge set (same
+    * CTEs as `dedup_mutual_knn`), degrees from the exploded edge list,
+    * wedge join x–y ⋈ y–z (x < z), hub-discounted integer RA score,
+    * existing edges removed by NOT EXISTS. Mirrors
+    * [[graft.functions.Dedup.linkPrediction]] over the reciprocal
+    * top-k graph.
+    */
+  def graphLinkPredict(minCos: Double = 0.2, k: Int = 3,
+                       nTables: Int = 8, targetBucket: Int = 128,
+                       minBits: Int = 4, maxBits: Int = 16,
+                       dim: Int = 64, seed: Long = 42L): String =
+    s"""WITH ${embLshPairsCtes(nTables, targetBucket, minBits, maxBits, dim, seed)},
+       |thr AS (SELECT id_a, id_b, cos FROM pairs WHERE cos >= $minCos),
+       |symc AS (
+       |  SELECT id_a AS a, id_b AS b, cos FROM thr
+       |  UNION ALL SELECT id_b, id_a, cos FROM thr),
+       |rkd AS (
+       |  SELECT a, b, row_number() OVER (PARTITION BY a
+       |    ORDER BY cos DESC, b ASC) AS rnk
+       |  FROM symc),
+       |topk AS (SELECT * FROM rkd WHERE rnk <= $k),
+       |ce AS MATERIALIZED (
+       |  SELECT x.a, x.b
+       |  FROM topk x JOIN topk y ON x.a = y.b AND x.b = y.a
+       |  WHERE x.a < x.b),
+       |sym AS (SELECT a AS src, b AS dst FROM ce
+       |        UNION ALL SELECT b, a FROM ce),
+       |deg AS (SELECT src AS y, count(*)::BIGINT AS deg
+       |        FROM sym GROUP BY 1),
+       |wedge AS (
+       |  SELECT s1.dst AS y, s1.src AS x, s2.dst AS z
+       |  FROM sym s1 JOIN sym s2 ON s2.src = s1.dst
+       |  WHERE s1.src < s2.dst),
+       |scored AS (
+       |  SELECT w.x AS id_a, w.z AS id_b, count(*)::BIGINT AS cn,
+       |    sum(1000000 // d.deg)::BIGINT AS ra_ppm
+       |  FROM wedge w JOIN deg d ON d.y = w.y
+       |  GROUP BY 1, 2)
+       |SELECT s.id_a, s.id_b, s.cn, s.ra_ppm FROM scored s
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM ce e
+       |  WHERE e.a = s.id_a AND e.b = s.id_b)""".stripMargin
+
   def graphTriangles(numHashes: Int = 16, rowsPerBand: Int = 2): String =
     s"""WITH ${tokenHashCtes()},
        |${shingleHashCtes()},

@@ -28,6 +28,35 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Reciprocal top-3 cosine neighbors over the LSH-banded embedding
+    * candidate graph — shared by `dedup_mutual_knn` (which emits it)
+    * and `graph_link_predict` (which scores the holes it leaves: a
+    * degree-capped kNN graph is non-transitive by construction, so
+    * two-hop pairs genuinely missing their direct edge exist).
+    */
+  private def mutualKnnPairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.functions.Similarity.embeddingNearDupsLshAuto(
+        t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.2,
+        dim = 64, targetBucketSize = 128, nTables = 8, minBits = 4,
+        maxBits = 16)
+      .localCheckpoint(true)
+    val sym = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"), col("cos"))
+      .unionByName(pairs.select(col("id_b").as("a"),
+        col("id_a").as("b"), col("cos")))
+    val w = Window.partitionBy("a")
+      .orderBy(col("cos").desc, col("b").asc)
+    val topk = sym.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+    topk.as("x")
+      .join(topk.as("y"),
+        col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+      .filter(col("x.a") < col("x.b"))
+      .select(col("x.a").as("id_a"), col("x.b").as("id_b"),
+        col("x.cos").as("cos"), col("x.rnk").cast("int").as("rank_ab"),
+        col("y.rnk").cast("int").as("rank_ba"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Multi-way join + aggregation over the star schema (revenue by
     * nation), the shape the engine exists to serve.
@@ -783,6 +812,19 @@ object SparkEntry {
       Dedup.clusteringCoefficient(pairs, "id_a", "id_b")
     }),
 
+    "graph_link_predict" -> ((s, dir) => {
+      // Resource-Allocation link prediction (Zhou et al. 2009) on the
+      // mutual-kNN embedding graph: non-adjacent two-hop pairs scored
+      // by hub-discounted common neighbors — "these two vectors likely
+      // belong together even though the degree-capped kNN edge set
+      // dropped the direct link". The near-dup JACCARD graph would be
+      // the wrong base here: its clusters are transitively-closed
+      // cliques, so every wedge is already an edge and the score set
+      // is empty by construction; a top-k graph is non-transitive and
+      // leaves real holes. Integer-exact ra_ppm.
+      Dedup.linkPrediction(mutualKnnPairs(s, dir), "id_a", "id_b")
+    }),
+
     "dedup_edit_distance" -> ((s, dir) => {
       // title-key fuzzy matching: exact-prefix blocks bound the pair
       // space, Levenshtein over the 40-char leading span keeps dist<=4
@@ -844,6 +886,16 @@ object SparkEntry {
       Dedup.ngramJaccardBlocked(
         t(s, dir, "documents").filter(col("doc_id") < 1000),
         "doc_id", "text", shingleN = 3, minSim = 0.3, blockWidth = 5)
+    }),
+
+    "dedup_prefix_filter" -> ((s, dir) => {
+      // PPJoin prefix filtering: exact 3-gram-shingle Jaccard >= 0.5
+      // pairs with ZERO false negatives — candidates only where two
+      // docs share a rare-first prefix shingle, so the boilerplate head
+      // of the shingle space never joins. The deterministic complement
+      // to the MinHash/LSH recall family (same similarity, no misses).
+      Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text",
+        minSim = 0.5, shingleN = 3)
     }),
 
     "dedup_containment" -> ((s, dir) => {
@@ -1882,26 +1934,7 @@ object SparkEntry {
       // shape: the window runs on the banded candidate-pair frame
       // (bounded buckets), never the corpus; mutuality is a self-join
       // of the top-k frame on the reversed key.
-      val pairs = Similarity.embeddingNearDupsLshAuto(
-          t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.2,
-          dim = 64, targetBucketSize = 128, nTables = 8, minBits = 4,
-          maxBits = 16)
-        .localCheckpoint(true)
-      val sym = pairs
-        .select(col("id_a").as("a"), col("id_b").as("b"), col("cos"))
-        .unionByName(pairs.select(col("id_b").as("a"),
-          col("id_a").as("b"), col("cos")))
-      val w = Window.partitionBy("a")
-        .orderBy(col("cos").desc, col("b").asc)
-      val topk = sym.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-      topk.as("x")
-        .join(topk.as("y"),
-          col("x.a") === col("y.b") && col("x.b") === col("y.a"))
-        .filter(col("x.a") < col("x.b"))
-        .select(col("x.a").as("id_a"), col("x.b").as("id_b"),
-          col("x.cos").as("cos"), col("x.rnk").cast("int").as("rank_ab"),
-          col("y.rnk").cast("int").as("rank_ba"))
+      mutualKnnPairs(s, dir)
     }),
 
     "sim_ivf_topk" -> ((s, dir) => {
@@ -3463,6 +3496,73 @@ object SparkEntry {
             s" div (cast(ca AS $d) * cb)").as("lift_ppm"))
         .orderBy(col("co").desc, col("part_a").asc, col("part_b").asc)
         .limit(20)
+    }),
+
+    "basket_frequent_triples" -> ((s, dir) => {
+      // A-priori frequent 3-itemsets (Agrawal & Srikant, VLDB'94):
+      // every leg of a candidate triple is pruned against the frequent
+      // PAIR set before the triple is ever counted — the downward-
+      // closure property that keeps candidate generation polynomial at
+      // 100 TB. Fan-out stays WITHIN an order (bounded basket size);
+      // the frequent-pair frame is the only cross-order state.
+      val minSup = 2L
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // level 1: frequent items (vacuous at tiny SF, the real first
+      // prune at scale)
+      val fi = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minSup).select("l_partkey")
+      val lif = li.join(fi, Seq("l_partkey"), "left_semi")
+      // level 2: frequent pairs
+      val p2 = lif.as("a")
+        .join(lif.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("sup"))
+      val fp = p2.filter(col("sup") >= minSup).select("pa", "pb")
+      // level 3: per-order triples with all three sub-pairs frequent
+      val tri = lif.as("a")
+        .join(lif.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .join(fp, col("a.l_partkey") === col("pa") &&
+          col("b.l_partkey") === col("pb"), "left_semi")
+        .select(col("a.l_orderkey").as("ok"),
+          col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+        .as("ab")
+        .join(lif.as("c"), col("ab.ok") === col("c.l_orderkey") &&
+          col("ab.y") < col("c.l_partkey"))
+        .join(fp, col("ab.x") === col("pa") &&
+          col("c.l_partkey") === col("pb"), "left_semi")
+        .join(fp, col("ab.y") === col("pa") &&
+          col("c.l_partkey") === col("pb"), "left_semi")
+        .groupBy(col("ab.x").as("part_a"), col("ab.y").as("part_b"),
+          col("c.l_partkey").as("part_c"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSup)
+      tri
+    }),
+
+    "agg_weighted_percentile" -> ((s, dir) => {
+      // weighted percentiles without a global sort: collapse to one row
+      // per (group, value) with summed integer weight, then a group-
+      // partitioned cumulative window finds the first value whose
+      // cumulative weight crosses q% of the group total. All compares
+      // are exact integers — no interpolation, no float drift.
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+      val byPrice = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(sum(col("l_quantity").cast("long")).as("wt"))
+      val cum = byPrice
+        .withColumn("cw", sum(col("wt")).over(w))
+        .withColumn("tot",
+          sum(col("wt")).over(Window.partitionBy("l_returnflag")))
+      val qs = { import s.implicits._; Seq(25, 50, 75, 90).toDF("q") }
+      cum.crossJoin(broadcast(qs))
+        .filter(col("cw") * 100 >= col("q") * col("tot") &&
+          (col("cw") - col("wt")) * 100 < col("q") * col("tot"))
+        .select(col("l_returnflag"), col("q"),
+          col("l_extendedprice").as("value"))
     }),
 
     "events_ab_test" -> ((s, dir) => {
@@ -6089,6 +6189,50 @@ object SparkEntry {
          |  bit_count(xor(ha, hb))::INT AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
     "text_feature_hash" -> OracleSql.textFeatureHash(buckets = 64),
+
+    "dedup_prefix_filter" -> OracleSql.dedupPrefixFilter(minSim = 0.5),
+    "graph_link_predict" -> OracleSql.graphLinkPredict(),
+
+    "basket_frequent_triples" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |fi AS (SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) >= 2),
+        |lif AS MATERIALIZED (
+        |  SELECT * FROM li WHERE l_partkey IN (SELECT l_partkey FROM fi)),
+        |fp AS MATERIALIZED (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lif a JOIN lif b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  c.l_partkey AS part_c, count(*)::BIGINT AS support
+        |FROM lif a
+        |JOIN lif b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |JOIN lif c ON a.l_orderkey = c.l_orderkey
+        |  AND b.l_partkey < c.l_partkey
+        |WHERE EXISTS (SELECT 1 FROM fp
+        |    WHERE fp.pa = a.l_partkey AND fp.pb = b.l_partkey)
+        |  AND EXISTS (SELECT 1 FROM fp
+        |    WHERE fp.pa = a.l_partkey AND fp.pb = c.l_partkey)
+        |  AND EXISTS (SELECT 1 FROM fp
+        |    WHERE fp.pa = b.l_partkey AND fp.pb = c.l_partkey)
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+
+    "agg_weighted_percentile" ->
+      """WITH bp AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    sum(l_quantity::BIGINT)::BIGINT AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, l_extendedprice, wt,
+        |    sum(wt) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS cw,
+        |    sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM bp)
+        |SELECT c.l_returnflag, q.q, c.l_extendedprice AS value
+        |FROM cum c CROSS JOIN (VALUES (25), (50), (75), (90)) q(q)
+        |WHERE c.cw * 100 >= q.q * c.tot
+        |  AND (c.cw - c.wt) * 100 < q.q * c.tot""".stripMargin,
 
     "profile_gini" ->
       """WITH m AS (

@@ -267,6 +267,106 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** PPJoin-style prefix-filtered set-similarity self-join (Xiao et al.,
+    * WWW'08 "Efficient Similarity Joins for Near Duplicate Detection"):
+    * exact word-`shingleN`-gram Jaccard >= `minSim` pairs WITHOUT
+    * MinHash — the deterministic, zero-false-negative alternative to
+    * LSH banding (LSH trades a small miss rate for fewer candidates;
+    * this trades a bigger candidate join for exactness).
+    *
+    * Prefix filtering: order each document's distinct shingles by
+    * global rarity (document frequency asc, shingle asc) and keep only
+    * the first `|x| - ceil(minSim·|x|) + 1` as its candidate-generating
+    * prefix; two sets with Jaccard >= minSim MUST share a prefix
+    * element, so the equi-join on prefix shingles is lossless.
+    * Rare-first ordering makes prefixes join on the LOW-frequency end
+    * of the shingle space — the boilerplate head that would explode a
+    * naive join never enters a prefix.
+    *
+    * Scale shape: df is one narrow shingle rollup; per-doc prefix
+    * ranking is a doc-partitioned window (bounded by doc length); the
+    * candidate join shuffles only (prefix_shingle, doc_id) pairs;
+    * verification joins shingle sets for candidate pairs only (at
+    * 100 TB you'd join on xxhash64 of the shingle — the string key
+    * keeps the oracle trivially mirrorable). Integer-exact jac_ppm.
+    */
+  def prefixFilterPairs(docs: DataFrame, idCol: String, textCol: String,
+                        minSim: Double = 0.5,
+                        shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), shingleN)).as("token"))
+      .distinct()
+    val df = tk.groupBy("token").agg(count(lit(1)).as("df"))
+    val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("df").asc, col("token").asc)
+    val pref = tk.join(df, Seq("token"))
+      .withColumn("pos", row_number().over(w))
+      .join(sz, Seq("doc_id"))
+      .filter(col("pos") <= col("sz") - ceil(lit(minSim) * col("sz")) + 1)
+      .select("doc_id", "token")
+    val cand = pref.select(col("token"), col("doc_id").as("id_a"))
+      .join(pref.select(col("token"), col("doc_id").as("id_b")),
+        Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = cand
+      .join(tk.select(col("doc_id").as("id_a"), col("token")), Seq("id_a"))
+      .join(tk.select(col("doc_id").as("id_b"), col("token")),
+        Seq("id_b", "token"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ic"))
+    val minPpm = math.round(minSim * 1000000).toString
+    cand
+      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sa")),
+        Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("sb")),
+        Seq("id_b"))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("ic", coalesce(col("ic"), lit(0L)))
+      .withColumn("jac_ppm",
+        expr("(ic * 1000000L) div (sa + sb - ic)"))
+      .filter(col("jac_ppm") >= expr(minPpm + "L"))
+      .select("id_a", "id_b", "ic", "jac_ppm")
+  }
+
+  /** Link prediction over an undirected graph by the Resource
+    * Allocation index (Zhou, Lü & Zhang, EPJ B 2009): for each
+    * NON-adjacent pair (x, z) with at least one common neighbor,
+    * `ra = Σ_{y ∈ N(x)∩N(z)} 1/deg(y)` — common neighbors weighted so
+    * that hub intermediaries count for little. Emitted integer-exact as
+    * `ra_ppm = Σ (10⁶ div deg(y))` plus the plain common-neighbor
+    * count, so cross-engine comparison is bit-stable.
+    *
+    * Scale shape: degrees are one narrow rollup of the exploded edge
+    * list; scoring is the standard wedge join (x–y ⋈ y–z, x < z) whose
+    * cost is Σ deg(y)² — bounded by the candidate graph's density, which
+    * upstream dedup banding already bounds; existing edges leave via one
+    * anti-join on the canonical pair key.
+    */
+  def linkPrediction(pairs: DataFrame, aCol: String,
+                     bCol: String): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src").as("y"))
+      .agg(count(lit(1)).as("deg"))
+    val wedge = sym.select(col("dst").as("y"), col("src").as("x"))
+      .join(sym.select(col("src").as("y"), col("dst").as("z")), Seq("y"))
+      .filter(col("x") < col("z"))
+    wedge.join(deg, Seq("y"))
+      .groupBy(col("x").as("id_a"), col("z").as("id_b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000L div deg")).as("ra_ppm"))
+      .join(e.withColumnRenamed("a", "id_a").withColumnRenamed("b", "id_b"),
+        Seq("id_a", "id_b"), "left_anti")
+  }
+
   // ---------------- candidate pairs → clusters ----------------
 
   /** Connected components over a near-duplicate pair list: every vertex
