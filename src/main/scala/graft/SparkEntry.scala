@@ -898,6 +898,153 @@ object SparkEntry {
         minSim = 0.5, shingleN = 3)
     }),
 
+    "dedup_repeated_spans" -> ((s, dir) => {
+      // substring-granularity exact dedup (Lee et al., ACL'22): every
+      // 5-token window occurring in >= 2 DISTINCT docs, with document
+      // reach and occurrence counts — catches the boilerplate
+      // paragraph pasted into thousands of otherwise-unique pages that
+      // whole-doc fingerprints miss. Map-only span fan-out, one
+      // (span, doc) rollup with partial aggregation.
+      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 5, minDocs = 2)
+    }),
+
+    "dedup_sorted_neighborhood" -> ((s, dir) => {
+      // Hernandez–Stolfo merge/purge (SIGMOD'95): the sort key must be
+      // CONTENT-derived (the classic prescription) — metadata blocks
+      // like (lang, source) miss twins whose labels differ. Key = first
+      // token; within each key, length-sorted rank windows (w=5)
+      // generate O(n·w) candidates, verified with exact distinct-
+      // trigram Jaccard in integer ppm. At this fixture the window
+      // catches 25/25 of the all-pairs >=0.3 truth set with ~2k
+      // comparisons instead of 125k. The rank window is PARTITIONED by
+      // the block key, never a corpus-global sort.
+      Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "documents")
+          .withColumn("snm_key",
+            element_at(Dedup.tokens(col("text")), 1)),
+        "doc_id", "text", blockCols = Seq("snm_key"), window = 5,
+        shingleN = 3, minSim = 0.3)
+    }),
+
+    "corpus_kl_drift" -> ((s, dir) => {
+      // per-source token-distribution divergence: t_s-weighted
+      // KL(source ‖ corpus) in micronats — the information-theoretic
+      // "did this source's crawl silently change" monitor
+      // (events_drift is L1 over event types; this is the text-modality
+      // twin). Counts stay exact integers end-to-end; the only float is
+      // one ln() per (source, token) over identical integer ratios in
+      // both engines, scaled+rounded to BIGINT BEFORE the sum — no
+      // order-dependent double accumulation. Narrow (source, token)
+      // rollups; the source totals broadcast.
+      val tok = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(Dedup.tokens(col("text"))).as("token"))
+      val sc = tok.groupBy("source", "token")
+        .agg(count(lit(1)).as("c_s"))
+      val ts = sc.groupBy("source").agg(sum("c_s").as("t_s"))
+      val gc = sc.groupBy("token").agg(sum("c_s").as("c_g"))
+      val tg = ts.agg(sum("t_s").as("t_g"))
+      sc.join(broadcast(ts), Seq("source"))
+        .join(gc, Seq("token"))
+        .crossJoin(broadcast(tg))
+        .withColumn("contrib", col("c_s") *
+          round(lit(1000000) *
+            log((col("c_s") * col("t_g")).cast("double") /
+              (col("c_g") * col("t_s")).cast("double")), 0).cast("long"))
+        .groupBy("source", "t_s")
+        .agg(sum(col("contrib")).as("kl_weighted_sum"))
+    }),
+
+    "text_rake_keywords" -> ((s, dir) => {
+      // RAKE keyword extraction (Rose et al. 2010): phrases are maximal
+      // stopword-free token runs; a word scores degree/frequency over
+      // the phrase corpus (degree = summed length of phrases containing
+      // it) and a phrase scores the sum of its words' scores — all in
+      // integer ppm (deg·1e6 div freq), cross-engine exact. The fixture
+      // vocabulary has no natural stopwords, so the 5 most frequent
+      // tokens play the role. Everything is doc-partitioned windows +
+      // vocabulary-sized rollups; the exploded token frame is
+      // checkpointed once instead of re-derived per consumer.
+      val stop = Seq("join", "hash", "row", "batch", "scan")
+      val tok = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "w")))
+      val seg = tok
+        .withColumn("is_stop", col("w").isInCollection(stop))
+        .withColumn("phrase_id", sum(col("is_stop").cast("int"))
+          .over(Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(!col("is_stop"))
+        .localCheckpoint(true)
+      val ph = seg.groupBy("doc_id", "phrase_id")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x("w")), " ").as("phrase"),
+          count(lit(1)).as("plen"))
+        .localCheckpoint(true)
+      val wstat = seg
+        .join(ph.select("doc_id", "phrase_id", "plen"),
+          Seq("doc_id", "phrase_id"))
+        .groupBy("w")
+        .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+        .withColumn("wscore_ppm", expr("(deg * 1000000L) div freq"))
+      val psc = seg.join(wstat.select("w", "wscore_ppm"), Seq("w"))
+        .groupBy("doc_id", "phrase_id")
+        .agg(sum("wscore_ppm").as("score_ppm"))
+      ph.join(psc, Seq("doc_id", "phrase_id"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ"), min("score_ppm").as("score_ppm"))
+        .filter(col("n_occ") >= 3)
+    }),
+
+    "link_fellegi_sunter" -> ((s, dir) => {
+      // Fellegi–Sunter record linkage (JASA 1969) against a
+      // deterministically degraded twin of the customer table (name
+      // truncated for custkey%5==0, segment case-mangled for %3==0,
+      // balance shifted by custkey%7 cents): block on the perturbation-
+      // invariant (nationkey, upper(segment)), score candidates by
+      // summed integer log-odds of per-field agreement, keep decisive
+      // pairs. Name agreement carries the discriminating weight (names
+      // are unique), so the threshold admits true matches and the known
+      // misses are exactly the doubly-degraded records. Balances
+      // compare in exact integer cents — no float boundary anywhere.
+      val c = t(s, dir, "customer")
+      val L = c.select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("c_cents"),
+        col("c_nationkey").as("blk_nat"),
+        upper(col("c_mktsegment")).as("blk_seg"))
+      val R = c.select(
+        col("c_custkey").as("p_custkey"),
+        when(pmod(col("c_custkey"), lit(5)) === 0,
+          regexp_replace(col("c_name"), "^Customer", "Cust"))
+          .otherwise(col("c_name")).as("p_name"),
+        when(pmod(col("c_custkey"), lit(3)) === 0, lower(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")).as("p_mktsegment"),
+        (round(col("c_acctbal") * 100, 0).cast("long") +
+          pmod(col("c_custkey"), lit(7))).as("p_cents"),
+        col("c_nationkey").as("blk_nat"))
+        .withColumn("blk_seg", upper(col("p_mktsegment")))
+      L.join(R, Seq("blk_nat", "blk_seg"))
+        .withColumn("name_a",
+          (col("c_name") === col("p_name")).cast("int"))
+        .withColumn("seg_a",
+          (col("c_mktsegment") === col("p_mktsegment")).cast("int"))
+        .withColumn("bal_a",
+          (abs(col("c_cents") - col("p_cents")) <= 2).cast("int"))
+        .withColumn("score_ppm", expr(
+          "name_a*2400000 - (1-name_a)*800000 + seg_a*1200000 - " +
+            "(1-seg_a)*600000 + bal_a*1000000 - (1-bal_a)*500000")
+          .cast("long"))
+        .filter(col("score_ppm") >= 1600000)
+        .select(col("c_custkey"), col("p_custkey"), col("name_a"),
+          col("seg_a"), col("bal_a"), col("score_ppm"),
+          (col("c_custkey") === col("p_custkey")).cast("int")
+            .as("is_true"))
+    }),
+
     "dedup_containment" -> ((s, dir) => {
       // near-subset screen: containment of the smaller shingle set in
       // the larger, exact, over MinHash-LSH candidates — catches
@@ -6191,6 +6338,150 @@ object SparkEntry {
     "text_feature_hash" -> OracleSql.textFeatureHash(buckets = 64),
 
     "dedup_prefix_filter" -> OracleSql.dedupPrefixFilter(minSim = 0.5),
+
+    "dedup_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+        |    AS a
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(a) = 5 THEN [array_to_string(a, ' ')]
+        |    ELSE [array_to_string(a[i+1:i+5], ' ')
+        |          FOR i IN range(0, len(a) - 4)] END) AS span
+        |  FROM toks WHERE len(a) >= 5)
+        |SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_occ, min(doc_id)::BIGINT AS first_doc
+        |FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    "dedup_sorted_neighborhood" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |rk AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+')[1] AS snm_key,
+        |    row_number() OVER (
+        |      PARTITION BY regexp_split_to_array(lower(trim(text)),
+        |        '\s+')[1]
+        |      ORDER BY length(text) ASC, doc_id ASC) AS rnk
+        |  FROM d),
+        |cand AS MATERIALIZED (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM rk a JOIN rk b ON a.snm_key = b.snm_key
+        |    AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + 5),
+        |tk AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+        |    AS a
+        |  FROM d),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(a) <= 3 THEN [array_to_string(a, ' ')]
+        |    ELSE [array_to_string(a[i+1:i+3], ' ')
+        |          FOR i IN range(0, len(a) - 2)] END) AS token
+        |  FROM tk),
+        |sz AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS ic
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.id_a
+        |  JOIN sh y ON y.doc_id = c.id_b AND y.token = x.token
+        |  GROUP BY 1, 2)
+        |SELECT c.id_a, c.id_b, coalesce(i.ic, 0)::BIGINT AS ic,
+        |  ((coalesce(i.ic, 0)::BIGINT * 1000000)
+        |    // (sa.sz + sb.sz - coalesce(i.ic, 0)))::BIGINT AS jac_ppm
+        |FROM cand c
+        |JOIN sz sa ON sa.doc_id = c.id_a
+        |JOIN sz sb ON sb.doc_id = c.id_b
+        |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |WHERE (coalesce(i.ic, 0)::BIGINT * 1000000)
+        |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= 300000""".stripMargin,
+
+    "corpus_kl_drift" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(
+        |    regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sc AS (
+        |  SELECT source, token, count(*)::BIGINT AS c_s
+        |  FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT source, sum(c_s)::BIGINT AS t_s FROM sc GROUP BY 1),
+        |gc AS (SELECT token, sum(c_s)::BIGINT AS c_g FROM sc GROUP BY 1),
+        |tg AS (SELECT sum(t_s)::BIGINT AS t_g FROM ts)
+        |SELECT s.source, ts.t_s,
+        |  sum(s.c_s * round(1000000 *
+        |    ln((s.c_s * tg.t_g)::DOUBLE / (gc.c_g * ts.t_s)::DOUBLE)
+        |  )::BIGINT)::BIGINT AS kl_weighted_sum
+        |FROM sc s JOIN ts USING (source) JOIN gc USING (token)
+        |CROSS JOIN tg
+        |GROUP BY 1, 2""".stripMargin,
+
+    "text_rake_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+        |    AS a
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'w': a[i+1]}
+        |    FOR i IN range(len(a))], recursive := true)
+        |  FROM toks),
+        |seg AS MATERIALIZED (
+        |  SELECT doc_id, pos, w, phrase_id FROM (
+        |    SELECT doc_id, pos, w,
+        |      w IN ('join', 'hash', 'row', 'batch', 'scan') AS is_stop,
+        |      sum(CASE WHEN w IN ('join', 'hash', 'row', 'batch', 'scan')
+        |          THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        |    FROM pos)
+        |  WHERE NOT is_stop),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, phrase_id,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |    count(*)::BIGINT AS plen
+        |  FROM seg GROUP BY 1, 2),
+        |wstat AS (
+        |  SELECT w, ((sum(plen) * 1000000) // count(*))::BIGINT
+        |    AS wscore_ppm
+        |  FROM seg JOIN ph USING (doc_id, phrase_id) GROUP BY 1),
+        |psc AS (
+        |  SELECT s.doc_id, s.phrase_id,
+        |    sum(wscore_ppm)::BIGINT AS score_ppm
+        |  FROM seg s JOIN wstat USING (w) GROUP BY 1, 2)
+        |SELECT ph.phrase, count(*)::BIGINT AS n_occ,
+        |  min(psc.score_ppm)::BIGINT AS score_ppm
+        |FROM ph JOIN psc USING (doc_id, phrase_id)
+        |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "link_fellegi_sunter" ->
+      """WITH pert AS (
+        |  SELECT c_custkey AS p_custkey,
+        |    CASE WHEN c_custkey % 5 = 0
+        |      THEN regexp_replace(c_name, '^Customer', 'Cust')
+        |      ELSE c_name END AS p_name,
+        |    c_nationkey AS p_nationkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN lower(c_mktsegment)
+        |      ELSE c_mktsegment END AS p_mktsegment,
+        |    round(c_acctbal * 100)::BIGINT + (c_custkey % 7) AS p_cents
+        |  FROM customer),
+        |sc AS (
+        |  SELECT c.c_custkey, p.p_custkey,
+        |    (c.c_name = p.p_name)::INT AS name_a,
+        |    (c.c_mktsegment = p.p_mktsegment)::INT AS seg_a,
+        |    (abs(round(c.c_acctbal * 100)::BIGINT - p.p_cents) <= 2)::INT
+        |      AS bal_a
+        |  FROM customer c JOIN pert p ON c.c_nationkey = p.p_nationkey
+        |    AND upper(c.c_mktsegment) = upper(p.p_mktsegment))
+        |SELECT c_custkey, p_custkey, name_a, seg_a, bal_a,
+        |  (name_a*2400000 - (1-name_a)*800000 + seg_a*1200000
+        |    - (1-seg_a)*600000 + bal_a*1000000
+        |    - (1-bal_a)*500000)::BIGINT AS score_ppm,
+        |  (c_custkey = p_custkey)::INT AS is_true
+        |FROM sc
+        |WHERE name_a*2400000 - (1-name_a)*800000 + seg_a*1200000
+        |  - (1-seg_a)*600000 + bal_a*1000000 - (1-bal_a)*500000
+        |  >= 1600000""".stripMargin,
     "graph_link_predict" -> OracleSql.graphLinkPredict(),
 
     "basket_frequent_triples" ->

@@ -367,6 +367,89 @@ object Dedup {
         Seq("id_a", "id_b"), "left_anti")
   }
 
+  /** Cross-document EXACT repeated spans (the substring-granularity
+    * dedup of Lee et al., ACL'22 "Deduplicating Training Data Makes
+    * Language Models Better"): every `spanTokens`-token window that
+    * occurs in at least `minDocs` DISTINCT documents, with its document
+    * reach and total occurrence count. Document-level dedup misses a
+    * boilerplate paragraph pasted into thousands of otherwise-unique
+    * pages; span-level catches exactly that.
+    *
+    * Scale shape: posexplode is map-only (per-doc fan-out bounded by
+    * doc length); the rollup shuffles (span, doc_id) once with map-side
+    * partial aggregation. At 100 TB the group key would be
+    * `xxhash64(span)` (8 bytes vs a repeated `spanTokens`-word string)
+    * with the span text carried via a min-by sample — the string key
+    * here keeps the oracle a plain SQL twin.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    spanTokens: Int = 5, minDocs: Int = 2): DataFrame =
+    docs
+      .filter(size(tokens(col(textCol))) >= spanTokens)
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), spanTokens)).as("span"))
+      .groupBy("span")
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo,
+    * SIGMOD'95 merge/purge): within each (`lang`, `source`) block, rank
+    * documents by (length, id) and compare only rows whose ranks are
+    * within `window`; verify candidates with exact distinct-trigram
+    * Jaccard. The classic record-linkage alternative to hash blocking:
+    * near-dups have near-equal lengths, so a length-sorted walk visits
+    * them adjacently with O(n·window) comparisons total.
+    *
+    * Scale shape: the rank window is PARTITIONED by the block keys —
+    * never a corpus-global sort (at 100 TB a global SNM rank would be
+    * one range-partitioned sort; blocking keys make it embarrassingly
+    * parallel instead). The window self-join is an equi-join on
+    * (block, rank+offset) with `window` exploded offsets — no range
+    * join, no theta join. Verification joins distinct-shingle sets for
+    * the O(n·window) candidates only.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              textCol: String, blockCols: Seq[String],
+                              window: Int = 5,
+                              shingleN: Int = 3,
+                              minSim: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(blockCols.map(col): _*)
+      .orderBy(length(col("text_c")).asc, col("doc_id").asc)
+    val ranked = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select((blockCols.map(col) :+ col(idCol).as("doc_id") :+
+        col(textCol).as("text_c")): _*)
+      .withColumn("rnk", row_number().over(w))
+    val probe = ranked
+      .withColumn("off", explode(lit((1 to window).toArray)))
+      .withColumn("rnk", col("rnk") + col("off"))
+      .select((blockCols.map(col) :+ col("rnk") :+
+        col("doc_id").as("id_a")): _*)
+    val cand = probe
+      .join(ranked.select((blockCols.map(col) :+ col("rnk") :+
+          col("doc_id").as("id_b")): _*),
+        blockCols :+ "rnk")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val sets = ranked.select(col("doc_id"),
+      array_distinct(shingles(col("text_c"), shingleN)).as("sh"))
+    val minPpm = math.round(minSim * 1000000)
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("ic",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jac_ppm", expr(
+        "(ic * 1000000L) div (size(sh_a) + size(sh_b) - ic)"))
+      .filter(col("jac_ppm") >= minPpm)
+      .select("id_a", "id_b", "ic", "jac_ppm")
+  }
+
   // ---------------- candidate pairs → clusters ----------------
 
   /** Connected components over a near-duplicate pair list: every vertex

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.{col, element_at}
+
+import graft.SparkSpec
+
+/** [[Dedup.repeatedSpans]] — cross-document exact repeated-span
+  * detection — and [[Dedup.sortedNeighborhoodPairs]] — Hernández–Stolfo
+  * sorted-neighborhood candidate generation with exact verification.
+  */
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repeated spans: counts distinct docs and total occurrences") {
+    // span "a b c" in docs 1 (twice) and 2; "c d e" only in doc 1;
+    // doc 3 too short to produce any 3-token span
+    val docs = Seq(
+      (1L, "a b c d e a b c"),
+      (2L, "x a b c y"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .repeatedSpans(docs, "doc_id", "text", spanTokens = 3, minDocs = 2)
+      .select("span", "n_docs", "n_occ", "first_doc")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(out == List(("a b c", 2L, 3L, 1L)))
+  }
+
+  test("repeated spans: minDocs gates on document reach, not count") {
+    // "p q r" occurs 3 times but only inside doc 7 — reach 1, filtered
+    val docs = Seq((7L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val out = Dedup
+      .repeatedSpans(docs, "doc_id", "text", spanTokens = 3, minDocs = 2)
+    assert(out.count() == 0)
+  }
+
+  test("sorted neighborhood: rank window bounds the candidate set") {
+    // one block (same key column); lengths force the rank order
+    // 1 < 2 < 3 < 4; window = 1 compares only adjacent ranks, so the
+    // high-Jaccard pair (1, 4) is OUT of the window — the classic SNM
+    // trade — while the adjacent near-identical (1, 2) is found.
+    val docs = Seq(
+      (1L, "k", "a b c d"),
+      (2L, "k", "a b c dd"),
+      (3L, "k", "q r s t u v w x"),
+      (4L, "k", "a b c d e f g h i")
+    ).toDF("doc_id", "blk", "text")
+    val out = Dedup
+      .sortedNeighborhoodPairs(docs, "doc_id", "text",
+        blockCols = Seq("blk"), window = 1, shingleN = 1, minSim = 0.5)
+      .select("id_a", "id_b", "jac_ppm")
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List((1L, 2L, 600000L)))
+  }
+
+  test("sorted neighborhood: blocks never compare across keys") {
+    val docs = Seq(
+      (1L, "k1", "a b c d"),
+      (2L, "k2", "a b c d") // identical text, different block
+    ).toDF("doc_id", "blk", "text")
+    val out = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      blockCols = Seq("blk"), window = 5, shingleN = 1, minSim = 0.1)
+    assert(out.count() == 0)
+  }
+
+  test("sorted neighborhood with content key finds label-crossing twins") {
+    // the dedup_sorted_neighborhood wiring: first token as block key —
+    // twins whose metadata differs still collide on content
+    val docs = Seq(
+      (1L, "a b c d", "en", "s1"),
+      (2L, "a b c dd", "fr", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("snm_key", element_at(Dedup.tokens(col("text")), 1))
+    val out = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      blockCols = Seq("snm_key"), window = 5, shingleN = 1, minSim = 0.5)
+    assert(out.count() == 1)
+  }
+}
