@@ -312,21 +312,23 @@ object Dedup {
         Seq("token"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val inter = cand
-      .join(tk.select(col("doc_id").as("id_a"), col("token")), Seq("id_a"))
-      .join(tk.select(col("doc_id").as("id_b"), col("token")),
-        Seq("id_b", "token"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ic"))
+    // verify per-pair with a single codegen'd set intersection over the
+    // collected sorted shingle sets (tk is already distinct) — two
+    // narrow id-keyed joins instead of re-exploding every candidate's
+    // shingles through a (pair, token) shuffle. Every candidate shares
+    // a prefix shingle, so ic >= 1 by construction.
+    val sets = tk.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("token"))).as("sh"))
     val minPpm = math.round(minSim * 1000000).toString
     cand
-      .join(sz.select(col("doc_id").as("id_a"), col("sz").as("sa")),
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
         Seq("id_a"))
-      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("sb")),
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
         Seq("id_b"))
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .withColumn("ic", coalesce(col("ic"), lit(0L)))
+      .withColumn("ic",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jac_ppm",
-        expr("(ic * 1000000L) div (sa + sb - ic)"))
+        expr("(ic * 1000000L) div (size(sh_a) + size(sh_b) - ic)"))
       .filter(col("jac_ppm") >= expr(minPpm + "L"))
       .select("id_a", "id_b", "ic", "jac_ppm")
   }
@@ -423,6 +425,9 @@ object Dedup {
       .select((blockCols.map(col) :+ col(idCol).as("doc_id") :+
         col(textCol).as("text_c")): _*)
       .withColumn("rnk", row_number().over(w))
+      // three consumers (probe, build, shingle sets) — materialize once
+      // instead of re-running the rank window per consumer
+      .localCheckpoint(true)
     val probe = ranked
       .withColumn("off", explode(lit((1 to window).toArray)))
       .withColumn("rnk", col("rnk") + col("off"))
