@@ -931,6 +931,57 @@ object OracleSql {
        |  SELECT 1 FROM ce e
        |  WHERE e.a = s.id_a AND e.b = s.id_b)""".stripMargin
 
+  /** Oracle for `graph_neighborhood`: recursive ≤`hops` walk over the
+    * self-looped near-dup edge set, min-hop dedup, then per-vertex
+    * reach counts at each hop — the exact ground truth the engine's
+    * bitmap-state propagation must reproduce. Mirrors the
+    * `graph_neighborhood` bitmap loop in [[graft.SparkEntry]].
+    */
+  def graphNeighborhood(numHashes: Int = 16, rowsPerBand: Int = 2,
+                        hops: Int = 3): String =
+    s"""WITH RECURSIVE ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |${edgeCtes(numHashes)},
+       |es AS (SELECT src, dst FROM edges
+       |       UNION SELECT id, id FROM verts),
+       |walk(src, dst, h) AS (
+       |  SELECT src, dst, 1 FROM es
+       |  UNION
+       |  SELECT w.src, e.dst, w.h + 1 FROM walk w
+       |  JOIN es e ON e.src = w.dst
+       |  WHERE w.h < $hops),
+       |r AS (SELECT src, dst, min(h) AS mh FROM walk GROUP BY 1, 2)
+       |SELECT src AS doc_id,
+       |  (count(*) FILTER (WHERE mh <= 1))::BIGINT AS n1,
+       |  (count(*) FILTER (WHERE mh <= 2))::BIGINT AS n2,
+       |  count(*)::BIGINT AS n3
+       |FROM r GROUP BY 1""".stripMargin
+
+  /** Oracle for `split_leakage_safe`: component closure (the
+    * `dedup_components` CTEs), singleton docs their own rep, the REP id
+    * hashed through the XXH64 chain into the same 0.9/0.05/0.05 buckets
+    * as [[assignSplit]] — so every member of a near-dup cluster lands
+    * in the same split.
+    */
+  def splitLeakageSafe(numHashes: Int = 16, rowsPerBand: Int = 2): String =
+    s"""WITH RECURSIVE ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |${componentCtes(numHashes)},
+       |full_docs AS (
+       |  SELECT d.doc_id, coalesce(c.rep_id, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |reps AS (SELECT DISTINCT rep AS doc_id FROM full_docs),
+       |${idHashCtes("reps", "doc_id")},
+       |bk AS (SELECT doc_id AS rep,
+       |         ((hv % 1000000) + 1000000) % 1000000 AS b FROM hashed)
+       |SELECT f.doc_id, f.rep,
+       |  CASE WHEN b < 900000 THEN 'train'
+       |       WHEN b < 950000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM full_docs f JOIN bk USING (rep)""".stripMargin
+
   def graphTriangles(numHashes: Int = 16, rowsPerBand: Int = 2): String =
     s"""WITH ${tokenHashCtes()},
        |${shingleHashCtes()},

@@ -825,6 +825,68 @@ object SparkEntry {
       Dedup.linkPrediction(mutualKnnPairs(s, dir), "id_a", "id_b")
     }),
 
+    "graph_neighborhood" -> ((s, dir) => {
+      // HyperANF-shape neighborhood function (Boldi–Rosa–Vigna,
+      // WWW'11) over the near-dup graph: each vertex's reachable-set
+      // SIZE at hops 1..3 by iterated OR-merge of neighbor set-states.
+      // At test scale the states are EXACT roaring bitmaps (so the
+      // recursive-walk oracle hash-matches); at 100 TB the identical
+      // loop runs on HLL registers — the original algorithm — with the
+      // same dataflow: per round ONE edge join + ONE state-merge agg,
+      // never a pair-explosion frame. Self-loops make the sets
+      // monotone (hop h ⊇ hop h−1).
+      import graft.expressions.Bitmaps
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val e = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val withSelf = sym.unionByName(sym.select(col("src")).distinct()
+          .select(col("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+      val b1 = withSelf.groupBy("src")
+        .agg(Bitmaps.bitmap_state(col("dst")).as("st"))
+        .localCheckpoint(true)
+      def nextRound(prev: DataFrame): DataFrame =
+        withSelf.join(prev.withColumnRenamed("src", "dst"), Seq("dst"))
+          .groupBy("src")
+          .agg(Bitmaps.bitmap_merge_state(col("st")).as("st"))
+          .localCheckpoint(true)
+      val b2 = nextRound(b1)
+      val b3 = nextRound(b2)
+      b1.select(col("src").as("doc_id"),
+          Bitmaps.bitmap_cardinality(col("st")).as("n1"))
+        .join(b2.select(col("src").as("doc_id"),
+          Bitmaps.bitmap_cardinality(col("st")).as("n2")), Seq("doc_id"))
+        .join(b3.select(col("src").as("doc_id"),
+          Bitmaps.bitmap_cardinality(col("st")).as("n3")), Seq("doc_id"))
+    }),
+
+    "split_leakage_safe" -> ((s, dir) => {
+      // group-aware train/val/test split: the SPLIT UNIT is the
+      // near-dup CLUSTER, so a training doc can never have an eval-set
+      // near-duplicate — the leakage a doc-keyed hash split permits
+      // (split_train_val_test is that baseline). Cluster reps from
+      // connected components over the MinHash-LSH graph; singletons
+      // are their own rep; the REP id hashes into 0.9/0.05/0.05
+      // buckets, so membership is stable as the corpus grows and
+      // every cluster member shares a split by construction.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashCandidates(docs, "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      docs.select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("rep_id"), col("doc_id")))
+        .select(col("doc_id"), col("rep"),
+          Sampling.assignSplit(col("rep"),
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+            .as("split"))
+    }),
+
     "dedup_edit_distance" -> ((s, dir) => {
       // title-key fuzzy matching: exact-prefix blocks bound the pair
       // space, Levenshtein over the 40-char leading span keeps dist<=4
@@ -6338,6 +6400,8 @@ object SparkEntry {
     "text_feature_hash" -> OracleSql.textFeatureHash(buckets = 64),
 
     "dedup_prefix_filter" -> OracleSql.dedupPrefixFilter(minSim = 0.5),
+    "graph_neighborhood" -> OracleSql.graphNeighborhood(),
+    "split_leakage_safe" -> OracleSql.splitLeakageSafe(),
 
     "dedup_repeated_spans" ->
       """WITH toks AS (

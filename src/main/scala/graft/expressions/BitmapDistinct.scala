@@ -138,6 +138,66 @@ case class BitmapMergeAgg(state: Expression,
       c: IndexedSeq[Expression]): BitmapMergeAgg = copy(state = c(0))
 }
 
+/** ORs serialized [[BitmapStateAgg]] bitmaps into a NEW serialized
+  * state — the round step of iterated set propagation (e.g. the
+  * HyperANF neighborhood loop: each round ORs every vertex's
+  * neighbors' round-(h−1) sets). [[BitmapMergeAgg]] is the terminal
+  * count form; this is the composable state form.
+  */
+case class BitmapMergeStateAgg(state: Expression,
+                               mutableAggBufferOffset: Int = 0,
+                               inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[RoaringBuffer]
+    with ImplicitCastInputTypes {
+  override def children: Seq[Expression] = Seq(state)
+  override def inputTypes = Seq(BinaryType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bitmap_merge_state"
+  override def createAggregationBuffer(): RoaringBuffer = new RoaringBuffer
+  override def update(buf: RoaringBuffer, in: InternalRow): RoaringBuffer = {
+    val raw = state.eval(in)
+    if (raw != null) buf.or(RoaringBuffer.fromBytes(
+      raw.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(a: RoaringBuffer, b: RoaringBuffer): RoaringBuffer = {
+    a.or(b); a
+  }
+  override def eval(buf: RoaringBuffer): Any = buf.toBytes
+  override def serialize(buf: RoaringBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(b: Array[Byte]): RoaringBuffer =
+    RoaringBuffer.fromBytes(b)
+  override def withNewMutableAggBufferOffset(o: Int): BitmapMergeStateAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapMergeStateAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): BitmapMergeStateAgg = copy(state = c(0))
+}
+
+/** Scalar cardinality of ONE serialized bitmap state — reads a stored
+  * state without an aggregation (the per-row probe for per-key stored
+  * sets; [[BitmapMergeAgg]] answers the grouped form).
+  */
+case class BitmapCardinality(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_cardinality"
+  override protected def nullSafeEval(input: Any): Any =
+    RoaringBuffer.fromBytes(input.asInstanceOf[Array[Byte]]).cardinality
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.RoaringBuffer.fromBytes($c).cardinality()")
+  override protected def withNewChildInternal(
+      c: Expression): BitmapCardinality = copy(child = c)
+}
+
 /** Two-level compressed bitmap over longs. Page key = value >> 16
   * (signed shift: negative keys get negative pages, ordering is still
   * total); offset = low 16 bits. Containers start as sorted offset
@@ -364,4 +424,16 @@ object Bitmaps {
     */
   def bitmap_merge_count(state: Column): Column =
     column(BitmapMergeAgg(expression(state)).toAggregateExpression())
+
+  /** `bitmap_merge_state(state)` → BINARY union of stored bitmaps —
+    * the iterable round step for set-propagation loops.
+    */
+  def bitmap_merge_state(state: Column): Column =
+    column(BitmapMergeStateAgg(expression(state)).toAggregateExpression())
+
+  /** `bitmap_cardinality(state)` → BIGINT exact count of one stored
+    * bitmap (scalar, no aggregation).
+    */
+  def bitmap_cardinality(state: Column): Column =
+    column(BitmapCardinality(expression(state)))
 }

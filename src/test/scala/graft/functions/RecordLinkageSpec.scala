@@ -63,6 +63,26 @@ class RecordLinkageSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("leakage-safe split: near-dup pairs never straddle splits") {
+    // the property the query exists for — every >= 0.5 candidate pair
+    // must land in one split (doc-keyed hashing would violate this)
+    val split = graft.SparkEntry.queries("split_leakage_safe")(
+      spark, sf("sf0.01")).select("doc_id", "split")
+    val pairs = Dedup.minHashCandidates(
+        graft.Tables.load(spark, sf("sf0.01"), "documents"),
+        "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sp_a"), Seq("id_a"))
+      .join(split.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sp_b"), Seq("id_b"))
+      .filter(col("sp_a") =!= col("sp_b"))
+    assert(pairs.count() > 0, "fixture lost its near-dup pairs")
+    assert(straddling.count() == 0)
+  }
+
   test("sorted neighborhood with content key finds label-crossing twins") {
     // the dedup_sorted_neighborhood wiring: first token as block key —
     // twins whose metadata differs still collide on content
