@@ -1005,6 +1005,10 @@ object SparkEntry {
           explode(Dedup.tokens(col("text"))).as("token"))
       val sc = tok.groupBy("source", "token")
         .agg(count(lit(1)).as("c_s"))
+        // three consumers (join left, source totals, global counts):
+        // materialize the vocabulary-sized rollup once, or the corpus
+        // tokenization explode runs three times
+        .localCheckpoint(true)
       val ts = sc.groupBy("source").agg(sum("c_s").as("t_s"))
       val gc = sc.groupBy("token").agg(sum("c_s").as("c_g"))
       val tg = ts.agg(sum("t_s").as("t_g"))
@@ -1693,6 +1697,27 @@ object SparkEntry {
         s"graft_orc_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
       docs.write.mode("overwrite").orc(path)
       s.read.schema(docs.schema).orc(path)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+    }),
+
+    "source_csv_roundtrip" -> ((s, dir) => {
+      // CSV sink + source (the reference's native ingest format —
+      // `nh-etl-universal-cleaning.py` reads raw CSVs): header +
+      // explicit schema on the way back (inference would be a second
+      // full scan AND a type gamble at 100 TB), quoted/escaped so
+      // arbitrary text survives, same grouped-checksum fidelity
+      // contract as the JSON/ORC round trips.
+      val docs = t(s, dir, "documents")
+      val path = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_csv_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      docs.write.mode("overwrite").option("header", "true")
+        .option("quoteAll", "true").option("escape", "\"").csv(path)
+      s.read.schema(docs.schema).option("header", "true")
+        .option("escape", "\"").csv(path)
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("sum_chars"),
@@ -3728,7 +3753,12 @@ object SparkEntry {
           col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
         .agg(count(lit(1)).as("sup"))
+      // three consumers (the ab prune + two triple-leg prunes):
+      // materialize the small frequent-pair set once — the corpus-sized
+      // lif frame deliberately is NOT checkpointed (re-scanning beats
+      // materializing it at 100 TB)
       val fp = p2.filter(col("sup") >= minSup).select("pa", "pb")
+        .localCheckpoint(true)
       // level 3: per-order triples with all three sub-pairs frequent
       val tri = lif.as("a")
         .join(lif.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -5277,6 +5307,11 @@ object SparkEntry {
         |  sum(doc_id)::BIGINT AS sum_ids
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "source_orc_roundtrip" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(length(text))::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_ids
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "source_csv_roundtrip" ->
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
         |  sum(length(text))::BIGINT AS sum_chars,
         |  sum(doc_id)::BIGINT AS sum_ids

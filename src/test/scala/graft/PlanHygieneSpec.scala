@@ -322,6 +322,52 @@ class PlanHygieneSpec extends SparkSpec {
     assert(plan.contains("xxhash64"), "bucket must come from xxhash64")
   }
 
+  test("PPJoin windows are doc-partitioned; no corpus-global sort") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("dedup_prefix_filter")(
+      spark, sf("sf0.001")).queryExecution.executedPlan
+    val unwrapped = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = unwrapped.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the per-doc prefix-rank window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned (single-partition) window in PPJoin plan:\n$w")
+    }
+  }
+
+  test("repeated-span dedup is one aggregation, no joins, no windows") {
+    val plan = SparkEntry.queries("dedup_repeated_spans")(
+      spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"unexpected window:\n${plan.take(1500)}")
+  }
+
+  test("Fellegi-Sunter linkage carries no forced broadcast hints") {
+    // both sides of the blocked self-join scale with the customer
+    // dimension — strategy must stay size-driven (AQE picks)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = SparkEntry.queries("link_fellegi_sunter")(
+      spark, sf("sf0.001")).queryExecution.analyzed
+      .collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"forced hints on SF-scaling frames: $hints")
+  }
+
+  test("KL drift aggregates the checkpointed rollup, not raw text 3x") {
+    // sc is localCheckpointed: the optimized plan must not contain the
+    // tokenization Generate (explode) at all — every consumer reads
+    // the materialized (source, token) rollup
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val gens = SparkEntry.queries("corpus_kl_drift")(
+      spark, sf("sf0.001")).queryExecution.optimizedPlan
+      .collect { case g: Generate => g }
+    assert(gens.isEmpty,
+      s"tokenization explode leaked past the checkpoint: $gens")
+  }
+
   test("200-column cleaning stays a constant-depth plan") {
     import scala.jdk.CollectionConverters._
     val cols = (1 to 200).map(i => s"Col $i (X$i)")
