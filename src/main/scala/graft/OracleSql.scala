@@ -931,6 +931,67 @@ object OracleSql {
        |  SELECT 1 FROM ce e
        |  WHERE e.a = s.id_a AND e.b = s.id_b)""".stripMargin
 
+  /** Oracle for `ml_logreg_train`: the 3-round full-batch gradient
+    * descent unrolled as a CTE chain. Each round's gradient is the sum
+    * of PER-SAMPLE e6-scaled rounded BIGINTs (exactly the engine's
+    * map-side integer reduction), and the weight updates replay the
+    * identical double arithmetic `w − 0.1·((G/1e6)/n)` — so weights,
+    * accuracy, and the e6-scaled log loss are bit-stable cross-engine.
+    */
+  def mlLogregTrain(iters: Int = 3): String = {
+    def z(w: String) =
+      s"($w.b + $w.w1*f.x1 + $w.w2*f.x2 + $w.w3*f.x3)"
+    def p(w: String) = s"(1.0/(1.0 + exp(-${z(w)})))"
+    def g(w: String, x: String) =
+      s"sum(round(((${p(w)} - f.y) * $x) * 1000000.0)::BIGINT)::BIGINT"
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH feat AS (
+         |  SELECT (length(text)::DOUBLE / 1000.0) AS x1,
+         |    (len(a)::DOUBLE / 100.0) AS x2,
+         |    (len(list_distinct(a))::DOUBLE
+         |      / greatest(len(a), 1)::DOUBLE) AS x3,
+         |    (lang = 'en')::INT::DOUBLE AS y
+         |  FROM (SELECT lang, text,
+         |      regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+         |    FROM documents WHERE length(trim(text)) > 0)),
+         |c AS (SELECT count(*)::BIGINT AS n FROM feat),
+         |w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1,
+         |       0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3)""".stripMargin
+    for (i <- 1 to iters) {
+      val pw = s"w${i - 1}"
+      sb ++=
+        s""",
+           |g$i AS (SELECT ${g("w", "1.0")} AS gb,
+           |  ${g("w", "f.x1")} AS g1,
+           |  ${g("w", "f.x2")} AS g2,
+           |  ${g("w", "f.x3")} AS g3
+           |  FROM feat f CROSS JOIN $pw w),
+           |w$i AS (SELECT
+           |  w.b - 0.1::DOUBLE * ((g.gb::DOUBLE / 1000000.0) / c.n) AS b,
+           |  w.w1 - 0.1::DOUBLE * ((g.g1::DOUBLE / 1000000.0) / c.n) AS w1,
+           |  w.w2 - 0.1::DOUBLE * ((g.g2::DOUBLE / 1000000.0) / c.n) AS w2,
+           |  w.w3 - 0.1::DOUBLE * ((g.g3::DOUBLE / 1000000.0) / c.n) AS w3
+           |  FROM $pw w, g$i g, c)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |, fin AS (SELECT f.y, ${p("w")} AS p
+         |  FROM feat f CROSS JOIN w$iters w),
+         |m AS (SELECT count(*)::BIGINT AS n,
+         |  sum(((p >= 0.5)::INT = y::INT)::BIGINT)::BIGINT AS correct,
+         |  sum(round((-(y * ln(p) + (1.0 - y) * ln(1.0 - p)))
+         |    * 1000000.0)::BIGINT)::BIGINT AS loss_e6
+         |  FROM fin)
+         |SELECT round(w.b * 1000000.0)::BIGINT AS b_e6,
+         |  round(w.w1 * 1000000.0)::BIGINT AS w1_e6,
+         |  round(w.w2 * 1000000.0)::BIGINT AS w2_e6,
+         |  round(w.w3 * 1000000.0)::BIGINT AS w3_e6,
+         |  m.n, m.correct, m.loss_e6
+         |FROM w$iters w CROSS JOIN m""".stripMargin
+    sb.toString
+  }
+
   /** Oracle for `graph_neighborhood`: recursive ≤`hops` walk over the
     * self-looped near-dup edge set, min-hop dedup, then per-vertex
     * reach counts at each hop — the exact ground truth the engine's

@@ -1065,6 +1065,61 @@ object SparkEntry {
         .filter(col("n_occ") >= 3)
     }),
 
+    "ml_logreg_train" -> ((s, dir) => {
+      // distributed logistic-regression TRAINING inside the engine: 3
+      // full-batch gradient-descent rounds for P(lang = en | length,
+      // token count, distinct-token ratio). The scale pattern is the
+      // k-means one: per-round state is 4 doubles on the driver, and
+      // each round is ONE map-side-combined aggregate over the
+      // (checkpointed) feature frame — per-sample gradient
+      // contributions are rounded to e6-scaled BIGINTs BEFORE the sum,
+      // so the reduction is exact integer math under any partitioning
+      // and the unrolled SQL oracle reproduces it bit-for-bit.
+      val toks = Dedup.tokens(col("text"))
+      val feat = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(
+          (length(col("text")).cast("double") / 1000.0).as("x1"),
+          (size(toks).cast("double") / 100.0).as("x2"),
+          (size(array_distinct(toks)).cast("double") /
+            greatest(size(toks), lit(1)).cast("double")).as("x3"),
+          (col("lang") === "en").cast("int").cast("double").as("y"))
+        .localCheckpoint(true) // 3 GD rounds + final eval re-read it
+      val n = feat.count()
+      val lr = 0.1
+      var w = Array(0.0, 0.0, 0.0, 0.0) // bias, w1, w2, w3
+      for (_ <- 1 to 3) {
+        val z = lit(w(0)) + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        def g(x: Column) = sum(
+          round((p - col("y")) * x * 1000000.0, 0).cast("long"))
+        val r = feat.agg(g(lit(1.0)).as("gb"), g(col("x1")).as("g1"),
+          g(col("x2")).as("g2"), g(col("x3")).as("g3")).head()
+        w = Array.tabulate(4)(j =>
+          w(j) - lr * ((r.getLong(j).toDouble / 1000000.0) / n))
+      }
+      val zf = lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+      val pf = lit(1.0) / (lit(1.0) + exp(-zf))
+      feat.agg(
+          count(lit(1)).as("n"),
+          sum(((pf >= 0.5).cast("int") === col("y").cast("int"))
+            .cast("long")).as("correct"),
+          sum(round(-(col("y") * log(pf) +
+            (lit(1.0) - col("y")) * log(lit(1.0) - pf)) * 1000000.0, 0)
+            .cast("long")).as("loss_e6"))
+        .select(
+          // Spark round (HALF_UP, away from zero) matches DuckDB
+          // round; scala math.round rounds negative halves the other
+          // way — keep the rounding in the engine's expression domain
+          round(lit(w(0)) * 1000000.0, 0).cast("long").as("b_e6"),
+          round(lit(w(1)) * 1000000.0, 0).cast("long").as("w1_e6"),
+          round(lit(w(2)) * 1000000.0, 0).cast("long").as("w2_e6"),
+          round(lit(w(3)) * 1000000.0, 0).cast("long").as("w3_e6"),
+          col("n"), col("correct"), col("loss_e6"))
+    }),
+
     "link_fellegi_sunter" -> ((s, dir) => {
       // Fellegi–Sunter record linkage (JASA 1969) against a
       // deterministically degraded twin of the customer table (name
@@ -6436,6 +6491,7 @@ object SparkEntry {
 
     "dedup_prefix_filter" -> OracleSql.dedupPrefixFilter(minSim = 0.5),
     "graph_neighborhood" -> OracleSql.graphNeighborhood(),
+    "ml_logreg_train" -> OracleSql.mlLogregTrain(iters = 3),
     "split_leakage_safe" -> OracleSql.splitLeakageSafe(),
 
     "dedup_repeated_spans" ->
