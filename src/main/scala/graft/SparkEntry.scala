@@ -1120,6 +1120,62 @@ object SparkEntry {
           col("n"), col("correct"), col("loss_e6"))
     }),
 
+    "ml_naive_bayes" -> ((s, dir) => {
+      // in-engine multinomial naive-Bayes TRAINING + scoring: class-
+      // conditional token log-probabilities (add-one smoothing) learned
+      // from the corpus, every doc scored against all classes, argmax
+      // prediction, confusion matrix out. All log weights round to
+      // e6-scaled BIGINTs at the (class, token) grain — vocabulary-
+      // sized, broadcastable — so doc scores are EXACT integer sums
+      // under any partitioning; unseen (class, token) mass folds in
+      // closed form as (total_tf − matched_tf)·w0_c, never a grid
+      // materialization of vocab × classes × docs.
+      val docs = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+      val tok = docs
+        .select(col("doc_id"), col("lang"),
+          explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // counts, vocab, and scoring all read it
+      val vocabN = tok.select("token").distinct().count()
+      val nTot = docs.count()
+      val ct = tok.groupBy(col("lang").as("pred_lang"), col("token"))
+        .agg(sum("tf").as("c"))
+      val tc = ct.groupBy("pred_lang").agg(sum("c").as("t_c"))
+        .withColumn("w0", round(lit(1000000.0) *
+          log(lit(1.0) / (col("t_c") + lit(vocabN)).cast("double")), 0)
+          .cast("long"))
+      val prior = docs.groupBy(col("lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n_c"))
+        .withColumn("prior_w", round(lit(1000000.0) *
+          log(col("n_c").cast("double") / lit(nTot)), 0).cast("long"))
+      val cw = ct.join(tc.select("pred_lang", "t_c"), Seq("pred_lang"))
+        .withColumn("w", round(lit(1000000.0) *
+          log((col("c") + lit(1)).cast("double") /
+            (col("t_c") + lit(vocabN)).cast("double")), 0).cast("long"))
+        .select("pred_lang", "token", "w")
+      val docTot = tok.groupBy("doc_id")
+        .agg(sum("tf").as("total_tf"))
+      val matched = tok.join(cw, Seq("token"))
+        .groupBy("doc_id", "lang", "pred_lang")
+        .agg(sum(col("tf") * col("w")).as("present_sum"),
+          sum(col("tf")).as("present_tf"))
+      val scored = matched
+        .join(docTot, Seq("doc_id"))
+        .join(broadcast(tc.select("pred_lang", "w0")), Seq("pred_lang"))
+        .join(broadcast(prior.select("pred_lang", "prior_w")),
+          Seq("pred_lang"))
+        .withColumn("score", col("prior_w") + col("present_sum") +
+          (col("total_tf") - col("present_tf")) * col("w0"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("pred_lang").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "link_fellegi_sunter" -> ((s, dir) => {
       // Fellegi–Sunter record linkage (JASA 1969) against a
       // deterministically degraded twin of the customer table (name
@@ -6492,6 +6548,53 @@ object SparkEntry {
     "dedup_prefix_filter" -> OracleSql.dedupPrefixFilter(minSim = 0.5),
     "graph_neighborhood" -> OracleSql.graphNeighborhood(),
     "ml_logreg_train" -> OracleSql.mlLogregTrain(iters = 3),
+
+    "ml_naive_bayes" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, lang, token, count(*)::BIGINT AS tf FROM (
+        |    SELECT doc_id, lang, unnest(
+        |      regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |    FROM d)
+        |  GROUP BY 1, 2, 3),
+        |v AS (SELECT count(DISTINCT token)::BIGINT AS vn FROM tok),
+        |nt AS (SELECT count(*)::BIGINT AS n FROM d),
+        |ct AS (SELECT lang AS pred_lang, token, sum(tf)::BIGINT AS c
+        |       FROM tok GROUP BY 1, 2),
+        |tc AS (SELECT pred_lang, sum(c)::BIGINT AS t_c FROM ct
+        |       GROUP BY 1),
+        |tcw AS (SELECT pred_lang, t_c,
+        |  round(1000000.0 * ln(1.0 / (t_c + v.vn)::DOUBLE))::BIGINT
+        |    AS w0
+        |  FROM tc, v),
+        |prior AS (SELECT lang AS pred_lang, count(*)::BIGINT AS n_c
+        |          FROM d GROUP BY 1),
+        |priorw AS (SELECT pred_lang,
+        |  round(1000000.0 * ln(n_c::DOUBLE / nt.n))::BIGINT AS prior_w
+        |  FROM prior, nt),
+        |cw AS (SELECT ct.pred_lang, ct.token,
+        |  round(1000000.0 * ln((ct.c + 1)::DOUBLE
+        |    / (tc.t_c + v.vn)::DOUBLE))::BIGINT AS w
+        |  FROM ct JOIN tc USING (pred_lang), v),
+        |dt AS (SELECT doc_id, sum(tf)::BIGINT AS total_tf FROM tok
+        |       GROUP BY 1),
+        |m AS (SELECT t.doc_id, t.lang, c.pred_lang,
+        |  sum(t.tf * c.w)::BIGINT AS present_sum,
+        |  sum(t.tf)::BIGINT AS present_tf
+        |  FROM tok t JOIN cw c USING (token) GROUP BY 1, 2, 3),
+        |sc AS (SELECT m.doc_id, m.lang, m.pred_lang,
+        |  pw.prior_w + m.present_sum
+        |    + (dt.total_tf - m.present_tf) * tw.w0 AS score
+        |  FROM m JOIN dt USING (doc_id) JOIN tcw tw USING (pred_lang)
+        |  JOIN priorw pw USING (pred_lang)),
+        |rk AS (SELECT lang, pred_lang, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, pred_lang ASC)
+        |    AS rn
+        |  FROM sc)
+        |SELECT lang, pred_lang, count(*)::BIGINT AS n
+        |FROM rk WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
     "split_leakage_safe" -> OracleSql.splitLeakageSafe(),
 
     "dedup_repeated_spans" ->

@@ -306,11 +306,31 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .join(sz, Seq("doc_id"))
       .filter(col("pos") <= col("sz") - ceil(lit(minSim) * col("sz")) + 1)
-      .select("doc_id", "token")
-    val cand = pref.select(col("token"), col("doc_id").as("id_a"))
-      .join(pref.select(col("token"), col("doc_id").as("id_b")),
-        Seq("token"))
-      .filter(col("id_a") < col("id_b"))
+      .select("doc_id", "token", "sz")
+    // PPJoin length filter inside the bucket join (lossless: Jaccard
+    // >= s forces s·|x| <= |y|) — prunes size-incompatible pairs
+    // before they reach the distinct. NOTE the measured trade on this
+    // fixture (BENCH_NOTES r6): with a CLOSED 31-word vocabulary,
+    // prefix buckets grow linearly with the corpus and candidates
+    // quadratically (409k @5k docs → 45M @50k) — the adversarial floor
+    // for any exact prefix scheme. Open-vocabulary corpora keep
+    // buckets df-bounded; for dense/closed vocabularies the scale path
+    // is MinHash-LSH ([[ngramJaccardPairs]]), which trades the miss
+    // rate for bucket caps.
+    // the bucket join keys on xxhash64(shingle), not the string: 8
+    // bytes through the engine's heaviest shuffle instead of an n-word
+    // text key. A hash collision can only ADD a candidate (equal
+    // strings always hash equal), and the exact verify below removes
+    // it — the zero-false-negative contract is hash-proof.
+    val prefH = pref.select(xxhash64(col("token")).as("tkh"),
+      col("doc_id"), col("sz"))
+    val cand = prefH
+      .select(col("tkh"), col("doc_id").as("id_a"), col("sz").as("za"))
+      .join(prefH.select(col("tkh"), col("doc_id").as("id_b"),
+        col("sz").as("zb")), Seq("tkh"))
+      .filter(col("id_a") < col("id_b") &&
+        col("zb") * lit(minSim) <= col("za") &&
+        col("za") * lit(minSim) <= col("zb"))
       .select("id_a", "id_b").distinct()
     // verify per-pair with a single codegen'd set intersection over the
     // collected sorted shingle sets (tk is already distinct) — two
