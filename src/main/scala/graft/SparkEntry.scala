@@ -3430,6 +3430,89 @@ object SparkEntry {
         .agg(Bitmaps.bitmap_merge_count(col("bm")).as("n_users"))
     }),
 
+    "orders_survival_km" -> ((s, dir) => {
+      // Kaplan–Meier survival over inter-purchase gaps: time-to-next-
+      // order per customer, the LAST order right-censored at the
+      // table's horizon — the churn curve ("what fraction of customers
+      // have NOT reordered after t days") with censoring handled
+      // correctly, which a naive gap histogram gets wrong. Risk sets
+      // and event counts are exact integers; the only floats are
+      // ln(1−d/n) per DISTINCT gap day and the sequential running sum
+      // over the day-bounded factor frame (same calendar-bounded
+      // single-partition window discipline as the daily KPI frames),
+      // identical in both engines. Terminal times with d = n (S would
+      // hit 0, ln −∞) are excluded and documented.
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+      val od = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date")
+          .as("od"))
+      val hz = od.agg(max(col("od")).as("hz"))
+      val dur = od
+        .withColumn("nxt", lead("od", 1)
+          .over(Window.partitionBy("o_custkey").orderBy("od")))
+        .crossJoin(broadcast(hz))
+        .select(
+          when(col("nxt").isNotNull, datediff(col("nxt"), col("od")))
+            .otherwise(datediff(col("hz"), col("od")))
+            .cast("long").as("dur"),
+          when(col("nxt").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("event"))
+        .filter(col("dur") > 0)
+      val ev = dur.groupBy("dur")
+        .agg(sum("event").as("d"), count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // risk-set window + factor rows read it
+      val wRisk = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = ev.withColumn("n_risk", sum(col("cnt")).over(wRisk))
+      val wS = Window.orderBy(col("dur").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      risk.filter(col("d") > 0 && col("d") < col("n_risk"))
+        .withColumn("lnf",
+          log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double")))
+        .withColumn("s_e6",
+          round(exp(sum(col("lnf")).over(wS)) * 1000000.0, 0)
+            .cast("long"))
+        .select("dur", "d", "n_risk", "s_e6")
+    }),
+
+    "text_zipf_fit" -> ((s, dir) => {
+      // Zipf-law fit over the token frequency spectrum: least-squares
+      // slope of ln(freq) on ln(rank) — the corpus-linguistics
+      // diagnostic ("is this corpus natural-language-shaped or
+      // machine-generated?"). Per-rank log coordinates round to e6
+      // BIGINTs, the regression sums run in DECIMAL(38,0) (vocab can
+      // be millions; long Σxy overflows), and only the final
+      // slope/intercept divisions touch doubles — identical in both
+      // engines. Rank window runs on the vocabulary-sized frequency
+      // frame, never the corpus.
+      val d = "decimal(38,0)"
+      val tf = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("f"))
+      val rk = tf.withColumn("rank", row_number().over(
+        Window.orderBy(col("f").desc, col("token").asc)))
+      val pts = rk.select(
+        round(log(col("rank").cast("double")) * 1000000.0, 0)
+          .cast("long").as("x"),
+        round(log(col("f").cast("double")) * 1000000.0, 0)
+          .cast("long").as("y"))
+      pts.agg(
+          count(lit(1)).cast(d).as("n"),
+          sum(col("x").cast(d)).as("sx"),
+          sum(col("y").cast(d)).as("sy"),
+          sum(col("x").cast(d) * col("y").cast(d)).as("sxy"),
+          sum(col("x").cast(d) * col("x").cast(d)).as("sxx"))
+        .select(
+          col("n").cast("long").as("n_tokens"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") * 1000000.0, 0).cast("long")
+            .as("slope_e6"))
+    }),
+
     "orders_purchase_gaps" -> ((s, dir) => {
       // inter-purchase cadence: days between consecutive orders per
       // customer (lag window, partitioned by customer — shuffles the
@@ -6214,6 +6297,64 @@ object SparkEntry {
     "incr_distinct_merge" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "orders_survival_km" ->
+      """WITH od AS (
+        |  SELECT o_custkey, o_orderdate::DATE AS od FROM orders),
+        |hz AS (SELECT max(od) AS hz FROM od),
+        |dur AS (
+        |  SELECT CASE WHEN nxt IS NOT NULL
+        |      THEN datediff('day', od, nxt)
+        |      ELSE datediff('day', od, hz.hz) END AS dur,
+        |    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+        |  FROM (SELECT o_custkey, od, lead(od) OVER (
+        |      PARTITION BY o_custkey ORDER BY od) AS nxt FROM od)
+        |  CROSS JOIN hz),
+        |ev AS (
+        |  SELECT dur, sum(event)::BIGINT AS d, count(*)::BIGINT AS cnt
+        |  FROM dur WHERE dur > 0 GROUP BY 1),
+        |risk AS (
+        |  SELECT dur, d, sum(cnt) OVER (ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_risk
+        |  FROM ev),
+        |f AS (
+        |  SELECT dur, d, n_risk,
+        |    ln(1.0 - d::DOUBLE / n_risk::DOUBLE) AS lnf
+        |  FROM risk WHERE d > 0 AND d < n_risk)
+        |SELECT dur, d, n_risk,
+        |  round(exp(sum(lnf) OVER (ORDER BY dur ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    * 1000000.0)::BIGINT AS s_e6
+        |FROM f""".stripMargin,
+
+    "text_zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT token, count(*)::BIGINT AS f FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')) AS token
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  GROUP BY 1),
+        |rk AS (
+        |  SELECT f, row_number() OVER (ORDER BY f DESC, token ASC)
+        |    AS rank
+        |  FROM tf),
+        |pts AS (
+        |  SELECT round(ln(rank::DOUBLE) * 1000000.0)::BIGINT AS x,
+        |    round(ln(f::DOUBLE) * 1000000.0)::BIGINT AS y
+        |  FROM rk),
+        |m AS (
+        |  SELECT count(*)::HUGEINT AS n,
+        |    sum(x::HUGEINT)::HUGEINT AS sx, sum(y::HUGEINT)::HUGEINT
+        |      AS sy,
+        |    sum(x::HUGEINT * y::HUGEINT)::HUGEINT AS sxy,
+        |    sum(x::HUGEINT * x::HUGEINT)::HUGEINT AS sxx
+        |  FROM pts)
+        |SELECT n::BIGINT AS n_tokens,
+        |  round((n * sxy - sx * sy)::DOUBLE
+        |    / (n * sxx - sx * sx)::DOUBLE * 1000000.0)::BIGINT
+        |    AS slope_e6
+        |FROM m""".stripMargin,
 
     "orders_purchase_gaps" ->
       """WITH g AS (
