@@ -107,12 +107,18 @@ object Bench {
     // the medians dict — BENCH_FULL.json makes per-query regressions
     // diffable from git history alone. Overridable for ad-hoc runs; any
     // write failure must not fail the bench itself.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      "BENCH_FULL.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-        (line + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY subset runs must NOT clobber the committed
+    // full-surface artifact (a 1-query line replacing 250 medians is
+    // worse than no write) — ad-hoc subset timings stay stdout-only
+    // unless SPARK_GRAFT_BENCH_FULL points somewhere explicitly.
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL")
+      .orElse(if (only.isEmpty) Some("BENCH_FULL.json") else None)
+    fullPath.foreach { p =>
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }
