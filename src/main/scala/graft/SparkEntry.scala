@@ -1120,6 +1120,104 @@ object SparkEntry {
           col("n"), col("correct"), col("loss_e6"))
     }),
 
+    "dedup_lsh_tuning" -> ((s, dir) => {
+      // LSH dial selection AS a query: expected recall of each
+      // (rows-per-band, bands) MinHash config over the corpus's OWN
+      // measured pair-similarity distribution — Σ 1−(1−s^r)^b across
+      // exact-Jaccard candidate pairs (SNM at a low 0.1 gate supplies
+      // the distribution without an all-pairs join). Powers are
+      // explicit repeated squarings, so the doubles are identical
+      // cross-engine; per-pair probabilities round to e6 BIGINTs
+      // before the exact sum. The table answers "which banding do I
+      // run at 100 TB for ~95% recall" from data, not folklore.
+      val pairs = Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "documents")
+          .withColumn("snm_key",
+            element_at(Dedup.tokens(col("text")), 1)),
+        "doc_id", "text", blockCols = Seq("snm_key"), window = 5,
+        shingleN = 3, minSim = 0.02)
+      val grid = {
+        import s.implicits._
+        Seq((2, 8), (4, 4), (8, 2), (2, 16), (4, 8)).toDF("r", "b")
+      }
+      pairs
+        .withColumn("sim", col("jac_ppm").cast("double") / 1000000.0)
+        .withColumn("p2", col("sim") * col("sim"))
+        .withColumn("p4", col("p2") * col("p2"))
+        .withColumn("p8", col("p4") * col("p4"))
+        .crossJoin(broadcast(grid))
+        .withColumn("sr", when(col("r") === 2, col("p2"))
+          .when(col("r") === 4, col("p4")).otherwise(col("p8")))
+        .withColumn("q", lit(1.0) - col("sr"))
+        .withColumn("q2", col("q") * col("q"))
+        .withColumn("q4", col("q2") * col("q2"))
+        .withColumn("q8", col("q4") * col("q4"))
+        .withColumn("q16", col("q8") * col("q8"))
+        .withColumn("pdet", lit(1.0) - (when(col("b") === 2, col("q2"))
+          .when(col("b") === 4, col("q4"))
+          .when(col("b") === 8, col("q8")).otherwise(col("q16"))))
+        .groupBy("r", "b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("pdet") * 1000000.0, 0).cast("long"))
+            .as("exp_detected_e6"))
+    }),
+
+    "privacy_l_diversity" -> ((s, dir) => {
+      // l-diversity audit (Machanavajjhala et al., ICDE'06) — the
+      // check k-anonymity misses: a quasi-identifier group whose
+      // SENSITIVE attribute is uniform leaks it even at high k. Quasi
+      // ids (nation, segment), sensitive = order priority; groups with
+      // fewer than 3 distinct priorities are flagged. One join + one
+      // two-level rollup, all narrow.
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          count_distinct(col("o_orderpriority")).as("l_div"))
+        .withColumn("compliant", (col("l_div") >= 3).cast("int"))
+    }),
+
+    "events_changepoint" -> ((s, dir) => {
+      // binary-segmentation changepoint over daily revenue: the split
+      // day minimizing total within-segment SSE — equivalently
+      // maximizing f = ΣL²/n_L + ΣR²/n_R — with every Σ an exact
+      // DECIMAL(38,0) of integer cents and ONE double division per
+      // candidate day (identical in both engines; argmax tie-broken by
+      // day). The corpus work is one daily rollup; candidate scoring
+      // runs on the calendar-bounded frame.
+      val d = "decimal(38,0)"
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val tot = daily.agg(count(lit(1)).cast(d).as("n"),
+        sum(col("cents").cast(d)).as("st"))
+      val wc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("n_l", sum(lit(1).cast(d)).over(wc))
+        .withColumn("s_l", sum(col("cents").cast(d)).over(wc))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_l") < col("n"))
+        .withColumn("n_r", col("n") - col("n_l"))
+        .withColumn("s_r", col("st") - col("s_l"))
+        .withColumn("f",
+          (col("s_l") * col("s_l") * col("n_r") +
+            col("s_r") * col("s_r") * col("n_l")).cast("double") /
+            (col("n_l") * col("n_r")).cast("double"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("f").desc, col("day").asc)))
+        .filter(col("rnk") === 1)
+        .select(col("day").as("split_day"),
+          col("n_l").cast("long").as("n_left"),
+          col("n_r").cast("long").as("n_right"),
+          expr("cast(s_l as bigint) div cast(n_l as bigint)")
+            .as("mean_l_cents"),
+          expr("cast(s_r as bigint) div cast(n_r as bigint)")
+            .as("mean_r_cents"))
+    }),
+
     "ml_naive_bayes" -> ((s, dir) => {
       // in-engine multinomial naive-Bayes TRAINING + scoring: class-
       // conditional token log-probabilities (add-one smoothing) learned
@@ -6689,6 +6787,115 @@ object SparkEntry {
     "dedup_prefix_filter" -> OracleSql.dedupPrefixFilter(minSim = 0.5),
     "graph_neighborhood" -> OracleSql.graphNeighborhood(),
     "ml_logreg_train" -> OracleSql.mlLogregTrain(iters = 3),
+
+    "dedup_lsh_tuning" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |rk AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+')[1] AS snm_key,
+        |    row_number() OVER (
+        |      PARTITION BY regexp_split_to_array(lower(trim(text)),
+        |        '\s+')[1]
+        |      ORDER BY length(text) ASC, doc_id ASC) AS rnk
+        |  FROM d),
+        |cand AS MATERIALIZED (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |    greatest(a.doc_id, b.doc_id) AS id_b
+        |  FROM rk a JOIN rk b ON a.snm_key = b.snm_key
+        |    AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + 5),
+        |tk AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+        |    AS a
+        |  FROM d),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(a) <= 3 THEN [array_to_string(a, ' ')]
+        |    ELSE [array_to_string(a[i+1:i+3], ' ')
+        |          FOR i IN range(0, len(a) - 2)] END) AS token
+        |  FROM tk),
+        |sz AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, count(*) AS ic
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.id_a
+        |  JOIN sh y ON y.doc_id = c.id_b AND y.token = x.token
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT ((coalesce(i.ic, 0)::BIGINT * 1000000)
+        |      // (sa.sz + sb.sz - coalesce(i.ic, 0)))::BIGINT AS jac_ppm
+        |  FROM cand c
+        |  JOIN sz sa ON sa.doc_id = c.id_a
+        |  JOIN sz sb ON sb.doc_id = c.id_b
+        |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        |  WHERE (coalesce(i.ic, 0)::BIGINT * 1000000)
+        |    // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= 20000),
+        |pw AS (
+        |  SELECT jac_ppm::DOUBLE / 1000000.0 AS sim,
+        |    (jac_ppm::DOUBLE / 1000000.0)
+        |      * (jac_ppm::DOUBLE / 1000000.0) AS p2
+        |  FROM pr),
+        |pp AS (SELECT sim, p2, p2 * p2 AS p4, (p2 * p2) * (p2 * p2)
+        |    AS p8 FROM pw),
+        |g AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (2, 16),
+        |    (4, 8)) t(r, b)),
+        |e AS (
+        |  SELECT g.r, g.b,
+        |    1.0 - (CASE WHEN g.r = 2 THEN p.p2
+        |           WHEN g.r = 4 THEN p.p4 ELSE p.p8 END) AS q
+        |  FROM pp p CROSS JOIN g),
+        |e2 AS (SELECT r, b, q, q * q AS q2 FROM e),
+        |e4 AS (SELECT r, b, q, q2, q2 * q2 AS q4 FROM e2),
+        |e8 AS (SELECT r, b, q, q2, q4, q4 * q4 AS q8 FROM e4),
+        |e16 AS (SELECT r, b, q2, q4, q8, q8 * q8 AS q16 FROM e8)
+        |SELECT r, b, count(*)::BIGINT AS n_pairs,
+        |  sum(round((1.0 - (CASE WHEN b = 2 THEN q2
+        |      WHEN b = 4 THEN q4 WHEN b = 8 THEN q8 ELSE q16 END))
+        |    * 1000000.0)::BIGINT)::BIGINT AS exp_detected_e6
+        |FROM e16 GROUP BY 1, 2""".stripMargin,
+
+    "privacy_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n_orders,
+        |  count(DISTINCT o_orderpriority)::BIGINT AS l_div,
+        |  (count(DISTINCT o_orderpriority) >= 3)::INT AS compliant
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT
+        |      AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::HUGEINT AS n, sum(cents)::HUGEINT
+        |    AS st FROM daily),
+        |cum AS (
+        |  SELECT day,
+        |    (count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      )::HUGEINT AS n_l,
+        |    (sum(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      )::HUGEINT AS s_l
+        |  FROM daily),
+        |sc AS (
+        |  SELECT day, n_l, s_l, t.n - n_l AS n_r, t.st - s_l AS s_r
+        |  FROM cum CROSS JOIN tot t
+        |  WHERE n_l < t.n),
+        |f AS (
+        |  SELECT day, n_l, n_r, s_l, s_r,
+        |    (s_l * s_l * n_r + s_r * s_r * n_l)::DOUBLE
+        |      / (n_l * n_r)::DOUBLE AS f
+        |  FROM sc),
+        |top AS (SELECT *, row_number() OVER (ORDER BY f DESC, day ASC)
+        |    AS rnk FROM f)
+        |SELECT day AS split_day, n_l::BIGINT AS n_left,
+        |  n_r::BIGINT AS n_right,
+        |  (s_l::BIGINT // n_l::BIGINT)::BIGINT AS mean_l_cents,
+        |  (s_r::BIGINT // n_r::BIGINT)::BIGINT AS mean_r_cents
+        |FROM top WHERE rnk = 1""".stripMargin,
 
     "ml_naive_bayes" ->
       """WITH d AS (
