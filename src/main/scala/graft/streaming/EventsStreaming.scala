@@ -237,6 +237,37 @@ object EventsStreaming {
         .as("approx_users"))
       .select(col("window.start").as("hour"), col("approx_users"))
 
+  /** Watermarked per-window event-mix drift monitor — the STREAMING
+    * twin of the batch `events_drift` query: each closed 1-hour window
+    * emits the L1 distance (in ppm) between ITS event-type
+    * distribution and a static baseline trained offline (e.g. last
+    * month's mix). The alert feed for "did the ingest mix silently
+    * change", running against live traffic.
+    *
+    * Single streaming aggregation (stacked aggs are illegal in a
+    * stream): per-type counts come from conditional sums over the
+    * KNOWN type enum, the L1 folds in the same projection — exact
+    * integer arithmetic end to end, so window results are replayable
+    * bit-for-bit. State per open window is |enum| longs, evicted by
+    * the watermark.
+    */
+  def driftMonitorStream(events: DataFrame,
+                         baselinePpm: Map[String, Long],
+                         lateness: String = "30 minutes"): DataFrame = {
+    val types = baselinePpm.keys.toSeq.sorted
+    val counted = events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("total"),
+        types.map(t => sum(when(col("event_type") === t, 1L)
+          .otherwise(0L)).as(s"c_$t")): _*)
+    val l1 = types.map { t =>
+      abs(expr(s"(`c_$t` * 1000000L) div total") - lit(baselinePpm(t)))
+    }.reduce(_ + _)
+    counted.select(col("window.start").as("hour"), col("total"),
+      l1.cast("long").as("l1_drift_ppm"))
+  }
+
   /** Watermarked per-window count-min frequency sketch — the streaming
     * sketch-store writer: each closed window emits one mergeable BINARY
     * state (`d × w` grid, deterministic bytes), so downstream batch

@@ -36,6 +36,30 @@ class EventsStreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("windowed drift monitor matches the batch twin, exact ppm") {
+    val dir = Files.createTempDirectory("graft-drift").toString
+    val batch = eventsBatch
+    batch.write.mode("overwrite").parquet(s"$dir/in")
+    // "trained" baseline: uniform mix over the fixture's 5-type enum
+    val base = Seq("view", "click", "purchase", "signup", "error")
+      .map(_ -> 200000L).toMap
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(s"$dir/in")
+    val streamed = EventsStreaming.drainToMemory(
+      EventsStreaming.driftMonitorStream(stream, base),
+      "drift_mon", s"$dir/ckpt", OutputMode.Update)
+    val got = streamed.orderBy("hour")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    val want = EventsStreaming.driftMonitorStream(batch, base)
+      .orderBy("hour")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // drift of a 5-type mix is bounded by 2e6 ppm and, being integer
+    // math over real counts, strictly positive on the skewed fixture
+    assert(got.forall { case (_, _, d) => d >= 0 && d <= 2000000 })
+  }
+
   test("stream-static enrichment join matches the batch twin, stateless") {
     val dir = Files.createTempDirectory("graft-enrich").toString
     val batch = eventsBatch
