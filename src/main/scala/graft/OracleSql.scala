@@ -931,6 +931,64 @@ object OracleSql {
        |  SELECT 1 FROM ce e
        |  WHERE e.a = s.id_a AND e.b = s.id_b)""".stripMargin
 
+  /** Oracle for `sim_graph_topk`: the mutual-kNN edge CTEs (shared
+    * with [[graphLinkPredict]]) plus the two-round beam search
+    * unrolled — entries, expand-by-edges, exact-cosine re-rank to beam
+    * 8 each round, top-5 out. Mirrors the `sim_graph_topk` query.
+    */
+  def simGraphTopK(minCos: Double = 0.2, k: Int = 3, nTables: Int = 8,
+                   targetBucket: Int = 128, minBits: Int = 4,
+                   maxBits: Int = 16, dim: Int = 64, seed: Long = 42L,
+                   beam: Int = 8, outK: Int = 5,
+                   entryMod: Int = 500): String = {
+    def rank(candCte: String, name: String) =
+      s"""$name AS (SELECT query_id, cand, rn FROM (
+         |  SELECT c.query_id, c.cand, row_number() OVER (
+         |    PARTITION BY c.query_id
+         |    ORDER BY list_cosine_similarity(q.v, x.v) DESC,
+         |      c.cand ASC) AS rn
+         |  FROM $candCte c JOIN cv x ON x.cand = c.cand
+         |  JOIN qv q ON q.query_id = c.query_id
+         |  WHERE c.cand <> c.query_id)
+         |  WHERE rn <= $beam)""".stripMargin
+    s"""WITH ${embLshPairsCtes(nTables, targetBucket, minBits, maxBits, dim, seed)},
+       |thr AS (SELECT id_a, id_b, cos FROM pairs WHERE cos >= $minCos),
+       |symc AS (
+       |  SELECT id_a AS a, id_b AS b, cos FROM thr
+       |  UNION ALL SELECT id_b, id_a, cos FROM thr),
+       |rkd AS (
+       |  SELECT a, b, row_number() OVER (PARTITION BY a
+       |    ORDER BY cos DESC, b ASC) AS rnk
+       |  FROM symc),
+       |tpk AS (SELECT * FROM rkd WHERE rnk <= $k),
+       |ce AS MATERIALIZED (
+       |  SELECT x.a, x.b
+       |  FROM tpk x JOIN tpk y ON x.a = y.b AND x.b = y.a
+       |  WHERE x.a < x.b),
+       |sym AS (SELECT a AS src, b AS dst FROM ce
+       |        UNION ALL SELECT b, a FROM ce),
+       |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+       |       FROM embeddings WHERE vec_id < 8),
+       |cv AS (SELECT vec_id AS cand, embedding::DOUBLE[] AS v
+       |       FROM embeddings),
+       |ent AS (SELECT vec_id AS cand FROM embeddings
+       |        WHERE vec_id % $entryMod = 0),
+       |c0 AS (SELECT q.query_id, e.cand FROM qv q CROSS JOIN ent e),
+       |${rank("c0", "b0")},
+       |c1 AS (SELECT DISTINCT query_id, cand FROM (
+       |  SELECT query_id, cand FROM b0
+       |  UNION ALL SELECT b.query_id, s.dst AS cand
+       |  FROM b0 b JOIN sym s ON s.src = b.cand)),
+       |${rank("c1", "b1")},
+       |c2 AS (SELECT DISTINCT query_id, cand FROM (
+       |  SELECT query_id, cand FROM b1
+       |  UNION ALL SELECT b.query_id, s.dst AS cand
+       |  FROM b1 b JOIN sym s ON s.src = b.cand)),
+       |${rank("c2", "b2")}
+       |SELECT query_id, rn::INT AS rank, cand AS neighbor_id
+       |FROM b2 WHERE rn <= $outK""".stripMargin
+  }
+
   /** Oracle for `ml_logreg_train`: the 3-round full-batch gradient
     * descent unrolled as a CTE chain. Each round's gradient is the sum
     * of PER-SAMPLE e6-scaled rounded BIGINTs (exactly the engine's

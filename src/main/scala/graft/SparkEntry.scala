@@ -1120,6 +1120,92 @@ object SparkEntry {
           col("n"), col("correct"), col("loss_e6"))
     }),
 
+    "sim_graph_topk" -> ((s, dir) => {
+      // graph-walk ANN (the HNSW/NSG family, Spark-native): greedy
+      // beam search over the mutual-kNN graph — fixed entry points,
+      // two rounds of expand-neighbors → exact-cosine re-rank → keep
+      // beam 8, then top-5 out. Per round ONE edge join on the beam
+      // frame (queries × beam ≤ 8 rows each) + a beam-bounded window —
+      // the search cost is independent of corpus size once the graph
+      // is built, which is exactly why graph indexes won the ANN
+      // benchmark wars. Deterministic: ties break by candidate id;
+      // the oracle unrolls both rounds over the same edge CTEs.
+      import graft.expressions.exprs
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+      val sym = {
+        val ce = mutualKnnPairs(s, dir).select("id_a", "id_b")
+        ce.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(ce.select(col("id_b").as("src"),
+            col("id_a").as("dst")))
+          .localCheckpoint(true) // two expansion rounds read it
+      }
+      val vecs = emb.select(col("vec_id").as("cand"),
+        col("embedding").as("c_vec"))
+      def topB(cands: DataFrame, b: Int): DataFrame = {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("cand").asc)
+        cands.join(vecs, Seq("cand"))
+          .join(broadcast(queries), Seq("query_id"))
+          .filter(col("cand") =!= col("query_id"))
+          .withColumn("score",
+            exprs.cosine_sim(col("q_vec"), col("c_vec")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= b)
+          .select("query_id", "cand", "rn")
+      }
+      def expand(beam: DataFrame): DataFrame =
+        beam.select("query_id", "cand")
+          .unionByName(beam.select(col("query_id"),
+              col("cand").as("src"))
+            .join(sym, Seq("src"))
+            .select(col("query_id"), col("dst").as("cand")))
+          .distinct()
+      val ent = emb.filter(pmod(col("vec_id"), lit(500)) === 0)
+        .select(col("vec_id").as("cand"))
+      val b0 = topB(queries.select("query_id").crossJoin(broadcast(ent)),
+        8).localCheckpoint(true)
+      val b1 = topB(expand(b0), 8).localCheckpoint(true)
+      val b2 = topB(expand(b1), 8)
+      b2.filter(col("rn") <= 5)
+        .select(col("query_id"), col("rn").cast("int").as("rank"),
+          col("cand").as("neighbor_id"))
+    }),
+
+    "privacy_t_closeness" -> ((s, dir) => {
+      // t-closeness audit (Li et al., ICDE'07) — the refinement after
+      // [k-anonymity, l-diversity]: a quasi-group whose sensitive
+      // DISTRIBUTION diverges from the global one leaks information
+      // even when diverse. Categorical EMD = total-variation distance
+      // = L1/2, in exact integer ppm over the full (group × priority)
+      // grid (absent priorities contribute their global share). One
+      // join + narrow rollups; the 5-value priority enum broadcasts.
+      val j = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("o_orderpriority"))
+        .localCheckpoint(true) // grid, group totals, global shares
+      val cnt = j.groupBy("c_nationkey", "c_mktsegment",
+        "o_orderpriority").agg(count(lit(1)).as("c"))
+      val tot = j.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      val gcnt = j.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("gc"))
+      val gtot = j.count()
+      val grid = tot.crossJoin(broadcast(gcnt))
+        .join(cnt, Seq("c_nationkey", "c_mktsegment", "o_orderpriority"),
+          "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("diff", abs(
+          expr("(c * 1000000L) div n") -
+            expr(s"(gc * 1000000L) div ${gtot}L")))
+      grid.groupBy("c_nationkey", "c_mktsegment")
+        .agg(max(col("n")).as("n_orders"),
+          expr("sum(diff) div 2").as("tvd_ppm"))
+        .withColumn("compliant", (col("tvd_ppm") <= 300000).cast("int"))
+    }),
+
     "dedup_lsh_tuning" -> ((s, dir) => {
       // LSH dial selection AS a query: expected recall of each
       // (rows-per-band, bands) MinHash config over the corpus's OWN
@@ -6787,6 +6873,36 @@ object SparkEntry {
     "dedup_prefix_filter" -> OracleSql.dedupPrefixFilter(minSim = 0.5),
     "graph_neighborhood" -> OracleSql.graphNeighborhood(),
     "ml_logreg_train" -> OracleSql.mlLogregTrain(iters = 3),
+
+    "sim_graph_topk" -> OracleSql.simGraphTopK(),
+
+    "privacy_t_closeness" ->
+      """WITH j AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment, o_orderpriority
+        |  FROM customer JOIN orders ON c_custkey = o_custkey),
+        |cnt AS (SELECT c_nationkey, c_mktsegment, o_orderpriority,
+        |    count(*)::BIGINT AS c
+        |  FROM j GROUP BY 1, 2, 3),
+        |tot AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+        |  FROM j GROUP BY 1, 2),
+        |gcnt AS (SELECT o_orderpriority, count(*)::BIGINT AS gc
+        |  FROM j GROUP BY 1),
+        |gt AS (SELECT count(*)::BIGINT AS g FROM j),
+        |grid AS (
+        |  SELECT t.c_nationkey, t.c_mktsegment, g.o_orderpriority,
+        |    t.n, g.gc, coalesce(c.c, 0)::BIGINT AS c
+        |  FROM tot t CROSS JOIN gcnt g
+        |  LEFT JOIN cnt c ON c.c_nationkey = t.c_nationkey
+        |    AND c.c_mktsegment = t.c_mktsegment
+        |    AND c.o_orderpriority = g.o_orderpriority),
+        |d AS (
+        |  SELECT c_nationkey, c_mktsegment, n,
+        |    abs((c * 1000000) // n - (gc * 1000000) // gt.g) AS diff
+        |  FROM grid CROSS JOIN gt)
+        |SELECT c_nationkey, c_mktsegment, max(n)::BIGINT AS n_orders,
+        |  (sum(diff) // 2)::BIGINT AS tvd_ppm,
+        |  ((sum(diff) // 2) <= 300000)::INT AS compliant
+        |FROM d GROUP BY 1, 2""".stripMargin,
 
     "dedup_lsh_tuning" ->
       """WITH d AS (
