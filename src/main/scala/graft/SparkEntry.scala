@@ -4549,6 +4549,132 @@ object SparkEntry {
           .as("n_chars"),
         graft.expressions.BpeCol.bpe_token_count(col("text"), merges)
           .as("n_tokens"))
+    }),
+
+    "trend_mann_kendall" -> ((s, dir) => {
+      // Mann-Kendall monotonic-trend test + Theil-Sen robust slope
+      // over daily revenue — the distribution-free "is this KPI
+      // drifting?" primitive (Mann 1945; Sen 1968), immune to
+      // outliers and to any monotone transform of the series. Corpus
+      // work is ONE daily rollup; the O(d²) pair frame lives on the
+      // calendar-bounded daily table (≤366 rows → ≤67k pairs), never
+      // on raw events. Every test statistic is an exact integer (S,
+      // the 18·Var numerator with its tie correction, the e6-scaled
+      // pair slopes); the z-score and the slope median are single
+      // IEEE expression chains over those integers, so the oracle
+      // reproduces them bit-for-bit. `div` truncates toward zero in
+      // BOTH engines (verified for negative slopes).
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .localCheckpoint(true) // pair self-join + tie rollup re-read it
+      val pairs = daily.as("a")
+        .join(daily.as("b"), col("a.day") < col("b.day"))
+        .select((col("b.cents") - col("a.cents")).as("dc"),
+          (col("b.day") - col("a.day")).as("dd"))
+      val sAgg = pairs.agg(
+        sum(when(col("dc") > 0, 1L).when(col("dc") < 0, -1L)
+          .otherwise(0L)).as("s_stat"),
+        expr("percentile((dc * 1000000) div dd, 0.5d)")
+          .as("sen_slope_e6"))
+      val nn = daily.agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy("cents")
+        .agg(count(lit(1)).as("t")).filter(col("t") > 1)
+        .agg(coalesce(sum(col("t") * (col("t") - 1)
+          * (lit(2) * col("t") + 5)), lit(0L)).as("tie_corr"))
+      sAgg.crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+        .withColumn("var18",
+          col("n_days") * (col("n_days") - 1)
+            * (lit(2) * col("n_days") + 5) - col("tie_corr"))
+        .withColumn("z", round(
+          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double")
+            / sqrt(col("var18").cast("double") / 18.0))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double")
+            / sqrt(col("var18").cast("double") / 18.0))
+          .otherwise(0.0), 4))
+        .select(col("n_days"), col("s_stat"), col("var18"), col("z"),
+          when(col("z") > 1.96, "up").when(col("z") < -1.96, "down")
+            .otherwise("none").as("trend"),
+          col("sen_slope_e6"))
+    }),
+
+    "text_readability" -> ((s, dir) => {
+      // per-corpus-slice readability audit: Flesch reading-ease over
+      // (source, lang), from exact integer counts — words (whitespace
+      // tokens), sentences (split on [.!?]+; the synthetic fixture has
+      // no sentence punctuation, so each doc degenerates to ONE
+      // sentence and the words/sentence term carries the doc length —
+      // real corpora split properly through the same regex), and
+      // syllables approximated as vowel GROUPS (the standard heuristic:
+      // "table" → a+e = 2). Vowel groups come from two regexp_replace
+      // lengths (collapse-vs-delete difference), identical semantics in
+      // both engines. Per-doc score in e3 fixed point with integer
+      // division, then an exact integer sum per slice — no float ever
+      // enters, so the oracle matches bit-for-bit. Map-only over the
+      // corpus + a tiny rollup: the 100 TB shape of every quality gate.
+      val txt = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+      val scored = txt.select(col("source"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("w"),
+          greatest(size(expr(
+            "filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)")),
+            lit(1)).cast("long").as("sent"),
+          (length(regexp_replace(lower(col("text")), "[aeiou]+", "V"))
+            - length(regexp_replace(lower(col("text")), "[aeiou]+", "")))
+            .cast("long").as("syll"))
+        .withColumn("flesch_e3",
+          expr("206835 - (1015 * w) div sent - (84600 * syll) div w"))
+      scored.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("w").as("n_words"), sum("syll").as("n_syllables"),
+          sum("flesch_e3").as("sum_flesch_e3"))
+    }),
+
+    "profile_hdr_histogram" -> ((s, dir) => {
+      // HDR-histogram quantiles (Tene's HdrHistogram / Prometheus
+      // native-histogram layout): price cents bucketed by (bit length,
+      // top-4 mantissa bits) — a PURE-INTEGER log₂ histogram with 16
+      // linear sub-buckets per octave, ≤3.2% relative error, and a
+      // lossless merge (bucket counts just add). The per-group bucket
+      // frames are the mergeable state: the ALL row below is derived
+      // by SUMMING group states, never re-scanning facts — same
+      // pre-aggregate-once-rollup-anywhere contract as the bitmap and
+      // KMV families, but for latency/price distributions. No log()
+      // float ever enters (bit length via bin()/format('{:b}') string
+      // length), so bucketing is deterministic in both engines.
+      val bucketed = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("scope"),
+          floor(col("l_extendedprice") * 100).cast("long").as("v"))
+        .withColumn("b", length(bin(col("v"))).cast("long"))
+        .withColumn("sub", when(col("b") <= 5, col("v"))
+          .otherwise(expr("shiftright(v, cast(b - 5 AS int))")))
+        .withColumn("bkey", col("b") * 32 + col("sub"))
+      val byGroup = bucketed.groupBy("scope", "bkey")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // the ALL rollup + quantile scan re-read
+      val all = byGroup.groupBy("bkey")
+        .agg(sum("cnt").as("cnt")).withColumn("scope", lit("ALL"))
+        .select("scope", "bkey", "cnt")
+      val st = byGroup.select("scope", "bkey", "cnt").unionByName(all)
+      val wCum = Window.partitionBy("scope").orderBy("bkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withN = st.withColumn("cum", sum("cnt").over(wCum))
+        .join(st.groupBy("scope").agg(sum("cnt").as("n")), Seq("scope"))
+      val qs = Seq(50, 90, 99)
+      val hits = qs.map { q =>
+        withN
+          .filter(col("cum") * 100 >= col("n") * q)
+          .groupBy("scope").agg(min("bkey").as("bkey"))
+          .withColumn("p", lit(q))
+      }.reduce(_ unionByName _)
+      // lower bound of the winning bucket, exact integer reconstruction
+      hits
+        .withColumn("bb", expr("bkey div 32"))
+        .withColumn("ss", expr("bkey % 32"))
+        .withColumn("est_lb", when(col("bb") <= 5, col("ss"))
+          .otherwise(expr("shiftleft(ss, cast(bb - 5 AS int))")))
+        .select(col("scope"), col("p"), col("bkey"), col("est_lb"))
     })
   )
 
@@ -7430,6 +7556,89 @@ object SparkEntry {
         |  FROM hourly h JOIN med m USING (event_type) GROUP BY 1, 2)
         |SELECT h.event_type, h.hour, h.cnt, m.med, m.mad
         |FROM hourly h JOIN mad m USING (event_type)
-        |WHERE h.cnt > m.med + 3 * m.mad""".stripMargin
+        |WHERE h.cnt > m.med + 3 * m.mad""".stripMargin,
+
+    "trend_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT
+        |    AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT (b.cents - a.cents)::BIGINT AS dc,
+        |    (b.day - a.day)::BIGINT AS dd
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |sagg AS (
+        |  SELECT sum(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1
+        |    ELSE 0 END)::BIGINT AS s_stat,
+        |    median((dc * 1000000) // dd) AS sen_slope_e6 FROM pairs),
+        |nn AS (SELECT count(*)::BIGINT AS n_days FROM daily),
+        |tt AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
+        |  AS tie_corr
+        |  FROM (SELECT count(*)::BIGINT AS t FROM daily GROUP BY cents) g
+        |  WHERE t > 1),
+        |v AS (SELECT n_days, s_stat, sen_slope_e6,
+        |    (n_days * (n_days - 1) * (2 * n_days + 5) - tie_corr)::BIGINT
+        |      AS var18
+        |  FROM sagg, nn, tt)
+        |SELECT n_days, s_stat, var18,
+        |  round(CAST(CAST((CASE
+        |    WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE /
+        |      sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE /
+        |      sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |    ELSE 0.0 END) AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS z,
+        |  CASE WHEN z > 1.96 THEN 'up' WHEN z < -1.96 THEN 'down'
+        |    ELSE 'none' END AS trend,
+        |  sen_slope_e6
+        |FROM v""".stripMargin,
+
+    "text_readability" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS w,
+        |    greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      x -> trim(x) != '')), 1)::BIGINT AS sent,
+        |    (length(regexp_replace(lower(text), '[aeiou]+', 'V', 'g'))
+        |     - length(regexp_replace(lower(text), '[aeiou]+', '', 'g'))
+        |    )::BIGINT AS syll
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |f AS (
+        |  SELECT source, lang, w, syll,
+        |    (206835 - (1015 * w) // sent - (84600 * syll) // w)::BIGINT
+        |      AS flesch_e3
+        |  FROM d)
+        |SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |  sum(w)::BIGINT AS n_words, sum(syll)::BIGINT AS n_syllables,
+        |  sum(flesch_e3)::BIGINT AS sum_flesch_e3
+        |FROM f GROUP BY source, lang""".stripMargin,
+
+    "profile_hdr_histogram" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS scope,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |bk AS (SELECT scope, v,
+        |  length(format('{:b}', v))::BIGINT AS b FROM base),
+        |bk2 AS (SELECT scope, b,
+        |  CASE WHEN b <= 5 THEN v
+        |    ELSE v >> CAST(b - 5 AS INT) END AS sub FROM bk),
+        |st0 AS (SELECT scope, (b * 32 + sub)::BIGINT AS bkey,
+        |  count(*)::BIGINT AS cnt FROM bk2 GROUP BY 1, 2),
+        |st AS (SELECT * FROM st0
+        |  UNION ALL
+        |  SELECT 'ALL', bkey, sum(cnt)::BIGINT FROM st0 GROUP BY 2),
+        |cum AS (SELECT scope, bkey, cnt,
+        |  sum(cnt) OVER (PARTITION BY scope ORDER BY bkey)::BIGINT AS cum,
+        |  sum(cnt) OVER (PARTITION BY scope)::BIGINT AS n FROM st),
+        |hits AS (
+        |  SELECT scope, p, min(bkey)::BIGINT AS bkey
+        |  FROM cum CROSS JOIN (VALUES (50), (90), (99)) q(p)
+        |  WHERE cum * 100 >= n * p GROUP BY scope, p)
+        |SELECT scope, p, bkey,
+        |  (CASE WHEN bkey // 32 <= 5 THEN bkey % 32
+        |    ELSE (bkey % 32) << CAST(bkey // 32 - 5 AS INT)
+        |  END)::BIGINT AS est_lb
+        |FROM hits""".stripMargin
   )
 }
