@@ -1618,6 +1618,79 @@ object OracleSql {
     sb.toString
   }
 
+  /** Oracle for `graph_hits`: the canonical a<b candidate pairs as a
+    * DIRECTED edge list, `iters` exact-integer HITS rounds — each side
+    * summed from the other then re-normalized by integer division
+    * with the round's max — mirroring
+    * [[graft.functions.Dedup.hits]] bit-for-bit.
+    */
+  def graphHits(numHashes: Int = 16, rowsPerBand: Int = 2,
+                iters: Int = 2): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH ${tokenHashCtes()},
+         |${shingleHashCtes()},
+         |${minhashCtes(numHashes, rowsPerBand)},
+         |${edgeCtes(numHashes)},
+         |de AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM fcand),
+         |vv AS MATERIALIZED (
+         |  SELECT DISTINCT src AS id FROM de
+         |  UNION SELECT DISTINCT dst FROM de),
+         |h0 AS (SELECT id, 1000000::BIGINT AS hub FROM vv)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++=
+        s""",
+           |araw$i AS (
+           |  SELECT v.id, coalesce(s.s, 0)::BIGINT AS raw
+           |  FROM vv v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(h.hub)::BIGINT AS s
+           |    FROM de e JOIN h${i - 1} h ON h.id = e.src GROUP BY 1) s
+           |    USING (id)),
+           |amax$i AS (SELECT max(raw)::BIGINT AS mx FROM araw$i),
+           |a$i AS (SELECT id,
+           |  ((raw * 1000000) // greatest(mx, 1))::BIGINT AS auth
+           |  FROM araw$i, amax$i),
+           |hraw$i AS (
+           |  SELECT v.id, coalesce(s.s, 0)::BIGINT AS raw
+           |  FROM vv v LEFT JOIN (
+           |    SELECT e.src AS id, sum(a.auth)::BIGINT AS s
+           |    FROM de e JOIN a$i a ON a.id = e.dst GROUP BY 1) s
+           |    USING (id)),
+           |hmax$i AS (SELECT max(raw)::BIGINT AS mx FROM hraw$i),
+           |h$i AS (SELECT id,
+           |  ((raw * 1000000) // greatest(mx, 1))::BIGINT AS hub
+           |  FROM hraw$i, hmax$i)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT a.id AS doc_id, a.auth, h.hub
+         |FROM a$iters a JOIN h$iters h USING (id)""".stripMargin
+    sb.toString
+  }
+
+  /** Oracle for `privacy_dp_counts`: per-nation counts + the seeded
+    * discrete-Laplace noise — the same xxhash64(7, key) chain through
+    * the emulated XXH64, reduced mod 2⁴⁰ and mapped through the SAME
+    * inverse-CDF threshold literals the engine broadcasts.
+    */
+  def privacyDpCounts(rows: Seq[(Long, Long, Long)]): String = {
+    val vals = rows
+      .map { case (k, lo, hi) => s"($k, ${lo}::HUGEINT, ${hi}::HUGEINT)" }
+      .mkString(", ")
+    val ch = new Chain("dp",
+      "SELECT c_nationkey::HUGEINT AS nk, count(*)::BIGINT AS true_cnt " +
+        "FROM customer GROUP BY 1")
+    val h1 = hashLong(ch, "7::HUGEINT", "42::HUGEINT", "q")
+    val h2 = hashLong(ch, "nk", h1, "r")
+    val m = ch.add("m", s"($h2) % ${1L << 40}")
+    s"""WITH ${ch.render},
+       |tab(noise, lo, hi) AS (SELECT * FROM (VALUES $vals))
+       |SELECT CAST(nk AS BIGINT) AS c_nationkey, true_cnt,
+       |  noise::BIGINT AS noise,
+       |  (true_cnt + noise)::BIGINT AS noisy_cnt
+       |FROM ${ch.last} JOIN tab ON $m >= lo AND $m < hi""".stripMargin
+  }
+
   /** Oracle for `dedup_components`: the same MinHash candidate pairs
     * (est >= 0.5), closed into connected components by a recursive CTE —
     * every vertex labeled with the minimum reachable id.

@@ -25,6 +25,31 @@ object SparkEntry {
 
   private val EtlDate = LocalDate.of(2026, 1, 1)
 
+  /** Inverse-CDF threshold table for the ε=0.2 discrete Laplace
+    * (two-sided geometric) mechanism, scaled to the 2⁴⁰ hash domain:
+    * rows (noise k, lo, hi) with m ∈ [lo, hi) → noise k. Computed once
+    * at query-build time; the SAME literals are baked into the Spark
+    * plan and the DuckDB oracle, so the runtime has zero float ops.
+    * Tail mass beyond |k|=25 (≈0.7%) is folded into the extreme rows
+    * by the normalization.
+    */
+  private[graft] lazy val dpGeomThresholds: Seq[(Long, Long, Long)] = {
+    val alpha = math.exp(-0.2)
+    val M = 1L << 40
+    val ks = (-25 to 25).toSeq
+    val probs =
+      ks.map(k => (1 - alpha) / (1 + alpha) * math.pow(alpha, math.abs(k)))
+    val total = probs.sum
+    var acc = 0.0
+    val rows = ks.zip(probs).map { case (k, p) =>
+      val lo = math.round(acc / total * M)
+      acc += p
+      val hi = math.round(acc / total * M)
+      (k.toLong, lo, hi)
+    }
+    rows.init :+ ((rows.last._1, rows.last._2, M))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -4675,6 +4700,96 @@ object SparkEntry {
         .withColumn("est_lb", when(col("bb") <= 5, col("ss"))
           .otherwise(expr("shiftleft(ss, cast(bb - 5 AS int))")))
         .select(col("scope"), col("p"), col("bkey"), col("est_lb"))
+    }),
+
+    "graph_hits" -> ((s, dir) => {
+      // hubs-and-authorities over the DIRECTED near-dup graph (edges
+      // oriented small→large doc id, the canonical orientation the
+      // candidate generator emits): authorities = docs many sources
+      // point at, hubs = docs pointing at many authorities — the
+      // Kleinberg dual of graph_pagerank's single undirected score.
+      // 2 mutual-reinforcement rounds in exact integers, L∞-normalized
+      // by integer division each round.
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.hits(pairs, "id_a", "id_b", iters = 2)
+    }),
+
+    "privacy_dp_counts" -> ((s, dir) => {
+      // differentially-private release of per-nation customer counts:
+      // ε=0.2 discrete Laplace (two-sided geometric) noise added to
+      // each count. The mechanism is SEEDED and table-driven — the
+      // noise value comes from mapping pmod(xxhash64(7, key), 2⁴⁰)
+      // through a precomputed inverse-CDF threshold table (51 rows,
+      // broadcast), so no runtime float op exists to diverge between
+      // engines and releases are reproducible under a fixed seed (the
+      // audit requirement for DP pipelines; rotate the seed constant
+      // per release in production). true_cnt is emitted HERE only for
+      // the oracle gate — a production release drops it. Map-only over
+      // the dimension + one broadcast join: the 100 TB shape is one
+      // shuffle for the count and nothing else.
+      import s.implicits._
+      val tab = dpGeomThresholds.toDF("noise", "lo", "hi")
+      val cnt = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).as("true_cnt"))
+      cnt
+        .withColumn("m", pmod(xxhash64(lit(7L), col("c_nationkey")),
+          lit(1L << 40)))
+        .join(broadcast(tab), col("m") >= col("lo") && col("m") < col("hi"))
+        .select(col("c_nationkey"), col("true_cnt"), col("noise"),
+          (col("true_cnt") + col("noise")).as("noisy_cnt"))
+    }),
+
+    "ml_ridge_normal" -> ((s, dir) => {
+      // multi-feature OLS fitted CLOSED-FORM inside the engine: price
+      // (cents) on quantity and discount (bp) per return flag, via the
+      // centered normal equations solved by Cramer's rule — ONE
+      // map-side-combined pass builds the 10 sufficient statistics as
+      // exact decimal(38,0) integers; the 2×2 solve is a handful of
+      // exact cross-products (≤10³⁶ here, inside 38 digits through
+      // ~sf0.3 — beyond that, center features first, the standard
+      // fix); only the final coefficient divisions are IEEE doubles,
+      // as single expression chains the oracle reproduces exactly.
+      // The gradient-free twin of ml_logreg_train: zero driver
+      // iterations, one job.
+      val d = "decimal(38,0)"
+      val m = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").cast(d).as("x1"),
+        floor(col("l_discount") * 10000).cast("long").cast(d).as("x2"),
+        floor(col("l_extendedprice") * 100).cast("long").cast(d).as("y"))
+      m.groupBy("l_returnflag").agg(
+          count(lit(1)).cast(d).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("sxx1", expr("n*s11 - s1*s1"))
+        .withColumn("sxx2", expr("n*s22 - s2*s2"))
+        .withColumn("sx12", expr("n*s12 - s1*s2"))
+        .withColumn("sx1y", expr("n*s1y - s1*sy"))
+        .withColumn("sx2y", expr("n*s2y - s2*sy"))
+        .withColumn("syyc", expr("n*syy - sy*sy"))
+        .withColumn("det", expr("sxx1*sxx2 - sx12*sx12"))
+        .withColumn("b1num", expr("sx1y*sxx2 - sx2y*sx12"))
+        .withColumn("b2num", expr("sx2y*sxx1 - sx1y*sx12"))
+        .withColumn("b1", col("b1num").cast("double")
+          / col("det").cast("double"))
+        .withColumn("b2", col("b2num").cast("double")
+          / col("det").cast("double"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          round(col("b1"), 6).as("b1"), round(col("b2"), 6).as("b2"),
+          round((col("sy").cast("double") - col("b1")
+              * col("s1").cast("double") - col("b2")
+              * col("s2").cast("double")) / col("n").cast("double"), 2)
+            .as("b0"),
+          round((col("b1") * col("sx1y").cast("double") + col("b2")
+              * col("sx2y").cast("double"))
+            / col("syyc").cast("double"), 6).as("r2"))
     })
   )
 
@@ -7557,6 +7672,45 @@ object SparkEntry {
         |SELECT h.event_type, h.hour, h.cnt, m.med, m.mad
         |FROM hourly h JOIN mad m USING (event_type)
         |WHERE h.cnt > m.med + 3 * m.mad""".stripMargin,
+
+    "graph_hits" -> OracleSql.graphHits(),
+
+    "privacy_dp_counts" -> OracleSql.privacyDpCounts(dpGeomThresholds),
+
+    "ml_ridge_normal" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT)::HUGEINT AS x1,
+        |    CAST(floor(l_discount * 10000) AS BIGINT)::HUGEINT AS x2,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT)::HUGEINT AS y
+        |  FROM lineitem),
+        |st AS (SELECT l_returnflag, count(*)::HUGEINT AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+        |    sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+        |    sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+        |  FROM m GROUP BY 1),
+        |c AS (SELECT l_returnflag, n, s1, s2, sy,
+        |    n*s11 - s1*s1 AS sxx1, n*s22 - s2*s2 AS sxx2,
+        |    n*s12 - s1*s2 AS sx12, n*s1y - s1*sy AS sx1y,
+        |    n*s2y - s2*sy AS sx2y, n*syy - sy*sy AS syyc
+        |  FROM st),
+        |d AS (SELECT *, sxx1*sxx2 - sx12*sx12 AS det,
+        |    sx1y*sxx2 - sx2y*sx12 AS b1num,
+        |    sx2y*sxx1 - sx1y*sx12 AS b2num FROM c),
+        |e AS (SELECT *, b1num::DOUBLE / det::DOUBLE AS b1,
+        |    b2num::DOUBLE / det::DOUBLE AS b2 FROM d)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(CAST(CAST((b1) AS VARCHAR) AS DECIMAL(38,20)), 6)::DOUBLE
+        |    AS b1,
+        |  round(CAST(CAST((b2) AS VARCHAR) AS DECIMAL(38,20)), 6)::DOUBLE
+        |    AS b2,
+        |  round(CAST(CAST(((sy::DOUBLE - b1 * s1::DOUBLE
+        |    - b2 * s2::DOUBLE) / n::DOUBLE) AS VARCHAR)
+        |    AS DECIMAL(38,20)), 2)::DOUBLE AS b0,
+        |  round(CAST(CAST(((b1 * sx1y::DOUBLE + b2 * sx2y::DOUBLE)
+        |    / syyc::DOUBLE) AS VARCHAR) AS DECIMAL(38,20)), 6)::DOUBLE
+        |    AS r2
+        |FROM e""".stripMargin,
 
     "trend_mann_kendall" ->
       """WITH daily AS (

@@ -737,6 +737,62 @@ object Dedup {
     r.select(col("id").as("doc_id"), col("rank"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, JACM'99) over a DIRECTED
+    * edge list, `iters` mutual-reinforcement rounds in exact integer
+    * arithmetic: authority(v) = Σ hub(u) over in-edges, hub(v) =
+    * Σ authority(w) over out-edges, each side re-normalized to a
+    * 0..10⁶ scale by integer division with the round's max (the
+    * fixed-point analogue of L∞ normalization — deterministic under
+    * any partitioning, unlike float L2). On the canonical a<b
+    * near-dup edge orientation, authorities are the "most duplicated
+    * targets" and hubs the "most duplicating sources" — a different
+    * ranking than [[pageRank]]'s undirected authority, and the
+    * classic web-graph dual.
+    *
+    * Scale shape: per round two narrow (id, score) joins against the
+    * checkpointed edge list + two map-side-combined sums; the max for
+    * normalization is a 1-row broadcast, never a collect. Per-round
+    * eager `localCheckpoint` truncates the iterative lineage
+    * ([[pageRank]] discipline).
+    */
+  def hits(pairs: DataFrame, aCol: String, bCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1)
+    val e = pairs
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val verts = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(max("raw").as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr("(raw * 1000000) div greatest(mx, 1)").as(out))
+        .localCheckpoint(true)
+    }
+    var h = verts.withColumn("hub", lit(1000000L))
+    var a = verts.withColumn("auth", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val aRaw = verts.join(
+        e.join(h.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(sum("hub").as("s")),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw"))
+      a = normalize(aRaw, "auth")
+      val hRaw = verts.join(
+        e.join(a.withColumnRenamed("id", "dst")
+            .withColumnRenamed("auth", "av"), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(sum("av").as("s")),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw"))
+      h = normalize(hRaw, "hub")
+    }
+    a.join(h, Seq("id")).select(col("id").as("doc_id"),
+      col("auth"), col("hub"))
+  }
+
   /** Bounded-round k-core peeling over the undirected near-dup graph:
     * repeatedly drop vertices with degree < k (and their edges) for
     * `rounds` iterations, then report the survivors with their final
