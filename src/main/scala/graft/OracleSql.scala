@@ -1050,6 +1050,74 @@ object OracleSql {
     sb.toString
   }
 
+  /** Oracle for `ml_logreg_cv`: [[mlLogregTrain]] unrolled per fold —
+    * train CTEs filtered to fold <> f, the eval pass to fold = f,
+    * 3-row UNION ALL result. Mirrors the SparkEntry CV loop exactly.
+    */
+  def mlLogregCv(folds: Int = 3, iters: Int = 3): String = {
+    def z(w: String) =
+      s"($w.b + $w.w1*f.x1 + $w.w2*f.x2 + $w.w3*f.x3)"
+    def p(w: String) = s"(1.0/(1.0 + exp(-${z(w)})))"
+    def g(w: String, x: String) =
+      s"sum(round(((${p(w)} - f.y) * $x) * 1000000.0)::BIGINT)::BIGINT"
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH feat AS (
+         |  SELECT (doc_id % $folds)::INT AS fold,
+         |    (length(text)::DOUBLE / 1000.0) AS x1,
+         |    (len(a)::DOUBLE / 100.0) AS x2,
+         |    (len(list_distinct(a))::DOUBLE
+         |      / greatest(len(a), 1)::DOUBLE) AS x3,
+         |    (lang = 'en')::INT::DOUBLE AS y
+         |  FROM (SELECT doc_id, lang, text,
+         |      regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+         |    FROM documents WHERE length(trim(text)) > 0))""".stripMargin
+    for (fo <- 0 until folds) {
+      sb ++=
+        s""",
+           |tr$fo AS (SELECT * FROM feat WHERE fold <> $fo),
+           |c$fo AS (SELECT count(*)::BIGINT AS n FROM tr$fo),
+           |w${fo}_0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1,
+           |  0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3)""".stripMargin
+      for (i <- 1 to iters) {
+        val pw = s"w${fo}_${i - 1}"
+        sb ++=
+          s""",
+             |g${fo}_$i AS (SELECT ${g("w", "1.0")} AS gb,
+             |  ${g("w", "f.x1")} AS g1,
+             |  ${g("w", "f.x2")} AS g2,
+             |  ${g("w", "f.x3")} AS g3
+             |  FROM tr$fo f CROSS JOIN $pw w),
+             |w${fo}_$i AS (SELECT
+             |  w.b - 0.1::DOUBLE * ((g.gb::DOUBLE / 1000000.0) / c.n) AS b,
+             |  w.w1 - 0.1::DOUBLE * ((g.g1::DOUBLE / 1000000.0) / c.n) AS w1,
+             |  w.w2 - 0.1::DOUBLE * ((g.g2::DOUBLE / 1000000.0) / c.n) AS w2,
+             |  w.w3 - 0.1::DOUBLE * ((g.g3::DOUBLE / 1000000.0) / c.n) AS w3
+             |  FROM $pw w, g${fo}_$i g, c$fo c)""".stripMargin
+      }
+      sb ++=
+        s""",
+           |fin$fo AS (SELECT f.y, ${p("w")} AS p
+           |  FROM feat f CROSS JOIN w${fo}_$iters w WHERE f.fold = $fo),
+           |m$fo AS (SELECT count(*)::BIGINT AS n_test,
+           |  sum(((p >= 0.5)::INT = y::INT)::BIGINT)::BIGINT AS correct,
+           |  sum(round((-(y * ln(p) + (1.0 - y) * ln(1.0 - p)))
+           |    * 1000000.0)::BIGINT)::BIGINT AS loss_e6
+           |  FROM fin$fo),
+           |r$fo AS (SELECT $fo::INT AS fold, c.n AS n_train,
+           |  round(w.b * 1000000.0)::BIGINT AS b_e6,
+           |  round(w.w1 * 1000000.0)::BIGINT AS w1_e6,
+           |  round(w.w2 * 1000000.0)::BIGINT AS w2_e6,
+           |  round(w.w3 * 1000000.0)::BIGINT AS w3_e6,
+           |  m.n_test, m.correct, m.loss_e6
+           |  FROM w${fo}_$iters w CROSS JOIN m$fo m CROSS JOIN c$fo c)"""
+          .stripMargin
+    }
+    sb ++= "\n" + (0 until folds)
+      .map(fo => s"SELECT * FROM r$fo").mkString("\nUNION ALL\n")
+    sb.toString
+  }
+
   /** Oracle for `graph_neighborhood`: recursive ≤`hops` walk over the
     * self-looped near-dup edge set, min-hop dedup, then per-vertex
     * reach counts at each hop — the exact ground truth the engine's

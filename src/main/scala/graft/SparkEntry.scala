@@ -4790,6 +4790,124 @@ object SparkEntry {
           round((col("b1") * col("sx1y").cast("double") + col("b2")
               * col("sx2y").cast("double"))
             / col("syyc").cast("double"), 6).as("r2"))
+    }),
+
+    "incr_components_merge" -> ((s, dir) => {
+      // incremental dedup-graph maintenance: docs with doc_id % 5 == 0
+      // play "today's arrivals" — the base labeling is computed over
+      // edges among the stable 80% only, then the FULL edge set
+      // (delta edges touch a new doc) is closed by min-label
+      // propagation WARM-STARTED from the base labels. The fixed
+      // point provably equals a from-scratch recompute (the oracle
+      // runs the recursive-CTE closure over all edges), but the
+      // propagation only covers the changed region's diameter — the
+      // O(delta) nightly-maintenance pattern of incr_agg/incr_join,
+      // applied to the component structure itself.
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .localCheckpoint(true) // base split + warm propagation read it
+      val base = pairs
+        .filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+      val baseLabels = Dedup.connectedComponents(base, "id_a", "id_b")
+      Dedup.incrementalComponents(pairs, "id_a", "id_b", baseLabels)
+    }),
+
+    "events_sequence_detect" -> ((s, dir) => {
+      // CEP-style sequence detection in batch (the MATCH_RECOGNIZE /
+      // Flink-pattern shape): per user, view → click → purchase with
+      // each step ≤ 30 min after the previous, LAST-match semantics —
+      // for every purchase, the latest qualifying click, and for that
+      // click the latest qualifying view (ties broken by event id).
+      // Two user-key equi-joins with time-band predicates + two
+      // windows partitioned by the purchase id — per-partition state
+      // is one user's 30-minute neighborhood, never the stream. The
+      // streaming twin is an interval join + dedup; this is the
+      // offline-audit form.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+      def typed(tp: String, p: String) =
+        ev.filter(col("event_type") === tp)
+          .select(col("user_id"), col("event_id").as(s"${p}_id"),
+            col("us").as(s"${p}_us"))
+      val v = typed("view", "v")
+      val c = typed("click", "c")
+      val pu = typed("purchase", "p")
+      val win = 1800L * 1000000L
+      val pc = pu.join(c, Seq("user_id"))
+        .filter(col("c_us") < col("p_us") &&
+          col("p_us") - col("c_us") <= win)
+      val wpc = Window.partitionBy("p_id")
+        .orderBy(col("c_us").desc, col("c_id").desc)
+      val lastClick = pc.withColumn("rn", row_number().over(wpc))
+        .filter(col("rn") === 1).drop("rn")
+      val vc = lastClick.join(v, Seq("user_id"))
+        .filter(col("v_us") < col("c_us") &&
+          col("c_us") - col("v_us") <= win)
+      val wvc = Window.partitionBy("p_id")
+        .orderBy(col("v_us").desc, col("v_id").desc)
+      vc.withColumn("rn2", row_number().over(wvc))
+        .filter(col("rn2") === 1)
+        .select(col("user_id"), col("v_id"), col("c_id"), col("p_id"),
+          expr("(c_us - v_us) div 1000000").as("gap1_s"),
+          expr("(p_us - c_us) div 1000000").as("gap2_s"))
+    }),
+
+    "ml_logreg_cv" -> ((s, dir) => {
+      // k-fold cross-validation of the in-engine logistic regression:
+      // 3 folds by doc_id % 3; per fold, 3 full-batch GD rounds train
+      // on the OTHER folds (same exact e6-integer gradient reduction
+      // as ml_logreg_train — deterministic under any partitioning),
+      // then accuracy/log-loss score on the HELD-OUT fold. Per-fold
+      // state is 4 doubles on the driver; each round is one map-side-
+      // combined aggregate over the checkpointed feature frame, so the
+      // whole model-selection harness costs 12 aggregates — no per-row
+      // driver work, no data copies per fold.
+      val toks = Dedup.tokens(col("text"))
+      val feat = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(pmod(col("doc_id"), lit(3)).cast("int").as("fold"),
+          (length(col("text")).cast("double") / 1000.0).as("x1"),
+          (size(toks).cast("double") / 100.0).as("x2"),
+          (size(array_distinct(toks)).cast("double") /
+            greatest(size(toks), lit(1)).cast("double")).as("x3"),
+          (col("lang") === "en").cast("int").cast("double").as("y"))
+        .localCheckpoint(true) // 3 folds × (3 GD rounds + eval)
+      val lr = 0.1
+      val results = (0 until 3).map { f =>
+        val tr = feat.filter(col("fold") =!= f)
+        val n = tr.count()
+        var w = Array(0.0, 0.0, 0.0, 0.0)
+        for (_ <- 1 to 3) {
+          val z = lit(w(0)) + lit(w(1)) * col("x1") +
+            lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+          val p = lit(1.0) / (lit(1.0) + exp(-z))
+          def g(x: Column) = sum(
+            round((p - col("y")) * x * 1000000.0, 0).cast("long"))
+          val r = tr.agg(g(lit(1.0)).as("gb"), g(col("x1")).as("g1"),
+            g(col("x2")).as("g2"), g(col("x3")).as("g3")).head()
+          w = Array.tabulate(4)(j =>
+            w(j) - lr * ((r.getLong(j).toDouble / 1000000.0) / n))
+        }
+        val te = feat.filter(col("fold") === f)
+        val zf = lit(w(0)) + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+        val pf = lit(1.0) / (lit(1.0) + exp(-zf))
+        te.agg(count(lit(1)).as("n_test"),
+            sum(((pf >= 0.5).cast("int") === col("y").cast("int"))
+              .cast("long")).as("correct"),
+            sum(round(-(col("y") * log(pf) +
+              (lit(1.0) - col("y")) * log(lit(1.0) - pf)) * 1000000.0, 0)
+              .cast("long")).as("loss_e6"))
+          .select(lit(f).as("fold"), lit(n).as("n_train"),
+            round(lit(w(0)) * 1000000.0, 0).cast("long").as("b_e6"),
+            round(lit(w(1)) * 1000000.0, 0).cast("long").as("w1_e6"),
+            round(lit(w(2)) * 1000000.0, 0).cast("long").as("w2_e6"),
+            round(lit(w(3)) * 1000000.0, 0).cast("long").as("w3_e6"),
+            col("n_test"), col("correct"), col("loss_e6"))
+      }
+      results.reduce(_ unionByName _)
     })
   )
 
@@ -7674,6 +7792,41 @@ object SparkEntry {
         |WHERE h.cnt > m.med + 3 * m.mad""".stripMargin,
 
     "graph_hits" -> OracleSql.graphHits(),
+
+    // incremental warm-start closure must EQUAL the from-scratch
+    // recursive closure over all edges — same oracle as
+    // dedup_components by design.
+    "incr_components_merge" -> OracleSql.dedupComponents(),
+
+    "ml_logreg_cv" -> OracleSql.mlLogregCv(),
+
+    "events_sequence_detect" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(ts)::BIGINT AS us FROM events),
+        |v AS (SELECT user_id, event_id AS v_id, us AS v_us
+        |  FROM ev WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS c_id, us AS c_us
+        |  FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id, us AS p_us
+        |  FROM ev WHERE event_type = 'purchase'),
+        |pc AS (SELECT p.user_id, p.p_id, p.p_us, c.c_id, c.c_us,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY c.c_us DESC, c.c_id DESC) AS rn
+        |  FROM p JOIN c USING (user_id)
+        |  WHERE c.c_us < p.p_us AND p.p_us - c.c_us <= 1800000000),
+        |lc AS (SELECT user_id, p_id, p_us, c_id, c_us
+        |  FROM pc WHERE rn = 1),
+        |vc AS (SELECT lc.user_id, lc.p_id, lc.p_us, lc.c_id, lc.c_us,
+        |    v.v_id, v.v_us,
+        |    row_number() OVER (PARTITION BY lc.p_id
+        |      ORDER BY v.v_us DESC, v.v_id DESC) AS rn2
+        |  FROM lc JOIN v USING (user_id)
+        |  WHERE v.v_us < lc.c_us AND lc.c_us - v.v_us <= 1800000000)
+        |SELECT user_id, v_id, c_id, p_id,
+        |  ((c_us - v_us) // 1000000)::BIGINT AS gap1_s,
+        |  ((p_us - c_us) // 1000000)::BIGINT AS gap2_s
+        |FROM vc WHERE rn2 = 1""".stripMargin,
 
     "privacy_dp_counts" -> OracleSql.privacyDpCounts(dpGeomThresholds),
 
