@@ -4816,12 +4816,14 @@ object SparkEntry {
     "events_sequence_detect" -> ((s, dir) => {
       // CEP-style sequence detection in batch (the MATCH_RECOGNIZE /
       // Flink-pattern shape): per user, view → click → purchase with
-      // each step ≤ 30 min after the previous, LAST-match semantics —
+      // each step ≤ 12 h after the previous (the fixture is a sparse
+      // ~3-events/user/day stream; real clickstreams would use
+      // minutes), LAST-match semantics —
       // for every purchase, the latest qualifying click, and for that
       // click the latest qualifying view (ties broken by event id).
       // Two user-key equi-joins with time-band predicates + two
       // windows partitioned by the purchase id — per-partition state
-      // is one user's 30-minute neighborhood, never the stream. The
+      // is one user's in-window neighborhood, never the stream. The
       // streaming twin is an interval join + dedup; this is the
       // offline-audit form.
       val ev = t(s, dir, "events")
@@ -4834,7 +4836,7 @@ object SparkEntry {
       val v = typed("view", "v")
       val c = typed("click", "c")
       val pu = typed("purchase", "p")
-      val win = 1800L * 1000000L
+      val win = 43200L * 1000000L
       val pc = pu.join(c, Seq("user_id"))
         .filter(col("c_us") < col("p_us") &&
           col("p_us") - col("c_us") <= win)
@@ -7814,7 +7816,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY p.p_id
         |      ORDER BY c.c_us DESC, c.c_id DESC) AS rn
         |  FROM p JOIN c USING (user_id)
-        |  WHERE c.c_us < p.p_us AND p.p_us - c.c_us <= 1800000000),
+        |  WHERE c.c_us < p.p_us AND p.p_us - c.c_us <= 43200000000),
         |lc AS (SELECT user_id, p_id, p_us, c_id, c_us
         |  FROM pc WHERE rn = 1),
         |vc AS (SELECT lc.user_id, lc.p_id, lc.p_us, lc.c_id, lc.c_us,
@@ -7822,7 +7824,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lc.p_id
         |      ORDER BY v.v_us DESC, v.v_id DESC) AS rn2
         |  FROM lc JOIN v USING (user_id)
-        |  WHERE v.v_us < lc.c_us AND lc.c_us - v.v_us <= 1800000000)
+        |  WHERE v.v_us < lc.c_us AND lc.c_us - v.v_us <= 43200000000)
         |SELECT user_id, v_id, c_id, p_id,
         |  ((c_us - v_us) // 1000000)::BIGINT AS gap1_s,
         |  ((p_us - c_us) // 1000000)::BIGINT AS gap2_s
