@@ -1759,6 +1759,54 @@ object OracleSql {
        |FROM ${ch.last} JOIN tab ON $m >= lo AND $m < hi""".stripMargin
   }
 
+  /** Oracle for `events_bootstrap_ci`: the daily rollup fanned out to
+    * `nBoot` replicates, Poisson(1) weights drawn through the SAME
+    * xxhash64(11, b, day) chain and threshold literals as the engine,
+    * replicate means by integer division, CI via order statistics.
+    */
+  def eventsBootstrapCi(rows: Seq[(Long, Long, Long)],
+                        nBoot: Int): String = {
+    val vals = rows
+      .map { case (w, lo, hi) => s"($w, ${lo}::HUGEINT, ${hi}::HUGEINT)" }
+      .mkString(", ")
+    val loRank = math.max(1, (nBoot * 25) / 1000)
+    val hiRank = nBoot - loRank
+    val ch = new Chain("bs",
+      "SELECT d.day::HUGEINT AS day, d.cents, rb.b::HUGEINT AS b " +
+        "FROM daily d CROSS JOIN " +
+        s"(SELECT unnest(range(0, $nBoot)) AS b) rb")
+    val h1 = hashLong(ch, "11::HUGEINT", "42::HUGEINT", "q")
+    val h2 = hashLong(ch, "b", h1, "r")
+    val h3 = hashLong(ch, "day", h2, "s")
+    val m = ch.add("m", s"($h3) % ${1L << 40}")
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT
+       |    AS day,
+       |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+       |  FROM events GROUP BY 1),
+       |${ch.render},
+       |tab(w, lo, hi) AS (SELECT * FROM (VALUES $vals)),
+       |wts AS (SELECT day, cents, b, w FROM ${ch.last}
+       |  JOIN tab ON $m >= lo AND $m < hi),
+       |means AS (SELECT b,
+       |    (sum(w * cents) // sum(w))::BIGINT AS mean_cents
+       |  FROM wts GROUP BY b HAVING sum(w) > 0),
+       |ranked AS (SELECT b, mean_cents,
+       |  row_number() OVER (ORDER BY mean_cents ASC, b ASC) AS rk
+       |  FROM means),
+       |ci AS (SELECT count(*)::BIGINT AS n_boot,
+       |  min(CASE WHEN rk = $loRank THEN mean_cents END)::BIGINT
+       |    AS lo95_cents,
+       |  min(CASE WHEN rk = $hiRank THEN mean_cents END)::BIGINT
+       |    AS hi95_cents
+       |  FROM ranked),
+       |obs AS (SELECT count(*)::BIGINT AS n_days,
+       |  (sum(cents) // count(*))::BIGINT AS mean_obs_cents FROM daily)
+       |SELECT o.n_days, c.n_boot, o.mean_obs_cents,
+       |  c.lo95_cents, c.hi95_cents
+       |FROM ci c CROSS JOIN obs o""".stripMargin
+  }
+
   /** Oracle for `dedup_components`: the same MinHash candidate pairs
     * (est >= 0.5), closed into connected components by a recursive CTE —
     * every vertex labeled with the minimum reachable id.

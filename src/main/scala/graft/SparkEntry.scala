@@ -33,21 +33,44 @@ object SparkEntry {
     * Tail mass beyond |k|=25 (≈0.7%) is folded into the extreme rows
     * by the normalization.
     */
-  private[graft] lazy val dpGeomThresholds: Seq[(Long, Long, Long)] = {
-    val alpha = math.exp(-0.2)
+  /** Inverse-CDF threshold table over the 2⁴⁰ hash domain for an
+    * arbitrary discrete distribution: rows (value, lo, hi) with
+    * m ∈ [lo, hi) → value. Gap-free and exhaustive by construction
+    * (each hi is the next row's lo; the final hi is forced to 2⁴⁰).
+    */
+  private def cdfThresholds(pmf: Seq[(Long, Double)])
+      : Seq[(Long, Long, Long)] = {
     val M = 1L << 40
-    val ks = (-25 to 25).toSeq
-    val probs =
-      ks.map(k => (1 - alpha) / (1 + alpha) * math.pow(alpha, math.abs(k)))
-    val total = probs.sum
+    val total = pmf.map(_._2).sum
     var acc = 0.0
-    val rows = ks.zip(probs).map { case (k, p) =>
+    val rows = pmf.map { case (k, p) =>
       val lo = math.round(acc / total * M)
       acc += p
       val hi = math.round(acc / total * M)
-      (k.toLong, lo, hi)
+      (k, lo, hi)
     }
     rows.init :+ ((rows.last._1, rows.last._2, M))
+  }
+
+  private[graft] lazy val dpGeomThresholds: Seq[(Long, Long, Long)] = {
+    val alpha = math.exp(-0.2)
+    cdfThresholds((-25 to 25).map(k =>
+      k.toLong -> (1 - alpha) / (1 + alpha) * math.pow(alpha, math.abs(k))))
+  }
+
+  /** Poisson(1) pmf thresholds (k = 0..12, ≈10⁻¹⁰ tail folded into the
+    * last row) — the per-row resample weights of the Poisson bootstrap
+    * (Kleiner et al.'s scalable bootstrap family): w ~ Poisson(1)
+    * approximates multinomial resampling without coordination, which
+    * is why it is THE bootstrap that distributes.
+    */
+  private[graft] lazy val poissonThresholds: Seq[(Long, Long, Long)] = {
+    val e1 = math.exp(-1.0)
+    var fact = 1.0
+    cdfThresholds((0 to 12).map { k =>
+      if (k > 0) fact *= k
+      k.toLong -> e1 / fact
+    })
   }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -4910,6 +4933,115 @@ object SparkEntry {
             col("n_test"), col("correct"), col("loss_e6"))
       }
       results.reduce(_ unionByName _)
+    }),
+
+    "events_bootstrap_ci" -> ((s, dir) => {
+      // Poisson bootstrap CI for mean daily revenue: 200 deterministic
+      // replicates, each reweighting every day by a Poisson(1) draw
+      // seeded from xxhash64(11, replicate, day) through the
+      // precomputed inverse-CDF table (privacy_dp_counts discipline —
+      // zero runtime float ops). Replicate means are exact integer
+      // divisions; the 95% CI comes from ORDER STATISTICS (ranks 5 and
+      // 195 of 200), never float interpolation, so the oracle matches
+      // bit-for-bit. Scale shape: the corpus collapses to the daily
+      // frame first; the bootstrap fan-out (366 × 200 rows) and
+      // everything after runs on the calendar-bounded frame — at
+      // 100 TB the resampling cost is independent of event volume.
+      import s.implicits._
+      val tab = poissonThresholds.toDF("w", "lo", "hi")
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .localCheckpoint(true) // 200-replicate fan-out + obs mean
+      val reps = daily.crossJoin(
+          s.range(200).select(col("id").as("b")))
+        .withColumn("m", pmod(
+          xxhash64(lit(11L), col("b"), col("day")), lit(1L << 40)))
+        .join(broadcast(tab),
+          col("m") >= col("lo") && col("m") < col("hi"))
+        .groupBy("b")
+        .agg(sum(col("w") * col("cents")).as("wsum"),
+          sum(col("w")).as("wn"))
+        .filter(col("wn") > 0)
+        .select(col("b"), expr("wsum div wn").as("mean_cents"))
+      val ranked = reps.withColumn("rk", row_number().over(
+        Window.orderBy(col("mean_cents").asc, col("b").asc)))
+      val obs = daily.agg(
+        expr("sum(cents) div count(1)").as("mean_obs_cents"),
+        count(lit(1)).as("n_days"))
+      ranked.agg(count(lit(1)).as("n_boot"),
+          min(when(col("rk") === 5, col("mean_cents"))).as("lo95_cents"),
+          min(when(col("rk") === 195, col("mean_cents")))
+            .as("hi95_cents"))
+        .crossJoin(broadcast(obs))
+        .select(col("n_days"), col("n_boot"), col("mean_obs_cents"),
+          col("lo95_cents"), col("hi95_cents"))
+    }),
+
+    "orders_cohort_ltv" -> ((s, dir) => {
+      // revenue LTV curves by acquisition cohort: customers grouped by
+      // first-order month, cumulative revenue per cohort over months-
+      // since-acquisition — the "do newer cohorts monetize faster?"
+      // read that retention_cohorts (user counts) can't give. One
+      // shuffle to find first months, one rollup to (cohort, t); the
+      // cumulative window runs on the months² cohort frame (~3k rows
+      // at any corpus size), and per-customer normalization is exact
+      // integer division. The per-cohort customer-count frame scales
+      // with the customer dimension → no broadcast hint on its join
+      // (the sized frame here is cohort-bounded, ~80 rows, so the
+      // hint IS safe).
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("m"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val first = o.groupBy("o_custkey").agg(min("m").as("cohort_m"))
+      val sized = first.groupBy("cohort_m")
+        .agg(count(lit(1)).as("n_cust"))
+      val facts = o.join(first, Seq("o_custkey"))
+        .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("t"))
+        .agg(sum("cents").as("rev_cents"))
+      val w = Window.partitionBy("cohort_m").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      facts.withColumn("cum_rev_cents", sum("rev_cents").over(w))
+        .join(broadcast(sized), Seq("cohort_m"))
+        .select(col("cohort_m"), col("t"), col("n_cust"),
+          col("rev_cents"), col("cum_rev_cents"),
+          expr("cum_rev_cents div n_cust").as("cum_per_cust_cents"))
+    }),
+
+    "profile_mutual_information" -> ((s, dir) => {
+      // information-theoretic dependence audit: mutual information
+      // between event type and day-of-week — "does traffic mix shift
+      // by weekday?" as one number, the profiling complement of
+      // profile_chi2's significance test. Cell/marginal counts are
+      // exact integers from ONE rollup; the float log terms are summed
+      // by a DETERMINISTIC left-to-right fold over the (type, dow)-
+      // sorted cell array (35 cells), so parallel summation order can
+      // never flake the hash — the KM-survival/EWMA sequential-fold
+      // discipline applied to information measures.
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          dayofweek(col("ts").cast("date")).as("dow"))
+      val cells = ev.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // marginals + terms re-read it
+      val rowsM = cells.groupBy("event_type").agg(sum("cnt").as("r"))
+      val colsM = cells.groupBy("dow").agg(sum("cnt").as("c"))
+      val n = cells.agg(sum("cnt").as("n"), count(lit(1)).as("n_cells"))
+      cells.join(rowsM, Seq("event_type")).join(colsM, Seq("dow"))
+        .crossJoin(broadcast(n))
+        .withColumn("term",
+          (col("cnt").cast("double") / col("n").cast("double")) *
+            log((col("cnt").cast("double") * col("n").cast("double")) /
+              (col("r").cast("double") * col("c").cast("double"))))
+        .agg(max(col("n")).as("n"), max(col("n_cells")).as("n_cells"),
+          array_sort(collect_list(struct(col("event_type"), col("dow"),
+            col("term")))).as("arr"))
+        .select(col("n"), col("n_cells"),
+          round(expr(
+            "aggregate(transform(arr, x -> x.term), 0d, (a, t) -> a + t)"),
+            6).as("mi_nats"))
     })
   )
 
@@ -7794,6 +7926,54 @@ object SparkEntry {
         |WHERE h.cnt > m.med + 3 * m.mad""".stripMargin,
 
     "graph_hits" -> OracleSql.graphHits(),
+
+    "events_bootstrap_ci" ->
+      OracleSql.eventsBootstrapCi(poissonThresholds, nBoot = 200),
+
+    "orders_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT
+        |      AS m,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+        |sz AS (SELECT cohort_m, count(*)::BIGINT AS n_cust
+        |  FROM f GROUP BY 1),
+        |facts AS (SELECT f.cohort_m, (o.m - f.cohort_m)::BIGINT AS t,
+        |    sum(o.cents)::BIGINT AS rev_cents
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |cum AS (SELECT cohort_m, t, rev_cents,
+        |  sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY t)::BIGINT
+        |    AS cum_rev_cents FROM facts)
+        |SELECT c.cohort_m, c.t, s.n_cust, c.rev_cents, c.cum_rev_cents,
+        |  (c.cum_rev_cents // s.n_cust)::BIGINT AS cum_per_cust_cents
+        |FROM cum c JOIN sz s USING (cohort_m)""".stripMargin,
+
+    "profile_mutual_information" ->
+      """WITH ev AS (
+        |  SELECT event_type, (dayofweek(ts::DATE) + 1)::INT AS dow
+        |  FROM events),
+        |cells AS (SELECT event_type, dow, count(*)::BIGINT AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |rm AS (SELECT event_type, sum(cnt)::BIGINT AS r
+        |  FROM cells GROUP BY 1),
+        |cm AS (SELECT dow, sum(cnt)::BIGINT AS c FROM cells GROUP BY 1),
+        |nn AS (SELECT sum(cnt)::BIGINT AS n, count(*)::BIGINT AS n_cells
+        |  FROM cells),
+        |terms AS (SELECT ce.event_type, ce.dow,
+        |    (ce.cnt::DOUBLE / nn.n::DOUBLE) *
+        |      ln((ce.cnt::DOUBLE * nn.n::DOUBLE) /
+        |        (rm.r::DOUBLE * cm.c::DOUBLE)) AS term
+        |  FROM cells ce JOIN rm USING (event_type) JOIN cm USING (dow)
+        |  CROSS JOIN nn),
+        |folded AS (SELECT list(term ORDER BY event_type, dow) AS l
+        |  FROM terms)
+        |SELECT nn.n, nn.n_cells,
+        |  round(CAST(CAST((list_reduce(list_prepend(0.0::DOUBLE, l),
+        |    (a, t) -> a + t)) AS VARCHAR) AS DECIMAL(38,20)), 6)::DOUBLE
+        |    AS mi_nats
+        |FROM folded CROSS JOIN nn""".stripMargin,
 
     // incremental warm-start closure must EQUAL the from-scratch
     // recursive closure over all edges — same oracle as
