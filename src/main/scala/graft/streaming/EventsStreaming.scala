@@ -36,6 +36,64 @@ object EventsStreaming {
   /** Per-user open-session state for [[sessionize]]. */
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
+  final case class CepView(id: Long, us: Long)
+  final case class CepClick(id: Long, us: Long, view: Option[CepView])
+  /** Per-user CEP state for [[detectSequences]] — O(1): the latest
+    * view, and the latest click together with the view that was
+    * current (and in-window) when that click arrived.
+    */
+  final case class CepState(view: Option[CepView], click: Option[CepClick])
+  final case class SeqMatch(user_id: Long, v_id: Long, c_id: Long,
+                            p_id: Long, gap1_s: Long, gap2_s: Long)
+
+  /** Streaming CEP sequence detection — the unbounded twin of the
+    * `events_sequence_detect` batch query: per user, view → click →
+    * purchase with each step within `windowSeconds` of the previous,
+    * LAST-match semantics. Because events are processed in event-time
+    * order per user (micro-batches sorted; replay in order), the O(1)
+    * per-user state (latest view; latest click + its view) reproduces
+    * the batch windows EXACTLY: at any purchase, the state's click IS
+    * the latest in-window click, and its stored view IS the latest
+    * view in-window of that click — the stream≡batch equivalence the
+    * suite asserts. State is 5 longs per user regardless of stream
+    * length; production bounds the user set with EventTimeTimeout at
+    * the window horizon (an expired user's prefix can never complete).
+    */
+  def detectSequences(events: Dataset[Event], windowSeconds: Long = 43200,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit spark: SparkSession): Dataset[SeqMatch] = {
+    import spark.implicits._
+    val win = windowSeconds * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[CepState]): Iterator[SeqMatch] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var st = state.getOption.getOrElse(CepState(None, None))
+      val out = Seq.newBuilder[SeqMatch]
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        e.event_type match {
+          case "view" =>
+            st = st.copy(view = Some(CepView(e.event_id, us)))
+          case "click" =>
+            val v = st.view.filter(v => v.us < us && us - v.us <= win)
+            st = st.copy(click = Some(CepClick(e.event_id, us, v)))
+          case "purchase" =>
+            for (c <- st.click if c.us < us && us - c.us <= win;
+                 v <- c.view)
+              out += SeqMatch(userId, v.id, c.id, e.event_id,
+                (c.us - v.us) / 1000000L, (us - c.us) / 1000000L)
+          case _ => ()
+        }
+      }
+      if (state.hasTimedOut) state.remove() else state.update(st)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(update)
+  }
+
   /** S5-as-stream: checkpointed incremental file ingest of a landing
     * directory. `maxFilesPerTrigger` bounds per-batch work; with
     * `Trigger.AvailableNow` a scheduled run drains whatever is new and

@@ -173,6 +173,49 @@ class EventsStreamingSpec extends SparkSpec {
       firstIds.contains(a) != firstIds.contains(b) })
   }
 
+  test("streaming CEP sequence detection matches the batch query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft-cep").toString
+    val evs = eventsBatch
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStreaming.Event].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val want = graft.SparkEntry.queries("events_sequence_detect")(
+        spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty, "fixture must contain at least one sequence")
+    // replay in event-time order, split right BEFORE some match's
+    // purchase: that match's view/click prefix arrives in batch 1 and
+    // must survive in state to complete in batch 2
+    val somePid = want.head._4
+    val splitAt = evs.indexWhere(_.event_id == somePid)
+    val (b1, b2) = evs.splitAt(splitAt)
+    val ms = MemoryStream[EventsStreaming.Event]
+    val q = EventsStreaming.detectSequences(ms.toDS())
+      .writeStream.format("memory").queryName("cep_seq")
+      .outputMode(OutputMode.Append.toString.toLowerCase)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    ms.addData(b1)
+    q.processAllAvailable()
+    ms.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cep_seq")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"stream=${got.size} batch=${want.size}")
+    assert(got.nonEmpty)
+    // cross-batch: the targeted match completed after the split with
+    // its prefix carried in state from batch 1
+    val b1Ids = b1.map(_.event_id).toSet
+    assert(got.exists { case (_, vId, cId, pId, _, _) =>
+      (b1Ids.contains(vId) || b1Ids.contains(cId)) &&
+        !b1Ids.contains(pId) },
+      "expected a sequence whose prefix arrived in batch 1")
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     val dir = Files.createTempDirectory("graft-sess").toString
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
