@@ -5042,6 +5042,75 @@ object SparkEntry {
           round(expr(
             "aggregate(transform(arr, x -> x.term), 0d, (a, t) -> a + t)"),
             6).as("mi_nats"))
+    }),
+
+    "text_kn_bigram" -> ((s, dir) => {
+      // Kneser-Ney smoothed bigram LM trained corpus-wide (Kneser &
+      // Ney '95, the workhorse n-gram smoother): P(w2|w1) =
+      // (c12−d)/c1 + d·N1+(w1,·)/c1 · N1+(·,w2)/N1+(·,·), discount
+      // d = 3/4 — every term a ratio of exact integer counts, held in
+      // e6 fixed point with integer division (the fixed-point form IS
+      // the query's determinism contract; it tracks the real-valued
+      // formula to ~1e-6). Bigrams come from a MAP-ONLY zip of each
+      // token array with its own tail — no position self-join — and
+      // every frame after the (w1,w2) rollup is vocabulary²-bounded.
+      // Top-30 by smoothed probability, fully tie-broken.
+      val d = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(split(lower(trim(col("text"))), "\\s+").as("a"))
+        .filter(size(col("a")) >= 2)
+      val bg = d.select(explode(expr(
+          "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
+            "(x, y) -> named_struct('w1', x, 'w2', y))")).as("z"))
+        .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true) // three marginal rollups read it
+      val c1 = c12.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n1w1"))
+      val r = c12.groupBy("w2").agg(count(lit(1)).as("n1r"))
+      val tot = c12.agg(count(lit(1)).as("n1tot"))
+      c12.join(c1, Seq("w1")).join(r, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          (expr("((4*c12 - 3) * 1000000) div (4*c1)") +
+            expr("(3 * n1w1 * ((n1r * 1000000) div n1tot)) div (4*c1)"))
+            .as("p_kn_e6"))
+        .orderBy(col("p_kn_e6").desc, col("w1").asc, col("w2").asc)
+        .limit(30)
+    }),
+
+    "multimodal_video_frames" -> ((s, dir) => {
+      // REAL multi-frame media path: formula pixels → genuine PNG
+      // frames inside a minimal GVID container → container parse +
+      // ImageIO decode of every 2nd frame → exact integer stats per
+      // sampled frame. Frame sampling means decode cost scales with
+      // frames KEPT, not stored — the property that makes video
+      // feature extraction affordable at 100 TB. Map-only
+      // (mapPartitions, codec per partition); oracle recomputes from
+      // the pixel formula (PNG lossless ⇒ exact equality).
+      Multimodal.sampleFrames(
+        Multimodal.renderVideos(t(s, dir, "documents")), everyK = 2)
+        .toDF()
+    }),
+
+    "multimodal_video_motion" -> ((s, dir) => {
+      // per-video motion profile: absolute luminance delta between
+      // consecutive sampled frames, summed — the cheap "static slide
+      // vs moving scene" signal a video curation gate keys on. Window
+      // state is one previous frame per video (bounded); everything
+      // upstream is the map-only sampled-frame path.
+      val fr = Multimodal.sampleFrames(
+        Multimodal.renderVideos(t(s, dir, "documents")), everyK = 2)
+        .toDF()
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      fr.withColumn("prev", lag("sum_pixels", 1).over(w))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          max("n_frames").as("n_frames"), max("fps").as("fps"),
+          sum(abs(col("sum_pixels") - col("prev"))).as("motion_raw"))
+        .select(col("media_id"), col("n_sampled"), col("n_frames"),
+          expr("(n_frames * 1000) div fps").as("duration_ms"),
+          coalesce(col("motion_raw"), lit(0L)).as("motion_abs"))
     })
   )
 
@@ -7929,6 +7998,80 @@ object SparkEntry {
 
     "events_bootstrap_ci" ->
       OracleSql.eventsBootstrapCi(poissonThresholds, nBoot = 200),
+
+    "multimodal_video_frames" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS width,
+        |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+        |    CAST(4 + doc_id % 5 AS INT) AS n_frames
+        |  FROM documents),
+        |fr AS (SELECT d.doc_id, d.width, d.height, d.n_frames, fs.f
+        |  FROM dims d, LATERAL (SELECT
+        |    unnest(generate_series(0, d.n_frames - 1)) AS f) fs
+        |  WHERE fs.f % 2 = 0),
+        |px AS (SELECT fr.doc_id, fr.f, fr.n_frames, fr.width,
+        |    fr.height, xs.x, ys.y,
+        |    (fr.doc_id + 17 * fr.f + 7 * xs.x + 13 * ys.y) % 256 AS p
+        |  FROM fr,
+        |    LATERAL (SELECT
+        |      unnest(generate_series(0, fr.width - 1)) AS x) xs,
+        |    LATERAL (SELECT
+        |      unnest(generate_series(0, fr.height - 1)) AS y) ys)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |  n_frames, CAST(10 AS INT) AS fps, width, height,
+        |  CAST(sum(p) AS BIGINT) AS sum_pixels,
+        |  CAST(sum(p * (y * width + x + 1)) AS BIGINT) AS checksum
+        |FROM px GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+
+    "multimodal_video_motion" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS width,
+        |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+        |    CAST(4 + doc_id % 5 AS INT) AS n_frames
+        |  FROM documents),
+        |fr AS (SELECT d.doc_id, d.width, d.height, d.n_frames, fs.f
+        |  FROM dims d, LATERAL (SELECT
+        |    unnest(generate_series(0, d.n_frames - 1)) AS f) fs
+        |  WHERE fs.f % 2 = 0),
+        |px AS (SELECT fr.doc_id, fr.f, fr.n_frames, xs.x, ys.y,
+        |    (fr.doc_id + 17 * fr.f + 7 * xs.x + 13 * ys.y) % 256 AS p
+        |  FROM fr,
+        |    LATERAL (SELECT
+        |      unnest(generate_series(0, fr.width - 1)) AS x) xs,
+        |    LATERAL (SELECT
+        |      unnest(generate_series(0, fr.height - 1)) AS y) ys),
+        |fstats AS (SELECT doc_id, f, n_frames,
+        |    sum(p)::BIGINT AS sum_pixels
+        |  FROM px GROUP BY 1, 2, 3),
+        |lagd AS (SELECT doc_id, n_frames, sum_pixels,
+        |  lag(sum_pixels) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+        |  FROM fstats)
+        |SELECT doc_id AS media_id, count(*)::BIGINT AS n_sampled,
+        |  n_frames, ((n_frames * 1000) // 10)::BIGINT AS duration_ms,
+        |  coalesce(sum(abs(sum_pixels - prev)), 0)::BIGINT AS motion_abs
+        |FROM lagd GROUP BY doc_id, n_frames""".stripMargin,
+
+    "text_kn_bigram" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (SELECT unnest(a[1:len(a)-1]) AS w1,
+        |    unnest(a[2:len(a)]) AS w2
+        |  FROM toks WHERE len(a) >= 2),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12
+        |  FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1,
+        |    count(*)::BIGINT AS n1w1 FROM c12 GROUP BY 1),
+        |r AS (SELECT w2, count(*)::BIGINT AS n1r FROM c12 GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n1tot FROM c12),
+        |p AS (SELECT c.w1, c.w2, c.c12, a.c1,
+        |    (((4*c.c12 - 3) * 1000000) // (4*a.c1)
+        |     + (3 * a.n1w1 * ((r.n1r * 1000000) // t.n1tot))
+        |       // (4*a.c1))::BIGINT AS p_kn_e6
+        |  FROM c12 c JOIN c1 a USING (w1) JOIN r USING (w2)
+        |  CROSS JOIN tot t)
+        |SELECT w1, w2, c12, c1, p_kn_e6 FROM p
+        |ORDER BY p_kn_e6 DESC, w1, w2 LIMIT 30""".stripMargin,
 
     "orders_cohort_ltv" ->
       """WITH o AS (

@@ -409,4 +409,151 @@ object Multimodal {
     val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
     media.repartition(parts, col("media_id"))
   }
+
+  /** Multi-frame "video" container with the same strategy as
+    * [[ImageCodec]]/[[AudioCodec]]: frame pixels come from a
+    * closed-form function of (media_id, frame, x, y); each frame is a
+    * REAL PNG (lossless), wrapped in a minimal MJPEG-style container
+    * (magic + frame count + fps + length-prefixed frames) because the
+    * container has no library dependency worth taking — in production
+    * the FRAME DECODER swaps for a real video codec (JCodec/ffmpeg)
+    * behind the same `mapPartitions` batch shape, while the Spark-side
+    * plumbing (binary column, frame-sampling fan-out, per-frame
+    * feature rows, byte-budget partitioning) is exactly what ships.
+    * The oracle recomputes every sampled frame's statistics from the
+    * pixel formula, so the comparison is exact integer equality.
+    */
+  object VideoCodec {
+    val Fps = 10
+
+    def nFrames(id: Long): Int = 4 + (id % 5).toInt
+
+    /** 8-bit gray value of frame f at (x, y) — keep in sync with the
+      * oracle SQL.
+      */
+    def framePixel(id: Long, f: Int, x: Int, y: Int): Int =
+      ((id + 17L * f + 7L * x + 13L * y) % 256).toInt
+
+    /** Deterministic GVID blob: "GVID", u16 n_frames, u16 fps, then
+      * per frame u32 length + a genuine PNG (javax.imageio encode).
+      */
+    def encode(id: Long): Array[Byte] = {
+      val w = ImageCodec.width(id)
+      val h = ImageCodec.height(id)
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeBytes("GVID")
+      out.writeShort(nFrames(id))
+      out.writeShort(Fps)
+      var f = 0
+      while (f < nFrames(id)) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, framePixel(id, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        val fb = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", fb)
+        val png = fb.toByteArray
+        out.writeInt(png.length)
+        out.write(png)
+        f += 1
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Parse the container and REALLY decode every `everyK`-th frame
+      * (ImageIO), folding exact integer statistics per sampled frame.
+      * Skipped frames are not decoded — the point of frame sampling:
+      * decode cost scales with frames KEPT, not frames stored.
+      */
+    def decodeFrames(id: Long, bytes: Array[Byte],
+                     everyK: Int): Seq[FrameStats] = {
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(new String(magic, "US-ASCII") == "GVID",
+        s"media_id=$id: bad container magic")
+      val n = in.readUnsignedShort()
+      val fps = in.readUnsignedShort()
+      (0 until n).flatMap { f =>
+        val len = in.readInt()
+        val png = new Array[Byte](len)
+        in.readFully(png)
+        if (f % everyK == 0) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          require(img != null, s"media_id=$id frame $f: not decodable")
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          var sum = 0L
+          var checksum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = raster.getSample(x, y, 0)
+              sum += p
+              checksum += p.toLong * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          Some(FrameStats(id, f, n, fps, w, h, sum, checksum))
+        } else None
+      }
+    }
+  }
+
+  /** One sampled-frame row (see [[VideoCodec.decodeFrames]]). */
+  final case class FrameStats(media_id: Long, frame_idx: Int,
+                              n_frames: Int, fps: Int, width: Int,
+                              height: Int, sum_pixels: Long,
+                              checksum: Long)
+
+  /** Render the deterministic video fixture table: one real GVID blob
+    * (PNG frames inside) per document id, typed metadata alongside.
+    */
+  def renderVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, VideoCodec.encode(id))))
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(
+          lit("video").as("kind"),
+          lit("video/x-gvid").as("mime"),
+          (pmod(col("media_id"), lit(32)) + 16).cast(IntegerType)
+            .as("width"),
+          (pmod(col("media_id") * 7, lit(32)) + 16).cast(IntegerType)
+            .as("height"),
+          lit(null).cast(IntegerType).as("sample_rate"),
+          ((pmod(col("media_id"), lit(5)) + 4) * 1000L / VideoCodec.Fps)
+            .cast(LongType).as("duration_ms"))
+          .as("meta"))
+  }
+
+  /** Frame-sample every `everyK`-th frame of each video and decode for
+    * real — same per-partition codec shape as [[decodeImages]].
+    */
+  def sampleFrames(videos: DataFrame, everyK: Int = 2): Dataset[FrameStats] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(batch => batch.flatMap { case (id, bytes) =>
+        VideoCodec.decodeFrames(id, bytes, everyK)
+      })
+  }
 }

@@ -75,4 +75,44 @@ class MultimodalSpec extends SparkSpec {
       .filter($"media_id" === 2L).head()
     assert(got.n_samples == 802L && got.duration_ms == 100L)
   }
+
+  test("video container round-trips every frame's pixel formula") {
+    for (id <- Seq(0L, 3L, 31L)) {
+      val stats = Multimodal.VideoCodec.decodeFrames(id,
+        Multimodal.VideoCodec.encode(id), everyK = 1)
+      val n = Multimodal.VideoCodec.nFrames(id)
+      assert(stats.size == n)
+      val w = Multimodal.ImageCodec.width(id)
+      val h = Multimodal.ImageCodec.height(id)
+      stats.foreach { fsr =>
+        var sum = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          sum += Multimodal.VideoCodec.framePixel(id, fsr.frame_idx, x, y)
+        assert(fsr.width == w && fsr.height == h &&
+          fsr.sum_pixels == sum && fsr.n_frames == n,
+          s"frame mismatch id=$id f=${fsr.frame_idx}")
+      }
+    }
+  }
+
+  test("frame sampling decodes only every k-th frame") {
+    val id = 6L // 4 + 6 % 5 = 5 frames
+    val all = Multimodal.VideoCodec.decodeFrames(id,
+      Multimodal.VideoCodec.encode(id), everyK = 1)
+    val sampled = Multimodal.VideoCodec.decodeFrames(id,
+      Multimodal.VideoCodec.encode(id), everyK = 2)
+    assert(all.map(_.frame_idx) == Seq(0, 1, 2, 3, 4))
+    assert(sampled.map(_.frame_idx) == Seq(0, 2, 4))
+    assert(sampled == all.filter(_.frame_idx % 2 == 0))
+  }
+
+  test("distributed video render + frame sample over the fixture") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val got = sampleFrames(renderVideos(docs), everyK = 2)
+      .filter($"media_id" === 2L).collect().sortBy(_.frame_idx)
+    // id=2: 4 + 2 % 5 = 6 frames -> sampled 0, 2, 4; 10 fps
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(got.forall(f => f.n_frames == 6 && f.fps == 10))
+  }
 }
