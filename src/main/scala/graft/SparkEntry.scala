@@ -5079,6 +5079,68 @@ object SparkEntry {
         .limit(30)
     }),
 
+    "embed_pca_power" -> ((s, dir) => {
+      // top principal direction of the embedding corpus via POWER
+      // ITERATION, run entirely in exact integer arithmetic:
+      // embeddings quantize to e4 ints (map-only); each of 2 rounds is
+      // ONE distributed pass — per-vector projection s = ⟨q, v⟩ as an
+      // exact long fold, then per-dimension w_d = Σ q_d·s as a
+      // map-side-combined decimal sum — followed by L∞ normalization
+      // by integer division (the k-means/logreg driver-state pattern:
+      // 64 longs cross the driver per round, never data). Power
+      // iteration is how distributed PCA actually ships (Spark MLlib,
+      // scikit randomized SVD); the integer fixed-point form makes it
+      // bit-reproducible, so the oracle replays both rounds in SQL.
+      val q = t(s, dir, "embeddings").select(col("vec_id"),
+          expr("transform(embedding, x -> " +
+            "cast(round(cast(x AS double) * 10000.0d) AS bigint))")
+            .as("qv"))
+        .localCheckpoint(true) // 2 power rounds re-read it
+      val dec = "decimal(38,0)"
+      val dim = 64
+      var v: Array[Long] = Array.fill(dim)(1000000L)
+      for (_ <- 1 to 2) {
+        val vlit = array(v.map(lit(_)): _*)
+        val w = q.withColumn("vl", vlit)
+          .withColumn("s", expr("aggregate(zip_with(qv, vl, " +
+            "(a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+          .select(posexplode(col("qv")).as(Seq("d", "qd")), col("s"))
+          .groupBy("d")
+          .agg(sum(col("qd").cast(dec) * col("s")).as("w"))
+          .orderBy("d").collect()
+          .map(r => BigInt(r.getDecimal(1).toBigInteger))
+        val maxAbs = w.map(_.abs).max.max(BigInt(1))
+        // BigInt / truncates toward zero — the same semantics as the
+        // oracle's // and the engine's div
+        v = w.map(x => ((x * 1000000) / maxAbs).toLong)
+      }
+      import s.implicits._
+      v.zipWithIndex.map { case (vd, d) => (d, vd) }.toSeq
+        .toDF("d", "v_e6")
+    }),
+
+    "incr_topk_merge" -> ((s, dir) => {
+      // incremental top-k maintenance: value-based top-k is a
+      // semilattice (top-k of a union = top-k of the per-partition
+      // top-ks), so the historical partition reduces ONCE to its
+      // 10-row state and each delta merges in O(k) — the top-k member
+      // of the incr_agg/distinct/join/components family. Count-based
+      // rankings do NOT merge this way (heavy_hitters_mg exists for
+      // those); the docstring distinction is the point of the query.
+      // Equals a full recompute exactly, which the oracle checks.
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate"))
+      def top10(df: DataFrame): DataFrame =
+        df.orderBy(col("cents").desc, col("o_orderkey").asc).limit(10)
+      val hist = top10(o.filter(col("o_orderdate") < "1997-01-01"))
+      val delta = top10(o.filter(col("o_orderdate") >= "1997-01-01"))
+      top10(hist.unionByName(delta))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cents").desc, col("o_orderkey").asc)))
+        .select(col("rank"), col("o_orderkey"), col("cents"))
+    }),
+
     "multimodal_video_frames" -> ((s, dir) => {
       // REAL multi-frame media path: formula pixels → genuine PNG
       // frames inside a minimal GVID container → container parse +
@@ -7998,6 +8060,37 @@ object SparkEntry {
 
     "events_bootstrap_ci" ->
       OracleSql.eventsBootstrapCi(poissonThresholds, nBoot = 200),
+
+    "embed_pca_power" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |    x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |qd AS (SELECT vec_id, unnest(qv) AS qd,
+        |  generate_subscripts(qv, 1) AS d FROM q),
+        |s1 AS (SELECT vec_id, sum(qd * 1000000)::BIGINT AS s
+        |  FROM qd GROUP BY 1),
+        |w1 AS (SELECT d, sum(qd::HUGEINT * s1.s) AS w
+        |  FROM qd JOIN s1 USING (vec_id) GROUP BY d),
+        |m1 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w1),
+        |v1 AS (SELECT d, ((w * 1000000) // m)::BIGINT AS v
+        |  FROM w1, m1),
+        |s2 AS (SELECT qd.vec_id, sum(qd.qd * v1.v)::BIGINT AS s
+        |  FROM qd JOIN v1 USING (d) GROUP BY 1),
+        |w2 AS (SELECT qd.d, sum(qd.qd::HUGEINT * s2.s) AS w
+        |  FROM qd JOIN s2 USING (vec_id) GROUP BY 1),
+        |m2 AS (SELECT greatest(max(abs(w)), 1) AS m FROM w2)
+        |SELECT (d - 1)::INT AS d, ((w * 1000000) // m)::BIGINT AS v_e6
+        |FROM w2, m2""".stripMargin,
+
+    "incr_topk_merge" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(row_number() OVER (ORDER BY cents DESC, o_orderkey)
+        |    AS INT) AS rank,
+        |  o_orderkey, cents
+        |FROM o ORDER BY cents DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "multimodal_video_frames" ->
       """WITH dims AS (
