@@ -387,4 +387,57 @@ class PlanHygieneSpec extends SparkSpec {
     assert(cleaned.head().getString(0) == "v1")
     assert(analyzeMs < 5000, s"analysis took ${analyzeMs}ms for 200 cols")
   }
+
+  test("dp counts broadcast the threshold table, never shuffle it") {
+    val plan = SparkEntry.queries("privacy_dp_counts")(
+      spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"threshold table must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the 51-row threshold table must never sort-merge with counts")
+  }
+
+  test("bootstrap fan-out reads the checkpointed daily frame, not raw events") {
+    // the 200-replicate cross join must consume the materialized daily
+    // rollup: raw events are scanned ONCE (pre-checkpoint), so the
+    // optimized plan of the returned frame contains no parquet scan
+    val plan = SparkEntry.queries("events_bootstrap_ci")(
+      spark, sf("sf0.001")).queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      "expected the checkpointed daily frame")
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"raw events leaked into the bootstrap plan:\n${plan.take(1500)}")
+  }
+
+  test("cohort LTV keeps the first-order join hint-free") {
+    // the (customer -> first month) frame scales with the customer
+    // dimension; only the ~80-row cohort-size frame may carry a hint
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = SparkEntry.queries("orders_cohort_ltv")(
+        spark, sf("sf0.001"))
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
+    assert(hints == 1,
+      s"only the cohort-size frame may be hinted, found $hints hints")
+  }
+
+  test("KN bigram marginals read the checkpointed bigram frame") {
+    // c1/r/tot are three rollups over the (w1, w2) count frame; the
+    // checkpoint means the corpus tokenization+zip runs ONCE, so the
+    // final plan holds no parquet scan of documents
+    val plan = SparkEntry.queries("text_kn_bigram")(
+      spark, sf("sf0.001")).queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"))
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"corpus re-scan leaked into the KN plan:\n${plan.take(1500)}")
+  }
+
+  test("sequence detect windows partition by purchase id, never global") {
+    val plan = SparkEntry.queries("events_sequence_detect")(
+      spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    val globals = plan.linesIterator
+      .count(l => l.contains("Window") && l.contains("partitionBy=[]"))
+    assert(globals == 0,
+      "CEP ranking windows must be purchase-partitioned, not global")
+  }
 }
