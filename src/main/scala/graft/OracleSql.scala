@@ -1736,6 +1736,92 @@ object OracleSql {
     sb.toString
   }
 
+  /** Oracle for `events_ab_cuped`: the same arm hash as
+    * [[eventsAbTest]], pre/post per-user revenue, pooled exact
+    * moments, θ/adjusted-mean/variance-reduction as the identical
+    * IEEE chains over those integers.
+    */
+  def eventsAbCuped(): String =
+    s"""WITH ${idHashCtes("(SELECT DISTINCT user_id FROM events)",
+         "user_id")},
+       |arm AS (SELECT user_id, ((hv % 2) + 2) % 2 AS arm FROM hashed),
+       |per AS (
+       |  SELECT e.user_id,
+       |    sum(CASE WHEN datediff('day', DATE '2024-01-01',
+       |          e.ts::DATE) < 15 AND e.event_type = 'purchase'
+       |        THEN CAST(round(e.value * 100) AS BIGINT)
+       |        ELSE 0 END)::BIGINT AS x,
+       |    sum(CASE WHEN datediff('day', DATE '2024-01-01',
+       |          e.ts::DATE) >= 15 AND e.event_type = 'purchase'
+       |        THEN CAST(round(e.value * 100) AS BIGINT)
+       |        ELSE 0 END)::BIGINT AS y
+       |  FROM events e GROUP BY 1),
+       |pa AS (SELECT p.user_id, p.x, p.y, a.arm
+       |  FROM per p JOIN arm a USING (user_id)),
+       |pooled AS (SELECT count(*)::HUGEINT AS n,
+       |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+       |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy,
+       |    sum(y::HUGEINT * y) AS syy FROM pa),
+       |arms AS (SELECT arm, count(*)::BIGINT AS n_users,
+       |    sum(x)::BIGINT AS sx_arm, sum(y)::BIGINT AS sy_arm
+       |  FROM pa GROUP BY 1),
+       |j AS (SELECT a.arm, a.n_users, a.sx_arm, a.sy_arm,
+       |    p.n, p.sx, p.sy, p.sxx, p.sxy, p.syy,
+       |    (p.n*p.sxy - p.sx*p.sy)::DOUBLE /
+       |      (p.n*p.sxx - p.sx*p.sx)::DOUBLE AS th
+       |  FROM arms a CROSS JOIN pooled p)
+       |SELECT arm, n_users, sx_arm, sy_arm,
+       |  ${roundSpark("th", 6)} AS theta,
+       |  ${roundSpark(
+             "sy_arm::DOUBLE / n_users - th * (sx_arm::DOUBLE / n_users" +
+               " - sx::DOUBLE / n::DOUBLE)", 4)} AS adj_mean_y_cents,
+       |  ${roundSpark(
+             "(n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE / " +
+               "((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)",
+             6)} AS var_reduction
+       |FROM j""".stripMargin
+
+  /** Oracle for `graph_random_walks`: the candidate edge set, seeds =
+    * the `nSeeds` smallest vertices, `steps` unrolled argmin-by-hash
+    * transitions through the SAME xxhash64(step, walk, neighbor)
+    * chain, ties by neighbor id.
+    */
+  def graphRandomWalks(numHashes: Int = 16, rowsPerBand: Int = 2,
+                       steps: Int = 4, nSeeds: Int = 5): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH ${tokenHashCtes()},
+         |${shingleHashCtes()},
+         |${minhashCtes(numHashes, rowsPerBand)},
+         |${edgeCtes(numHashes)},
+         |seeds AS MATERIALIZED (
+         |  SELECT id FROM verts ORDER BY id LIMIT $nSeeds),
+         |s0 AS (SELECT id AS walk_id, id AS node FROM seeds)""".stripMargin
+    for (t <- 1 to steps) {
+      val ch = new Chain(s"wk$t",
+        s"SELECT w.walk_id, e.dst, w.walk_id::HUGEINT AS wu, " +
+          s"e.dst::HUGEINT AS du " +
+          s"FROM s${t - 1} w JOIN edges e ON e.src = w.node")
+      val h1 = hashLong(ch, s"$t::HUGEINT", "42::HUGEINT", "ha")
+      val h2 = hashLong(ch, "wu", h1, "hb")
+      val h3 = hashLong(ch, "du", h2, "hc")
+      val m = ch.add("m", s"($h3) % ${1L << 40}")
+      sb ++=
+        s""",
+           |${ch.render},
+           |s$t AS (SELECT walk_id, dst AS node FROM (
+           |  SELECT walk_id, dst, row_number() OVER (
+           |    PARTITION BY walk_id ORDER BY $m, dst) AS rn
+           |  FROM ${ch.last}) WHERE rn = 1)""".stripMargin
+    }
+    sb ++= "\nSELECT walk_id::BIGINT AS walk_id, 0::INT AS step, " +
+      "node::BIGINT AS node FROM s0"
+    for (t <- 1 to steps)
+      sb ++= s"\nUNION ALL SELECT walk_id::BIGINT, $t::INT, " +
+        s"node::BIGINT FROM s$t"
+    sb.toString
+  }
+
   /** Oracle for `privacy_dp_counts`: per-nation counts + the seeded
     * discrete-Laplace noise — the same xxhash64(7, key) chain through
     * the emulated XXH64, reduced mod 2⁴⁰ and mapped through the SAME

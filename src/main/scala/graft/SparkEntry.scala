@@ -5079,6 +5079,97 @@ object SparkEntry {
         .limit(30)
     }),
 
+    "events_ab_cuped" -> ((s, dir) => {
+      // CUPED variance reduction for the A/B harness (Deng et al.
+      // WSDM'13, the standard experimentation-platform adjustment):
+      // per-user PRE-period revenue (days < 15) is the covariate;
+      // θ = cov(X,Y)/var(X) from ONE pooled pass of exact decimal
+      // moments; per-arm adjusted mean Ȳ − θ(X̄_arm − X̄); variance
+      // reduction = corr²(X,Y), derived ALGEBRAICALLY from the same
+      // exact moments (never a per-user float residual sum — parallel
+      // float summation would flake the hash). Corpus work: one
+      // user-grouped agg; everything after runs on per-arm rows.
+      val d = "decimal(38,0)"
+      val per = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("day"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("day") < 15 && col("event_type") === "purchase",
+            col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("day") >= 15 && col("event_type") === "purchase",
+            col("cents")).otherwise(0L)).as("y"))
+        .withColumn("arm", pmod(xxhash64(col("user_id")), lit(2)))
+        .localCheckpoint(true) // pooled + per-arm aggs read it
+      val pooled = per.agg(count(lit(1)).cast(d).as("n"),
+        sum(col("x").cast(d)).as("sx"), sum(col("y").cast(d)).as("sy"),
+        sum(col("x").cast(d) * col("x")).as("sxx"),
+        sum(col("x").cast(d) * col("y")).as("sxy"),
+        sum(col("y").cast(d) * col("y")).as("syy"))
+      val arms = per.groupBy("arm").agg(count(lit(1)).as("n_users"),
+        sum("x").as("sx_arm"), sum("y").as("sy_arm"))
+      arms.crossJoin(broadcast(pooled))
+        .withColumn("th", expr(
+          "cast(n*sxy - sx*sy AS double) / cast(n*sxx - sx*sx AS double)"))
+        .select(col("arm"), col("n_users"), col("sx_arm"), col("sy_arm"),
+          round(col("th"), 6).as("theta"),
+          round(col("sy_arm").cast("double") / col("n_users")
+            - col("th") * (col("sx_arm").cast("double") / col("n_users")
+              - col("sx").cast("double") / col("n").cast("double")), 4)
+            .as("adj_mean_y_cents"),
+          round(expr("cast(n*sxy - sx*sy AS double)") *
+            expr("cast(n*sxy - sx*sy AS double)") /
+            (expr("cast(n*sxx - sx*sx AS double)") *
+              expr("cast(n*syy - sy*sy AS double)")), 6)
+            .as("var_reduction"))
+    }),
+
+    "graph_random_walks" -> ((s, dir) => {
+      // deterministic random-walk corpus over the near-dup graph (the
+      // node2vec/DeepWalk data-generation step, hash-derandomized):
+      // one walk per seed (the 5 smallest vertices), 4 steps; at each
+      // step the walker moves to the neighbor minimizing
+      // pmod(xxhash64(step, walk, neighbor), 2⁴⁰) — uniform-ish,
+      // sticky across runs/restarts, and replayable by the oracle's
+      // XXH64 emulation. Per step ONE edge join on the 5-row frontier
+      // + a frontier-partitioned argmin window; localCheckpoint per
+      // step (pageRank discipline).
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val e = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"),
+          col("id_a").as("dst")))
+        .distinct().localCheckpoint(true)
+      val seeds = e.select(col("src").as("id")).distinct()
+        .orderBy("id").limit(5)
+        .select(col("id").as("walk_id"), col("id").as("node"))
+        .localCheckpoint(true)
+      var cur = seeds
+      var frames = Seq(seeds.withColumn("step", lit(0)))
+      for (t <- 1 to 4) {
+        val cand = e
+          .join(cur.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("walk_id"), col("dst"))
+          .withColumn("h", pmod(
+            xxhash64(lit(t.toLong), col("walk_id"), col("dst")),
+            lit(1L << 40)))
+        val w = Window.partitionBy("walk_id")
+          .orderBy(col("h").asc, col("dst").asc)
+        cur = cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("walk_id"), col("dst").as("node"))
+          .localCheckpoint(true)
+        frames = frames :+ cur.withColumn("step", lit(t))
+      }
+      frames.reduce(_ unionByName _)
+        .select(col("walk_id"), col("step"), col("node"))
+    }),
+
     "embed_pca_power" -> ((s, dir) => {
       // top principal direction of the embedding corpus via POWER
       // ITERATION, run entirely in exact integer arithmetic:
@@ -8060,6 +8151,10 @@ object SparkEntry {
 
     "events_bootstrap_ci" ->
       OracleSql.eventsBootstrapCi(poissonThresholds, nBoot = 200),
+
+    "events_ab_cuped" -> OracleSql.eventsAbCuped(),
+
+    "graph_random_walks" -> OracleSql.graphRandomWalks(),
 
     "embed_pca_power" ->
       """WITH q AS (
