@@ -5079,6 +5079,62 @@ object SparkEntry {
         .limit(30)
     }),
 
+    "dedup_components_star" -> ((s, dir) => {
+      // the O(log diameter) closure: alternating large/small-star
+      // contraction (Kiveris et al. SoCC'14) over the SAME candidate
+      // graph as dedup_components, with the identical (doc_id,
+      // min-id rep) output contract — so it shares that query's
+      // recursive-closure oracle. dedup_components proves the 1-hop
+      // propagation; this proves the round-law variant you actually
+      // deploy on high-diameter graphs (chains of pairwise near-dups),
+      // where 1-hop needs O(diameter) rounds and star-contraction's
+      // label reach roughly squares per round.
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.starContraction(pairs, "id_a", "id_b")
+    }),
+
+    "source_parquet_evolution" -> ((s, dir) => {
+      // schema evolution across parquet shards — the lake reality
+      // after any new field ships: the v1 shard has only (doc_id,
+      // text, lang); v2 adds (source, n_chars). mergeSchema unions
+      // the footers, v1's missing columns surface as NULLs, and the
+      // checksum proves the union semantics. Explicit opt-in
+      // mergeSchema on exactly two shard paths — NOT a default (at
+      // 100 TB, footer-merging every file on every read is a planning
+      // tax you pay once per schema change, not per query).
+      val docs = t(s, dir, "documents")
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_evo_${Integer.toHexString(dir.hashCode)}")
+        .getAbsolutePath
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$base/v1")
+      docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+        .write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/v1", s"$base/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("source")).as("n_with_source"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+    }),
+
+    "multimodal_audio_fingerprint" -> ((s, dir) => {
+      // acoustic fingerprinting over the REAL decode path: per-frame
+      // (100-sample) energy from the JDK-decoded PCM, bit f set iff
+      // frame energy exceeds the integer mean — the Shazam-family
+      // energy-signature shape in exact integer arithmetic (no FFT:
+      // a float spectrogram would be engine-dependent in the last
+      // ulp; the energy profile is reproducible to the bit, which
+      // lets the oracle recompute it from the sample formula).
+      // Hamming-distance near-dup then rides the simhash machinery.
+      Multimodal.audioFingerprints(
+        Multimodal.renderWavAudio(t(s, dir, "documents"))).toDF()
+    }),
+
     "events_ab_cuped" -> ((s, dir) => {
       // CUPED variance reduction for the A/B harness (Deng et al.
       // WSDM'13, the standard experimentation-platform adjustment):
@@ -8153,6 +8209,37 @@ object SparkEntry {
       OracleSql.eventsBootstrapCi(poissonThresholds, nBoot = 200),
 
     "events_ab_cuped" -> OracleSql.eventsAbCuped(),
+
+    // star-contraction shares dedup_components' output contract, so
+    // it shares the recursive-closure oracle too.
+    "dedup_components_star" -> OracleSql.dedupComponents(),
+
+    "source_parquet_evolution" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_with_source,
+        |  sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE 0 END)::BIGINT
+        |    AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "multimodal_audio_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(800 + doc_id % 800 AS INT) AS n
+        |  FROM documents),
+        |sm AS (SELECT nn.doc_id, gs.i,
+        |    ((nn.doc_id * 31 + gs.i * 17) % 65536) - 32768 AS s
+        |  FROM n nn, LATERAL (SELECT
+        |    unnest(generate_series(0, (nn.n // 100) * 100 - 1)) AS i) gs),
+        |fe AS (SELECT doc_id, (i // 100)::INT AS f,
+        |    sum(s * s)::BIGINT AS e FROM sm GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*)::INT AS n_frames,
+        |    sum(e)::BIGINT AS energy_sum FROM fe GROUP BY 1),
+        |m AS (SELECT a.doc_id, a.n_frames, a.energy_sum,
+        |    (a.energy_sum // a.n_frames)::BIGINT AS mean FROM agg a)
+        |SELECT m.doc_id AS media_id, m.n_frames, m.energy_sum,
+        |  coalesce(sum(CASE WHEN fe.e > m.mean
+        |    THEN (1::BIGINT << fe.f) ELSE 0 END), 0)::BIGINT AS fp
+        |FROM m JOIN fe USING (doc_id) GROUP BY 1, 2, 3""".stripMargin,
 
     "graph_random_walks" -> OracleSql.graphRandomWalks(),
 

@@ -367,6 +367,63 @@ object Multimodal {
                               n_samples: Long, duration_ms: Long,
                               sum_samples: Long, checksum: Long)
 
+  /** One acoustic-fingerprint row (see [[audioFingerprints]]): bit f
+    * of `fp` is set iff frame f's energy exceeds the integer mean
+    * over complete frames.
+    */
+  final case class AudioFingerprint(media_id: Long, n_frames: Int,
+                                    energy_sum: Long, fp: Long)
+
+  /** Energy-signature fingerprint over the REAL decode path: JDK WAV
+    * decode, 100-sample frames (partial tail dropped), per-frame
+    * energy Σ s², integer mean threshold — exact integers end to end,
+    * so the oracle recomputes the bits from the sample formula. The
+    * audio twin of [[ImageCodec.averageHash]] (and for the same
+    * reason: an FFT-based fingerprint would be engine-dependent in
+    * the last ulp).
+    */
+  def audioFingerprints(media: DataFrame): Dataset[AudioFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(batch => batch.map { case (id, bytes) =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"media_id=$id: expected mono PCM16, got $fmt")
+        val data = in.readAllBytes()
+        val sb = java.nio.ByteBuffer.wrap(data)
+          .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          .asShortBuffer()
+        val nFrames = sb.remaining() / 100
+        val energy = new Array[Long](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var e = 0L
+          var i = 0
+          while (i < 100) {
+            val v = sb.get(f * 100 + i).toLong
+            e += v * v
+            i += 1
+          }
+          energy(f) = e
+          f += 1
+        }
+        val total = energy.sum
+        val mean = if (nFrames > 0) total / nFrames else 0L
+        var fp = 0L
+        f = 0
+        while (f < nFrames) {
+          if (energy(f) > mean) fp |= 1L << f
+          f += 1
+        }
+        AudioFingerprint(id, nFrames, total, fp)
+      })
+  }
+
   /** Render the deterministic WAV fixture table: one real RIFF/WAVE
     * blob per document id, with honest audio metadata.
     */
