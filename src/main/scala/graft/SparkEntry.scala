@@ -5079,6 +5079,50 @@ object SparkEntry {
         .limit(30)
     }),
 
+    "events_holt_winters" -> ((s, dir) => {
+      // Holt-Winters ADDITIVE SEASONAL forecast (triple exponential
+      // smoothing) of daily revenue, weekly period m=7 — the
+      // seasonality-aware upgrade of events_holt. Smoothing constants
+      // are powers of two (α=1/4, β=1/8, γ=1/4) so every update is
+      // exact integer arithmetic with `div` (truncation toward zero,
+      // verified identical in both engines); the whole recursion is
+      // ONE sequential fold over the ordered daily array (state = a
+      // 9-long struct: level, trend, 7 seasonals), the KM/EWMA
+      // calendar-bounded-fold discipline. Corpus work is the daily
+      // rollup; the fold costs 365 steps on the driver-side-free
+      // single-row frame. Emits the 7-day-ahead forecast
+      // L + h·B + S_h.
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val arr = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("cents"))))
+          .as("a"))
+        .select(expr("transform(a, x -> x.cents)").as("c"))
+      val l0 = "aggregate(slice(c, 1, 7), 0L, (a, x) -> a + x) div 7"
+      val newL =
+        "(y - element_at(acc.s, 1)) div 4 + (3 * (acc.l + acc.b)) div 4"
+      val folded = arr.select(expr(
+        s"""aggregate(
+           |  slice(c, 8, size(c) - 7),
+           |  named_struct('l', $l0, 'b', 0L,
+           |    's', transform(slice(c, 1, 7), x -> x - ($l0))),
+           |  (acc, y) -> named_struct(
+           |    'l', $newL,
+           |    'b', (($newL) - acc.l) div 8 + (7 * acc.b) div 8,
+           |    's', concat(slice(acc.s, 2, 6),
+           |      array((y - ($newL)) div 4
+           |        + (3 * element_at(acc.s, 1)) div 4))))""".stripMargin)
+        .as("st"))
+      folded
+        .select(col("st"), posexplode(expr(
+          "transform(st.s, (sv, i) -> st.l + (i + 1) * st.b + sv)")))
+        .select((col("pos") + 1).cast("int").as("h"),
+          col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+          col("col").as("forecast_cents"))
+    }),
+
     "dedup_components_star" -> ((s, dir) => {
       // the O(log diameter) closure: alternating large/small-star
       // contraction (Kiveris et al. SoCC'14) over the SAME candidate
@@ -8213,6 +8257,41 @@ object SparkEntry {
     // star-contraction shares dedup_components' output contract, so
     // it shares the recursive-closure oracle too.
     "dedup_components_star" -> OracleSql.dedupComponents(),
+
+    // NOTE: a list_reduce fold is NOT usable here — DuckDB 1.0
+    // evaluates lambda struct-literal fields sequentially, rebinding
+    // acc fields as they are computed (verified with a minimal
+    // repro), so a repeated sub-expression across fields reads the
+    // half-updated state. The recursive CTE + LATERAL binds newL
+    // exactly once per step instead.
+    "events_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT
+        |    AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1),
+        |arr AS (SELECT list(cents ORDER BY day) AS c FROM daily),
+        |ini AS (SELECT c,
+        |  (list_sum(c[1:7]) // 7)::BIGINT AS l0 FROM arr),
+        |hw(t, l, b, s) AS (
+        |  SELECT 7::BIGINT, l0, 0::BIGINT,
+        |    list_transform(c[1:7], x -> x - l0) FROM ini
+        |  UNION ALL
+        |  SELECT hw.t + 1, q.newL,
+        |    (q.newL - hw.l) // 8 + (7 * hw.b) // 8,
+        |    list_concat(hw.s[2:7],
+        |      [(q.y - q.newL) // 4 + (3 * hw.s[1]) // 4])
+        |  FROM hw, arr, LATERAL (SELECT arr.c[hw.t + 1] AS y,
+        |    ((arr.c[hw.t + 1] - hw.s[1]) // 4
+        |      + (3 * (hw.l + hw.b)) // 4)::BIGINT AS newL) q
+        |  WHERE hw.t < len(arr.c)),
+        |fin AS (SELECT l, b, s FROM hw, arr WHERE hw.t = len(arr.c))
+        |SELECT gs.h::INT AS h, fin.l AS level_cents,
+        |  fin.b AS trend_cents,
+        |  (fin.l + gs.h * fin.b + fin.s[gs.h])::BIGINT
+        |    AS forecast_cents
+        |FROM fin, LATERAL (SELECT
+        |  unnest(generate_series(1, 7)) AS h) gs""".stripMargin,
 
     "source_parquet_evolution" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,
