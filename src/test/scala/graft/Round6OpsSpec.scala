@@ -174,6 +174,115 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("random walks are valid paths, deterministic across runs") {
+    def run() = SparkEntry.queries("graph_random_walks")(
+      spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val rows = run()
+    assert(rows.count(_._2 == 0) == 5, "5 seed walks at step 0")
+    assert(rows.count(_._2 == 4) == 5,
+      "symmetric graph has no dead ends: every walk completes 4 steps")
+    // every consecutive (step, step+1) pair must be a real edge
+    val edges = {
+      import org.apache.spark.sql.functions._
+      val p = functions.Dedup.minHashCandidates(
+          Tables.load(spark, sf("sf0.001"), "documents"),
+          "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b").collect()
+        .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+          (r.getLong(1), r.getLong(0)))).toSet
+      p
+    }
+    val byWalk = rows.groupBy(_._1)
+    byWalk.foreach { case (_, steps) =>
+      val path = steps.toSeq.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(edges.contains((a, b)), s"non-edge transition $a -> $b")
+      }
+    }
+    assert(run() == rows, "hash-derandomized walks must replay exactly")
+  }
+
+  test("CUPED: variance reduction in [0,1], both arms present") {
+    val rows = SparkEntry.queries("events_ab_cuped")(
+      spark, sf("sf0.001")).collect()
+    assert(rows.map(_.getAs[Long]("arm")).sorted.toSeq == Seq(0L, 1L))
+    rows.foreach { r =>
+      val vr = r.getAs[Double]("var_reduction")
+      assert(vr >= 0.0 && vr <= 1.0, s"corr^2 out of range: $vr")
+      assert(!r.getAs[Double]("theta").isNaN)
+    }
+  }
+
+  test("Holt-Winters: 7 forecast rows with shared level/trend") {
+    val rows = SparkEntry.queries("events_holt_winters")(
+      spark, sf("sf0.001")).collect()
+    assert(rows.map(_.getAs[Int]("h")).sorted.toSeq == (1 to 7))
+    assert(rows.map(_.getAs[Long]("level_cents")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("trend_cents")).distinct.length == 1)
+  }
+
+  test("audio fingerprint matches a direct formula computation") {
+    import graft.multimodal.Multimodal
+    val got = Multimodal.audioFingerprints(
+        Multimodal.renderWavAudio(
+          Tables.load(spark, sf("sf0.001"), "documents")))
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 3L, 801L) if got.contains(id)) {
+      val n = Multimodal.AudioCodec.nSamples(id)
+      val nf = n / 100
+      val energies = (0 until nf).map { f =>
+        (0 until 100).map { i =>
+          val v = Multimodal.AudioCodec.sample(id, f * 100 + i).toLong
+          v * v
+        }.sum
+      }
+      val mean = energies.sum / nf
+      var fp = 0L
+      energies.zipWithIndex.foreach { case (e, f) =>
+        if (e > mean) fp |= 1L << f
+      }
+      assert(got(id).n_frames == nf && got(id).fp == fp &&
+        got(id).energy_sum == energies.sum,
+        s"fingerprint mismatch for id=$id")
+    }
+  }
+
+  test("incremental top-k equals the direct global top-10") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("incr_topk_merge")(
+      spark, sf("sf0.001")).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("o_orderkey")))
+    val want = Tables.load(spark, sf("sf0.001"), "orders")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .orderBy(col("cents").desc, col("o_orderkey").asc).limit(10)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (k, i) => (i + 1, k) }
+    assert(got.sortBy(_._1).toSeq == want.toSeq)
+  }
+
+  test("pca power iteration is L-inf normalized over 64 dims") {
+    val rows = SparkEntry.queries("embed_pca_power")(
+      spark, sf("sf0.001")).collect()
+    assert(rows.length == 64)
+    val vs = rows.map(_.getAs[Long]("v_e6"))
+    assert(vs.map(math.abs).max == 1000000L,
+      "some dimension must hold the L-inf max")
+    assert(vs.forall(v => math.abs(v) <= 1000000L))
+  }
+
+  test("KN bigram probabilities stay within the unit bound") {
+    val rows = SparkEntry.queries("text_kn_bigram")(
+      spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_kn_e6")
+      assert(p > 0 && p <= 1000000L, s"p out of (0, 1]: $p")
+    }
+  }
+
   test("text_readability: integer identity words >= vowel groups / 3") {
     val rows = SparkEntry.queries("text_readability")(
       spark, sf("sf0.001")).collect()
