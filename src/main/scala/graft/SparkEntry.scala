@@ -33,6 +33,30 @@ object SparkEntry {
     * Tail mass beyond |k|=25 (≈0.7%) is folded into the extreme rows
     * by the normalization.
     */
+  /** Oracle for the acoustic fingerprint (shared by
+    * `multimodal_audio_fingerprint` and the cross-modal dedup
+    * composition): per-frame energies and threshold bits recomputed
+    * from the PCM sample formula.
+    */
+  private val AudioFpOracleSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, CAST(800 + doc_id % 800 AS INT) AS n
+      |  FROM documents),
+      |sm AS (SELECT nn.doc_id, gs.i,
+      |    ((nn.doc_id * 31 + gs.i * 17) % 65536) - 32768 AS s
+      |  FROM n nn, LATERAL (SELECT
+      |    unnest(generate_series(0, (nn.n // 100) * 100 - 1)) AS i) gs),
+      |fe AS (SELECT doc_id, (i // 100)::INT AS f,
+      |    sum(s * s)::BIGINT AS e FROM sm GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, count(*)::INT AS n_frames,
+      |    sum(e)::BIGINT AS energy_sum FROM fe GROUP BY 1),
+      |m AS (SELECT a.doc_id, a.n_frames, a.energy_sum,
+      |    (a.energy_sum // a.n_frames)::BIGINT AS mean FROM agg a)
+      |SELECT m.doc_id AS media_id, m.n_frames, m.energy_sum,
+      |  coalesce(sum(CASE WHEN fe.e > m.mean
+      |    THEN (1::BIGINT << fe.f) ELSE 0 END), 0)::BIGINT AS fp
+      |FROM m JOIN fe USING (doc_id) GROUP BY 1, 2, 3""".stripMargin
+
   /** Inverse-CDF threshold table over the 2⁴⁰ hash domain for an
     * arbitrary discrete distribution: rows (value, lo, hi) with
     * m ∈ [lo, hi) → value. Gap-free and exhaustive by construction
@@ -5079,6 +5103,38 @@ object SparkEntry {
         .limit(30)
     }),
 
+    "curate_multimodal_dedup" -> ((s, dir) => {
+      // cross-modal canonicalization: a doc survives only if it is the
+      // canonical owner of BOTH its image identity (identical aHash —
+      // the fixture plants exact image twins at id ± 256) and its
+      // acoustic identity (same frame count + energy-rhythm
+      // fingerprint). The composition every multimodal training
+      // pipeline runs before packing: text/image/audio dedup keys
+      // computed once each (real codec paths), canonical = min id per
+      // signature group, one narrow join per modality. The signature-
+      // canon frames scale with the corpus → NO broadcast hints.
+      val docs = t(s, dir, "documents")
+      val img = Multimodal.averageHashes(
+          Multimodal.renderPngImages(docs)).toDF()
+        .select(col("media_id"), col("ahash"))
+      val aud = Multimodal.audioFingerprints(
+          Multimodal.renderWavAudio(docs)).toDF()
+        .select(col("media_id"), col("n_frames"), col("fp"))
+      val imgCanon = img.groupBy("ahash")
+        .agg(min("media_id").as("img_rep"))
+      val audCanon = aud.groupBy("n_frames", "fp")
+        .agg(min("media_id").as("aud_rep"))
+      docs.select(col("doc_id"))
+        .join(img, col("doc_id") === img("media_id")).drop("media_id")
+        .join(imgCanon, Seq("ahash"))
+        .join(aud, col("doc_id") === aud("media_id")).drop("media_id")
+        .join(audCanon, Seq("n_frames", "fp"))
+        .select(col("doc_id"), col("ahash"), col("n_frames"), col("fp"),
+          col("img_rep"), col("aud_rep"),
+          (col("doc_id") === col("img_rep") &&
+            col("doc_id") === col("aud_rep")).as("keep"))
+    }),
+
     "events_holt_winters" -> ((s, dir) => {
       // Holt-Winters ADDITIVE SEASONAL forecast (triple exponential
       // smoothing) of daily revenue, weekly period m=7 — the
@@ -8301,24 +8357,29 @@ object SparkEntry {
         |    AS sum_chars
         |FROM documents GROUP BY lang""".stripMargin,
 
-    "multimodal_audio_fingerprint" ->
-      """WITH n AS (
-        |  SELECT doc_id, CAST(800 + doc_id % 800 AS INT) AS n
-        |  FROM documents),
-        |sm AS (SELECT nn.doc_id, gs.i,
-        |    ((nn.doc_id * 31 + gs.i * 17) % 65536) - 32768 AS s
-        |  FROM n nn, LATERAL (SELECT
-        |    unnest(generate_series(0, (nn.n // 100) * 100 - 1)) AS i) gs),
-        |fe AS (SELECT doc_id, (i // 100)::INT AS f,
-        |    sum(s * s)::BIGINT AS e FROM sm GROUP BY 1, 2),
-        |agg AS (SELECT doc_id, count(*)::INT AS n_frames,
-        |    sum(e)::BIGINT AS energy_sum FROM fe GROUP BY 1),
-        |m AS (SELECT a.doc_id, a.n_frames, a.energy_sum,
-        |    (a.energy_sum // a.n_frames)::BIGINT AS mean FROM agg a)
-        |SELECT m.doc_id AS media_id, m.n_frames, m.energy_sum,
-        |  coalesce(sum(CASE WHEN fe.e > m.mean
-        |    THEN (1::BIGINT << fe.f) ELSE 0 END), 0)::BIGINT AS fp
-        |FROM m JOIN fe USING (doc_id) GROUP BY 1, 2, 3""".stripMargin,
+    "multimodal_audio_fingerprint" -> AudioFpOracleSql,
+
+    "curate_multimodal_dedup" ->
+      s"""WITH img AS (
+         |  SELECT media_id, ahash FROM (
+         |${OracleSql.multimodalAhash()}
+         |  )),
+         |aud AS (SELECT media_id, n_frames, fp FROM (
+         |$AudioFpOracleSql
+         |  )),
+         |ic AS (SELECT ahash, min(media_id) AS img_rep
+         |  FROM img GROUP BY 1),
+         |ac AS (SELECT n_frames, fp, min(media_id) AS aud_rep
+         |  FROM aud GROUP BY 1, 2)
+         |SELECT d.doc_id, i.ahash, a.n_frames, a.fp,
+         |  ic.img_rep, ac.aud_rep,
+         |  (d.doc_id = ic.img_rep AND d.doc_id = ac.aud_rep) AS keep
+         |FROM documents d
+         |JOIN img i ON i.media_id = d.doc_id
+         |JOIN ic USING (ahash)
+         |JOIN aud a ON a.media_id = d.doc_id
+         |JOIN ac ON ac.n_frames = a.n_frames AND ac.fp = a.fp"""
+        .stripMargin,
 
     "graph_random_walks" -> OracleSql.graphRandomWalks(),
 
