@@ -250,6 +250,27 @@ object SparkEntry {
         java.sql.Date.valueOf("2026-01-01"))
     }),
 
+    "scd6_merge" -> ((s, dir) => {
+      // Kimball's SCD6 hybrid ("1+2+3") on the scd2_merge fixture:
+      // full row history (type 2) + the current c_acctbal stamped on
+      // every historical row (type 1 overlay — history-filtered
+      // queries read today's balance without a read-time self-join) +
+      // the previous balance on the current row (type 3). Two
+      // key-partitioned windows, bounded by versions per key.
+      val cust = t(s, dir, "customer")
+      val attrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val target = cust.filter(col("c_custkey") % 5 =!= 0)
+        .withColumn("effective_from",
+          lit(java.sql.Date.valueOf("2020-01-01")))
+        .withColumn("effective_to",
+          lit(java.sql.Date.valueOf("9999-12-31")))
+        .withColumn("is_current", lit(true))
+      val updates = cust.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2))
+      Merge.scd6(target, updates, "c_custkey", attrs, "c_acctbal",
+        java.sql.Date.valueOf("2026-01-01"))
+    }),
+
     "session_window_agg" -> ((s, dir) => {
       // native session windows (gap-close semantics inside the engine,
       // the batch twin of the streaming sessionizer): start = first
@@ -5666,6 +5687,20 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "scd2_merge" -> Scd2Oracle,
+
+    "scd6_merge" ->
+      s"""WITH m AS (
+         |$Scd2Oracle
+         |)
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         |  c_mktsegment, effective_from, effective_to, is_current,
+         |  max(CASE WHEN is_current THEN c_acctbal END)
+         |    OVER (PARTITION BY c_custkey) AS cur_c_acctbal,
+         |  CASE WHEN is_current THEN lag(c_acctbal) OVER (
+         |    PARTITION BY c_custkey
+         |    ORDER BY effective_from, effective_to, is_current)
+         |  END AS prev_c_acctbal
+         |FROM m""".stripMargin,
 
     "scd2_point_in_time" ->
       s"""WITH dim AS ($Scd2Oracle)

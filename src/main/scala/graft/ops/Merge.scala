@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Warehouse-layer SCD merge operators (SURVEY.md §2.8 W2).
@@ -87,6 +88,29 @@ object Merge {
             lit(true).as("is_current")): _*)
 
     hist.unionByName(unchanged).unionByName(closed).unionByName(opened)
+  }
+
+  /** SCD6 hybrid merge (Kimball's "1+2+3"): the [[scd2]] row history,
+    * PLUS the SCD1 overlay (`cur_<attr>`: the key's CURRENT value
+    * stamped on every historical row, so history-filtered queries read
+    * today's attribute without a read-time self-join), PLUS the SCD3
+    * column (`prev_<attr>`: the immediately-previous value, on the
+    * current row only). Two windows over each key's version frame —
+    * bounded by the version count per key, never corpus-wide.
+    */
+  def scd6(target: DataFrame, updates: DataFrame, pk: String,
+           attrCols: Seq[String], trackedCol: String,
+           loadDate: java.sql.Date): DataFrame = {
+    val merged = scd2(target, updates, pk, attrCols, loadDate)
+    val wCur = Window.partitionBy(pk)
+    val wOrd = Window.partitionBy(pk)
+      .orderBy(col("effective_from").asc, col("effective_to").asc,
+        col("is_current").asc)
+    merged
+      .withColumn(s"cur_$trackedCol",
+        max(when(col("is_current"), col(trackedCol))).over(wCur))
+      .withColumn(s"prev_$trackedCol",
+        when(col("is_current"), lag(col(trackedCol), 1).over(wOrd)))
   }
 
   /** Point-in-time SCD2 lookup: the version of each key valid AT `at`,
