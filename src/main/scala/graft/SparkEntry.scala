@@ -5124,6 +5124,109 @@ object SparkEntry {
         .limit(30)
     }),
 
+    "profile_ks_test" -> ((s, dir) => {
+      // two-sample Kolmogorov–Smirnov distance between the doc-length
+      // distributions of the two lexicographically-first sources —
+      // EXACTLY, by cross-multiplication: D·n1·n2 = max |cum1·n2 −
+      // cum2·n1| over the merged support, so no float CDF ever
+      // exists (the drift-detection primitive behind "did this
+      // source's length profile shift?"). The support frame is the
+      // DISTINCT length domain (bounded by the doc-length range, not
+      // the corpus), so the global cumulative window is
+      // domain-bounded — the calendar-frame discipline applied to a
+      // value domain. Two bounded rows cross the driver (the source
+      // pair).
+      val docs = t(s, dir, "documents")
+      val pair = docs.select("source").distinct()
+        .orderBy("source").limit(2).collect().map(_.getString(0))
+      val (sa, sb) = (pair(0), pair(1))
+      val sup = docs.filter(col("source").isin(sa, sb))
+        .groupBy("n_chars")
+        .agg(
+          sum(when(col("source") === sa, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("source") === sb, 1L).otherwise(0L)).as("c2"))
+        .localCheckpoint(true) // cum window + totals read it
+      val w = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nn = sup.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+      val cum = sup
+        .withColumn("cum1", sum("c1").over(w))
+        .withColumn("cum2", sum("c2").over(w))
+        .crossJoin(broadcast(nn))
+        .withColumn("diff",
+          abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      val mx = cum.agg(max("diff").as("ks_num"))
+      cum.crossJoin(broadcast(mx))
+        .filter(col("diff") === col("ks_num"))
+        .groupBy("n1", "n2", "ks_num")
+        .agg(min("n_chars").as("at_value"))
+        .select(lit(sa).as("source_a"), lit(sb).as("source_b"),
+          col("n1"), col("n2"), col("ks_num"), col("at_value"),
+          expr("(ks_num * 1000000) div (n1 * n2)").as("ks_ppm"))
+    }),
+
+    "events_power_analysis" -> ((s, dir) => {
+      // experiment sizing from the engine's own exact moments: users
+      // per arm to detect a 5% lift in post-period per-user revenue at
+      // α=0.05 / power 0.80 — n = ⌈2(z_α/2+z_β)²σ²/δ²⌉ with
+      // z constants as literals and σ² from one pass of decimal
+      // sufficient statistics (sample variance). The design-time twin
+      // of events_ab_cuped: CUPED shrinks σ², this prices the shrink.
+      val d = "decimal(38,0)"
+      val per = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .filter(col("day") >= 15)
+        .groupBy("user_id").agg(sum("cents").as("y"))
+      val m = per.agg(count(lit(1)).cast(d).as("n"),
+        sum(col("y").cast(d)).as("sy"),
+        sum(col("y").cast(d) * col("y")).as("syy"))
+      m.select(col("n").cast("long").as("n_users"),
+          expr("cast(sy div n AS bigint)").as("mean_cents"),
+          col("sy"), col("syy"), col("n"))
+        .withColumn("var_c2", expr(
+          "cast(n*syy - sy*sy AS double) / cast(n*(n-1) AS double)"))
+        .withColumn("mde_cents",
+          col("mean_cents").cast("double") / 20.0)
+        .select(col("n_users"), col("mean_cents"),
+          round(col("var_c2"), 4).as("var_cents2"),
+          round(col("mde_cents"), 4).as("mde_cents"),
+          ceil(lit(2.0) * (lit(1.96) + lit(0.84)) * (lit(1.96)
+            + lit(0.84)) * col("var_c2")
+            / (col("mde_cents") * col("mde_cents")))
+            .cast("long").as("n_per_arm"))
+    }),
+
+    "validate_freshness" -> ((s, dir) => {
+      // data-freshness / cadence audit per event type: lag of the
+      // type's newest event behind the table horizon (staleness), and
+      // days-present vs the span since the type first appeared
+      // (cadence completeness, exact ppm) — the operational DQ check
+      // a daily pipeline alerts on. One narrow rollup + a 1-row
+      // horizon broadcast.
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).cast("long").as("day"))
+      val hz = ev.agg(max("us").as("horizon_us"))
+      ev.groupBy("event_type")
+        .agg(max("us").as("last_us"), min("day").as("first_day"),
+          max("day").as("last_day"),
+          countDistinct("day").as("days_present"))
+        .crossJoin(broadcast(hz))
+        .select(col("event_type"),
+          expr("(horizon_us - last_us) div 60000000")
+            .as("staleness_min"),
+          col("days_present"),
+          (col("last_day") - col("first_day") + 1).as("days_span"),
+          expr("(days_present * 1000000) div " +
+            "(last_day - first_day + 1)").as("cadence_ppm"))
+    }),
+
     "curate_multimodal_dedup" -> ((s, dir) => {
       // cross-modal canonicalization: a doc survives only if it is the
       // canonical owner of BOTH its image identity (identical aHash —
@@ -8344,6 +8447,74 @@ object SparkEntry {
       OracleSql.eventsBootstrapCi(poissonThresholds, nBoot = 200),
 
     "events_ab_cuped" -> OracleSql.eventsAbCuped(),
+
+    "profile_ks_test" ->
+      """WITH ab AS (SELECT min(source) AS sa, max(source) AS sb FROM (
+        |    SELECT DISTINCT source FROM documents ORDER BY source
+        |    LIMIT 2)),
+        |sup AS (SELECT d.n_chars,
+        |    sum(CASE WHEN d.source = ab.sa THEN 1 ELSE 0 END)::BIGINT
+        |      AS c1,
+        |    sum(CASE WHEN d.source = ab.sb THEN 1 ELSE 0 END)::BIGINT
+        |      AS c2
+        |  FROM documents d, ab WHERE d.source IN (ab.sa, ab.sb)
+        |  GROUP BY d.n_chars),
+        |nn AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2
+        |  FROM sup),
+        |cum AS (SELECT n_chars,
+        |    sum(c1) OVER (ORDER BY n_chars)::BIGINT AS cum1,
+        |    sum(c2) OVER (ORDER BY n_chars)::BIGINT AS cum2 FROM sup),
+        |dd AS (SELECT c.n_chars,
+        |    abs(c.cum1 * nn.n2 - c.cum2 * nn.n1)::BIGINT AS diff,
+        |    nn.n1, nn.n2 FROM cum c, nn),
+        |mx AS (SELECT max(diff)::BIGINT AS ks_num FROM dd)
+        |SELECT ab.sa AS source_a, ab.sb AS source_b, d.n1, d.n2,
+        |  m.ks_num, min(d.n_chars)::BIGINT AS at_value,
+        |  ((m.ks_num * 1000000) // (d.n1 * d.n2))::BIGINT AS ks_ppm
+        |FROM dd d, mx m, ab WHERE d.diff = m.ks_num
+        |GROUP BY ab.sa, ab.sb, d.n1, d.n2, m.ks_num""".stripMargin,
+
+    "events_power_analysis" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND datediff('day', DATE '2024-01-01', ts::DATE) >= 15
+        |  GROUP BY 1),
+        |m AS (SELECT count(*)::HUGEINT AS n, sum(y::HUGEINT) AS sy,
+        |    sum(y::HUGEINT * y) AS syy FROM per),
+        |c AS (SELECT CAST(n AS BIGINT) AS n_users,
+        |    CAST(sy // n AS BIGINT) AS mean_cents,
+        |    (n*syy - sy*sy)::DOUBLE / (n*(n-1))::DOUBLE AS var_c2,
+        |    (CAST(sy // n AS BIGINT))::DOUBLE / 20.0 AS mde
+        |  FROM m)
+        |SELECT n_users, mean_cents,
+        |  round(CAST(CAST((var_c2) AS VARCHAR) AS DECIMAL(38,20)), 4)
+        |    ::DOUBLE AS var_cents2,
+        |  round(CAST(CAST((mde) AS VARCHAR) AS DECIMAL(38,20)), 4)
+        |    ::DOUBLE AS mde_cents,
+        |  CAST(ceil(2.0 * (1.96 + 0.84) * (1.96 + 0.84) * var_c2
+        |    / (mde * mde)) AS BIGINT) AS n_per_arm
+        |FROM c""".stripMargin,
+
+    "validate_freshness" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts)::BIGINT AS us,
+        |    datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day
+        |  FROM events),
+        |hz AS (SELECT max(us)::BIGINT AS horizon_us FROM ev),
+        |g AS (SELECT event_type, max(us)::BIGINT AS last_us,
+        |    min(day) AS first_day, max(day) AS last_day,
+        |    count(DISTINCT day)::BIGINT AS days_present
+        |  FROM ev GROUP BY 1)
+        |SELECT g.event_type,
+        |  ((hz.horizon_us - g.last_us) // 60000000)::BIGINT
+        |    AS staleness_min,
+        |  g.days_present,
+        |  (g.last_day - g.first_day + 1)::BIGINT AS days_span,
+        |  ((g.days_present * 1000000) // (g.last_day - g.first_day + 1))
+        |    ::BIGINT AS cadence_ppm
+        |FROM g, hz""".stripMargin,
 
     // star-contraction shares dedup_components' output contract, so
     // it shares the recursive-closure oracle too.
