@@ -116,6 +116,9 @@ object StreamBench {
         EventsStreaming.dedupStream(df, Seq("event_id"))),
       run("sessionize", mode = "append")(df =>
         EventsStreaming.sessionize(df.as[EventsStreaming.Event]).toDF()),
+      run("cep_sequences", mode = "append")(df =>
+        EventsStreaming.detectSequences(
+          df.as[EventsStreaming.Event]).toDF()),
       run("windowed_user_bitmap")(df =>
         EventsStreaming.windowedUserBitmap(df)),
       run("windowed_counts")(df =>
