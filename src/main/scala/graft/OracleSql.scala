@@ -1597,6 +1597,59 @@ object OracleSql {
     sb.toString
   }
 
+  /** Oracle for `graph_modularity`: the label-propagation communities
+    * ([[graphLabelProp]] CTEs), then Newman modularity of the
+    * partition as ONE exact integer ratio — Q·4m² = Σ_c (4m·e_c −
+    * d_c²), reported in e9 fixed point.
+    */
+  def graphModularity(numHashes: Int = 16, rowsPerBand: Int = 2,
+                      rounds: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH ${tokenHashCtes()},
+         |${shingleHashCtes()},
+         |${minhashCtes(numHashes, rowsPerBand)},
+         |${edgeCtes(numHashes)},
+         |l0 AS (SELECT id AS node, id AS label FROM verts)""".stripMargin
+    for (i <- 1 to rounds) {
+      sb ++=
+        s""",
+           |n$i AS (
+           |  SELECT e.src AS node, l.label, count(*) AS cnt
+           |  FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+           |  GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (PARTITION BY node
+           |      ORDER BY cnt DESC, label ASC) AS rn
+           |    FROM n$i)
+           |  WHERE rn = 1)""".stripMargin
+    }
+    sb ++=
+      s""",
+         |comm AS MATERIALIZED (
+         |  SELECT node, label AS community FROM l$rounds),
+         |und AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM fcand),
+         |mstat AS (SELECT count(*)::BIGINT AS m FROM und),
+         |intra AS (SELECT ca.community, count(*)::BIGINT AS e_c
+         |  FROM und u JOIN comm ca ON ca.node = u.a
+         |  JOIN comm cb ON cb.node = u.b
+         |  WHERE ca.community = cb.community GROUP BY 1),
+         |deg AS (SELECT comm.community, count(*)::BIGINT AS d_c
+         |  FROM edges e JOIN comm ON comm.node = e.src GROUP BY 1),
+         |parts AS (SELECT d.community, coalesce(i.e_c, 0)::BIGINT AS e_c,
+         |    d.d_c
+         |  FROM deg d LEFT JOIN intra i USING (community)),
+         |num AS (SELECT
+         |    sum(4 * m.m::HUGEINT * p.e_c - p.d_c::HUGEINT * p.d_c) AS n,
+         |    max(m.m) AS m, count(*)::BIGINT AS n_communities
+         |  FROM parts p, mstat m)
+         |SELECT n_communities, m AS n_edges,
+         |  ((n * 1000000000) // (4 * m::HUGEINT * m))::BIGINT AS q_e9
+         |FROM num""".stripMargin
+    sb.toString
+  }
+
   /** Oracle for `export_shards`: xxhash64(doc_id) mod nShards shard
     * assignment (the integer-hash CTE chain) + per-shard volume stats.
     */
@@ -1780,6 +1833,43 @@ object OracleSql {
                "((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)",
              6)} AS var_reduction
        |FROM j""".stripMargin
+
+  /** Oracle for `events_diff_in_diff`: the same arm hash and pre/post
+    * per-user revenue as [[eventsAbCuped]], four mean divisions, the
+    * DiD contrast as the identical IEEE chain.
+    */
+  def eventsDiffInDiff(): String =
+    s"""WITH ${idHashCtes("(SELECT DISTINCT user_id FROM events)",
+         "user_id")},
+       |arm AS (SELECT user_id, ((hv % 2) + 2) % 2 AS arm FROM hashed),
+       |per AS (
+       |  SELECT e.user_id,
+       |    sum(CASE WHEN datediff('day', DATE '2024-01-01',
+       |          e.ts::DATE) < 15 AND e.event_type = 'purchase'
+       |        THEN CAST(round(e.value * 100) AS BIGINT)
+       |        ELSE 0 END)::BIGINT AS x,
+       |    sum(CASE WHEN datediff('day', DATE '2024-01-01',
+       |          e.ts::DATE) >= 15 AND e.event_type = 'purchase'
+       |        THEN CAST(round(e.value * 100) AS BIGINT)
+       |        ELSE 0 END)::BIGINT AS y
+       |  FROM events e GROUP BY 1),
+       |pa AS MATERIALIZED (SELECT p.x, p.y, a.arm
+       |  FROM per p JOIN arm a USING (user_id)),
+       |arms AS (SELECT arm, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+       |  sum(y)::BIGINT AS sy FROM pa GROUP BY 1),
+       |a0 AS (SELECT n AS n0, sx AS sx0, sy AS sy0 FROM arms
+       |  WHERE arm = 0),
+       |a1 AS (SELECT n AS n1, sx AS sx1, sy AS sy1 FROM arms
+       |  WHERE arm = 1)
+       |SELECT n0, n1,
+       |  ${roundSpark("sx0::DOUBLE / n0", 4)} AS pre0,
+       |  ${roundSpark("sy0::DOUBLE / n0", 4)} AS post0,
+       |  ${roundSpark("sx1::DOUBLE / n1", 4)} AS pre1,
+       |  ${roundSpark("sy1::DOUBLE / n1", 4)} AS post1,
+       |  ${roundSpark(
+           "(sy1::DOUBLE / n1 - sx1::DOUBLE / n1) - " +
+             "(sy0::DOUBLE / n0 - sx0::DOUBLE / n0)", 4)} AS did_cents
+       |FROM a0, a1""".stripMargin
 
   /** Oracle for `graph_random_walks`: the candidate edge set, seeds =
     * the `nSeeds` smallest vertices, `steps` unrolled argmin-by-hash

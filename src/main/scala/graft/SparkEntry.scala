@@ -5124,6 +5124,90 @@ object SparkEntry {
         .limit(30)
     }),
 
+    "graph_modularity" -> ((s, dir) => {
+      // partition-quality metric for the label-prop communities:
+      // Newman modularity Q = Σ_c (e_c/m − (d_c/2m)²), computed as
+      // ONE exact integer ratio — Q·4m² = Σ_c (4m·e_c − d_c²), e9
+      // fixed point — so "did the communities beat random?" is
+      // hash-checkable. Intra-edge and degree rollups are narrow
+      // (community, count) frames; the community map scales with the
+      // corpus → no broadcast hints.
+      val d = "decimal(38,0)"
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .localCheckpoint(true) // communities + edge rollups read it
+      val comm = Dedup.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
+        .localCheckpoint(true) // joined twice + degree rollup
+      val und = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      val mstat = und.agg(count(lit(1)).as("m"))
+      val intra = und
+        .join(comm.select(col("doc_id").as("a"),
+          col("community").as("ca")), Seq("a"))
+        .join(comm.select(col("doc_id").as("b"),
+          col("community").as("cb")), Seq("b"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("e_c"))
+      val sym = und.unionByName(
+        und.select(col("b").as("a"), col("a").as("b")))
+      val deg = sym
+        .join(comm.select(col("doc_id").as("a"),
+          col("community").as("community")), Seq("a"))
+        .groupBy("community").agg(count(lit(1)).as("d_c"))
+      deg.join(intra, Seq("community"), "left")
+        .select(col("community"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+        .crossJoin(broadcast(mstat))
+        .agg(sum(expr(s"4 * cast(m AS $d) * e_c - cast(d_c AS $d) * d_c"))
+          .as("n"), max("m").as("m"),
+          count(lit(1)).as("n_communities"))
+        .select(col("n_communities"), col("m").as("n_edges"),
+          expr(s"cast((n * 1000000000) div (4 * cast(m AS $d) * m) " +
+            "AS bigint)").as("q_e9"))
+    }),
+
+    "events_diff_in_diff" -> ((s, dir) => {
+      // difference-in-differences estimator on the A/B frame: arm-1
+      // post-minus-pre change minus arm-0's — the adjustment that
+      // removes any shared time trend a naive post-only compare
+      // absorbs. Completes the experimentation kit (harness → CUPED →
+      // power → DiD): one user-grouped pass of exact integers, four
+      // mean divisions as the only IEEE steps.
+      val per = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("day"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("day") < 15 && col("event_type") === "purchase",
+            col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("day") >= 15 && col("event_type") === "purchase",
+            col("cents")).otherwise(0L)).as("y"))
+        .withColumn("arm", pmod(xxhash64(col("user_id")), lit(2)))
+      val arms = per.groupBy("arm").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"))
+      val a0 = arms.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("sx").as("sx0"),
+          col("sy").as("sy0"))
+      val a1 = arms.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("sx").as("sx1"),
+          col("sy").as("sy1"))
+      a0.crossJoin(broadcast(a1))
+        .select(col("n0"), col("n1"),
+          round(col("sx0").cast("double") / col("n0"), 4).as("pre0"),
+          round(col("sy0").cast("double") / col("n0"), 4).as("post0"),
+          round(col("sx1").cast("double") / col("n1"), 4).as("pre1"),
+          round(col("sy1").cast("double") / col("n1"), 4).as("post1"),
+          round((col("sy1").cast("double") / col("n1")
+            - col("sx1").cast("double") / col("n1"))
+            - (col("sy0").cast("double") / col("n0")
+              - col("sx0").cast("double") / col("n0")), 4)
+            .as("did_cents"))
+    }),
+
     "profile_ks_test" -> ((s, dir) => {
       // two-sample Kolmogorov–Smirnov distance between the doc-length
       // distributions of the two lexicographically-first sources —
@@ -8447,6 +8531,10 @@ object SparkEntry {
       OracleSql.eventsBootstrapCi(poissonThresholds, nBoot = 200),
 
     "events_ab_cuped" -> OracleSql.eventsAbCuped(),
+
+    "graph_modularity" -> OracleSql.graphModularity(),
+
+    "events_diff_in_diff" -> OracleSql.eventsDiffInDiff(),
 
     "profile_ks_test" ->
       """WITH ab AS (SELECT min(source) AS sa, max(source) AS sb FROM (
