@@ -283,6 +283,29 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("modularity: Q within Newman bounds, communities partition verts") {
+    val r = SparkEntry.queries("graph_modularity")(
+      spark, sf("sf0.001")).head()
+    val q = r.getAs[Long]("q_e9")
+    assert(q >= -500000000L && q <= 1000000000L,
+      s"Q out of [-1/2, 1]: $q")
+    assert(r.getAs[Long]("n_communities") >= 1)
+    assert(r.getAs[Long]("n_edges") >= 1)
+  }
+
+  test("DiD: estimate consistent with the four reported means") {
+    val r = SparkEntry.queries("events_diff_in_diff")(
+      spark, sf("sf0.001")).head()
+    val did = r.getAs[Double]("did_cents")
+    val recomputed = (r.getAs[Double]("post1") - r.getAs[Double]("pre1")) -
+      (r.getAs[Double]("post0") - r.getAs[Double]("pre0"))
+    // the reported means are rounded to 4dp; the estimate is computed
+    // from the unrounded chain, so agreement is to ~2e-4
+    assert(math.abs(did - recomputed) < 5e-4,
+      s"did=$did recomputed=$recomputed")
+    assert(r.getAs[Long]("n0") > 0 && r.getAs[Long]("n1") > 0)
+  }
+
   test("text_readability: integer identity words >= vowel groups / 3") {
     val rows = SparkEntry.queries("text_readability")(
       spark, sf("sf0.001")).collect()
