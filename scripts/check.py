@@ -1,25 +1,44 @@
 #!/usr/bin/env python3
 """Local dev emulation of the driver's t2 correctness gate.
 
-Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [only_csv] \
+           [--jobs N] [--artifact PATH] [--timeout SEC]
 
 Reads each <out>/<name> parquet (Spark result) and runs the matching
 oracle SQL from <out>/oracle_sql.json in DuckDB over the same tables,
-then compares: column names (sorted), dtypes (loose), row counts, and
+then compares: column names (sorted), dtypes (strict), row counts, and
 values (rows sorted by all columns). Exact equality required — floats
 too, since queries are expected to round for determinism.
+
+Round-7 hardening (VERDICT r6 #1): the compares are embarrassingly
+parallel, so they run on a process pool (default: min(16, cpus)) with
+one DuckDB connection per worker; per-query wall seconds are recorded;
+and the full results dict is written to a durable JSON artifact
+(default CORRECTNESS_LOCAL.json next to this script's repo root) so a
+driver-side gate outage can never again leave a round without a
+committed hard correctness signal. A per-oracle --timeout (default
+120 s) turns a pathological oracle (the DuckDB CTE-inlining explosion
+class) into a loud TIMEOUT failure instead of a silent gate hang.
 """
 import glob
 import json
-import math
+import os
 import sys
 import time
-
-import duckdb
-import pandas as pd
+from concurrent.futures import ProcessPoolExecutor, as_completed
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+_WORKER = {}
+
+
+def _init_worker(sfdir):
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    _WORKER["con"] = con
 
 
 def canon(df):
@@ -28,91 +47,162 @@ def canon(df):
     return df
 
 
-def main(outdir, sfdir, only=None):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+def _sql_with_timeout(con, sql, timeout):
+    """Run con.sql(sql).df() with a watchdog that interrupts DuckDB if it
+    exceeds `timeout` seconds — a hanging oracle (the CTE-inlining
+    explosion class) becomes a loud error, not a stuck gate."""
+    import threading
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout):
+            con.interrupt()
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    try:
+        return con.sql(sql).df()
+    finally:
+        done.set()
+
+
+def check_one(args):
+    """Runs in a worker process. Returns (name, verdict, seconds)."""
+    name, sql, outdir, timeout = args
+    con = _WORKER["con"]
+    t0 = time.time()
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        return name, "MISSING_SPARK_OUTPUT", 0.0
+    try:
+        sdf = con.sql(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
+        ).df()
+        odf = _sql_with_timeout(con, sql, timeout)
+    except Exception as e:
+        tag = "TIMEOUT" if "INTERRUPT" in str(e).upper() else "ERROR"
+        return name, f"{tag}: {e}", time.time() - t0
+    s, o = canon(sdf), canon(odf)
+    if list(s.columns) != list(o.columns):
+        return (name,
+                f"COLS: spark={list(s.columns)} oracle={list(o.columns)}",
+                time.time() - t0)
+    # STRICT dtype equality — the driver's hash is type-representation
+    # sensitive, so an oracle that lets DuckDB widen (sum(BIGINT) ->
+    # HUGEINT -> pandas object; datediff -> BIGINT vs Spark INT)
+    # hash-mismatches even when every value is equal (the r4
+    # window_range_frame failure class). Catch it here, loudly,
+    # instead of in the driver's ledger.
+    dt_bad = [f"{c}: spark={s[c].dtype} oracle={o[c].dtype}"
+              for c in s.columns if str(s[c].dtype) != str(o[c].dtype)]
+    if dt_bad:
+        return name, "DTYPES: " + "; ".join(dt_bad), time.time() - t0
+    if len(s) != len(o):
+        return name, f"ROWS: spark={len(s)} oracle={len(o)}", time.time() - t0
+    mism = []
+    for c in s.columns:
+        a, b = s[c], o[c]
+        try:
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                af = a.astype(float)
+                bf = b.astype(float)
+                bad = ~((af == bf) | (af.isna() & bf.isna()))
+                if bad.any():
+                    d = (af - bf).abs().max()
+                    mism.append(f"{c}: {int(bad.sum())} diffs maxabs={d}")
+            else:
+                aa = a.astype(str)
+                bb = b.astype(str)
+                bad = aa != bb
+                if bad.any():
+                    i = bad.idxmax()
+                    mism.append(
+                        f"{c}: {int(bad.sum())} diffs e.g. row {i}: "
+                        f"{aa[i]!r} vs {bb[i]!r}")
+        except Exception as e:
+            mism.append(f"{c}: compare error {e}")
+    verdict = "OK" if not mism else "VALS: " + "; ".join(mism)
+    return name, verdict, time.time() - t0
+
+
+def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0):
+    import duckdb  # validate availability in the parent too
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
+    jobs = jobs or min(16, os.cpu_count() or 4)
     results = {}
     times = {}
-    for name in sorted(oracle):
-        t0 = time.time()
-        sql = oracle[name]
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
-        if not files:
-            results[name] = "MISSING_SPARK_OUTPUT"
-            continue
-        try:
-            sdf = con.sql(
-                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
-            ).df()
-            odf = con.sql(sql).df()
-        except Exception as e:
-            results[name] = f"ERROR: {e}"
-            continue
-        s, o = canon(sdf), canon(odf)
-        if list(s.columns) != list(o.columns):
-            results[name] = f"COLS: spark={list(s.columns)} oracle={list(o.columns)}"
-            continue
-        # STRICT dtype equality — the driver's hash is type-representation
-        # sensitive, so an oracle that lets DuckDB widen (sum(BIGINT) ->
-        # HUGEINT -> pandas object; datediff -> BIGINT vs Spark INT)
-        # hash-mismatches even when every value is equal (the r4
-        # window_range_frame failure class). Catch it here, loudly,
-        # instead of in the driver's ledger.
-        dt_bad = [f"{c}: spark={s[c].dtype} oracle={o[c].dtype}"
-                  for c in s.columns if str(s[c].dtype) != str(o[c].dtype)]
-        if dt_bad:
-            results[name] = "DTYPES: " + "; ".join(dt_bad)
-            print(f"[FAIL] {name}  {results[name]}", flush=True)
-            continue
-        if len(s) != len(o):
-            results[name] = f"ROWS: spark={len(s)} oracle={len(o)}"
-            continue
-        mism = []
-        for c in s.columns:
-            a, b = s[c], o[c]
+    t_start = time.time()
+    work = [(name, oracle[name], outdir, timeout) for name in sorted(oracle)]
+    with ProcessPoolExecutor(max_workers=jobs, initializer=_init_worker,
+                             initargs=(sfdir,)) as ex:
+        futs = {ex.submit(check_one, w): w[0] for w in work}
+        for fut in as_completed(futs):
+            name = futs[fut]
             try:
-                if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    af = a.astype(float)
-                    bf = b.astype(float)
-                    bad = ~((af == bf) | (af.isna() & bf.isna()))
-                    if bad.any():
-                        d = (af - bf).abs().max()
-                        mism.append(f"{c}: {int(bad.sum())} diffs maxabs={d}")
-                else:
-                    aa = a.astype(str)
-                    bb = b.astype(str)
-                    bad = aa != bb
-                    if bad.any():
-                        i = bad.idxmax()
-                        mism.append(
-                            f"{c}: {int(bad.sum())} diffs e.g. row {i}: "
-                            f"{aa[i]!r} vs {bb[i]!r}")
+                n, verdict, secs = fut.result()
             except Exception as e:
-                mism.append(f"{c}: compare error {e}")
-        results[name] = "OK" if not mism else "VALS: " + "; ".join(mism)
-        times[name] = time.time() - t0
-        print(f"[{'PASS' if results[name] == 'OK' else 'FAIL'}] {name}"
-              f"  ({times[name]:.1f}s)", flush=True)
+                n, verdict, secs = name, f"ERROR: {e}", float("nan")
+            results[n] = verdict
+            times[n] = round(secs, 2)
+            mark = "PASS" if verdict == "OK" else "FAIL"
+            print(f"[{mark}] {n}  ({secs:.1f}s)"
+                  + ("" if verdict == "OK" else f"  {verdict}"), flush=True)
     npass = sum(1 for v in results.values() if v == "OK")
-    for name, v in results.items():
-        mark = "PASS" if v == "OK" else "FAIL"
-        print(f"[{mark}] {name}" + ("" if v == "OK" else f"  {v}"))
-    print(f"\n{npass}/{len(results)} oracle-checked queries pass")
+    wall = time.time() - t_start
+    print(f"\n{npass}/{len(results)} oracle-checked queries pass"
+          f"  (gate wall {wall:.0f}s, {jobs} workers)")
+    for n, v in sorted(results.items()):
+        if v != "OK":
+            print(f"[FAIL] {n}  {v}")
     # rows-only queries (no oracle): report presence
+    con = duckdb.connect()
+    rows_only = {}
     all_out = {p.rstrip('/').split('/')[-1]
                for p in glob.glob(f"{outdir}/*/")}
     for name in sorted(all_out - set(oracle)):
         n = con.sql(
             f"SELECT count(*) FROM read_parquet('{outdir}/{name}/*.parquet')"
         ).fetchone()[0]
+        rows_only[name] = n
         print(f"[ROWS] {name}: {n} rows (no oracle)")
+    if artifact:
+        payload = {
+            "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "sf_dir": sfdir,
+            "out_dir": outdir,
+            "jobs": jobs,
+            "gate_wall_sec": round(wall, 1),
+            "pass": npass,
+            "total": len(results),
+            "results": results,
+            "oracle_sec": times,
+            "rows_only": rows_only,
+        }
+        with open(artifact, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"\n[artifact] {artifact} written "
+              f"({npass}/{len(results)} pass)")
     return 0 if npass == len(results) else 1
 
 
 if __name__ == "__main__":
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    sys.exit(main(sys.argv[1], sys.argv[2], only))
+    argv = [a for a in sys.argv[1:]]
+    jobs = None
+    artifact = None
+    timeout = 120.0
+    pos = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--jobs":
+            jobs = int(argv[i + 1]); i += 2
+        elif a == "--artifact":
+            artifact = argv[i + 1]; i += 2
+        elif a == "--timeout":
+            timeout = float(argv[i + 1]); i += 2
+        else:
+            pos.append(a); i += 1
+    only = set(pos[2].split(",")) if len(pos) > 2 else None
+    sys.exit(main(pos[0], pos[1], only, jobs, artifact, timeout))

@@ -25,13 +25,24 @@ object SparkEntry {
 
   private val EtlDate = LocalDate.of(2026, 1, 1)
 
+  /** Bootstrap replicate count shared by the `events_bootstrap_ci`
+    * engine query and its oracle (`OracleSql.eventsBootstrapCi`): the
+    * CI ranks on both sides derive from this single constant with the
+    * same formula, so they cannot drift apart.
+    */
+  private[graft] val bootstrapNBoot: Int = 200
+  private[graft] val bootstrapLoRank: Int =
+    math.max(1, (bootstrapNBoot * 25) / 1000)
+  private[graft] val bootstrapHiRank: Int = bootstrapNBoot - bootstrapLoRank
+
   /** Inverse-CDF threshold table for the ε=0.2 discrete Laplace
     * (two-sided geometric) mechanism, scaled to the 2⁴⁰ hash domain:
     * rows (noise k, lo, hi) with m ∈ [lo, hi) → noise k. Computed once
     * at query-build time; the SAME literals are baked into the Spark
     * plan and the DuckDB oracle, so the runtime has zero float ops.
-    * Tail mass beyond |k|=25 (≈0.7%) is folded into the extreme rows
-    * by the normalization.
+    * Tail mass beyond |k|=25 (≈0.7%) is redistributed proportionally
+    * across all buckets by the divide-by-total normalization (the
+    * truncated pmf is renormalized, not folded into the extremes).
     */
   /** Oracle for the acoustic fingerprint (shared by
     * `multimodal_audio_fingerprint` and the cross-modal dedup
@@ -4347,6 +4358,23 @@ object SparkEntry {
         Multimodal.renderPngImages(t(s, dir, "documents"))).toDF()
     }),
 
+    "multimodal_jpeg_decode" -> ((s, dir) => {
+      // JPEG decode through the SAME sniffing `ImageIO.read` path any
+      // crawled image takes (closing the r6 gap: the PNG-only fixture
+      // left the web's most common format unexercised despite the JDK
+      // codec being free). JPEG is lossy, so the oracle checks the
+      // LOSSLESS fields — dimensions from the id formula, pixel count —
+      // plus a tolerance verdict: the fixture is a clamped linear ramp
+      // (smooth, so DCT quantization error is small and bounded) and
+      // decode_ok asserts max |decoded − formula| ≤ 16 at explicit
+      // quality 0.95. Raw error moments stay in the Dataset for the
+      // spec; the gate projects only engine-independent columns.
+      Multimodal.decodeJpegFidelity(
+        Multimodal.renderJpegImages(t(s, dir, "documents"))).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_pixels"), (col("max_abs_err") <= 16).as("decode_ok"))
+    }),
+
     "text_feature_hash" -> ((s, dir) => {
       // hashing-trick featurization: every token OCCURRENCE lands in
       // one of 64 hash buckets — the fixed-width sparse text features
@@ -4986,8 +5014,10 @@ object SparkEntry {
       // seeded from xxhash64(11, replicate, day) through the
       // precomputed inverse-CDF table (privacy_dp_counts discipline —
       // zero runtime float ops). Replicate means are exact integer
-      // divisions; the 95% CI comes from ORDER STATISTICS (ranks 5 and
-      // 195 of 200), never float interpolation, so the oracle matches
+      // divisions; the 95% CI comes from ORDER STATISTICS (ranks
+      // derived from the shared [[bootstrapNBoot]] constant — the same
+      // loRank/hiRank formula OracleSql.eventsBootstrapCi uses), never
+      // float interpolation, so the oracle matches
       // bit-for-bit. Scale shape: the corpus collapses to the daily
       // frame first; the bootstrap fan-out (366 × 200 rows) and
       // everything after runs on the calendar-bounded frame — at
@@ -4998,9 +5028,9 @@ object SparkEntry {
         .groupBy(datediff(col("ts").cast("date"),
           lit("2024-01-01").cast("date")).cast("long").as("day"))
         .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-        .localCheckpoint(true) // 200-replicate fan-out + obs mean
+        .localCheckpoint(true) // nBoot-replicate fan-out + obs mean
       val reps = daily.crossJoin(
-          s.range(200).select(col("id").as("b")))
+          s.range(bootstrapNBoot.toLong).select(col("id").as("b")))
         .withColumn("m", pmod(
           xxhash64(lit(11L), col("b"), col("day")), lit(1L << 40)))
         .join(broadcast(tab),
@@ -5016,8 +5046,9 @@ object SparkEntry {
         expr("sum(cents) div count(1)").as("mean_obs_cents"),
         count(lit(1)).as("n_days"))
       ranked.agg(count(lit(1)).as("n_boot"),
-          min(when(col("rk") === 5, col("mean_cents"))).as("lo95_cents"),
-          min(when(col("rk") === 195, col("mean_cents")))
+          min(when(col("rk") === bootstrapLoRank, col("mean_cents")))
+            .as("lo95_cents"),
+          min(when(col("rk") === bootstrapHiRank, col("mean_cents")))
             .as("hi95_cents"))
         .crossJoin(broadcast(obs))
         .select(col("n_days"), col("n_boot"), col("mean_obs_cents"),
@@ -5223,7 +5254,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val pair = docs.select("source").distinct()
         .orderBy("source").limit(2).collect().map(_.getString(0))
-      val (sa, sb) = (pair(0), pair(1))
+      // Mirror the oracle's min/max degradation: a single-source corpus
+      // compares the source against itself (D = 0) instead of throwing.
+      val sa = pair(0)
+      val sb = if (pair.length > 1) pair(1) else pair(0)
       val sup = docs.filter(col("source").isin(sa, sb))
         .groupBy("n_chars")
         .agg(
@@ -5413,9 +5447,13 @@ object SparkEntry {
       // 100 TB, footer-merging every file on every read is a planning
       // tax you pay once per schema change, not per query).
       val docs = t(s, dir, "documents")
+      // Scratch path includes the Spark applicationId so two concurrent
+      // runs over the same fixture never race (one overwriting shards
+      // while the other reads with mergeSchema).
       val base = new java.io.File(
         new java.io.File(sys.props("java.io.tmpdir")),
-        s"graft_evo_${Integer.toHexString(dir.hashCode)}")
+        s"graft_evo_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode))
         .getAbsolutePath
       docs.filter(pmod(col("doc_id"), lit(2)) === 0)
         .select("doc_id", "text", "lang")
@@ -7941,6 +7979,15 @@ object SparkEntry {
     "events_ab_test" -> OracleSql.eventsAbTest(),
     "multimodal_ahash" -> OracleSql.multimodalAhash(),
 
+    "multimodal_jpeg_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 32 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+        |  ((16 + doc_id % 32) * (16 + (doc_id * 7) % 32))::BIGINT
+        |    AS n_pixels,
+        |  true AS decode_ok
+        |FROM documents""".stripMargin,
+
     "multimodal_ahash_dups" ->
       s"""WITH ah AS (${OracleSql.multimodalAhash()}),
          |hg AS (
@@ -8528,7 +8575,7 @@ object SparkEntry {
     "graph_hits" -> OracleSql.graphHits(),
 
     "events_bootstrap_ci" ->
-      OracleSql.eventsBootstrapCi(poissonThresholds, nBoot = 200),
+      OracleSql.eventsBootstrapCi(poissonThresholds, nBoot = bootstrapNBoot),
 
     "events_ab_cuped" -> OracleSql.eventsAbCuped(),
 

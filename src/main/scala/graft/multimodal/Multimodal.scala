@@ -228,7 +228,91 @@ object Multimodal {
       }
       ImageHash(id, w, h, hash)
     }
+
+    /** Smooth 8-bit gray value at (x, y) for the JPEG fixture — a
+      * clamped linear ramp. JPEG's DCT quantization compresses smooth
+      * gradients with small bounded error; the PNG fixture's mod-256
+      * formula has sharp wrap discontinuities that would ring badly
+      * under any lossy codec. Keep in sync with the oracle SQL.
+      */
+    def smoothPixel(id: Long, x: Int, y: Int): Int =
+      math.min(255, x * 4 + y * 3 + (id % 64).toInt)
+
+    /** Deterministic JPEG blob for a media id: TYPE_BYTE_GRAY raster of
+      * [[smoothPixel]], encoded with an EXPLICIT quality (0.95) so the
+      * bytes don't drift with JDK default changes. The blob is a
+      * genuine JFIF file — `ImageIO.read` sniffs it like any crawled
+      * image (the most common format in a real 100 TB crawl).
+      */
+    def encodeJpeg(id: Long, quality: Float = 0.95f): Array[Byte] = {
+      val w = width(id)
+      val h = height(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, smoothPixel(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null),
+          param)
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-supported blob (sniffed by magic bytes — PNG,
+      * JPEG, GIF, BMP all ship in the JDK) and measure fidelity against
+      * a reference pixel formula. Because lossy decode is deterministic
+      * only per-JDK, the oracle-checkable outputs are the
+      * formula-derivable fields (dims, pixel count) and a TOLERANCE
+      * verdict; the raw error moments are for specs and monitoring.
+      */
+    def fidelityStats(id: Long, bytes: Array[Byte])(
+        ref: (Long, Int, Int) => Int): ImageFidelity = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"media_id=$id: not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var maxErr = 0L
+      var sumErr = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val e = math.abs(raster.getSample(x, y, 0) - ref(id, x, y)).toLong
+          if (e > maxErr) maxErr = e
+          sumErr += e
+          x += 1
+        }
+        y += 1
+      }
+      ImageFidelity(id, w, h, w.toLong * h, maxErr, sumErr)
+    }
   }
+
+  /** One decode-fidelity row (see [[ImageCodec.fidelityStats]]). */
+  final case class ImageFidelity(media_id: Long, width: Int, height: Int,
+                                 n_pixels: Long, max_abs_err: Long,
+                                 sum_abs_err: Long)
 
   /** One perceptual-hash row (see [[ImageCodec.averageHash]]). */
   final case class ImageHash(media_id: Long, width: Int, height: Int,
@@ -275,6 +359,49 @@ object Multimodal {
             .as("height"),
           lit(null).cast(IntegerType).as("sample_rate"),
           lit(null).cast(LongType).as("duration_ms")).as("meta"))
+  }
+
+  /** Render the deterministic JPEG fixture table: one real JFIF blob
+    * per document id (same per-partition codec shape as
+    * [[renderPngImages]]).
+    */
+  def renderJpegImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // codec warm-up happens once per partition (ImageIO SPI scan)
+        ids.map(id => (id, ImageCodec.encodeJpeg(id)))
+      }
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(
+          lit("image").as("kind"),
+          lit("image/jpeg").as("mime"),
+          (pmod(col("media_id"), lit(32)) + 16).cast(IntegerType)
+            .as("width"),
+          (pmod(col("media_id") * 7, lit(32)) + 16).cast(IntegerType)
+            .as("height"),
+          lit(null).cast(IntegerType).as("sample_rate"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
+  }
+
+  /** Decode real JPEG blobs through the sniffing `ImageIO` path and
+    * measure fidelity against the [[ImageCodec.smoothPixel]] source
+    * formula — the JPEG half of the image story: the decode is REAL
+    * (same reader API any crawled image goes through), the
+    * oracle-checkable fields are the lossless ones.
+    */
+  def decodeJpegFidelity(media: DataFrame): Dataset[ImageFidelity] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          ImageCodec.fidelityStats(id, bytes)(ImageCodec.smoothPixel)
+        }
+      }
   }
 
   /** Decode real PNG blobs into exact pixel statistics — the same

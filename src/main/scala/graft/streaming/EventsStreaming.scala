@@ -56,8 +56,15 @@ object EventsStreaming {
     * the latest in-window click, and its stored view IS the latest
     * view in-window of that click — the stream≡batch equivalence the
     * suite asserts. State is 5 longs per user regardless of stream
-    * length; production bounds the user set with EventTimeTimeout at
-    * the window horizon (an expired user's prefix can never complete).
+    * length; passing `EventTimeTimeout` (input must carry a watermark)
+    * bounds the USER SET too: the state's timeout timestamp is set to
+    * the window horizon of the user's newest prefix event, and once the
+    * watermark passes it the state is dropped — an expired prefix can
+    * never complete a match, so eviction is lossless. The stream≡batch
+    * equivalence additionally assumes per-user event-time-ordered
+    * arrival across micro-batches (ordered replay); out-of-order
+    * arrival across batch boundaries can miss matches the batch query
+    * finds.
     */
   def detectSequences(events: Dataset[Event], windowSeconds: Long = 43200,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
@@ -87,7 +94,18 @@ object EventsStreaming {
           case _ => ()
         }
       }
-      if (state.hasTimedOut) state.remove() else state.update(st)
+      if (state.hasTimedOut || (st.view.isEmpty && st.click.isEmpty)) {
+        state.remove()
+      } else {
+        state.update(st)
+        if (timeout == GroupStateTimeout.EventTimeTimeout) {
+          // Evict once the watermark passes the newest prefix event's
+          // window horizon — past that point no purchase can still
+          // chain to this prefix, so dropping the state is lossless.
+          val lastUs = (st.view.map(_.us).toSeq ++ st.click.map(_.us)).max
+          state.setTimeoutTimestamp(lastUs / 1000L + windowSeconds * 1000L)
+        }
+      }
       out.result().iterator
     }
     events.groupByKey(_.user_id)

@@ -40,6 +40,62 @@ class MultimodalSpec extends SparkSpec {
     assert(got.width == 18 && got.height == 30 && got.n_pixels == 540)
   }
 
+  test("rendered JPEG blobs are genuine JFIF files") {
+    val bytes = ImageCodec.encodeJpeg(7L)
+    // JPEG SOI marker FF D8, and FF D9 EOI at the end
+    assert((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+    assert((bytes(bytes.length - 2) & 0xFF) == 0xFF &&
+      (bytes.last & 0xFF) == 0xD9)
+  }
+
+  test("JPEG decode stays within the tolerance band on the smooth fixture") {
+    for (id <- Seq(0L, 1L, 31L, 100L, 499L)) {
+      val f = ImageCodec.fidelityStats(id,
+        ImageCodec.encodeJpeg(id))(ImageCodec.smoothPixel)
+      val w = ImageCodec.width(id)
+      val h = ImageCodec.height(id)
+      assert(f.width == w && f.height == h && f.n_pixels == w.toLong * h,
+        s"dims mismatch for id=$id: $f")
+      assert(f.max_abs_err <= 16,
+        s"id=$id: max_abs_err=${f.max_abs_err} exceeds tolerance")
+      // mean error should be tiny on a smooth ramp at quality 0.95
+      assert(f.sum_abs_err <= 2L * f.n_pixels,
+        s"id=$id: mean err ${f.sum_abs_err.toDouble / f.n_pixels} too high")
+    }
+  }
+
+  test("aHash is stable across the PNG→JPEG codec boundary") {
+    // Encode the SAME smooth raster losslessly (PNG) and lossily
+    // (JPEG); the 64-bit perceptual hash should move only a few bits.
+    for (id <- Seq(2L, 17L, 63L)) {
+      val w = ImageCodec.width(id)
+      val h = ImageCodec.height(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, ImageCodec.smoothPixel(id, x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val hPng = ImageCodec.averageHash(id, bos.toByteArray).ahash
+      val hJpg = ImageCodec.averageHash(id, ImageCodec.encodeJpeg(id)).ahash
+      val hamming = java.lang.Long.bitCount(hPng ^ hJpg)
+      assert(hamming <= 8, s"id=$id: ahash moved $hamming bits across codecs")
+    }
+  }
+
+  test("distributed JPEG render + fidelity decode over the fixture") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val media = renderJpegImages(docs)
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "media", "meta"))
+    val got = decodeJpegFidelity(media).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.max_abs_err <= 16),
+      s"worst max_abs_err=${got.map(_.max_abs_err).max}")
+    val two = got.find(_.media_id == 2L).get
+    assert(two.width == 18 && two.height == 30 && two.n_pixels == 540)
+  }
+
   test("rendered blobs are genuine RIFF/WAVE files the JDK codec accepts") {
     val bytes = Multimodal.AudioCodec.encodeWav(5L)
     assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
