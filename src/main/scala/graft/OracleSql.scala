@@ -1321,12 +1321,19 @@ object OracleSql {
     * non-overlapping left-to-right, the same semantics as the
     * engine's array fold — verified on the 'abab'→'ab ab' and
     * 'aaa'→'aa a' shapes).
+    *
+    * Every chain CTE is `AS MATERIALIZED`: each `w$i` is referenced
+    * twice (p$i and w${i+1}) and each `t$i` five times (four scalar
+    * subqueries in the replace plus the final UNION), so DuckDB's
+    * per-reference CTE inlining re-evaluates the whole prefix
+    * exponentially (2^rounds) without the fence — the r7 gate measured
+    * >650 s for 6 rounds at sf0.01; materialized it is seconds.
     */
   def textBpeLearn(nMerges: Int = 6): String = {
     val d = "chr(31)"
     val sb = new StringBuilder
     sb ++=
-      """WITH w1 AS (
+      """WITH w1 AS MATERIALIZED (
         |  SELECT string_split(w, '') AS syms, count(*)::BIGINT AS wc
         |  FROM (
         |    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
@@ -1341,10 +1348,10 @@ object OracleSql {
            |p$i AS (
            |  SELECT syms[j] AS l, syms[j + 1] AS r, wc
            |  FROM w$i, LATERAL (SELECT unnest(range(1, len(syms))) AS j) u),
-           |t$i AS (
+           |t$i AS MATERIALIZED (
            |  SELECT l, r, sum(wc)::BIGINT AS cnt FROM p$i GROUP BY 1, 2
            |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-           |w${i + 1} AS (
+           |w${i + 1} AS MATERIALIZED (
            |  SELECT string_split(trim(replace(
            |      $d || array_to_string(syms, $d || $d) || $d,
            |      $d || $l || $d || $d || $r || $d,
