@@ -2,7 +2,11 @@
 """Local dev emulation of the driver's t2 correctness gate.
 
 Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [only_csv] \
-           [--jobs N] [--artifact PATH] [--timeout SEC]
+           [--jobs N] [--artifact PATH] [--timeout SEC] [--oracle-only]
+
+--oracle-only runs just the oracle SQL set (no Spark outputs needed) —
+the gate-budget smoke tier: point it at sf0.001 with a tight --timeout
+to prove every oracle parses and completes under the cap.
 
 Reads each <out>/<name> parquet (Spark result) and runs the matching
 oracle SQL from <out>/oracle_sql.json in DuckDB over the same tables,
@@ -33,9 +37,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 _WORKER = {}
 
 
-def _init_worker(sfdir):
+def _init_worker(sfdir, threads):
     import duckdb
     con = duckdb.connect()
+    # Without this every worker's DuckDB grabs all machine cores:
+    # 16 workers x 32 threads oversubscribes 16x and per-query times
+    # balloon ~2x (observed: 9 s oracles hitting a 20 s cap).
+    con.sql(f"SET threads={threads}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     _WORKER["con"] = con
@@ -68,9 +76,20 @@ def _sql_with_timeout(con, sql, timeout):
 
 def check_one(args):
     """Runs in a worker process. Returns (name, verdict, seconds)."""
-    name, sql, outdir, timeout = args
+    name, sql, outdir, timeout, oracle_only = args
     con = _WORKER["con"]
     t0 = time.time()
+    if oracle_only:
+        # Gate-budget smoke tier (VERDICT r6 #6): prove every oracle
+        # parses and completes under the cap at a tiny SF, with no
+        # Spark dump needed — catches a pathological oracle (the CTE
+        # inlining explosion class) at commit time, not at the driver.
+        try:
+            _sql_with_timeout(con, sql, timeout)
+            return name, "OK", time.time() - t0
+        except Exception as e:
+            tag = "TIMEOUT" if "INTERRUPT" in str(e).upper() else "ERROR"
+            return name, f"{tag}: {e}", time.time() - t0
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         return name, "MISSING_SPARK_OUTPUT", 0.0
@@ -125,7 +144,8 @@ def check_one(args):
     return name, verdict, time.time() - t0
 
 
-def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0):
+def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0,
+         oracle_only=False):
     import duckdb  # validate availability in the parent too
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if only:
@@ -134,9 +154,11 @@ def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0):
     results = {}
     times = {}
     t_start = time.time()
-    work = [(name, oracle[name], outdir, timeout) for name in sorted(oracle)]
+    work = [(name, oracle[name], outdir, timeout, oracle_only)
+            for name in sorted(oracle)]
+    threads = max(2, (os.cpu_count() or 4) // jobs)
     with ProcessPoolExecutor(max_workers=jobs, initializer=_init_worker,
-                             initargs=(sfdir,)) as ex:
+                             initargs=(sfdir, threads)) as ex:
         futs = {ex.submit(check_one, w): w[0] for w in work}
         for fut in as_completed(futs):
             name = futs[fut]
@@ -159,8 +181,8 @@ def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0):
     # rows-only queries (no oracle): report presence
     con = duckdb.connect()
     rows_only = {}
-    all_out = {p.rstrip('/').split('/')[-1]
-               for p in glob.glob(f"{outdir}/*/")}
+    all_out = set() if oracle_only else {
+        p.rstrip('/').split('/')[-1] for p in glob.glob(f"{outdir}/*/")}
     for name in sorted(all_out - set(oracle)):
         n = con.sql(
             f"SELECT count(*) FROM read_parquet('{outdir}/{name}/*.parquet')"
@@ -192,6 +214,7 @@ if __name__ == "__main__":
     jobs = None
     artifact = None
     timeout = 120.0
+    oracle_only = False
     pos = []
     i = 0
     while i < len(argv):
@@ -202,7 +225,10 @@ if __name__ == "__main__":
             artifact = argv[i + 1]; i += 2
         elif a == "--timeout":
             timeout = float(argv[i + 1]); i += 2
+        elif a == "--oracle-only":
+            oracle_only = True; i += 1
         else:
             pos.append(a); i += 1
     only = set(pos[2].split(",")) if len(pos) > 2 else None
-    sys.exit(main(pos[0], pos[1], only, jobs, artifact, timeout))
+    sys.exit(main(pos[0], pos[1], only, jobs, artifact, timeout,
+                  oracle_only))

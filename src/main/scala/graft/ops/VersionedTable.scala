@@ -21,9 +21,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * leaves `v=N` WITHOUT the `_COMMITTED` marker; readers resolve the
   * latest version as max(n with marker), so a torn snapshot is
   * invisible. The next `commit` allocates past the orphan and `vacuum`
-  * deletes it. Single-writer semantics (like the reference's scheduled
-  * batch loads); concurrent committers need a real table format
-  * (Delta/Iceberg log) instead.
+  * deletes it.
+  *
+  * Concurrent writers (optimistic concurrency): version numbers are
+  * allocated by EXCLUSIVE creation of a root-level `_claim=N` file
+  * (atomic namenode op on HDFS; O_EXCL-window on local FS) — two
+  * committers racing for N see exactly one win the claim, the loser
+  * retries at N+1, and BOTH snapshots land durably under distinct
+  * versions (serialized by claim order; last committer wins the
+  * `_LATEST` cache, which readers never trust anyway). Without the
+  * claim step two writers could both pass the non-atomic
+  * `errorifexists` pre-check and interleave part-files into the same
+  * `v=N` — a torn snapshot WITH a commit marker. A claim whose writer
+  * died is a harmless numbering hole; `vacuum` sweeps stale claims
+  * below the latest committed version. Cross-table transactions still
+  * need a real log format (Delta/Iceberg).
   *
   * 100 TB shape: each version is written once and never rewritten —
   * commit cost is the data write plus two tiny metadata files; version
@@ -72,6 +84,47 @@ object VersionedTable {
       .sorted
   }
 
+  /** Version numbers currently held by a claim file (committed-or-not). */
+  private def claimedDirs(spark: SparkSession, root: String): Seq[Long] = {
+    val rootPath = new Path(root)
+    val filesystem = fs(spark, rootPath)
+    if (!filesystem.exists(rootPath)) Seq.empty
+    else filesystem.listStatus(rootPath).toSeq
+      .filter(_.isFile)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("_claim=") => s.drop(7).toLong }
+  }
+
+  /** Atomically claim the next free version number: exclusive create of
+    * `root/_claim=N` (overwrite=false). Exactly one of any set of
+    * racing writers wins a given N; losers observe the claim on the
+    * next listing and move past it. Returns the claimed number.
+    */
+  private def claimNext(spark: SparkSession, root: String): Long = {
+    val rootPath = new Path(root)
+    val filesystem = fs(spark, rootPath)
+    if (!filesystem.exists(rootPath)) filesystem.mkdirs(rootPath)
+    var attempts = 0
+    while (attempts < 64) {
+      val used = allDirs(spark, root) ++ claimedDirs(spark, root)
+      val n = if (used.isEmpty) 1L else used.max + 1
+      try {
+        val out = filesystem.create(new Path(rootPath, s"_claim=$n"), false)
+        out.close()
+        return n
+      } catch {
+        case _: java.io.IOException => attempts += 1 // lost the race; retry
+      }
+    }
+    throw new IllegalStateException(
+      s"could not claim a version under $root after 64 attempts " +
+        "(pathological contention)")
+  }
+
+  private def releaseClaim(spark: SparkSession, root: String,
+                           n: Long): Unit =
+    fs(spark, new Path(root)).delete(new Path(root, s"_claim=$n"), false)
+
   private def isCommitted(spark: SparkSession, root: String,
                           n: Long): Boolean =
     fs(spark, new Path(root)).exists(new Path(vdir(root, n), "_COMMITTED"))
@@ -86,12 +139,13 @@ object VersionedTable {
   def commit(df: DataFrame, root: String,
              nowMillis: () => Long = System.currentTimeMillis): Long = {
     val spark = df.sparkSession
-    val n = allDirs(spark, root).lastOption.getOrElse(0L) + 1
+    val n = claimNext(spark, root)
     val dir = vdir(root, n)
     df.write.mode("errorifexists").parquet(dir.toString)
     writeSmall(spark, new Path(dir, "_commit_ts"), nowMillis().toString)
     writeSmall(spark, new Path(dir, "_COMMITTED"), "")
     writeSmall(spark, new Path(root, "_LATEST"), n.toString) // cache only
+    releaseClaim(spark, root, n) // v=N itself holds the number now
     n
   }
 
@@ -149,20 +203,35 @@ object VersionedTable {
         .flatMap(s => scala.util.Try(s.toLong).toOption))
     if (newest.exists(_ >= batchId)) None
     else {
-      val n = allDirs(spark, root).lastOption.getOrElse(0L) + 1
-      val dir = vdir(root, n)
-      df.write.mode("errorifexists").parquet(dir.toString)
-      writeSmall(spark, new Path(dir, "_commit_ts"), nowMillis().toString)
-      writeSmall(spark, new Path(dir, "_batch_id"), batchId.toString)
-      writeSmall(spark, new Path(dir, "_COMMITTED"), "")
-      writeSmall(spark, new Path(root, "_LATEST"), n.toString)
-      Some(n)
+      val n = claimNext(spark, root)
+      // Re-check under the claim: another writer may have committed this
+      // batch between the first check and our claim winning.
+      val newest2 = versions(spark, root).lastOption.flatMap(v =>
+        readSmall(spark, new Path(vdir(root, v), "_batch_id"))
+          .flatMap(s => scala.util.Try(s.toLong).toOption))
+      if (newest2.exists(_ >= batchId)) {
+        releaseClaim(spark, root, n)
+        None
+      } else {
+        val dir = vdir(root, n)
+        df.write.mode("errorifexists").parquet(dir.toString)
+        writeSmall(spark, new Path(dir, "_commit_ts"), nowMillis().toString)
+        writeSmall(spark, new Path(dir, "_batch_id"), batchId.toString)
+        writeSmall(spark, new Path(dir, "_COMMITTED"), "")
+        writeSmall(spark, new Path(root, "_LATEST"), n.toString)
+        releaseClaim(spark, root, n)
+        Some(n)
+      }
     }
   }
 
   /** Delete everything except the newest `keepLast` committed versions;
     * torn (uncommitted) dirs below the latest committed version are
-    * always removed. Returns the deleted version numbers.
+    * always removed, as are stale claim files. Returns the deleted
+    * version numbers. Maintenance contract: run vacuum while no commit
+    * is in flight (the standard table-maintenance caveat — sweeping a
+    * claim out from under a still-living writer would reopen the
+    * allocation race the claim exists to close).
     */
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
@@ -173,6 +242,10 @@ object VersionedTable {
     val doomed = allDirs(spark, root)
       .filter(n => n < latest && !keep(n))
     doomed.foreach(n => filesystem.delete(vdir(root, n), true))
+    // stale claims from dead writers below the committed frontier can
+    // never be completed — sweep them so the namespace stays tidy
+    claimedDirs(spark, root).filter(_ < latest)
+      .foreach(releaseClaim(spark, root, _))
     doomed
   }
 }

@@ -27,6 +27,51 @@ class VersionedTableSpec extends SparkSpec {
       .agg(max("val")).head().getInt(0) == 1)
   }
 
+  test("two concurrent writers land distinct durable versions (OCC race)") {
+    val root = tmpRoot()
+    val perWriter = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    import scala.jdk.CollectionConverters._
+    val tasks = (1 to 2).map { w =>
+      new java.util.concurrent.Callable[Seq[Long]] {
+        def call(): Seq[Long] = {
+          barrier.await() // both writers start allocating together
+          (1 to perWriter).map { i =>
+            VersionedTable.commit(df(w * 100 + i), root,
+              () => (w * 100 + i).toLong)
+          }
+        }
+      }
+    }
+    val got = pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toSeq
+    pool.shutdown()
+    // every commit won a distinct version and all are durable
+    assert(got.size == 2 * perWriter)
+    assert(got.distinct.size == got.size, s"version collision: $got")
+    assert(VersionedTable.versions(spark, root).toSet == got.toSet)
+    // each snapshot is internally consistent (one writer's rows only)
+    got.foreach { n =>
+      val vals = VersionedTable.read(spark, root, Some(n))
+        .select("val").distinct().collect().map(_.getInt(0)).toSeq
+      assert(vals.size == 1, s"v=$n mixes writers: $vals")
+    }
+    // no leftover claim files once all commits completed
+    val claims = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("_claim="))
+    assert(claims.isEmpty, s"stale claims: ${claims.map(_.getName).toSeq}")
+  }
+
+  test("commitBatch skips a batch another writer committed under the claim") {
+    val root = tmpRoot()
+    assert(VersionedTable.commitBatch(df(1), root, batchId = 7L,
+      () => 1000L).contains(1L))
+    // second writer replaying the same batch id must be a no-op
+    assert(VersionedTable.commitBatch(df(2), root, batchId = 7L,
+      () => 2000L).isEmpty)
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+  }
+
   test("time travel resolves the newest version at or before ts") {
     val root = tmpRoot()
     VersionedTable.commit(df(1), root, () => 1000L)
