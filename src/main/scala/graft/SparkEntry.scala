@@ -68,6 +68,29 @@ object SparkEntry {
       |    THEN (1::BIGINT << fe.f) ELSE 0 END), 0)::BIGINT AS fp
       |FROM m JOIN fe USING (doc_id) GROUP BY 1, 2, 3""".stripMargin
 
+  /** Exact pixel-statistics oracle shared by the three lossless image
+    * formats (`multimodal_decode` PNG, `multimodal_gif_decode`,
+    * `multimodal_bmp_decode`): stats recomputed straight from the
+    * fixture pixel formula.
+    */
+  private val ImageStatsOracleSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 32 AS INT) AS width,
+      |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.width, d.height, xs.x, ys.y,
+      |    (d.doc_id + 7 * xs.x + 13 * ys.y) % 256 AS p
+      |  FROM dims d,
+      |    LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) xs,
+      |    LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) ys)
+      |SELECT doc_id AS media_id, width, height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(p) AS BIGINT) AS sum_pixels,
+      |  CAST(sum(p * (y * width + x + 1)) AS BIGINT) AS checksum
+      |FROM px GROUP BY 1, 2, 3""".stripMargin
+
   /** Inverse-CDF threshold table over the 2⁴⁰ hash domain for an
     * arbitrary discrete distribution: rows (value, lo, hi) with
     * m ∈ [lo, hi) → value. Gap-free and exhaustive by construction
@@ -2716,6 +2739,27 @@ object SparkEntry {
       // from the pixel formula — PNG is lossless, so equality is exact
       Multimodal.decodeImages(
         Multimodal.renderPngImages(t(s, dir, "documents"))).toDF()
+    }),
+
+    "multimodal_gif_decode" -> ((s, dir) => {
+      // GIF through the same sniffing decode path: the JDK decodes GIF
+      // to an INDEXED raster whose samples are palette indices — the
+      // codec resolves them through the IndexColorModel (red==gray in
+      // a gray palette), and a 256-gray palette GIF round-trips 8-bit
+      // gray exactly, so the PNG pixel-formula oracle applies verbatim.
+      Multimodal.decodeImages(
+        Multimodal.renderLosslessImages(t(s, dir, "documents"),
+          "gif", "image/gif")).toDF()
+    }),
+
+    "multimodal_bmp_decode" -> ((s, dir) => {
+      // BMP (8bpp gray) through the same decode path — lossless, same
+      // exact-integer oracle as PNG/GIF. With JPEG this completes the
+      // four image formats a real crawl actually contains, all through
+      // one `ImageIO.read` sniffing entry point.
+      Multimodal.decodeImages(
+        Multimodal.renderLosslessImages(t(s, dir, "documents"),
+          "bmp", "image/bmp")).toDF()
     }),
 
     "interpolate_hourly" -> ((s, dir) => {
@@ -6979,23 +7023,13 @@ object SparkEntry {
         |  CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
         |FROM s GROUP BY media_id, n""".stripMargin,
 
-    "multimodal_decode" ->
-      """WITH dims AS (
-        |  SELECT doc_id,
-        |    CAST(16 + doc_id % 32 AS INT) AS width,
-        |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height
-        |  FROM documents),
-        |px AS (
-        |  SELECT d.doc_id, d.width, d.height, xs.x, ys.y,
-        |    (d.doc_id + 7 * xs.x + 13 * ys.y) % 256 AS p
-        |  FROM dims d,
-        |    LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) xs,
-        |    LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) ys)
-        |SELECT doc_id AS media_id, width, height,
-        |  CAST(count(*) AS BIGINT) AS n_pixels,
-        |  CAST(sum(p) AS BIGINT) AS sum_pixels,
-        |  CAST(sum(p * (y * width + x + 1)) AS BIGINT) AS checksum
-        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    "multimodal_decode" -> ImageStatsOracleSql,
+
+    // GIF and BMP are lossless over 8-bit gray, so all three formats
+    // share the one pixel-formula oracle — equality proves the decode
+    // paths (indexed-palette resolution included) are exact.
+    "multimodal_gif_decode" -> ImageStatsOracleSql,
+    "multimodal_bmp_decode" -> ImageStatsOracleSql,
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -144,7 +144,15 @@ object Multimodal {
       ((id + 7L * x + 13L * y) % 256).toInt
 
     /** Deterministic PNG blob for a media id (TYPE_BYTE_GRAY raster). */
-    def encodePng(id: Long): Array[Byte] = {
+    def encodePng(id: Long): Array[Byte] = encodeLossless(id, "png")
+
+    /** Deterministic lossless blob in any JDK ImageIO format that
+      * round-trips 8-bit gray exactly — "png", "gif" (256-gray
+      * palette), "bmp" (8bpp). Probed exact (maxErr = 0) for all
+      * three; the decode side resolves palette indices through the
+      * IndexColorModel so GIF's indexed raster reads back as gray.
+      */
+    def encodeLossless(id: Long, format: String): Array[Byte] = {
       val w = width(id)
       val h = height(id)
       val img = new java.awt.image.BufferedImage(w, h,
@@ -160,8 +168,24 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      require(javax.imageio.ImageIO.write(img, format, bos),
+        s"no ImageIO writer for format=$format")
       bos.toByteArray
+    }
+
+    /** Gray value at (x, y) of a decoded image, resolving palette
+      * indices (GIF/8bpp-BMP decode to IndexColorModel rasters whose
+      * samples are INDICES, not gray values; red==gray in a gray
+      * palette). Raw raster samples otherwise — `getRGB` would be
+      * wrong for TYPE_BYTE_GRAY (gray→sRGB color-space conversion).
+      */
+    private def graySample(img: java.awt.image.BufferedImage,
+                           x: Int, y: Int): Int = {
+      val s = img.getRaster.getSample(x, y, 0)
+      img.getColorModel match {
+        case icm: java.awt.image.IndexColorModel => icm.getRed(s)
+        case _ => s
+      }
     }
 
     /** Exact-integer statistics of a decoded image: raster samples are
@@ -174,14 +198,13 @@ object Multimodal {
       require(img != null, s"media_id=$id: not a decodable image")
       val w = img.getWidth
       val h = img.getHeight
-      val raster = img.getRaster
       var sum = 0L
       var checksum = 0L
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val p = raster.getSample(x, y, 0)
+          val p = graySample(img, x, y)
           sum += p
           checksum += p.toLong * (y.toLong * w + x + 1)
           x += 1
@@ -208,14 +231,13 @@ object Multimodal {
       require(img != null, s"media_id=$id: not a decodable image")
       val w = img.getWidth
       val h = img.getHeight
-      val raster = img.getRaster
       val samples = new Array[Int](64)
       var sum = 0L
       var k = 0
       while (k < 64) {
         val x = ((k % 8) * w) / 8
         val y = ((k / 8) * h) / 8
-        samples(k) = raster.getSample(x, y, 0)
+        samples(k) = graySample(img, x, y)
         sum += samples(k)
         k += 1
       }
@@ -291,14 +313,13 @@ object Multimodal {
       require(img != null, s"media_id=$id: not a decodable image")
       val w = img.getWidth
       val h = img.getHeight
-      val raster = img.getRaster
       var maxErr = 0L
       var sumErr = 0L
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val e = math.abs(raster.getSample(x, y, 0) - ref(id, x, y)).toLong
+          val e = math.abs(graySample(img, x, y) - ref(id, x, y)).toLong
           if (e > maxErr) maxErr = e
           sumErr += e
           x += 1
@@ -340,19 +361,27 @@ object Multimodal {
     * document id. `mapPartitions` keeps codec setup per-partition; the
     * blobs are genuine `image/png` files (readable by any viewer).
     */
-  def renderPngImages(docs: DataFrame): DataFrame = {
+  def renderPngImages(docs: DataFrame): DataFrame =
+    renderLosslessImages(docs, "png", "image/png")
+
+  /** Render the deterministic fixture table in any lossless ImageIO
+    * format (png/gif/bmp) — one real blob per document id, identical
+    * pixel formula, so all three share one exact-integer oracle.
+    */
+  def renderLosslessImages(docs: DataFrame, format: String,
+                           mime: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         // codec warm-up happens once per partition (ImageIO SPI scan)
-        ids.map(id => (id, ImageCodec.encodePng(id)))
+        ids.map(id => (id, ImageCodec.encodeLossless(id, format)))
       }
       .toDF("media_id", "media")
       .select(col("media_id"), col("media"),
         struct(
           lit("image").as("kind"),
-          lit("image/png").as("mime"),
+          lit(mime).as("mime"),
           (pmod(col("media_id"), lit(32)) + 16).cast(IntegerType)
             .as("width"),
           (pmod(col("media_id") * 7, lit(32)) + 16).cast(IntegerType)

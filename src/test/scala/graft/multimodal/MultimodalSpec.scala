@@ -40,6 +40,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got.width == 18 && got.height == 30 && got.n_pixels == 540)
   }
 
+  test("GIF and BMP round-trip the pixel formula exactly (palette resolved)") {
+    for (fmt <- Seq("gif", "bmp"); id <- Seq(0L, 1L, 31L, 100L, 499L)) {
+      val stats = ImageCodec.decodeStats(id, ImageCodec.encodeLossless(id, fmt))
+      val w = ImageCodec.width(id)
+      val h = ImageCodec.height(id)
+      var sum = 0L
+      var checksum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = ImageCodec.pixel(id, x, y)
+        sum += p
+        checksum += p.toLong * (y.toLong * w + x + 1)
+      }
+      assert(stats == ImageStats(id, w, h, w.toLong * h, sum, checksum),
+        s"$fmt round-trip mismatch for id=$id")
+    }
+    // GIF really is indexed — the palette-resolution path is exercised
+    val gif = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      ImageCodec.encodeLossless(3L, "gif")))
+    assert(gif.getColorModel.isInstanceOf[java.awt.image.IndexColorModel])
+  }
+
   test("rendered JPEG blobs are genuine JFIF files") {
     val bytes = ImageCodec.encodeJpeg(7L)
     // JPEG SOI marker FF D8, and FF D9 EOI at the end

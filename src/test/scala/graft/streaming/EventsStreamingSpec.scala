@@ -216,6 +216,49 @@ class EventsStreamingSpec extends SparkSpec {
       "expected a sequence whose prefix arrived in batch 1")
   }
 
+  test("CEP EventTimeTimeout evicts expired prefixes and bounds state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val dir = Files.createTempDirectory("graft-cep-ttl").toString
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val ms = MemoryStream[EventsStreaming.Event]
+    // 60 s window; watermarked input so event-time timeouts fire
+    val q = EventsStreaming.detectSequences(
+        ms.toDS().withWatermark("ts", "1 second"),
+        windowSeconds = 60,
+        timeout = GroupStateTimeout.EventTimeTimeout)
+      .writeStream.format("memory").queryName("cep_ttl")
+      .outputMode(OutputMode.Append.toString.toLowerCase)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    // batch 1: two users open prefixes (view only)
+    ms.addData(Seq(
+      EventsStreaming.Event(1, ts(0), 1L, "view", 1.0),
+      EventsStreaming.Event(2, ts(0), 2L, "view", 1.0)))
+    q.processAllAvailable()
+    val afterB1 = q.lastProgress.stateOperators.apply(0).numRowsTotal
+    assert(afterB1 == 2, s"expected 2 open prefixes, got $afterB1")
+    // batch 2: a third user far in the future — the advancing watermark
+    // passes users 1/2's 60 s horizon, so their state must be evicted
+    ms.addData(Seq(
+      EventsStreaming.Event(3, ts(10000), 3L, "view", 1.0)))
+    q.processAllAvailable()
+    // batch 3: user 3 completes in-window; users 1/2 stay gone
+    ms.addData(Seq(
+      EventsStreaming.Event(4, ts(10010), 3L, "click", 1.0),
+      EventsStreaming.Event(5, ts(10020), 3L, "purchase", 9.0)))
+    q.processAllAvailable()
+    val afterB3 = q.lastProgress.stateOperators.apply(0).numRowsTotal
+    q.stop()
+    val got = spark.table("cep_ttl")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(3L), s"only user 3 should match: $got")
+    assert(afterB3 == 1,
+      s"expired prefixes must be evicted (want 1 state row, got $afterB3)")
+  }
+
   test("stateful sessionization emits gap-separated sessions") {
     val dir = Files.createTempDirectory("graft-sess").toString
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
