@@ -35,6 +35,13 @@ object SparkEntry {
     math.max(1, (bootstrapNBoot * 25) / 1000)
   private[graft] val bootstrapHiRank: Int = bootstrapNBoot - bootstrapLoRank
 
+  /** Stopword list for the Gopher-style quality rules — shared literal
+    * set between the `text_gopher_rules` engine query and its oracle.
+    */
+  private[graft] val GopherStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "that")
+
+
   /** Inverse-CDF threshold table for the ε=0.2 discrete Laplace
     * (two-sided geometric) mechanism, scaled to the 2⁴⁰ hash domain:
     * rows (noise k, lo, hi) with m ∈ [lo, hi) → noise k. Computed once
@@ -4435,6 +4442,84 @@ object SparkEntry {
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
     }),
 
+    "text_gopher_rules" -> ((s, dir) => {
+      // Gopher-style document quality rules (Rae et al. 2021, the
+      // standard pretraining-corpus filter battery) in exact integer
+      // arithmetic: word count bounds, mean word length band
+      // (centi-chars), stopword presence, alphabetic-token fraction
+      // (ppm). One tokenize + one per-doc rollup — map-side combined,
+      // corpus-linear; the pass verdict composes the four rules the
+      // way a curation pipeline gates documents before training.
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      tok.groupBy("doc_id").agg(
+          count(lit(1)).as("n_words"),
+          expr("sum(length(tok)) * 100 div count(1)")
+            .as("mean_word_len_e2"),
+          sum(when(col("tok").isin(GopherStopwords: _*), 1L)
+            .otherwise(0L)).as("stopword_hits"),
+          expr("sum(CASE WHEN tok rlike '^[a-z]+$' THEN 1 ELSE 0 END)" +
+            " * 1000000 div count(1)").as("alpha_ppm"))
+        .withColumn("pass",
+          col("n_words").between(20, 100000) &&
+            col("mean_word_len_e2").between(300, 1000) &&
+            col("stopword_hits") >= 2 &&
+            col("alpha_ppm") >= 800000)
+    }),
+
+    "text_ttr" -> ((s, dir) => {
+      // lexical diversity profile: type-token ratio and hapax-legomena
+      // fraction per document (ppm) — the vocabulary-richness signal
+      // quality classifiers use alongside the Gopher rules (template
+      // spam has pathologically low TTR; keyboard mash has high hapax).
+      // Two narrow rollups: (doc, token) counts, then per-doc moments.
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+          expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+    }),
+
+    "profile_chi2_independence" -> ((s, dir) => {
+      // chi-square test of independence between event type and
+      // day-of-week — "is the traffic mix a function of the weekly
+      // cycle?" — with per-cell contributions in exact decimal
+      // arithmetic: chi² = Σ (O·N − R·C)² / (N·R·C), so no float
+      // expected-count ever exists (the log-free complement to
+      // profile_mutual_information). decimal(38,0) because (O·N)² is
+      // ~10²⁴ at petabyte row counts. One cell rollup; row/col totals
+      // are enum×7-bounded frames, broadcast back onto the cells.
+      val dd = "decimal(38,0)"
+      val ev = t(s, dir, "events").select(col("event_type"),
+        pmod(pmod(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")), lit(7)) + 7, lit(7))
+          .cast("long").as("dow"))
+      val cells = ev.groupBy("event_type", "dow")
+        .agg(count(lit(1)).cast(dd).as("o"))
+        .localCheckpoint(true) // row/col/grand totals read it
+      val rows = cells.groupBy("event_type").agg(sum("o").as("r"))
+      val colsT = cells.groupBy("dow").agg(sum("o").as("c"))
+      val grand = cells.agg(sum("o").as("n"))
+      cells.join(broadcast(rows), Seq("event_type"))
+        .join(broadcast(colsT), Seq("dow"))
+        .crossJoin(broadcast(grand))
+        .select(col("event_type"), col("dow"),
+          col("o").cast("long").as("observed"),
+          expr("CAST(r * c * 100 div n AS BIGINT)").as("expected_e2"),
+          expr("CAST((o * n - r * c) * (o * n - r * c) * 1000000" +
+            " div (n * r * c) AS BIGINT)").as("chi2_contrib_e6"))
+    }),
+
     "profile_gini" -> ((s, dir) => {
       // categorical concentration profile via Gini impurity — the
       // log-free dispersion statistic, so it runs in EXACT integer
@@ -8420,6 +8505,66 @@ object SparkEntry {
         |FROM cum c CROSS JOIN (VALUES (25), (50), (75), (90)) q(q)
         |WHERE c.cw * 100 >= q.q * c.tot
         |  AND (c.cw - c.wt) * 100 < q.q * c.tot""".stripMargin,
+
+    "text_gopher_rules" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, t AS tok FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+         |    FROM documents) u WHERE length(t) > 0),
+         |m AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_words,
+         |    (sum(length(tok)) * 100 // count(*))::BIGINT
+         |      AS mean_word_len_e2,
+         |    sum(CASE WHEN tok IN (${GopherStopwords
+                .map("'" + _ + "'").mkString(", ")})
+         |      THEN 1 ELSE 0 END)::BIGINT AS stopword_hits,
+         |    (sum(CASE WHEN regexp_full_match(tok, '[a-z]+')
+         |      THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT
+         |      AS alpha_ppm
+         |  FROM tok GROUP BY 1)
+         |SELECT doc_id, n_words, mean_word_len_e2, stopword_hits,
+         |  alpha_ppm,
+         |  (n_words BETWEEN 20 AND 100000
+         |    AND mean_word_len_e2 BETWEEN 300 AND 1000
+         |    AND stopword_hits >= 2 AND alpha_ppm >= 800000) AS pass
+         |FROM m""".stripMargin,
+
+    "text_ttr" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS tok FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |    FROM documents) u WHERE length(t) > 0),
+        |tc AS (SELECT doc_id, tok, count(*)::BIGINT AS c
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |  count(*)::BIGINT AS n_types,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  (count(*) * 1000000 // sum(c))::BIGINT AS ttr_ppm,
+        |  (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*))::BIGINT AS hapax_ppm
+        |FROM tc GROUP BY 1""".stripMargin,
+
+    "profile_chi2_independence" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    (((datediff('day', DATE '2024-01-01', ts::DATE) % 7) + 7)
+        |      % 7)::BIGINT AS dow
+        |  FROM events),
+        |cells AS (SELECT event_type, dow, count(*)::HUGEINT AS o
+        |  FROM ev GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(o) AS rr FROM cells GROUP BY 1),
+        |c AS (SELECT dow, sum(o) AS cc FROM cells GROUP BY 1),
+        |n AS (SELECT sum(o) AS nn FROM cells)
+        |SELECT cells.event_type, cells.dow,
+        |  CAST(cells.o AS BIGINT) AS observed,
+        |  CAST(r.rr * c.cc * 100 // n.nn AS BIGINT) AS expected_e2,
+        |  CAST((cells.o * n.nn - r.rr * c.cc)
+        |    * (cells.o * n.nn - r.rr * c.cc) * 1000000
+        |    // (n.nn * r.rr * c.cc) AS BIGINT) AS chi2_contrib_e6
+        |FROM cells JOIN r USING (event_type) JOIN c USING (dow)
+        |  CROSS JOIN n""".stripMargin,
 
     "profile_gini" ->
       """WITH m AS (
