@@ -4490,6 +4490,31 @@ object SparkEntry {
           expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
     }),
 
+    "link_jaro_winkler" -> ((s, dir) => {
+      // fuzzy record-linkage scoring with the native [[JaroWinkler]]
+      // expression (codegen'd; bit-exact twin of DuckDB's builtin):
+      // nation-blocked customer-name self-join, pairs scored in ppm,
+      // kept above 0.955 — the transposition-tolerant name matcher
+      // that complements link_fellegi_sunter's field-agreement
+      // log-odds. The bounded-key filter caps the demo pair frame; at
+      // 100 TB the candidate generation is the existing blocked /
+      // sorted-neighborhood / LSH machinery, and THIS expression is
+      // the scorer that runs inside whole-stage codegen on each
+      // surviving pair.
+      import graft.expressions.JaroWinklerCol.jaro_winkler
+      val c = t(s, dir, "customer")
+        .filter(col("c_custkey") < 500)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val jw = jaro_winkler(col("a.c_name"), col("b.c_name"))
+      c.as("a").join(c.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .filter(jw > 0.955)
+        .select(col("a.c_custkey").as("id_a"),
+          col("b.c_custkey").as("id_b"),
+          round(jw * 1000000, 0).cast("long").as("jw_ppm"))
+    }),
+
     "profile_chi2_independence" -> ((s, dir) => {
       // chi-square test of independence between event type and
       // day-of-week — "is the traffic mix a function of the weekly
@@ -8545,6 +8570,18 @@ object SparkEntry {
         |  (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
         |    // count(*))::BIGINT AS hapax_ppm
         |FROM tc GROUP BY 1""".stripMargin,
+
+    "link_jaro_winkler" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey FROM customer
+        |  WHERE c_custkey < 500)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(round(jaro_winkler_similarity(a.c_name, b.c_name)
+        |    * 1000000, 0) AS BIGINT) AS jw_ppm
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE jaro_winkler_similarity(a.c_name, b.c_name) > 0.955""".stripMargin,
 
     "profile_chi2_independence" ->
       """WITH ev AS (
