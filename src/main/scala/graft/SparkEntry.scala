@@ -4490,6 +4490,58 @@ object SparkEntry {
           expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
     }),
 
+    "text_vocab_coverage" -> ((s, dir) => {
+      // vocabulary coverage curve: token types ranked by frequency,
+      // cumulative occurrence share in ppm — "how much of the corpus
+      // does a k-type vocabulary cover?", the statistic tokenizer
+      // vocab-size decisions read off. One tokenize + one type rollup;
+      // the rank/cumsum window runs on the VOCABULARY-sized frame
+      // (types, not occurrences — the r6 discipline), so the global
+      // window is safe at any corpus size with a bounded type count
+      // and becomes a per-shard curve under open vocabularies.
+      val docs = t(s, dir, "documents")
+      val tc = docs.select(explode(split(lower(trim(col("text"))),
+          "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // total + window read it
+      val tot = tc.agg(sum("c").as("total"))
+      val w = Window.orderBy(col("c").desc, col("tok").asc)
+      tc.withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum("c").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("rank").cast("long").as("rank"), col("tok"),
+          col("c"), col("cum"),
+          expr("cum * 1000000 div total").as("coverage_ppm"))
+    }),
+
+    "events_burstiness" -> ((s, dir) => {
+      // traffic burstiness per event type: variance-to-mean ratio
+      // (dispersion index) of the daily counts in exact decimal
+      // arithmetic — VMR ≈ 1 is Poisson-like, > 1 is bursty (the
+      // capacity-planning discriminator between steady load and
+      // thundering herds). VMR·100 = 100·(n·Σx² − (Σx)²) div
+      // ((n−1)·Σx); decimal(38,0) because Σx² crosses 10¹⁸ at
+      // petabyte row counts. One daily rollup, one moment pass.
+      val dd = "decimal(38,0)"
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("day"))
+        .agg(count(lit(1)).cast(dd).as("x"))
+      daily.groupBy("event_type").agg(
+          count(lit(1)).cast(dd).as("nd"),
+          sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"),
+          col("nd").cast("long").as("n_days"),
+          col("sx").cast("long").as("total_events"),
+          expr("CAST(100 * (nd * sxx - sx * sx) div ((nd - 1) * sx)" +
+            " AS BIGINT)").as("vmr_e2"))
+        .withColumn("bursty", col("vmr_e2") > 100)
+    }),
+
     "link_jaro_winkler" -> ((s, dir) => {
       // fuzzy record-linkage scoring with the native [[JaroWinkler]]
       // expression (codegen'd; bit-exact twin of DuckDB's builtin):
@@ -8570,6 +8622,41 @@ object SparkEntry {
         |  (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
         |    // count(*))::BIGINT AS hapax_ppm
         |FROM tc GROUP BY 1""".stripMargin,
+
+    "text_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT t AS tok FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)),
+        |      '\s+')) AS t
+        |    FROM documents) u WHERE length(t) > 0),
+        |tc AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS total FROM tc),
+        |r AS (SELECT tok, c,
+        |    row_number() OVER (ORDER BY c DESC, tok ASC)::BIGINT
+        |      AS rank,
+        |    sum(c) OVER (ORDER BY c DESC, tok ASC
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM tc)
+        |SELECT r.rank, r.tok, r.c, r.cum,
+        |  (r.cum * 1000000 // t.total)::BIGINT AS coverage_ppm
+        |FROM r CROSS JOIN tot t""".stripMargin,
+
+    "events_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+        |    count(*)::HUGEINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*)::HUGEINT AS nd,
+        |    sum(x) AS sx, sum(x * x) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+        |  CAST(sx AS BIGINT) AS total_events,
+        |  CAST(100 * (nd * sxx - sx * sx) // ((nd - 1) * sx) AS BIGINT)
+        |    AS vmr_e2,
+        |  (CAST(100 * (nd * sxx - sx * sx) // ((nd - 1) * sx) AS BIGINT)
+        |    > 100) AS bursty
+        |FROM m""".stripMargin,
 
     "link_jaro_winkler" ->
       """WITH c AS (
