@@ -999,6 +999,23 @@ object SparkEntry {
           Bitmaps.bitmap_cardinality(col("st")).as("n3")), Seq("doc_id"))
     }),
 
+    "graph_harmonic" -> ((s, dir) => {
+      // 3-hop harmonic centrality: Σ_d (|N_d| − |N_{d−1}|)/d over the
+      // SAME HyperANF neighborhood states as graph_neighborhood —
+      // composition, not recomputation: the per-hop reachable-set
+      // sizes already contain the distance histogram, so centrality
+      // is one integer projection (×10⁶, div per term) on top. The
+      // truncated-horizon form is exactly how harmonic centrality is
+      // computed at web scale (Boldi–Vigna: HyperANF counters ARE the
+      // centrality engine); the 100 TB story is the neighborhood
+      // query's (HLL registers), unchanged.
+      queries("graph_neighborhood")(s, dir)
+        .select(col("doc_id"), col("n3").as("reach3"),
+          ((col("n1") - 1) * 1000000 +
+            expr("(n2 - n1) * 1000000 div 2") +
+            expr("(n3 - n2) * 1000000 div 3")).as("harmonic_e6"))
+    }),
+
     "split_leakage_safe" -> ((s, dir) => {
       // group-aware train/val/test split: the SPLIT UNIT is the
       // near-dup CLUSTER, so a training doc can never have an eval-set
@@ -4488,6 +4505,46 @@ object SparkEntry {
           col("n_hapax"),
           expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
           expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
+    }),
+
+    "ml_auc_exact" -> ((s, dir) => {
+      // EXACT tie-aware ROC AUC of "pre-period activity predicts a
+      // FINAL-WEEK purchase" (day >= 28 — the label must not be
+      // saturated: every fixture user purchases over the full month,
+      // but only ~60%% do in the last days), by the rank formula AUC = (Σ_pos rank −
+      // P(P+1)/2) / (P·N) with average ranks over ties — entirely in
+      // integer arithmetic (average ranks are .5-rationals, so
+      // everything is carried ×2: rank2 = 2·cum_lower + ties + 1;
+      // auc_ppm = (Σ_pos rank2 − P(P+1))·10⁶ div (2·P·N)). No float
+      // threshold sweep, no trapezoid — the Mann–Whitney identity
+      // makes the answer exact and oracle-checkable. The ranking
+      // window runs on the SCORE-DOMAIN frame (distinct activity
+      // counts), not per-user rows — the domain-bounded-window
+      // discipline of profile_ks_test.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("day"),
+        col("event_type"))
+      val users = ev.groupBy("user_id").agg(
+        sum(when(col("day") < 15, 1L).otherwise(0L)).as("score"),
+        max(when(col("day") >= 28 &&
+          col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val byScore = users.groupBy("score").agg(
+          count(lit(1)).as("c"), sum("y").as("cp"))
+        .localCheckpoint(true) // cumulative window + totals read it
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = byScore
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("rank2sum_pos",
+          col("cp") * (lit(2) * (col("cum") - col("c"))
+            + col("c") + 1))
+      ranked.agg(sum("cp").as("n_pos"),
+          (sum("c") - sum("cp")).as("n_neg"),
+          sum("rank2sum_pos").as("r2p"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("(r2p - n_pos * (n_pos + 1)) * 1000000" +
+            " div (2 * n_pos * n_neg)").as("auc_ppm"))
     }),
 
     "text_vocab_coverage" -> ((s, dir) => {
@@ -8208,6 +8265,12 @@ object SparkEntry {
 
     "dedup_prefix_filter" -> OracleSql.dedupPrefixFilter(minSim = 0.5),
     "graph_neighborhood" -> OracleSql.graphNeighborhood(),
+
+    "graph_harmonic" ->
+      s"""SELECT doc_id, n3 AS reach3,
+         |  ((n1 - 1) * 1000000 + ((n2 - n1) * 1000000 // 2)
+         |    + ((n3 - n2) * 1000000 // 3))::BIGINT AS harmonic_e6
+         |FROM (${OracleSql.graphNeighborhood()}) base""".stripMargin,
     "ml_logreg_train" -> OracleSql.mlLogregTrain(iters = 3),
 
     "sim_graph_topk" -> OracleSql.simGraphTopK(),
@@ -8622,6 +8685,36 @@ object SparkEntry {
         |  (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
         |    // count(*))::BIGINT AS hapax_ppm
         |FROM tc GROUP BY 1""".stripMargin,
+
+    "ml_auc_exact" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+        |    event_type
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN day < 15 THEN 1 ELSE 0 END)::BIGINT AS score,
+        |    max(CASE WHEN day >= 28 AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM ev GROUP BY 1),
+        |bs AS (
+        |  SELECT score, count(*)::BIGINT AS c, sum(y)::BIGINT AS cp
+        |  FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT score, c, cp,
+        |    sum(c) OVER (ORDER BY score
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM bs),
+        |m AS (
+        |  SELECT sum(cp)::BIGINT AS n_pos,
+        |    (sum(c) - sum(cp))::BIGINT AS n_neg,
+        |    sum(cp * (2 * (cum - c) + c + 1))::BIGINT AS r2p
+        |  FROM r)
+        |SELECT n_pos, n_neg,
+        |  ((r2p - n_pos * (n_pos + 1)) * 1000000
+        |    // (2 * n_pos * n_neg))::BIGINT AS auc_ppm
+        |FROM m""".stripMargin,
 
     "text_vocab_coverage" ->
       """WITH tok AS (
