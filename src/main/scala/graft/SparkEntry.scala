@@ -4507,6 +4507,37 @@ object SparkEntry {
           expr("n_hapax * 1000000 div n_types").as("hapax_ppm"))
     }),
 
+    "ml_isotonic_fit" -> ((s, dir) => {
+      // isotonic (PAVA) calibration of the keep-prob gate, via the
+      // exact minimax identity g(p) = max_{i≤p} min_{j≥p} rate(i..j)
+      // instead of the sequential pool-adjacent-violators loop: on the
+      // DECILE frame (B = 10 bins) the full identity is three bounded
+      // joins over O(B³) tiny rows — no driver iteration, no
+      // recursion cap, exact integer ppm end-to-end (both engines
+      // truncate the same interval rates, so the fit is
+      // hash-identical). fitted_ppm is non-decreasing by construction
+      // — the monotone repair of the reliability curve. The label is
+      // the LONG-DOC indicator (n_chars ≥ 300): correlated with the
+      // gate through its length feature but noisy, so the raw decile
+      // rates are non-monotone and the pooling step genuinely fires
+      // (the quality pseudo-label saturates at 1.0 on this fixture —
+      // nothing to repair).
+      val docs = t(s, dir, "documents")
+      val quality = TextFunctions.qualityScore(col("text"))
+      val lenNorm = least(
+        TextFunctions.tokenCount(col("text")).cast("double") / lit(256.0),
+        lit(1.0))
+      val prob = Curation.linearKeepProb(-1.4, quality -> 2.2,
+        lenNorm -> 1.1)
+      val bins = docs.select(
+          round(prob * 10000).cast("long").as("p4"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("pos"))
+        .select(least(col("p4") / 1000, lit(9L)).cast("long").as("bin"),
+          col("pos"))
+        .groupBy("bin").agg(count(lit(1)).as("n"), sum("pos").as("p"))
+      Analytics.isotonicFitPpm(bins)
+    }),
+
     "ml_auc_exact" -> ((s, dir) => {
       // EXACT tie-aware ROC AUC of "pre-period activity predicts a
       // FINAL-WEEK purchase" (day >= 28 — the label must not be
@@ -8685,6 +8716,52 @@ object SparkEntry {
         |  (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
         |    // count(*))::BIGINT AS hapax_ppm
         |FROM tc GROUP BY 1""".stripMargin,
+
+    "ml_isotonic_fit" ->
+      s"""WITH q AS ($QualityOracle),
+         |n AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         |     END)::BIGINT AS n_tokens
+         |  FROM documents),
+         |z AS (
+         |  SELECT q.doc_id, q.quality,
+         |    -1.4 + q.quality * 2.2 +
+         |      least(n.n_tokens / 256.0, 1.0) * 1.1 AS z
+         |  FROM q JOIN n USING (doc_id)),
+         |p AS (
+         |  SELECT doc_id, quality,
+         |    round(CAST(CAST((0.5 + 0.5 * z / (1.0 + abs(z)))
+         |      AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS keep_prob
+         |  FROM z),
+         |sc AS (
+         |  SELECT CAST(round(p.keep_prob * 10000) AS BIGINT) AS p4,
+         |    CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS pos
+         |  FROM p JOIN documents d USING (doc_id)),
+         |bins AS (
+         |  SELECT least(p4 // 1000, 9)::BIGINT AS bin,
+         |    count(*)::BIGINT AS n, sum(pos)::BIGINT AS p
+         |  FROM sc GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.bin AS lo, b.bin AS hi
+         |  FROM bins a JOIN bins b ON a.bin <= b.bin),
+         |iv AS (
+         |  SELECT pr.lo, pr.hi,
+         |    (sum(m.p) * 1000000 // sum(m.n))::BIGINT AS rate_ppm
+         |  FROM pairs pr JOIN bins m ON m.bin BETWEEN pr.lo AND pr.hi
+         |  GROUP BY 1, 2),
+         |f1 AS (
+         |  SELECT b.bin, iv.lo, min(iv.rate_ppm) AS minj
+         |  FROM bins b JOIN iv ON iv.lo <= b.bin AND b.bin <= iv.hi
+         |  GROUP BY 1, 2),
+         |fit AS (
+         |  SELECT bin, max(minj)::BIGINT AS fitted_ppm
+         |  FROM f1 GROUP BY 1)
+         |SELECT bins.bin, bins.n AS n_docs,
+         |  (bins.p * 1000000 // bins.n)::BIGINT AS raw_ppm,
+         |  fit.fitted_ppm
+         |FROM bins JOIN fit USING (bin)""".stripMargin,
 
     "ml_auc_exact" ->
       """WITH ev AS (

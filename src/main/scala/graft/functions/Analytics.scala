@@ -24,6 +24,39 @@ object Analytics {
 
   private val D = "decimal(38,0)"
 
+  /** Weighted isotonic (PAVA) fit over a binned reliability frame via
+    * the exact minimax identity g(p) = max_{i≤p} min_{j≥p} rate(i..j)
+    * — no sequential pool-adjacent-violators loop, no driver
+    * iteration: on a B-bin frame the identity is three bounded joins
+    * over O(B³) rows, and with integer-ppm interval rates the result
+    * is engine-independent (any two engines truncating the same
+    * intervals produce the same fit). `fitted_ppm` is non-decreasing
+    * in `bin` by construction.
+    *
+    * Input frame: one row per bin with (binCol: long, `n`: long count,
+    * `p`: long positives). Output: (binCol, n_docs, raw_ppm,
+    * fitted_ppm).
+    */
+  def isotonicFitPpm(bins: DataFrame, binCol: String = "bin"): DataFrame = {
+    val b = bins.localCheckpoint(true) // interval + fit joins reuse it
+    val pairs = b.as("a").join(b.as("b"),
+        col(s"a.$binCol") <= col(s"b.$binCol"))
+      .select(col(s"a.$binCol").as("lo"), col(s"b.$binCol").as("hi"))
+    val iv = pairs.join(b.as("m"),
+        col(s"m.$binCol") >= col("lo") && col(s"m.$binCol") <= col("hi"))
+      .groupBy("lo", "hi")
+      .agg(expr("sum(p) * 1000000 div sum(n)").as("rate_ppm"))
+    val f1 = b.select(col(binCol))
+      .join(iv, col("lo") <= col(binCol) && col(binCol) <= col("hi"))
+      .groupBy(col(binCol), col("lo")).agg(min("rate_ppm").as("minj"))
+    val fit = f1.groupBy(binCol).agg(max("minj").as("fitted_ppm"))
+    b.select(col(binCol), col("n").as("n_docs"),
+        expr("p * 1000000 div n").as("raw_ppm"))
+      .join(fit, Seq(binCol))
+      .select(col(binCol), col("n_docs"), col("raw_ppm"),
+        col("fitted_ppm"))
+  }
+
   /** Per-group OLS fit y = slope·x + intercept over scaled-integer
     * columns `xInt`/`yInt` (e.g. cents, basis points). Emits slope
     * (6 dp) and intercept (2 dp) in the y-unit.

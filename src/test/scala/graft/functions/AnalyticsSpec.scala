@@ -7,6 +7,33 @@ import graft.SparkSpec
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("isotonic fit pools adjacent violators (minimax ≡ PAVA)") {
+    // bins 0..4, rates 0.2, 0.8, 0.4, 0.6, 1.0 with equal weights:
+    // PAVA pools bins 1-3 (0.8, 0.4, 0.6 → 0.6) and leaves 0 and 4.
+    val bins = Seq(
+      (0L, 10L, 2L), (1L, 10L, 8L), (2L, 10L, 4L),
+      (3L, 10L, 6L), (4L, 10L, 10L)).toDF("bin", "n", "p")
+    val fit = Analytics.isotonicFitPpm(bins)
+      .orderBy("bin")
+      .select("bin", "raw_ppm", "fitted_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fit.map(_._2) == Seq(200000L, 800000L, 400000L, 600000L,
+      1000000L))
+    assert(fit.map(_._3) == Seq(200000L, 600000L, 600000L, 600000L,
+      1000000L), s"pooling wrong: $fit")
+  }
+
+  test("isotonic fit output is always monotone, weighted pooling exact") {
+    // weighted violator: bin 1 heavy (0.9 × 30), bin 2 light (0.1 × 10)
+    // → pooled rate = (27 + 1) / 40 = 0.7
+    val bins = Seq((0L, 10L, 1L), (1L, 30L, 27L), (2L, 10L, 1L))
+      .toDF("bin", "n", "p")
+    val fit = Analytics.isotonicFitPpm(bins).orderBy("bin")
+      .select("fitted_ppm").as[Long].collect().toSeq
+    assert(fit == Seq(100000L, 700000L, 700000L), s"got $fit")
+    assert(fit == fit.sorted, "fitted must be non-decreasing")
+  }
+
   test("linreg recovers an exact linear relationship per group") {
     // g=a: y = 3x + 10 exactly; g=b: y = -2x + 5 exactly
     val rows =
