@@ -5762,6 +5762,30 @@ object SparkEntry {
           sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
     }),
 
+    "source_partitioned_pruning" -> ((s, dir) => {
+      // hive-style partitioned layout + partition pruning — the lake
+      // feature every 100 TB table depends on (a date/lang-partitioned
+      // table turns a full scan into a directory lookup): write the
+      // documents table partitioned by lang, read it back with a lang
+      // filter, and aggregate. The filter resolves at PLANNING time
+      // against the directory listing (PartitionFilters, pinned by
+      // PlanHygieneSpec — only the matching partition's files are
+      // read); the oracle recomputes from the unpartitioned original.
+      // Per-run scratch path (applicationId) — the parquet_evolution
+      // concurrency discipline.
+      val docs = t(s, dir, "documents")
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_part_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      docs.write.mode("overwrite").partitionBy("lang").parquet(base)
+      s.read.parquet(base)
+        .filter(col("lang") === "en")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
     "multimodal_audio_fingerprint" -> ((s, dir) => {
       // acoustic fingerprinting over the REAL decode path: per-frame
       // (100-sample) energy from the JDK-decoded PCM, bit f set iff
@@ -7279,6 +7303,11 @@ object SparkEntry {
     // share the one pixel-formula oracle — equality proves the decode
     // paths (indexed-palette resolution included) are exact.
     "multimodal_gif_decode" -> ImageStatsOracleSql,
+
+    "source_partitioned_pruning" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
     "multimodal_bmp_decode" -> ImageStatsOracleSql,
 
     "agg_cube" ->

@@ -39,6 +39,20 @@ class PlanHygieneSpec extends SparkSpec {
       s"expected pruned schema, got: $readSchema")
   }
 
+  test("partitioned read prunes to the matching partition at planning") {
+    val df = SparkEntry.queries("source_partitioned_pruning")(
+      spark, sf("sf0.001"))
+    val scan = scans(df).head
+    val pf = scan.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("lang") && pf.contains("en"),
+      s"lang filter must be a PARTITION filter, got: $pf")
+    // the pruned scan must see only the lang=en partition's files
+    assert(scan.relation.partitionSchema.fieldNames.contains("lang"))
+    val nParts = scan.selectedPartitions.partitionCount
+    assert(nParts == 1,
+      s"expected exactly 1 surviving partition, got $nParts")
+  }
+
   test("dimension joins broadcast (no fact-side shuffle for enrichment)") {
     val plan = SparkEntry.queries("q5_local_supplier")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
