@@ -5762,6 +5762,35 @@ object SparkEntry {
           sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
     }),
 
+    "source_bucketed_join" -> ((s, dir) => {
+      // bucketed tables + shuffle-free co-located join — the OTHER
+      // lake primitive a 100 TB fact table depends on: orders and
+      // customer both bucketed 8 ways on the customer key, so the join
+      // reads bucket i against bucket i with NO Exchange on either
+      // side (ScaleSpec pins the zero-shuffle plan); only the final
+      // segment rollup shuffles. Unique per-run table names
+      // (applicationId) in the session catalog; data lands under
+      // java.io.tmpdir like the other scratch fixtures.
+      val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      val tag = Integer.toHexString(dir.hashCode)
+      val base = new java.io.File(
+        new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_bucket_${app}_$tag").getAbsolutePath
+      val ot = s"orders_b_${app}_$tag"
+      val ct = s"customer_b_${app}_$tag"
+      t(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/o").saveAsTable(ot)
+      t(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/c").saveAsTable(ct)
+      s.table(ot).join(s.table(ct),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+    }),
+
     "source_partitioned_pruning" -> ((s, dir) => {
       // hive-style partitioned layout + partition pruning — the lake
       // feature every 100 TB table depends on (a date/lang-partitioned
@@ -7303,6 +7332,12 @@ object SparkEntry {
     // share the one pixel-formula oracle — equality proves the decode
     // paths (indexed-palette resolution included) are exact.
     "multimodal_gif_decode" -> ImageStatsOracleSql,
+
+    "source_bucketed_join" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     "source_partitioned_pruning" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,

@@ -122,6 +122,40 @@ class ScaleSpec extends SparkSpec {
       .equalsIgnoreCase("static"))
   }
 
+  test("bucketed tables join with ZERO shuffle exchanges") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-bucket-spec").toString
+    val a = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 2).as("va"))
+    val b = spark.range(500).select(col("id").as("k"),
+      (col("id") * 3).as("vb"))
+    a.write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .option("path", s"$base/a").saveAsTable("bkt_a_spec")
+    b.write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .option("path", s"$base/b").saveAsTable("bkt_b_spec")
+    // disable auto-broadcast so the join would NEED a shuffle if the
+    // bucketing were not honored
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_a_spec")
+        .join(spark.table("bkt_b_spec"), Seq("k"))
+      assert(j.count() == 500)
+      val plan = j.queryExecution.executedPlan.toString
+      val shuffles = plan.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles == 0,
+        s"bucket-local join must not shuffle, got $shuffles exchanges")
+      assert(plan.contains("SortMergeJoin"),
+        "expected a sort-merge join over the bucketed scans")
+      assert(plan.contains("SelectedBucketsCount"),
+        "expected bucketed scans on both sides")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_a_spec")
+      spark.sql("DROP TABLE IF EXISTS bkt_b_spec")
+    }
+  }
+
   test("coPartition co-locates and the join avoids extra exchanges") {
     val (a, b) = Scale.coPartition(
       spark.range(1000).select(col("id").as("k"), col("id").as("va")),
