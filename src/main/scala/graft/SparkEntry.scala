@@ -4604,6 +4604,51 @@ object SparkEntry {
           expr("cum * 1000000 div total").as("coverage_ppm"))
     }),
 
+    "orders_rapid_repeat" -> ((s, dir) => {
+      // duplicate-submission / fraud audit: pairs of orders by the
+      // SAME customer within 1 day of each other — the operational
+      // "did this customer double-submit?" screen (the exact-amount
+      // variant is empty on this fixture: prices are near-unique).
+      // Equi-join on the customer key with a ±1-day band predicate on
+      // top — the join stays keyed (no theta join); per-customer
+      // fan-out is order-count bounded.
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      o.as("a").join(o.as("b"),
+          col("a.o_custkey") === col("b.o_custkey") &&
+            col("a.o_orderkey") < col("b.o_orderkey") &&
+            abs(datediff(col("b.d"), col("a.d"))) <= 1)
+        .select(col("a.o_custkey").as("custkey"),
+          col("a.o_orderkey").as("key_a"),
+          col("b.o_orderkey").as("key_b"),
+          datediff(col("b.d"), col("a.d")).cast("long").as("gap_days"),
+          col("a.cents").as("cents_a"), col("b.cents").as("cents_b"))
+    }),
+
+    "events_markov_transitions" -> ((s, dir) => {
+      // first-order behavioral Markov chain: per-user event-type
+      // transition counts and row-normalized probabilities in exact
+      // ppm — the session-modeling primitive behind next-action
+      // prediction and funnel-drop analysis. One lag window per user
+      // (keyed shuffle, total (ts, event_id) tie-break), one (from,
+      // to) rollup on the enum² frame; row totals broadcast back.
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val tr = ev.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("to_type"))
+        .withColumn("from_type", lag(col("to_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // row totals + probabilities read it
+      val totals = tr.groupBy("from_type").agg(sum("n").as("ft"))
+      tr.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 1000000 div ft").as("p_ppm"))
+    }),
+
     "events_burstiness" -> ((s, dir) => {
       // traffic burstiness per event type: variance-to-mean ratio
       // (dispersion index) of the daily counts in exact decimal
@@ -8874,6 +8919,39 @@ object SparkEntry {
         |SELECT r.rank, r.tok, r.c, r.cum,
         |  (r.cum * 1000000 // t.total)::BIGINT AS coverage_ppm
         |FROM r CROSS JOIN tot t""".stripMargin,
+
+    "orders_rapid_repeat" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate::DATE AS d,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT a.o_custkey AS custkey, a.o_orderkey AS key_a,
+        |  b.o_orderkey AS key_b,
+        |  datediff('day', a.d, b.d)::BIGINT AS gap_days,
+        |  a.cents AS cents_a, b.cents AS cents_b
+        |FROM o a JOIN o b
+        |  ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderkey < b.o_orderkey
+        |  AND abs(datediff('day', a.d, b.d)) <= 1""".stripMargin,
+
+    "events_markov_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts)::BIGINT AS us, event_id,
+        |    event_type AS to_type
+        |  FROM events),
+        |tr0 AS (
+        |  SELECT user_id, to_type,
+        |    lag(to_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS from_type
+        |  FROM ev),
+        |tr AS (
+        |  SELECT from_type, to_type, count(*)::BIGINT AS n
+        |  FROM tr0 WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, sum(n)::BIGINT AS ft FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        |  (tr.n * 1000000 // tot.ft)::BIGINT AS p_ppm
+        |FROM tr JOIN tot USING (from_type)""".stripMargin,
 
     "events_burstiness" ->
       """WITH daily AS (
