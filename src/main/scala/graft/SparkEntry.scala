@@ -4626,29 +4626,6 @@ object SparkEntry {
           col("a.cents").as("cents_a"), col("b.cents").as("cents_b"))
     }),
 
-    "events_markov_transitions" -> ((s, dir) => {
-      // first-order behavioral Markov chain: per-user event-type
-      // transition counts and row-normalized probabilities in exact
-      // ppm — the session-modeling primitive behind next-action
-      // prediction and funnel-drop analysis. One lag window per user
-      // (keyed shuffle, total (ts, event_id) tie-break), one (from,
-      // to) rollup on the enum² frame; row totals broadcast back.
-      val ev = t(s, dir, "events")
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
-      val tr = ev.select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("to_type"))
-        .withColumn("from_type", lag(col("to_type"), 1).over(w))
-        .filter(col("from_type").isNotNull)
-        .groupBy("from_type", "to_type")
-        .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // row totals + probabilities read it
-      val totals = tr.groupBy("from_type").agg(sum("n").as("ft"))
-      tr.join(broadcast(totals), Seq("from_type"))
-        .select(col("from_type"), col("to_type"), col("n"),
-          expr("n * 1000000 div ft").as("p_ppm"))
-    }),
-
     "events_burstiness" -> ((s, dir) => {
       // traffic burstiness per event type: variance-to-mean ratio
       // (dispersion index) of the daily counts in exact decimal
@@ -8933,25 +8910,6 @@ object SparkEntry {
         |  ON a.o_custkey = b.o_custkey
         |  AND a.o_orderkey < b.o_orderkey
         |  AND abs(datediff('day', a.d, b.d)) <= 1""".stripMargin,
-
-    "events_markov_transitions" ->
-      """WITH ev AS (
-        |  SELECT user_id, epoch_us(ts)::BIGINT AS us, event_id,
-        |    event_type AS to_type
-        |  FROM events),
-        |tr0 AS (
-        |  SELECT user_id, to_type,
-        |    lag(to_type) OVER (PARTITION BY user_id
-        |      ORDER BY us, event_id) AS from_type
-        |  FROM ev),
-        |tr AS (
-        |  SELECT from_type, to_type, count(*)::BIGINT AS n
-        |  FROM tr0 WHERE from_type IS NOT NULL GROUP BY 1, 2),
-        |tot AS (
-        |  SELECT from_type, sum(n)::BIGINT AS ft FROM tr GROUP BY 1)
-        |SELECT tr.from_type, tr.to_type, tr.n,
-        |  (tr.n * 1000000 // tot.ft)::BIGINT AS p_ppm
-        |FROM tr JOIN tot USING (from_type)""".stripMargin,
 
     "events_burstiness" ->
       """WITH daily AS (
