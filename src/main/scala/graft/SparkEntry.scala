@@ -4678,14 +4678,17 @@ object SparkEntry {
     }),
 
     "profile_chi2_independence" -> ((s, dir) => {
-      // chi-square test of independence between event type and
-      // day-of-week — "is the traffic mix a function of the weekly
-      // cycle?" — with per-cell contributions in exact decimal
-      // arithmetic: chi² = Σ (O·N − R·C)² / (N·R·C), so no float
-      // expected-count ever exists (the log-free complement to
-      // profile_mutual_information). decimal(38,0) because (O·N)² is
-      // ~10²⁴ at petabyte row counts. One cell rollup; row/col totals
-      // are enum×7-bounded frames, broadcast back onto the cells.
+      // PER-CELL chi-square decomposition of event-type ×
+      // day-of-week dependence — the drill-down companion of
+      // [[profile_chi2]] (which reports the SUMMED statistic per
+      // column pair): this emits each cell's observed count, expected
+      // count (e2) and chi² contribution (e6), answering "WHICH
+      // day×type cells drive the weekly-cycle dependence", which the
+      // aggregate number cannot. Same exact-decimal identity,
+      // chi² = Σ (O·N − R·C)² / (N·R·C) — no float expected counts;
+      // decimal(38,0) because (O·N)² is ~10²⁴ at petabyte row counts.
+      // One cell rollup; row/col totals are enum×7-bounded frames,
+      // broadcast back onto the cells.
       val dd = "decimal(38,0)"
       val ev = t(s, dir, "events").select(col("event_type"),
         pmod(pmod(datediff(col("ts").cast("date"),
