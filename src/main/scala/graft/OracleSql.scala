@@ -3022,4 +3022,58 @@ object OracleSql {
        |  (coalesce(ds.score, 0) > 0) AS keep
        |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin
   }
+
+  /** Oracle for `events_dtw_pairs`: replays the engine's full DTW DP
+    * (exact Long |a−b| cost, min over up/left/diag) as a recursive CTE
+    * that fills the dim×dim grid ONE cell per iteration in row-major
+    * order, carrying the grid as a growing BIGINT list — recursion
+    * materializes every step, so the 3-reference-per-cell recurrence
+    * can't hit DuckDB's CTE-inlining explosion (pitfall the chained-
+    * alias form would). Cell (i,j) lives at 1-based list position
+    * i*dim+j+1; unavailable neighbors take a large sentinel that can
+    * never win `least` (every cell after the first has ≥1 real
+    * neighbor). Profiles and the top-N frame are MATERIALIZED (each
+    * referenced twice by the pair self-join).
+    */
+  def eventsDtwPairs(dim: Int = 24, topN: Int = 8): String = {
+    require(dim >= 2 && topN >= 2, s"need dim/topN >= 2: $dim/$topN")
+    val lastK = dim * dim - 1
+    val sent = "4611686018427387904" // 2^62: never wins least()
+    s"""WITH RECURSIVE grid AS (
+       |  SELECT e.user_id, x.h,
+       |    sum(CASE WHEN extract(hour FROM e.ts) = x.h
+       |        THEN 1 ELSE 0 END)::BIGINT AS cnt
+       |  FROM events e
+       |    CROSS JOIN (SELECT unnest(range($dim)) AS h) x
+       |  GROUP BY e.user_id, x.h),
+       |prof AS MATERIALIZED (
+       |  SELECT user_id, sum(cnt)::BIGINT AS n_events,
+       |    list(cnt ORDER BY h) AS prof
+       |  FROM grid GROUP BY user_id),
+       |top AS MATERIALIZED (
+       |  SELECT user_id, prof FROM prof
+       |  ORDER BY n_events DESC, user_id LIMIT $topN),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.user_id AS user_a, b.user_id AS user_b,
+       |    a.prof AS av, b.prof AS bv
+       |  FROM top a JOIN top b ON a.user_id < b.user_id),
+       |dp AS (
+       |  SELECT user_a, user_b, av, bv, 0 AS k,
+       |    [abs(av[1] - bv[1])] AS cells
+       |  FROM pairs
+       |  UNION ALL
+       |  SELECT user_a, user_b, av, bv, k + 1,
+       |    list_append(cells,
+       |      abs(av[(k + 1) // $dim + 1] - bv[(k + 1) % $dim + 1]) +
+       |      least(
+       |        CASE WHEN (k + 1) // $dim > 0
+       |          THEN cells[k - ${dim - 2}] ELSE $sent END,
+       |        CASE WHEN (k + 1) % $dim > 0
+       |          THEN cells[k + 1] ELSE $sent END,
+       |        CASE WHEN (k + 1) // $dim > 0 AND (k + 1) % $dim > 0
+       |          THEN cells[k - ${dim - 1}] ELSE $sent END))
+       |  FROM dp WHERE k < $lastK)
+       |SELECT user_a, user_b, cells[${lastK + 1}]::BIGINT AS dtw_cost
+       |FROM dp WHERE k = $lastK""".stripMargin
+  }
 }

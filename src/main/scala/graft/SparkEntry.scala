@@ -6038,6 +6038,35 @@ object SparkEntry {
         .select(col("media_id"), col("n_sampled"), col("n_frames"),
           expr("(n_frames * 1000) div fps").as("duration_ms"),
           coalesce(col("motion_raw"), lit(0L)).as("motion_abs"))
+    }),
+
+    "events_dtw_pairs" -> ((s, dir) => {
+      // dynamic-time-warping similarity between user activity SHAPES:
+      // each of the 8 most-active users gets a 24-bin hour-of-day
+      // profile (exact Long counts), then every pair is scored with
+      // the native dtw_distance expression — elastic alignment, so a
+      // user who does the same thing 2 hours later still scores close.
+      // The profile rollup is one map-side-combined pass over events
+      // (24 conditional sums, no shuffle beyond the groupBy); the pair
+      // join is top-8 × top-8 (bounded, broadcast), and the DP itself
+      // is a codegen'd scalar — at 100 TB the only data-sized cost is
+      // the single profile scan.
+      import graft.expressions.DtwDistanceCol.dtw_distance
+      val prof = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          array((0 until 24).map(h =>
+            sum(when(hour(col("ts")) === h, 1L).otherwise(0L))): _*)
+            .as("prof"))
+      val top = prof.orderBy(col("n_events").desc, col("user_id"))
+        .limit(8).select(col("user_id"), col("prof"))
+      top.select(col("user_id").as("user_a"), col("prof").as("pa"))
+        .join(
+          top.select(col("user_id").as("user_b"), col("prof").as("pb")),
+          col("user_a") < col("user_b"))
+        .select(col("user_a"), col("user_b"),
+          dtw_distance(col("pa"), col("pb")).as("dtw_cost"))
     })
   )
 
@@ -9603,6 +9632,8 @@ object SparkEntry {
         |  (CASE WHEN bkey // 32 <= 5 THEN bkey % 32
         |    ELSE (bkey % 32) << CAST(bkey // 32 - 5 AS INT)
         |  END)::BIGINT AS est_lb
-        |FROM hits""".stripMargin
+        |FROM hits""".stripMargin,
+
+    "events_dtw_pairs" -> OracleSql.eventsDtwPairs()
   )
 }
