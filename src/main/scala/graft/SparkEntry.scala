@@ -6067,6 +6067,56 @@ object SparkEntry {
           col("user_a") < col("user_b"))
         .select(col("user_a"), col("user_b"),
           dtw_distance(col("pa"), col("pb")).as("dtw_cost"))
+    }),
+
+    "link_survivorship" -> ((s, dir) => {
+      // golden-record construction — the stage AFTER matching in an
+      // entity-resolution pipeline (Fellegi–Sunter/Jaro–Winkler score
+      // pairs; THIS op merges each matched cluster into one surviving
+      // record under explicit per-attribute rules): name by the
+      // completeness rule (longest, tie → lexicographic min), balance
+      // by the max rule, segment by deterministic mode (most frequent,
+      // tie → lexicographic min). Pipeline: nation-blocked JW pairs →
+      // min-label connected components → two narrow per-cluster
+      // rollups + a per-cluster top-1 window (partitioned — no global
+      // sort). At 100 TB the candidate stage is the existing blocked/
+      // sorted-neighborhood/LSH machinery; components converge in
+      // O(cluster diameter) checkpointed rounds; survivorship itself
+      // is cluster-local.
+      import graft.expressions.JaroWinklerCol.jaro_winkler
+      val c = t(s, dir, "customer")
+        .filter(col("c_custkey") < 500)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+          col("c_mktsegment"))
+      val jw = jaro_winkler(col("a.c_name"), col("b.c_name"))
+      val pairs = c.as("a").join(c.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .filter(jw > 0.955)
+        .select(col("a.c_custkey").as("u"), col("b.c_custkey").as("v"))
+      val members = Dedup.connectedComponents(pairs, "u", "v")
+        .withColumnRenamed("rep_id", "rep")
+        .join(c, col("doc_id") === col("c_custkey"))
+      val canon = members.withColumn("rn", row_number().over(
+          Window.partitionBy("rep")
+            .orderBy(length(col("c_name")).desc, col("c_name"))))
+        .filter(col("rn") === 1)
+        .select(col("rep"), col("c_name").as("canonical_name"))
+      val segMode = members
+        .groupBy(col("rep"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("rep")
+            .orderBy(col("cnt").desc, col("c_mktsegment"))))
+        .filter(col("rn") === 1)
+        .select(col("rep"), col("c_mktsegment").as("seg_mode"))
+      members.groupBy("rep")
+        .agg(count(lit(1)).as("n_members"),
+          max("bal_cents").as("max_bal_cents"))
+        .join(canon, "rep").join(segMode, "rep")
+        .select(col("rep").as("cluster_key"), col("n_members"),
+          col("canonical_name"), col("max_bal_cents"), col("seg_mode"))
     })
   )
 
@@ -9634,6 +9684,52 @@ object SparkEntry {
         |  END)::BIGINT AS est_lb
         |FROM hits""".stripMargin,
 
-    "events_dtw_pairs" -> OracleSql.eventsDtwPairs()
+    "events_dtw_pairs" -> OracleSql.eventsDtwPairs(),
+
+    // min-label closure over the symmetric JW match graph (recursive
+    // UNION dedups each round → terminates at the component diameter);
+    // survivorship rules replayed verbatim: longest-name/lex-min,
+    // max balance, deterministic mode. DuckDB's builtin JW is the
+    // proven bit-exact twin of the native expression.
+    "link_survivorship" ->
+      """WITH RECURSIVE c AS MATERIALIZED (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey < 500),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.c_custkey AS u, b.c_custkey AS v
+        |  FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_custkey < b.c_custkey
+        |  WHERE jaro_winkler_similarity(a.c_name, b.c_name) > 0.955),
+        |edges AS MATERIALIZED (
+        |  SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach AS (
+        |  SELECT u AS n, v AS r FROM edges
+        |  UNION
+        |  SELECT e.u AS n, r.r FROM edges e JOIN reach r ON e.v = r.n),
+        |comp AS MATERIALIZED (
+        |  SELECT n AS id, least(n, min(r)) AS rep FROM reach GROUP BY n),
+        |m AS MATERIALIZED (
+        |  SELECT comp.rep, c.* FROM comp JOIN c ON c.c_custkey = comp.id),
+        |canon AS (
+        |  SELECT rep, c_name AS canonical_name FROM (
+        |    SELECT rep, c_name, row_number() OVER (PARTITION BY rep
+        |      ORDER BY length(c_name) DESC, c_name) AS rn FROM m)
+        |  WHERE rn = 1),
+        |segmode AS (
+        |  SELECT rep, c_mktsegment AS seg_mode FROM (
+        |    SELECT rep, c_mktsegment, row_number() OVER (
+        |        PARTITION BY rep
+        |        ORDER BY count(*) DESC, c_mktsegment) AS rn
+        |    FROM m GROUP BY rep, c_mktsegment)
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT rep, count(*)::BIGINT AS n_members,
+        |    max(bal_cents)::BIGINT AS max_bal_cents
+        |  FROM m GROUP BY rep)
+        |SELECT agg.rep AS cluster_key, agg.n_members,
+        |  canon.canonical_name, agg.max_bal_cents, segmode.seg_mode
+        |FROM agg JOIN canon USING (rep) JOIN segmode USING (rep)""".stripMargin
   )
 }

@@ -95,4 +95,54 @@ class RecordLinkageSpec extends SparkSpec {
       blockCols = Seq("snm_key"), window = 5, shingleN = 1, minSim = 0.5)
     assert(out.count() == 1)
   }
+
+  test("survivorship golden records match a driver-side union-find replay") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.JaroWinklerImpl
+
+    val got = graft.SparkEntry.queries("link_survivorship")(
+      spark, sf("sf0.001"))
+      .as[(Long, Long, String, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // independent replay: collect the tiny fixture slice, rebuild the
+    // match graph with the SAME scorer, union-find the clusters, and
+    // apply each survivorship rule in plain Scala
+    val rows = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .filter(col("c_custkey") < 500)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        org.apache.spark.sql.functions.floor(col("c_acctbal") * 100)
+          .cast("long").as("bal"), col("c_mktsegment"))
+      .as[(Long, String, Long, Long, String)].collect()
+    val parent = scala.collection.mutable.Map(
+      rows.map(r => r._1 -> r._1).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      a <- rows; b <- rows
+      if a._3 == b._3 && a._1 < b._1 &&
+        JaroWinklerImpl.similarity(UTF8String.fromString(a._2),
+          UTF8String.fromString(b._2)) > 0.955
+    } {
+      val (ra, rb) = (find(a._1), find(b._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clusters = rows.filter(r => rows.exists(o =>
+        find(o._1) == find(r._1) && o._1 != r._1))
+      .groupBy(r => find(r._1))
+
+    assert(got.keySet == clusters.keySet)
+    clusters.foreach { case (k, ms) =>
+      val (_, n, name, bal, seg) = got(k)
+      assert(n == ms.length)
+      val maxLen = ms.map(_._2.length).max
+      assert(name == ms.filter(_._2.length == maxLen).map(_._2).min)
+      assert(bal == ms.map(_._4).max)
+      val segCnt = ms.groupBy(_._5).view.mapValues(_.length)
+      val best = segCnt.values.max
+      assert(seg == segCnt.collect {
+        case (s, c) if c == best => s }.min)
+    }
+  }
 }
