@@ -6059,8 +6059,11 @@ object SparkEntry {
           array((0 until 24).map(h =>
             sum(when(hour(col("ts")) === h, 1L).otherwise(0L))): _*)
             .as("prof"))
+      // materialize the 8-row top frame: both pair-join sides read it,
+      // and an uncut plan would run the full profile scan TWICE
       val top = prof.orderBy(col("n_events").desc, col("user_id"))
         .limit(8).select(col("user_id"), col("prof"))
+        .localCheckpoint(true)
       top.select(col("user_id").as("user_a"), col("prof").as("pa"))
         .join(
           top.select(col("user_id").as("user_b"), col("prof").as("pb")),
@@ -6095,9 +6098,13 @@ object SparkEntry {
             col("a.c_custkey") < col("b.c_custkey"))
         .filter(jw > 0.955)
         .select(col("a.c_custkey").as("u"), col("b.c_custkey").as("v"))
+      // materialize the member frame ONCE: three rollups (canonical
+      // name, segment mode, count/max) read it, and an uncut plan
+      // would re-run the match join + component join per rollup
       val members = Dedup.connectedComponents(pairs, "u", "v")
         .withColumnRenamed("rep_id", "rep")
         .join(c, col("doc_id") === col("c_custkey"))
+        .localCheckpoint(true)
       val canon = members.withColumn("rn", row_number().over(
           Window.partitionBy("rep")
             .orderBy(length(col("c_name")).desc, col("c_name"))))

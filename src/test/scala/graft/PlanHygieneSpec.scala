@@ -454,4 +454,24 @@ class PlanHygieneSpec extends SparkSpec {
     assert(globals == 0,
       "CEP ranking windows must be purchase-partitioned, not global")
   }
+
+  test("DTW pair join reads the checkpointed top frame, one events scan") {
+    // the 8-row top frame is materialized before the self-join; an
+    // uncut plan would run the full profile rollup once per side
+    val plan = SparkEntry.queries("events_dtw_pairs")(
+      spark, sf("sf0.001")).queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"))
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"events re-scan leaked into the DTW pair plan:\n${plan.take(1500)}")
+  }
+
+  test("survivorship rollups read the checkpointed member frame") {
+    // canonical-name, segment-mode and count/max all consume members;
+    // the checkpoint keeps the match join + component join to ONE run
+    val plan = SparkEntry.queries("link_survivorship")(
+      spark, sf("sf0.001")).queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"))
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"customer re-scan leaked into the survivorship plan:\n${plan.take(1500)}")
+  }
 }
