@@ -6124,6 +6124,53 @@ object SparkEntry {
         .join(canon, "rep").join(segMode, "rep")
         .select(col("rep").as("cluster_key"), col("n_members"),
           col("canonical_name"), col("max_bal_cents"), col("seg_mode"))
+    }),
+
+    "ml_conformal_interval" -> ((s, dir) => {
+      // split-conformal prediction intervals (Vovk et al.; the
+      // distribution-free uncertainty wrapper modern eval stacks put
+      // around ANY point model): deterministic orderkey%4 split into
+      // train/calibration/test, an exact integer ratio model
+      // (slope = Σy div Σqty per flag) on train, then the conformal
+      // radius = the ceil(0.9·(n+1))-th smallest |residual| on
+      // calibration — a RANK, not a moment, so the whole pipeline is
+      // integer-exact and the ≥90% marginal-coverage guarantee is
+      // checked empirically on the held-out test split. Shape: two
+      // map-side-combined rollups + ONE per-group rank window over
+      // the calibration quarter (3 groups; at 100 TB the exact rank
+      // would come from a quantile-sketch pass with exact-rank
+      // refinement instead of the full per-group sort).
+      val base = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"), col("l_orderkey"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("y"))
+      val slope = base
+        .filter(pmod(col("l_orderkey"), lit(4)).isin(0, 3))
+        .groupBy("flag")
+        .agg(expr("sum(y) div sum(qty)").as("slope"))
+        .localCheckpoint(true) // 3 rows; calibration AND test read it
+      val cal = base.filter(pmod(col("l_orderkey"), lit(4)) === 1)
+        .join(slope, "flag")
+        .select(col("flag"),
+          abs(col("y") - col("qty") * col("slope")).as("r"))
+      val calN = cal.groupBy("flag").agg(count(lit(1)).as("n_cal"))
+        .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+      val qv = cal
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("flag").orderBy(col("r"))))
+        .join(calN, "flag").filter(col("rn") === col("k"))
+        .select(col("flag"), col("n_cal"), col("r").as("q_cents"))
+        .localCheckpoint(true) // 3 rows
+      base.filter(pmod(col("l_orderkey"), lit(4)) === 2)
+        .join(slope, "flag").join(qv, "flag")
+        .select(col("flag"), col("slope"), col("n_cal"), col("q_cents"),
+          (abs(col("y") - col("qty") * col("slope")) <= col("q_cents"))
+            .cast("long").as("c"))
+        .groupBy("flag", "slope", "n_cal", "q_cents")
+        .agg(count(lit(1)).as("n_test"), sum("c").as("n_covered"))
+        .select(col("flag").as("l_returnflag"), col("slope"),
+          col("n_cal"), col("q_cents"), col("n_test"),
+          expr("n_covered * 1000000 div n_test").as("coverage_ppm"))
     })
   )
 
@@ -9737,6 +9784,45 @@ object SparkEntry {
         |  FROM m GROUP BY rep)
         |SELECT agg.rep AS cluster_key, agg.n_members,
         |  canon.canonical_name, agg.max_bal_cents, segmode.seg_mode
-        |FROM agg JOIN canon USING (rep) JOIN segmode USING (rep)""".stripMargin
+        |FROM agg JOIN canon USING (rep) JOIN segmode USING (rep)""".stripMargin,
+
+    // conformal radius is a RANK (k-th smallest calibration residual),
+    // so every value is integer-exact; // and Spark's div both
+    // truncate toward zero on the non-negative sums here
+    "ml_conformal_interval" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS flag, l_orderkey,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |slope AS (
+        |  SELECT flag, (sum(y) // sum(qty))::BIGINT AS slope
+        |  FROM base WHERE l_orderkey % 4 IN (0, 3) GROUP BY flag),
+        |cal AS (
+        |  SELECT b.flag, abs(b.y - b.qty * s.slope)::BIGINT AS r
+        |  FROM base b JOIN slope s USING (flag)
+        |  WHERE b.l_orderkey % 4 = 1),
+        |caln AS (
+        |  SELECT flag, count(*)::BIGINT AS n_cal,
+        |    ((9 * (count(*) + 1) + 9) // 10)::BIGINT AS k
+        |  FROM cal GROUP BY flag),
+        |ranked AS (
+        |  SELECT flag, r,
+        |    row_number() OVER (PARTITION BY flag ORDER BY r) AS rn
+        |  FROM cal),
+        |qv AS (
+        |  SELECT ranked.flag, caln.n_cal, ranked.r AS q_cents
+        |  FROM ranked JOIN caln
+        |    ON ranked.flag = caln.flag AND ranked.rn = caln.k),
+        |test AS (
+        |  SELECT b.flag, s.slope, qv.n_cal, qv.q_cents,
+        |    (CASE WHEN abs(b.y - b.qty * s.slope) <= qv.q_cents
+        |      THEN 1 ELSE 0 END) AS c
+        |  FROM base b JOIN slope s USING (flag) JOIN qv USING (flag)
+        |  WHERE b.l_orderkey % 4 = 2)
+        |SELECT flag AS l_returnflag, slope, n_cal, q_cents,
+        |  count(*)::BIGINT AS n_test,
+        |  (sum(c) * 1000000 // count(*))::BIGINT AS coverage_ppm
+        |FROM test GROUP BY 1, 2, 3, 4""".stripMargin
   )
 }
