@@ -6171,6 +6171,55 @@ object SparkEntry {
         .select(col("flag").as("l_returnflag"), col("slope"),
           col("n_cal"), col("q_cents"), col("n_test"),
           expr("n_covered * 1000000 div n_test").as("coverage_ppm"))
+    }),
+
+    "events_cem_att" -> ((s, dir) => {
+      // coarsened exact matching (Iacus–King–Porro 2012) — the
+      // OBSERVATIONAL causal design the randomized A/B family can't
+      // cover: "treatment" here is self-selected (any pre-period
+      // purchase), so naive treated-vs-control outcome diffs are
+      // confounded by activity. CEM coarsens the confounders
+      // (pre-period event count, pre-period active days) into bins,
+      // keeps only strata containing BOTH groups, and estimates the
+      // ATT as the treated-weighted mean of within-stratum outcome
+      // gaps — all in integer e2 fixed point (means via div), so the
+      // result is hash-exact. Matching is a hash-groupBy on the bin
+      // signature — no per-pair nearest-neighbor join — which is why
+      // CEM is the matching design that survives 100 TB: one user
+      // rollup, one stratum rollup, a 1-row summary broadcast back.
+      val per = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("day"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("day") < 15, 1L).otherwise(0L)).as("n_pre"),
+          countDistinct(when(col("day") < 15, col("day"))).as("d_pre"),
+          max(when(col("day") < 15 && col("event_type") === "purchase",
+            1L).otherwise(0L)).as("treated"),
+          sum(when(col("day") >= 15 && col("event_type") === "purchase",
+            col("cents")).otherwise(0L)).as("y"))
+      val grp = per
+        .withColumn("b1", expr("least(n_pre div 5, 8)"))
+        .withColumn("b2", expr("least(d_pre div 3, 4)"))
+        .groupBy("b1", "b2")
+        .agg(sum("treated").as("m_treated"),
+          sum(expr("1 - treated")).as("m_control"),
+          sum(expr("CASE WHEN treated = 1 THEN y ELSE 0 END")).as("syt"),
+          sum(expr("CASE WHEN treated = 0 THEN y ELSE 0 END")).as("syc"))
+        .filter(col("m_treated") > 0 && col("m_control") > 0)
+        .withColumn("yt_e2", expr("syt * 100 div m_treated"))
+        .withColumn("yc_e2", expr("syc * 100 div m_control"))
+        .localCheckpoint(true) // stratum rows + the ATT rollup read it
+      val summary = grp.agg(
+        expr("sum(m_treated * (yt_e2 - yc_e2)) div sum(m_treated)")
+          .as("att_e2_overall"))
+      grp.crossJoin(broadcast(summary))
+        .select(col("b1"), col("b2"), col("m_treated"),
+          col("m_control"), col("yt_e2"), col("yc_e2"),
+          col("att_e2_overall"))
     })
   )
 
@@ -9823,6 +9872,46 @@ object SparkEntry {
         |SELECT flag AS l_returnflag, slope, n_cal, q_cents,
         |  count(*)::BIGINT AS n_test,
         |  (sum(c) * 1000000 // count(*))::BIGINT AS coverage_ppm
-        |FROM test GROUP BY 1, 2, 3, 4""".stripMargin
+        |FROM test GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // e2 means via integer div (non-negative sums; the ATT numerator
+    // may be negative — // and Spark div both truncate toward zero)
+    "events_cem_att" ->
+      """WITH per AS (
+        |  SELECT e.user_id,
+        |    sum(CASE WHEN datediff('day', DATE '2024-01-01',
+        |        e.ts::DATE) < 15 THEN 1 ELSE 0 END)::BIGINT AS n_pre,
+        |    count(DISTINCT CASE WHEN datediff('day', DATE '2024-01-01',
+        |        e.ts::DATE) < 15
+        |      THEN datediff('day', DATE '2024-01-01', e.ts::DATE)
+        |      END)::BIGINT AS d_pre,
+        |    max(CASE WHEN datediff('day', DATE '2024-01-01',
+        |          e.ts::DATE) < 15 AND e.event_type = 'purchase'
+        |        THEN 1 ELSE 0 END)::BIGINT AS treated,
+        |    sum(CASE WHEN datediff('day', DATE '2024-01-01',
+        |          e.ts::DATE) >= 15 AND e.event_type = 'purchase'
+        |        THEN CAST(round(e.value * 100) AS BIGINT)
+        |        ELSE 0 END)::BIGINT AS y
+        |  FROM events e GROUP BY 1),
+        |grp AS MATERIALIZED (
+        |  SELECT least(n_pre // 5, 8) AS b1, least(d_pre // 3, 4) AS b2,
+        |    sum(treated)::BIGINT AS m_treated,
+        |    sum(1 - treated)::BIGINT AS m_control,
+        |    sum(CASE WHEN treated = 1 THEN y ELSE 0 END)::BIGINT AS syt,
+        |    sum(CASE WHEN treated = 0 THEN y ELSE 0 END)::BIGINT AS syc
+        |  FROM per GROUP BY 1, 2
+        |  HAVING sum(treated) > 0 AND sum(1 - treated) > 0),
+        |g2 AS MATERIALIZED (
+        |  SELECT b1, b2, m_treated, m_control,
+        |    (syt * 100 // m_treated)::BIGINT AS yt_e2,
+        |    (syc * 100 // m_control)::BIGINT AS yc_e2
+        |  FROM grp),
+        |summary AS (
+        |  SELECT (sum(m_treated * (yt_e2 - yc_e2))
+        |      // sum(m_treated))::BIGINT AS att_e2_overall
+        |  FROM g2)
+        |SELECT b1, b2, m_treated, m_control, yt_e2, yc_e2,
+        |  s.att_e2_overall
+        |FROM g2, summary s""".stripMargin
   )
 }
