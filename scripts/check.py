@@ -34,6 +34,16 @@ from concurrent.futures import ProcessPoolExecutor, as_completed
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Queries allowed to produce 0 rows (highly selective filters / near-dup
+# pair queries that legitimately match nothing at small SF). Kept in
+# lockstep with SparkEntrySmokeSpec's allowlist. Any OTHER query whose
+# Spark output is empty FAILS the gate even if the oracle is also empty
+# — a 0 == 0 hash match proves nothing (the r5 graph_bfs_depth and r7
+# events_cem_att vacuity class).
+MAY_BE_EMPTY = {"dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+                "dedup_ngram_blocked", "dedup_embedding",
+                "q7_volume_shipping", "q9_product_profit", "regexp_filter"}
+
 _WORKER = {}
 
 
@@ -61,21 +71,30 @@ def _sql_with_timeout(con, sql, timeout):
     explosion class) becomes a loud error, not a stuck gate."""
     import threading
     done = threading.Event()
+    # The lock serializes "query finished" against "watchdog fires":
+    # without it, an interrupt landing just as the query returns can
+    # cancel the NEXT oracle on this pooled connection (spurious
+    # TIMEOUT on an innocent query — ADVICE r7).
+    lock = threading.Lock()
 
     def watchdog():
         if not done.wait(timeout):
-            con.interrupt()
+            with lock:
+                if not done.is_set():
+                    con.interrupt()
 
     w = threading.Thread(target=watchdog, daemon=True)
     w.start()
     try:
         return con.sql(sql).df()
     finally:
-        done.set()
+        with lock:
+            done.set()
 
 
 def check_one(args):
-    """Runs in a worker process. Returns (name, verdict, seconds)."""
+    """Runs in a worker process.
+    Returns (name, verdict, seconds, spark_rows|None)."""
     name, sql, outdir, timeout, oracle_only = args
     con = _WORKER["con"]
     t0 = time.time()
@@ -86,13 +105,13 @@ def check_one(args):
         # inlining explosion class) at commit time, not at the driver.
         try:
             _sql_with_timeout(con, sql, timeout)
-            return name, "OK", time.time() - t0
+            return name, "OK", time.time() - t0, None
         except Exception as e:
             tag = "TIMEOUT" if "INTERRUPT" in str(e).upper() else "ERROR"
-            return name, f"{tag}: {e}", time.time() - t0
+            return name, f"{tag}: {e}", time.time() - t0, None
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
-        return name, "MISSING_SPARK_OUTPUT", 0.0
+        return name, "MISSING_SPARK_OUTPUT", 0.0, None
     try:
         sdf = con.sql(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
@@ -100,12 +119,19 @@ def check_one(args):
         odf = _sql_with_timeout(con, sql, timeout)
     except Exception as e:
         tag = "TIMEOUT" if "INTERRUPT" in str(e).upper() else "ERROR"
-        return name, f"{tag}: {e}", time.time() - t0
+        return name, f"{tag}: {e}", time.time() - t0, None
+    nrows = len(sdf)
+    # Vacuity guard (VERDICT r7 #2): an empty Spark result hash-matches
+    # an empty oracle, proving nothing. FAIL unless explicitly allowed.
+    if nrows == 0 and name not in MAY_BE_EMPTY:
+        return (name, "EMPTY: spark_rows=0 (vacuous 0==0 pass blocked; "
+                "add to MAY_BE_EMPTY only with justification)",
+                time.time() - t0, 0)
     s, o = canon(sdf), canon(odf)
     if list(s.columns) != list(o.columns):
         return (name,
                 f"COLS: spark={list(s.columns)} oracle={list(o.columns)}",
-                time.time() - t0)
+                time.time() - t0, nrows)
     # STRICT dtype equality — the driver's hash is type-representation
     # sensitive, so an oracle that lets DuckDB widen (sum(BIGINT) ->
     # HUGEINT -> pandas object; datediff -> BIGINT vs Spark INT)
@@ -115,9 +141,10 @@ def check_one(args):
     dt_bad = [f"{c}: spark={s[c].dtype} oracle={o[c].dtype}"
               for c in s.columns if str(s[c].dtype) != str(o[c].dtype)]
     if dt_bad:
-        return name, "DTYPES: " + "; ".join(dt_bad), time.time() - t0
+        return name, "DTYPES: " + "; ".join(dt_bad), time.time() - t0, nrows
     if len(s) != len(o):
-        return name, f"ROWS: spark={len(s)} oracle={len(o)}", time.time() - t0
+        return (name, f"ROWS: spark={len(s)} oracle={len(o)}",
+                time.time() - t0, nrows)
     mism = []
     for c in s.columns:
         a, b = s[c], o[c]
@@ -141,7 +168,7 @@ def check_one(args):
         except Exception as e:
             mism.append(f"{c}: compare error {e}")
     verdict = "OK" if not mism else "VALS: " + "; ".join(mism)
-    return name, verdict, time.time() - t0
+    return name, verdict, time.time() - t0, nrows
 
 
 def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0,
@@ -153,6 +180,7 @@ def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0,
     jobs = jobs or min(16, os.cpu_count() or 4)
     results = {}
     times = {}
+    rowcounts = {}
     t_start = time.time()
     work = [(name, oracle[name], outdir, timeout, oracle_only)
             for name in sorted(oracle)]
@@ -163,11 +191,13 @@ def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0,
         for fut in as_completed(futs):
             name = futs[fut]
             try:
-                n, verdict, secs = fut.result()
+                n, verdict, secs, nrows = fut.result()
             except Exception as e:
-                n, verdict, secs = name, f"ERROR: {e}", float("nan")
+                n, verdict, secs, nrows = name, f"ERROR: {e}", float("nan"), None
             results[n] = verdict
             times[n] = round(secs, 2)
+            if nrows is not None:
+                rowcounts[n] = nrows
             mark = "PASS" if verdict == "OK" else "FAIL"
             print(f"[{mark}] {n}  ({secs:.1f}s)"
                   + ("" if verdict == "OK" else f"  {verdict}"), flush=True)
@@ -200,6 +230,7 @@ def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0,
             "total": len(results),
             "results": results,
             "oracle_sec": times,
+            "spark_rows": rowcounts,
             "rows_only": rows_only,
         }
         with open(artifact, "w") as f:

@@ -6135,11 +6135,26 @@ object SparkEntry {
       // radius = the ceil(0.9·(n+1))-th smallest |residual| on
       // calibration — a RANK, not a moment, so the whole pipeline is
       // integer-exact and the ≥90% marginal-coverage guarantee is
-      // checked empirically on the held-out test split. Shape: two
-      // map-side-combined rollups + ONE per-group rank window over
-      // the calibration quarter (3 groups; at 100 TB the exact rank
-      // would come from a quantile-sketch pass with exact-rank
-      // refinement instead of the full per-group sort).
+      // checked empirically on the held-out test split.
+      //
+      // Scale path (round 8, closing the r7 docstring promise): the
+      // exact rank comes from a QUANTILE-SKETCH pass with EXACT-RANK
+      // REFINEMENT, not a full per-group sort. Pass 1 rolls up n_cal,
+      // the target rank k, and an approx_percentile value bracket
+      // [v_lo, v_hi] at 0.9∓0.02 (accuracy 10000 ⇒ rank error
+      // ≤ n/10000, far inside the ±0.02·n margin for any n ≥ ~100;
+      // below that the sketch stores every value and is exact, and
+      // the 2%·n margin still spans ≥1 rank step on the fixtures).
+      // Pass 2 counts residuals strictly below v_lo. Pass 3 sorts
+      // ONLY the band [v_lo, v_hi] — ~4% of calibration, and the
+      // fraction shrinks with a tighter margin/accuracy as n grows —
+      // and picks band-position k − cnt_lt_lo, which IS the global
+      // k-th smallest. Three column-pruned scans replace one full
+      // shuffle sort; identical output (the DuckDB oracle still
+      // computes the rank by full sort, so equality is hash-proven
+      // at every fixture). If a sketch bracket ever failed to cover
+      // rank k the flag's row would vanish — loud under the gate's
+      // vacuity/row-count checks, never a silent wrong value.
       val base = t(s, dir, "lineitem").select(
         col("l_returnflag").as("flag"), col("l_orderkey"),
         col("l_quantity").cast("long").as("qty"),
@@ -6153,12 +6168,28 @@ object SparkEntry {
         .join(slope, "flag")
         .select(col("flag"),
           abs(col("y") - col("qty") * col("slope")).as("r"))
-      val calN = cal.groupBy("flag").agg(count(lit(1)).as("n_cal"))
-        .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
-      val qv = cal
+      // pass 1: per-group size, target rank, and sketch bracket
+      val calStats = cal.groupBy("flag").agg(
+          count(lit(1)).as("n_cal"),
+          expr("approx_percentile(r, array(0.88, 0.92), 10000)")
+            .as("br"))
+        .select(col("flag"), col("n_cal"),
+          expr("(9 * (n_cal + 1) + 9) div 10").as("k"),
+          col("br").getItem(0).as("v_lo"),
+          col("br").getItem(1).as("v_hi"))
+        .localCheckpoint(true) // 3 rows; passes 2 and 3 both read it
+      // pass 2: exact count of residuals strictly below the band
+      val below = cal.join(broadcast(calStats), "flag")
+        .groupBy("flag")
+        .agg(sum(when(col("r") < col("v_lo"), 1L).otherwise(0L))
+          .as("cnt_lt_lo"))
+      // pass 3: sort ONLY the band and take the refined exact rank
+      val qv = cal.join(broadcast(calStats), "flag")
+        .filter(col("r") >= col("v_lo") && col("r") <= col("v_hi"))
+        .join(broadcast(below), "flag")
         .withColumn("rn", row_number().over(
           Window.partitionBy("flag").orderBy(col("r"))))
-        .join(calN, "flag").filter(col("rn") === col("k"))
+        .filter(col("rn") === col("k") - col("cnt_lt_lo"))
         .select(col("flag"), col("n_cal"), col("r").as("q_cents"))
         .localCheckpoint(true) // 3 rows
       base.filter(pmod(col("l_orderkey"), lit(4)) === 2)
@@ -6176,8 +6207,10 @@ object SparkEntry {
     "events_cem_att" -> ((s, dir) => {
       // coarsened exact matching (Iacus–King–Porro 2012) — the
       // OBSERVATIONAL causal design the randomized A/B family can't
-      // cover: "treatment" here is self-selected (any pre-period
-      // purchase), so naive treated-vs-control outcome diffs are
+      // cover: "treatment" here is self-selected (habitual purchasing:
+      // a purchase on >= 5 DISTINCT pre-period days — "any purchase"
+      // is degenerate on this fixture, every user has one), so naive
+      // treated-vs-control outcome diffs are
       // confounded by activity. CEM coarsens the confounders
       // (pre-period event count, pre-period active days) into bins,
       // keeps only strata containing BOTH groups, and estimates the
@@ -6197,10 +6230,13 @@ object SparkEntry {
         .agg(
           sum(when(col("day") < 15, 1L).otherwise(0L)).as("n_pre"),
           countDistinct(when(col("day") < 15, col("day"))).as("d_pre"),
-          max(when(col("day") < 15 && col("event_type") === "purchase",
-            1L).otherwise(0L)).as("treated"),
+          countDistinct(when(
+            col("day") < 15 && col("event_type") === "purchase",
+            col("day"))).as("purch_days"),
           sum(when(col("day") >= 15 && col("event_type") === "purchase",
             col("cents")).otherwise(0L)).as("y"))
+        .withColumn("treated",
+          when(col("purch_days") >= 5, 1L).otherwise(0L))
       val grp = per
         .withColumn("b1", expr("least(n_pre div 5, 8)"))
         .withColumn("b2", expr("least(d_pre div 3, 4)"))
@@ -9885,9 +9921,11 @@ object SparkEntry {
         |        e.ts::DATE) < 15
         |      THEN datediff('day', DATE '2024-01-01', e.ts::DATE)
         |      END)::BIGINT AS d_pre,
-        |    max(CASE WHEN datediff('day', DATE '2024-01-01',
-        |          e.ts::DATE) < 15 AND e.event_type = 'purchase'
-        |        THEN 1 ELSE 0 END)::BIGINT AS treated,
+        |    (CASE WHEN count(DISTINCT CASE WHEN
+        |          datediff('day', DATE '2024-01-01', e.ts::DATE) < 15
+        |          AND e.event_type = 'purchase'
+        |        THEN datediff('day', DATE '2024-01-01', e.ts::DATE)
+        |        END) >= 5 THEN 1 ELSE 0 END)::BIGINT AS treated,
         |    sum(CASE WHEN datediff('day', DATE '2024-01-01',
         |          e.ts::DATE) >= 15 AND e.event_type = 'purchase'
         |        THEN CAST(round(e.value * 100) AS BIGINT)

@@ -36,9 +36,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 object DtwDistanceImpl {
 
+  private def rejectNulls(arr: ArrayData, n: Int): Unit = {
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"dtw_distance: null element at index $i — ArrayData.getLong " +
+          "on a null slot is undefined (would read garbage bits); " +
+          "clean the array (filter/array_compact) before aligning")
+      i += 1
+    }
+  }
+
   def distance(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     val m = b.numElements()
+    // one O(n+m) pre-scan, kept out of the O(n·m) DP loops — the type
+    // system can't prove containsNull=false (aggregate-built arrays
+    // are nullable-typed even when no element ever is), so a loud
+    // error here replaces silent garbage (ADVICE r7)
+    rejectNulls(a, n)
+    rejectNulls(b, m)
     if (n == 0 && m == 0) return 0L
     if (n == 0 || m == 0) return -1L
     // roll over the shorter side to bound the scratch row

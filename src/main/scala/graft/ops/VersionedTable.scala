@@ -108,9 +108,20 @@ object VersionedTable {
     while (attempts < 64) {
       val used = allDirs(spark, root) ++ claimedDirs(spark, root)
       val n = if (used.isEmpty) 1L else used.max + 1
+      val claimPath = new Path(rootPath, s"_claim=$n")
       try {
-        val out = filesystem.create(new Path(rootPath, s"_claim=$n"), false)
-        out.close()
+        if (filesystem.getScheme == "file") {
+          // RawLocalFileSystem.create(overwrite=false) is a non-atomic
+          // exists-then-create — two local writers can both "win" the
+          // same N. java.nio.Files.createFile is true O_EXCL (throws
+          // FileAlreadyExistsException, an IOException, to the loser).
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(
+            filesystem.makeQualified(claimPath).toUri.getPath))
+        } else {
+          // HDFS/object-store create(overwrite=false) is atomic at the
+          // namenode; keep the FileSystem path for those schemes.
+          filesystem.create(claimPath, false).close()
+        }
         return n
       } catch {
         case _: java.io.IOException => attempts += 1 // lost the race; retry
@@ -227,24 +238,40 @@ object VersionedTable {
 
   /** Delete everything except the newest `keepLast` committed versions;
     * torn (uncommitted) dirs below the latest committed version are
-    * always removed, as are stale claim files. Returns the deleted
-    * version numbers. Maintenance contract: run vacuum while no commit
-    * is in flight (the standard table-maintenance caveat — sweeping a
-    * claim out from under a still-living writer would reopen the
-    * allocation race the claim exists to close).
+    * removed once their claim is stale, as are stale claim files.
+    * Returns the deleted version numbers.
+    *
+    * A claim below the committed frontier is NOT proof its writer is
+    * dead — a slow writer legitimately holds `_claim=N` whenever a
+    * faster one commits N+1 first. So vacuum only sweeps a claim (and
+    * any uncommitted `v=N` dir it protects) when the claim file's
+    * mtime is older than `claimTtlMillis` (default 24 h — far beyond
+    * any real commit duration); an uncommitted dir with NO live claim
+    * is torn debris and is removed immediately. This makes vacuum safe
+    * to run concurrently with commits, not just "while none in flight".
+    * `nowMillis` is injectable for deterministic tests.
     */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+             claimTtlMillis: Long = 24L * 3600 * 1000,
+             nowMillis: () => Long = System.currentTimeMillis): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val committed = versions(spark, root)
     val keep = committed.takeRight(keepLast).toSet
     val latest = committed.lastOption.getOrElse(return Seq.empty)
-    val filesystem = fs(spark, new Path(root))
+    val rootPath = new Path(root)
+    val filesystem = fs(spark, rootPath)
+    val cutoff = nowMillis() - claimTtlMillis
+    val liveClaims = claimedDirs(spark, root).filter { n =>
+      val st = filesystem.getFileStatus(new Path(root, s"_claim=$n"))
+      st.getModificationTime >= cutoff
+    }.toSet
     val doomed = allDirs(spark, root)
-      .filter(n => n < latest && !keep(n))
+      .filter(n => n < latest && !keep(n) &&
+        (isCommitted(spark, root, n) || !liveClaims(n)))
     doomed.foreach(n => filesystem.delete(vdir(root, n), true))
-    // stale claims from dead writers below the committed frontier can
-    // never be completed — sweep them so the namespace stays tidy
-    claimedDirs(spark, root).filter(_ < latest)
+    // stale claims from dead writers can never complete — sweep them so
+    // the namespace stays tidy; fresh ones belong to in-flight commits
+    claimedDirs(spark, root).filter(n => n < latest && !liveClaims(n))
       .foreach(releaseClaim(spark, root, _))
     doomed
   }

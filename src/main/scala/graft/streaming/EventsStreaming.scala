@@ -102,8 +102,15 @@ object EventsStreaming {
           // Evict once the watermark passes the newest prefix event's
           // window horizon — past that point no purchase can still
           // chain to this prefix, so dropping the state is lossless.
+          // Clamp to watermark+1: admitted-late data older than the
+          // window would otherwise compute a horizon BEHIND the
+          // watermark, and setTimeoutTimestamp(past) throws — crashing
+          // the whole streaming query instead of evicting one group
+          // (ADVICE r7). The clamped state dies at the next trigger.
           val lastUs = (st.view.map(_.us).toSeq ++ st.click.map(_.us)).max
-          state.setTimeoutTimestamp(lastUs / 1000L + windowSeconds * 1000L)
+          val horizon = lastUs / 1000L + windowSeconds * 1000L
+          state.setTimeoutTimestamp(
+            math.max(horizon, state.getCurrentWatermarkMs() + 1))
         }
       }
       out.result().iterator

@@ -163,6 +163,34 @@ class VersionedTableSpec extends SparkSpec {
       .agg(max("val")).head().getInt(0) == 8)
   }
 
+  test("vacuum spares a fresh in-flight claim, sweeps a stale one") {
+    val root = tmpRoot()
+    VersionedTable.commit(df(1), root, () => 1000L)
+    VersionedTable.commit(df(2), root, () => 2000L)
+    // a slow writer holds _claim=3 but a faster one committed v=4
+    // first — the claim (and its partially-written dir) must survive
+    // vacuum while fresh (ADVICE r7: sweeping it would destroy an
+    // in-flight commit)
+    new java.io.File(root, "_claim=3").createNewFile()
+    df(93).write.parquet(s"$root/v=3") // data written, marker not yet
+    VersionedTable.commit(df(4), root, () => 4000L)
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 2L, 4L))
+    // fresh claim (mtime = now): v=3 and its claim are protected;
+    // committed v=1 still vacuums
+    assert(VersionedTable.vacuum(spark, root, keepLast = 2) == Seq(1L))
+    assert(new java.io.File(root, "_claim=3").exists())
+    assert(new java.io.File(root, "v=3").exists())
+    // same claim judged via an injected clock far past the TTL:
+    // now it is debris from a dead writer — dir and claim both go
+    val sweep = VersionedTable.vacuum(spark, root, keepLast = 2,
+      claimTtlMillis = 60000L,
+      nowMillis = () => System.currentTimeMillis() + 3600_000L)
+    assert(sweep == Seq(3L))
+    assert(!new java.io.File(root, "_claim=3").exists())
+    assert(!new java.io.File(root, "v=3").exists())
+    assert(VersionedTable.versions(spark, root) == Seq(2L, 4L))
+  }
+
   test("vacuum keeps the newest keepLast committed versions") {
     val root = tmpRoot()
     (1 to 5).foreach(v =>
