@@ -6256,6 +6256,236 @@ object SparkEntry {
         .select(col("b1"), col("b2"), col("m_treated"),
           col("m_control"), col("yt_e2"), col("yc_e2"),
           col("att_e2_overall"))
+    }),
+
+    "events_ipw_att" -> ((s, dir) => {
+      // inverse-propensity-weighted ATT (Horvitz–Thompson/Hájek) — the
+      // MODEL-BASED half of the observational-causal pair: where
+      // events_cem_att matches on coarsened-bin signatures, IPW fits a
+      // logistic propensity e(x) = P(treated | n_pre, d_pre) with the
+      // engine's distributed-GD machinery (3 full-batch rounds,
+      // per-sample gradient rounded to e6 BEFORE the sum → exact
+      // integer reduction under any partitioning, same discipline as
+      // ml_logreg_train) and reweights CONTROLS by w = e/(1−e)
+      // (truncated at 20 — standard stabilization against near-1
+      // propensities). Weights round to e6 longs before the outcome
+      // products, so the ATT arithmetic is decimal-exact and the
+      // unrolled SQL oracle reproduces it bit-for-bit. Scale shape:
+      // one user rollup (map-side combined), 3 one-row GD aggregates
+      // over the checkpointed feature frame, one final one-row agg —
+      // nothing driver-side beyond 3 doubles of model state.
+      val per = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("day"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("day") < 15, 1L).otherwise(0L)).as("n_pre"),
+          countDistinct(when(col("day") < 15, col("day"))).as("d_pre"),
+          countDistinct(when(
+            col("day") < 15 && col("event_type") === "purchase",
+            col("day"))).as("purch_days"),
+          sum(when(col("day") >= 15 && col("event_type") === "purchase",
+            col("cents")).otherwise(0L)).as("y"))
+        .select(
+          (col("n_pre").cast("double") / 100.0).as("x1"),
+          (col("d_pre").cast("double") / 15.0).as("x2"),
+          when(col("purch_days") >= 5, 1L).otherwise(0L).as("tr"),
+          col("y"))
+        .localCheckpoint(true) // 3 GD rounds + the ATT agg re-read it
+      val n = per.count()
+      val lr = 0.1
+      var w = Array(0.0, 0.0, 0.0) // bias, w1, w2
+      for (_ <- 1 to 3) {
+        val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        def g(x: Column) = sum(
+          round((p - col("tr").cast("double")) * x * 1000000.0, 0)
+            .cast("long"))
+        val r = per.agg(g(lit(1.0)).as("gb"), g(col("x1")).as("g1"),
+          g(col("x2")).as("g2")).head()
+        w = Array.tabulate(3)(j =>
+          w(j) - lr * ((r.getLong(j).toDouble / 1000000.0) / n))
+      }
+      val zf = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      val pf = lit(1.0) / (lit(1.0) + exp(-zf))
+      val d = "decimal(38,0)"
+      per
+        .withColumn("w_e6",
+          least(round(pf / (lit(1.0) - pf) * 1000000.0, 0).cast("long"),
+            lit(20000000L)))
+        .agg(
+          sum(col("tr")).as("n_treated"),
+          sum(lit(1L) - col("tr")).as("n_control"),
+          sum(when(col("tr") === 1, col("y")).otherwise(0L)).as("syt"),
+          sum(when(col("tr") === 0,
+            col("w_e6").cast(d) * col("y").cast(d))
+            .otherwise(lit(0).cast(d))).as("swy"),
+          sum(when(col("tr") === 0, col("w_e6")).otherwise(0L))
+            .cast(d).as("sw"))
+        .select(
+          col("n_treated"), col("n_control"),
+          round(lit(w(0)) * 1000000.0, 0).cast("long").as("b_e6"),
+          round(lit(w(1)) * 1000000.0, 0).cast("long").as("w1_e6"),
+          round(lit(w(2)) * 1000000.0, 0).cast("long").as("w2_e6"),
+          expr("syt * 100 div n_treated").as("yt_e2"),
+          // `div` = integral division (truncation) on the exact
+          // decimals — decimal `/` would round at its result scale
+          // first and can disagree with the oracle's integer `//`
+          expr("(swy * 100) div sw").as("yc_ipw_e2"),
+          (expr("syt * 100 div n_treated") -
+            expr("(swy * 100) div sw")).as("att_e2"))
+    }),
+
+    "orders_nelson_aalen" -> ((s, dir) => {
+      // Nelson–Aalen cumulative-hazard estimator over the same
+      // censored inter-purchase-gap frame as orders_survival_km — the
+      // OTHER classical survival estimator (sum of hazard increments
+      // d/n rather than the product-limit), and unlike KM it needs NO
+      // floating point at all: each increment is the exact rational
+      // d/n_risk in e9 fixed point (integer div), and H(t) is a
+      // running sum of longs over the day-bounded distinct-gap frame.
+      // Same 100 TB shape as KM: one per-customer lead window, one
+      // gap-day rollup, then windows over the ~day-count-sized frame.
+      val od = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date")
+          .as("od"))
+      val hz = od.agg(max(col("od")).as("hz"))
+      val dur = od
+        .withColumn("nxt", lead("od", 1)
+          .over(Window.partitionBy("o_custkey").orderBy("od")))
+        .crossJoin(broadcast(hz))
+        .select(
+          when(col("nxt").isNotNull, datediff(col("nxt"), col("od")))
+            .otherwise(datediff(col("hz"), col("od")))
+            .cast("long").as("dur"),
+          when(col("nxt").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("event"))
+        .filter(col("dur") > 0)
+      val ev = dur.groupBy("dur")
+        .agg(sum("event").as("d"), count(lit(1)).as("cnt"))
+      val wRisk = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = ev.withColumn("n_risk", sum(col("cnt")).over(wRisk))
+      val wH = Window.orderBy(col("dur").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      risk.filter(col("d") > 0)
+        .withColumn("h_e9", expr("d * 1000000000 div n_risk"))
+        .withColumn("cumhaz_e9", sum(col("h_e9")).over(wH))
+        .select("dur", "d", "n_risk", "h_e9", "cumhaz_e9")
+    }),
+
+    "analytics_theil_sen" -> ((s, dir) => {
+      // Theil–Sen robust trend: per return flag, the LOWER MEDIAN of
+      // all pairwise slopes between daily-revenue points — the
+      // estimator that shrugs off the outlier days OLS chases (29.3%
+      // breakdown point). Slopes are exact e6 fixed point (integer
+      // div of cent deltas by day deltas — truncation toward zero,
+      // identical in Spark `div` and DuckDB `//`), and the median is
+      // a RANK (row (n+1) div 2 in slope order, ties by nothing —
+      // longs), so the result is hash-exact. Scale: the pair frame is
+      // CALENDAR-bounded — days², independent of row count — so the
+      // self-join costs the same at 100 TB as at sf0.01; the only
+      // data-sized pass is the daily rollup (map-side combined).
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1992-01-01").cast("date")).as("x"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("y"))
+        .localCheckpoint(true) // both sides of the pair self-join
+      val a = daily.select(col("flag"), col("x").as("x1"),
+        col("y").as("y1"))
+      val b = daily.select(col("flag"), col("x").as("x2"),
+        col("y").as("y2"))
+      val slopes = a.join(b, Seq("flag"))
+        .filter(col("x2") > col("x1"))
+        .select(col("flag"),
+          expr("(y2 - y1) * 1000000 div (x2 - x1)").as("slope_e6"))
+      val ranked = slopes.withColumn("rn", row_number().over(
+          Window.partitionBy("flag").orderBy(col("slope_e6"))))
+        .withColumn("n_pairs",
+          count(lit(1)).over(Window.partitionBy("flag")))
+      ranked.filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("flag"), col("n_pairs"),
+          col("slope_e6").as("slope_e6_med"))
+    }),
+
+    "ml_target_encode_oof" -> ((s, dir) => {
+      // leakage-free OUT-OF-FOLD target encoding — the feature-prep
+      // op every tabular training pipeline needs and every naive one
+      // gets wrong (encoding a row's category with statistics that
+      // include the row's own label leaks the target). Folds are
+      // deterministic (l_orderkey mod 5); the fold-f encoding of
+      // brand b uses only rows OUTSIDE f, smoothed toward the global
+      // out-of-fold prior with m = 100. All arithmetic clears
+      // denominators into DECIMAL(38,0) — enc = ((S−s_f)·Ng +
+      // 100·Sg) · 1e6 // ((N−n_f+100)·Ng) — so the result is exact,
+      // no float means anywhere. Scale: two map-side-combined rollups
+      // (brand, brand×fold) over one joined scan; the encode table is
+      // brands×folds-sized — broadcastable back onto 100 TB of rows.
+      val d = "decimal(38,0)"
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          pmod(col("l_orderkey"), lit(5)).cast("long").as("fold"),
+          (col("l_returnflag") === "R").cast("long").as("label"))
+      val byBrand = li.groupBy("brand")
+        .agg(sum("label").as("sb"), count(lit(1)).as("nb"))
+      val byFold = li.groupBy("brand", "fold")
+        .agg(sum("label").as("sf"), count(lit(1)).as("nf"))
+      val glob = li.agg(sum("label").as("sg"), count(lit(1)).as("ng"))
+      byFold.join(byBrand, Seq("brand"))
+        .crossJoin(broadcast(glob))
+        .withColumn("num",
+          ((col("sb") - col("sf")).cast(d) * col("ng").cast(d) +
+            lit(100).cast(d) * col("sg").cast(d)) * lit(1000000).cast(d))
+        .withColumn("den",
+          (col("nb") - col("nf") + lit(100)).cast(d) * col("ng").cast(d))
+        // `div` truncates the exact rational — decimal `/` + cast
+        // would round at the division's result scale first
+        .select(col("brand"), col("fold"),
+          (col("nb") - col("nf")).as("n_oof"),
+          expr("num div den").as("enc_e6"))
+    }),
+
+    "ml_woe_iv" -> ((s, dir) => {
+      // weight-of-evidence binning + information value — the classic
+      // credit-scoring feature diagnostic: per quantity bin,
+      // WoE = ln((good_b/G)/(bad_b/B)); IV = Σ(good_b/G − bad_b/B)·WoE
+      // ranks the feature's separating power. Counts are exact longs;
+      // each bin touches doubles exactly once (one ln, one product),
+      // rounds to e6, and the IV total is a sum of LONGs over the
+      // 5-bin frame — no cross-partition float accumulation. Scale:
+      // one map-side-combined rollup to a bin-count-sized frame;
+      // everything after is constant-size.
+      val binned = t(s, dir, "lineitem")
+        .select(least(expr("cast(l_quantity as long) div 10"), lit(4))
+          .as("bin"),
+          (col("l_returnflag") === "R").cast("long").as("bad"))
+      val byBin = binned.groupBy("bin")
+        .agg(sum(lit(1L) - col("bad")).as("good_b"),
+          sum(col("bad")).as("bad_b"))
+      val tot = byBin.agg(sum("good_b").as("g"), sum("bad_b").as("b"))
+      val woe = byBin.crossJoin(broadcast(tot))
+        .withColumn("woe_e6",
+          round(log((col("good_b") * col("b")).cast("double") /
+            (col("bad_b") * col("g")).cast("double")) * 1000000.0, 0)
+            .cast("long"))
+        .withColumn("iv_part_e6",
+          round(((col("good_b") * col("b") - col("bad_b") * col("g"))
+            .cast("double") / (col("g") * col("b")).cast("double")) *
+            (log((col("good_b") * col("b")).cast("double") /
+              (col("bad_b") * col("g")).cast("double"))) * 1000000.0, 0)
+            .cast("long"))
+      woe.crossJoin(broadcast(
+          woe.agg(sum("iv_part_e6").as("iv_e6_total"))))
+        .select(col("bin"), col("good_b"), col("bad_b"), col("woe_e6"),
+          col("iv_part_e6"), col("iv_e6_total"))
     })
   )
 
@@ -9950,6 +10180,177 @@ object SparkEntry {
         |  FROM g2)
         |SELECT b1, b2, m_treated, m_control, yt_e2, yc_e2,
         |  s.att_e2_overall
-        |FROM g2, summary s""".stripMargin
+        |FROM g2, summary s""".stripMargin,
+
+    "events_ipw_att" -> {
+      def z(w: String) = s"($w.b + $w.w1*f.x1 + $w.w2*f.x2)"
+      def p(w: String) = s"(1.0/(1.0 + exp(-${z(w)})))"
+      def g(w: String, x: String) =
+        s"sum(round(((${p(w)} - f.tr::DOUBLE) * $x) * 1000000.0)" +
+          "::BIGINT)::BIGINT"
+      val sb = new StringBuilder
+      sb ++=
+        s"""WITH per AS MATERIALIZED (
+           |  SELECT user_id,
+           |    sum(CASE WHEN day < 15 THEN 1 ELSE 0 END)::BIGINT
+           |      AS n_pre,
+           |    count(DISTINCT CASE WHEN day < 15 THEN day END)::BIGINT
+           |      AS d_pre,
+           |    count(DISTINCT CASE WHEN day < 15
+           |      AND event_type = 'purchase' THEN day END)::BIGINT
+           |      AS purch_days,
+           |    sum(CASE WHEN day >= 15 AND event_type = 'purchase'
+           |      THEN cents ELSE 0 END)::BIGINT AS y
+           |  FROM (SELECT user_id,
+           |      datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+           |      event_type, CAST(round(value * 100) AS BIGINT) AS cents
+           |    FROM events) e
+           |  GROUP BY 1),
+           |feat AS MATERIALIZED (
+           |  SELECT (n_pre::DOUBLE / 100.0) AS x1,
+           |    (d_pre::DOUBLE / 15.0) AS x2,
+           |    (CASE WHEN purch_days >= 5 THEN 1 ELSE 0 END)::BIGINT
+           |      AS tr,
+           |    y
+           |  FROM per),
+           |c AS (SELECT count(*)::BIGINT AS n FROM feat),
+           |w0 AS (SELECT 0.0::DOUBLE AS b, 0.0::DOUBLE AS w1,
+           |       0.0::DOUBLE AS w2)""".stripMargin
+      for (i <- 1 to 3) {
+        val pw = s"w${i - 1}"
+        sb ++=
+          s""",
+             |g$i AS (SELECT ${g("w", "1.0")} AS gb,
+             |  ${g("w", "f.x1")} AS g1,
+             |  ${g("w", "f.x2")} AS g2
+             |  FROM feat f CROSS JOIN $pw w),
+             |w$i AS (SELECT
+             |  w.b - 0.1::DOUBLE * ((g.gb::DOUBLE / 1000000.0) / c.n)
+             |    AS b,
+             |  w.w1 - 0.1::DOUBLE * ((g.g1::DOUBLE / 1000000.0) / c.n)
+             |    AS w1,
+             |  w.w2 - 0.1::DOUBLE * ((g.g2::DOUBLE / 1000000.0) / c.n)
+             |    AS w2
+             |  FROM $pw w, g$i g, c)""".stripMargin
+      }
+      sb ++=
+        s"""
+           |, fin AS (SELECT f.tr, f.y,
+           |  least(round((${p("w")} / (1.0 - ${p("w")}))
+           |    * 1000000.0)::BIGINT, 20000000) AS w_e6
+           |  FROM feat f CROSS JOIN w3 w),
+           |m AS (SELECT sum(tr)::BIGINT AS n_treated,
+           |  sum(1 - tr)::BIGINT AS n_control,
+           |  sum(CASE WHEN tr = 1 THEN y ELSE 0 END)::BIGINT AS syt,
+           |  sum(CASE WHEN tr = 0 THEN w_e6 * y ELSE 0 END)::BIGINT
+           |    AS swy,
+           |  sum(CASE WHEN tr = 0 THEN w_e6 ELSE 0 END)::BIGINT AS sw
+           |  FROM fin)
+           |SELECT m.n_treated, m.n_control,
+           |  round(w.b * 1000000.0)::BIGINT AS b_e6,
+           |  round(w.w1 * 1000000.0)::BIGINT AS w1_e6,
+           |  round(w.w2 * 1000000.0)::BIGINT AS w2_e6,
+           |  (m.syt * 100 // m.n_treated)::BIGINT AS yt_e2,
+           |  ((m.swy * 100) // m.sw)::BIGINT AS yc_ipw_e2,
+           |  ((m.syt * 100 // m.n_treated) - ((m.swy * 100) // m.sw))
+           |    ::BIGINT AS att_e2
+           |FROM w3 w CROSS JOIN m""".stripMargin
+      sb.toString
+    },
+
+    "orders_nelson_aalen" ->
+      """WITH od AS (
+        |  SELECT o_custkey, o_orderdate::DATE AS od FROM orders),
+        |hz AS (SELECT max(od) AS hz FROM od),
+        |dur AS (
+        |  SELECT CASE WHEN nxt IS NOT NULL
+        |      THEN datediff('day', od, nxt)
+        |      ELSE datediff('day', od, hz.hz) END AS dur,
+        |    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+        |  FROM (SELECT o_custkey, od, lead(od) OVER (
+        |      PARTITION BY o_custkey ORDER BY od) AS nxt FROM od)
+        |  CROSS JOIN hz),
+        |ev AS (
+        |  SELECT dur, sum(event)::BIGINT AS d, count(*)::BIGINT AS cnt
+        |  FROM dur WHERE dur > 0 GROUP BY 1),
+        |risk AS (
+        |  SELECT dur, d, sum(cnt) OVER (ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_risk
+        |  FROM ev),
+        |h AS (
+        |  SELECT dur, d, n_risk,
+        |    (d * 1000000000 // n_risk)::BIGINT AS h_e9
+        |  FROM risk WHERE d > 0)
+        |SELECT dur, d, n_risk, h_e9,
+        |  sum(h_e9) OVER (ORDER BY dur ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS cumhaz_e9
+        |FROM h""".stripMargin,
+
+    "analytics_theil_sen" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT l_returnflag AS flag,
+        |    datediff('day', DATE '1992-01-01', l_shipdate::DATE) AS x,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |      AS y
+        |  FROM lineitem GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.flag,
+        |    ((b.y - a.y) * 1000000 // (b.x - a.x))::BIGINT AS slope_e6
+        |  FROM daily a JOIN daily b
+        |    ON a.flag = b.flag AND b.x > a.x),
+        |r AS (
+        |  SELECT flag, slope_e6,
+        |    row_number() OVER (PARTITION BY flag ORDER BY slope_e6)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY flag)::BIGINT AS n_pairs
+        |  FROM slopes)
+        |SELECT flag, n_pairs, slope_e6 AS slope_e6_med
+        |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin,
+
+    "ml_target_encode_oof" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT p.p_brand AS brand, (l.l_orderkey % 5)::BIGINT AS fold,
+        |    (l.l_returnflag = 'R')::BIGINT AS label
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |bb AS (
+        |  SELECT brand, sum(label)::BIGINT AS sb, count(*)::BIGINT
+        |    AS nb
+        |  FROM li GROUP BY 1),
+        |bf AS (
+        |  SELECT brand, fold, sum(label)::BIGINT AS sf,
+        |    count(*)::BIGINT AS nf
+        |  FROM li GROUP BY 1, 2),
+        |g AS (SELECT sum(label)::BIGINT AS sg, count(*)::BIGINT AS ng
+        |  FROM li)
+        |SELECT f.brand, f.fold, (b.nb - f.nf)::BIGINT AS n_oof,
+        |  ((((b.sb - f.sf) * g.ng + 100 * g.sg) * 1000000)
+        |    // ((b.nb - f.nf + 100) * g.ng))::BIGINT AS enc_e6
+        |FROM bf f JOIN bb b USING (brand) CROSS JOIN g""".stripMargin,
+
+    "ml_woe_iv" ->
+      """WITH binned AS (
+        |  SELECT least(CAST(l_quantity AS BIGINT) // 10, 4) AS bin,
+        |    (l_returnflag = 'R')::BIGINT AS bad
+        |  FROM lineitem),
+        |bb AS MATERIALIZED (
+        |  SELECT bin, sum(1 - bad)::BIGINT AS good_b,
+        |    sum(bad)::BIGINT AS bad_b
+        |  FROM binned GROUP BY 1),
+        |t AS (SELECT sum(good_b)::BIGINT AS g, sum(bad_b)::BIGINT AS b
+        |  FROM bb),
+        |w AS MATERIALIZED (
+        |  SELECT bin, good_b, bad_b,
+        |    round(ln((good_b * t.b)::DOUBLE / (bad_b * t.g)::DOUBLE)
+        |      * 1000000.0)::BIGINT AS woe_e6,
+        |    round(((good_b * t.b - bad_b * t.g)::DOUBLE
+        |        / (t.g * t.b)::DOUBLE)
+        |      * ln((good_b * t.b)::DOUBLE / (bad_b * t.g)::DOUBLE)
+        |      * 1000000.0)::BIGINT AS iv_part_e6
+        |  FROM bb CROSS JOIN t),
+        |iv AS (SELECT sum(iv_part_e6)::BIGINT AS iv_e6_total FROM w)
+        |SELECT bin, good_b, bad_b, woe_e6, iv_part_e6, iv_e6_total
+        |FROM w CROSS JOIN iv""".stripMargin
   )
 }
