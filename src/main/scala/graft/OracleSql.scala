@@ -1660,6 +1660,44 @@ object OracleSql {
   /** Oracle for `export_shards`: xxhash64(doc_id) mod nShards shard
     * assignment (the integer-hash CTE chain) + per-shard volume stats.
     */
+  /** Oracle for `export_rendezvous_shards`: highest-random-weight
+    * (rendezvous) hashing — per (doc, shard) score is the chained
+    * xxhash64 of (doc_id, shard) (seed 42, exactly Spark's multi-arg
+    * fold), the winner is the max SIGNED score with shard-asc
+    * tie-break, and the stability half recomputes the winner with one
+    * shard added: HRW's guarantee is that a doc moves only when the
+    * NEW shard wins, so moved counts are ~1/(n+1) of each shard.
+    */
+  def exportRendezvousShards(nShards: Int = 8): String = {
+    val ch = new Chain("rv",
+      s"SELECT d.doc_id, t.sh, d.doc_id::HUGEINT AS ka, " +
+        s"t.sh::HUGEINT AS kb " +
+        s"FROM documents d CROSS JOIN range(0, ${nShards + 1}) t(sh)")
+    val h1 = hashLong(ch, "ka", "42", "p")
+    val h2 = hashLong(ch, "kb", h1, "w")
+    s"""WITH ${ch.render},
+       |scored AS MATERIALIZED (
+       |  SELECT doc_id, sh::BIGINT AS sh, ${sig(h2)} AS hv
+       |  FROM ${ch.last}),
+       |a8 AS (
+       |  SELECT doc_id, sh AS s8 FROM (
+       |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY hv DESC, sh ASC) AS rn
+       |    FROM scored WHERE sh < $nShards)
+       |  WHERE rn = 1),
+       |a9 AS (
+       |  SELECT doc_id, sh AS s9 FROM (
+       |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY hv DESC, sh ASC) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1)
+       |SELECT a8.s8 AS shard, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN a8.s8 <> a9.s9 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_moved
+       |FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+       |GROUP BY 1""".stripMargin
+  }
+
   def exportShards(nShards: Int = 8): String =
     s"""WITH ${idHashCtes()},
        |sh AS (

@@ -6486,6 +6486,229 @@ object SparkEntry {
           woe.agg(sum("iv_part_e6").as("iv_e6_total"))))
         .select(col("bin"), col("good_b"), col("bad_b"), col("woe_e6"),
           col("iv_part_e6"), col("iv_e6_total"))
+    }),
+
+    "export_rendezvous_shards" -> ((s, dir) => {
+      // highest-random-weight (rendezvous) sharding — the CONSISTENT
+      // cousin of export_shards' mod-hash: each doc goes to the shard
+      // with the max xxhash64(doc_id, shard) score, so adding a shard
+      // moves ONLY the docs the new shard wins (~1/(n+1) of each
+      // shard) instead of mod-hash's ~100% reshuffle. The stability
+      // half is measured, not asserted: n_moved counts docs whose
+      // winner changes when shard 8 joins. Scale: scores are a
+      // broadcast 9-row cross join (map-only, no shuffle for the
+      // scoring); the per-doc argmax is one keyed window.
+      val shards = s.range(0, 9).select(col("id").as("sh"))
+      val scored = t(s, dir, "documents").select(col("doc_id"))
+        .crossJoin(broadcast(shards))
+        .select(col("doc_id"), col("sh"),
+          xxhash64(col("doc_id"), col("sh")).as("hv"))
+        .localCheckpoint(true) // both argmax passes read it
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("hv").desc, col("sh").asc)
+      val a8 = scored.filter(col("sh") < 8)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("sh").as("s8"))
+      val a9 = scored
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("sh").as("s9"))
+      a8.join(a9, Seq("doc_id"))
+        .groupBy(col("s8").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("s8") =!= col("s9")).cast("long")).as("n_moved"))
+    }),
+
+    "events_concurrency" -> ((s, dir) => {
+      // sweep-line max concurrency: sessionize each user's day (30-min
+      // gap rule), explode sessions to +1/-1 boundary events, and take
+      // the max of the running sum per day — "how many sessions were
+      // open at once", the load number a capacity planner actually
+      // wants and a naive per-hour count gets wrong. All integer
+      // microsecond arithmetic. Ties: starts sort before ends at the
+      // same microsecond (touching sessions count as concurrent), and
+      // the running MAX is invariant to order within equal (t, delta),
+      // so the sweep is deterministic. Scale: sessionization windows
+      // are (user, day)-keyed; the sweep window is day-partitioned —
+      // boundary rows per day are session-bounded, far below raw
+      // events.
+      val ev = t(s, dir, "events").select(col("user_id"),
+        datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("day"),
+        unix_micros(col("ts")).as("us"))
+      val wu = Window.partitionBy("user_id", "day").orderBy("us")
+      val sess = ev
+        .withColumn("prev", lag("us", 1).over(wu))
+        .withColumn("new_sess",
+          (col("prev").isNull ||
+            col("us") - col("prev") > 30L * 60 * 1000000).cast("long"))
+        .withColumn("sid", sum("new_sess").over(wu))
+        .groupBy("user_id", "day", "sid")
+        .agg(min("us").as("st"), max("us").as("en"))
+        .localCheckpoint(true) // both boundary projections read it
+      val bounds = sess.select(col("day"), col("st").as("t"),
+          lit(1L).as("delta"))
+        .unionByName(sess.select(col("day"), col("en").as("t"),
+          lit(-1L).as("delta")))
+      val ws = Window.partitionBy("day")
+        .orderBy(col("t").asc, col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("open", sum("delta").over(ws))
+        .groupBy("day")
+        .agg(expr("count(1) div 2").as("n_sessions"),
+          max("open").as("max_concurrent"))
+    }),
+
+    "events_fdr_bh" -> ((s, dir) => {
+      // Benjamini–Hochberg FDR control across a FAMILY of tests — the
+      // multiple-comparisons discipline the single-metric A/B queries
+      // don't exercise: 20 segments (event type × 6-hour bucket), each
+      // a Welch z-test of weekend-vs-weekday mean spend. Moment sums
+      // are exact integers (cents, cents²); each segment touches
+      // doubles in ONE deterministic expression (z, then the
+      // Abramowitz–Stegun 7.1.26 erfc for the two-sided p), rounds to
+      // fixed point, and the BH step-up runs entirely on e9 LONGS
+      // (adj_i = min_{j≥i} floor(p_j·m/j), a reverse running min) —
+      // so the adjusted p-values and reject set are hash-exact.
+      // Weekend is pure arithmetic (2024-01-01 is a Monday; day%7 ∈
+      // {5,6}), no engine dow() semantics involved. Scale: one
+      // map-side-combined rollup to 40 moment rows; everything after
+      // is constant-size.
+      val d = "decimal(38,0)"
+      val seg = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("cast(hour(ts) as long) div 6").as("bucket"),
+          (pmod(datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")), lit(7)) >= 5)
+            .cast("long").as("we"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "bucket", "we")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sv"),
+          sum(col("cents").cast(d) * col("cents").cast(d)).as("qv"))
+      val wd = seg.filter(col("we") === 0)
+        .select(col("event_type"), col("bucket"), col("n").as("n1"),
+          col("sv").as("s1"), col("qv").as("q1"))
+      val wePart = seg.filter(col("we") === 1)
+        .select(col("event_type"), col("bucket"), col("n").as("n2"),
+          col("sv").as("s2"), col("qv").as("q2"))
+      val m = wd.join(wePart, Seq("event_type", "bucket"))
+        .withColumn("z", expr(
+          """(s1 / cast(n1 as double) - s2 / cast(n2 as double)) /
+            |sqrt(
+            |  ((cast(q1 as double) - cast(s1 as double) * s1 / n1)
+            |     / (n1 - 1)) / n1 +
+            |  ((cast(q2 as double) - cast(s2 as double) * s2 / n2)
+            |     / (n2 - 1)) / n2)""".stripMargin))
+        // two-sided p = erfc(|z|/√2), A&S 7.1.26 (same literal
+        // constants in the oracle — each step is IEEE-exact)
+        .withColumn("x", expr("abs(z) / sqrt(2.0)"))
+        .withColumn("tt", expr("1.0 / (1.0 + 0.3275911 * x)"))
+        .withColumn("p", expr(
+          """(0.254829592 * tt - 0.284496736 * tt * tt
+            | + 1.421413741 * tt * tt * tt
+            | - 1.453152027 * tt * tt * tt * tt
+            | + 1.061405429 * tt * tt * tt * tt * tt)
+            | * exp(-x * x)""".stripMargin))
+        .select(col("event_type"), col("bucket"), col("n1"), col("n2"),
+          expr("cast(round(z * 1000000.0) as long)").as("z_e6"),
+          expr("cast(round(p * 1000000000.0) as long)").as("p_e9"))
+      val nTests = m.count()
+      val wRank = Window.orderBy(col("p_e9").asc,
+        col("event_type").asc, col("bucket").asc)
+      val wMin = Window.orderBy(col("p_e9").desc,
+          col("event_type").desc, col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.withColumn("rank", row_number().over(wRank).cast("long"))
+        .withColumn("bh_adj_e9",
+          least(min(expr(s"p_e9 * $nTests div rank")).over(wMin),
+            lit(1000000000L)))
+        .withColumn("reject",
+          (col("bh_adj_e9") <= 100000000L).cast("long"))
+        .select("event_type", "bucket", "n1", "n2", "z_e6", "p_e9",
+          "rank", "bh_adj_e9", "reject")
+    }),
+
+    "events_seq_mining" -> ((s, dir) => {
+      // sequential-pattern support (the PrefixSpan counting core):
+      // for every event-type triple a→b→c, how many users exhibit it
+      // as a (possibly gapped) SUBSEQUENCE — distinct from
+      // events_top_paths' contiguous windows. Existence is decided by
+      // the greedy first-occurrence chain (first a, first b after it,
+      // first c after that), which is exact for subsequence existence
+      // and turns the naive O(len³) per-user scan into three keyed
+      // joins whose intermediates are (users × type²)-bounded — the
+      // shape that survives 100 TB because nothing ever enumerates
+      // position triples. Ties in the event order break by event_id.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("et"),
+          row_number().over(Window.partitionBy("user_id")
+            .orderBy(col("ts"), col("event_id"))).as("rn"))
+        .localCheckpoint(true) // read three times (first/pair/triple)
+      val firstA = ev.groupBy(col("user_id"), col("et").as("a"))
+        .agg(min("rn").as("fa"))
+      val pairAB = firstA.join(ev, Seq("user_id"))
+        .filter(col("rn") > col("fa"))
+        .groupBy(col("user_id"), col("a"), col("et").as("b"))
+        .agg(min("rn").as("fab"))
+      val support = pairAB.join(ev, Seq("user_id"))
+        .filter(col("rn") > col("fab"))
+        .select(col("user_id"), col("a"), col("b"),
+          col("et").as("c")).distinct()
+        .groupBy("a", "b", "c")
+        .agg(countDistinct("user_id").as("support"))
+      support.orderBy(col("support").desc, col("a").asc, col("b").asc,
+          col("c").asc)
+        .limit(20)
+    }),
+
+    "events_ar2" -> ((s, dir) => {
+      // AR(2) one-step forecast by Yule–Walker — the autoregressive
+      // model class the smoothing family (EWMA/Holt/Holt-Winters)
+      // doesn't cover. Everything is EXACT rational arithmetic:
+      // centering clears denominators (X' = n·x − S, so x−x̄ = X'/n),
+      // the lag-k autocovariance sums g0/g1/g2 are decimal(38,0)
+      // integer sums over day pairs exactly 1 apart, and the YW
+      // solutions φ₁ = g1(g0−g2)/(g0²−g1²), φ₂ = (g2·g0−g1²)/(g0²−g1²)
+      // plus the forecast emit as integral divisions of those exact
+      // decimals — no float ever touches the pipeline. Scale: one
+      // map-side-combined daily rollup; the lag window runs on the
+      // calendar-bounded daily frame.
+      val d = "decimal(38,0)"
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val cent = daily.crossJoin(broadcast(tot))
+        .select(col("day"), col("n"), col("sx"),
+          (col("x").cast(d) * col("n").cast(d) - col("sx").cast(d))
+            .as("xc"))
+      val wDay = Window.orderBy("day")
+      val lagged = cent
+        .withColumn("d1", lag("day", 1).over(wDay))
+        .withColumn("x1", lag("xc", 1).over(wDay))
+        .withColumn("d2", lag("day", 2).over(wDay))
+        .withColumn("x2", lag("xc", 2).over(wDay))
+      val g = lagged.agg(
+        first("n").as("n"), first("sx").as("sx"),
+        sum(col("xc") * col("xc")).as("g0"),
+        sum(when(col("day") - col("d1") === 1, col("xc") * col("x1"))
+          .otherwise(lit(0).cast(d))).as("g1"),
+        sum(when(col("day") - col("d2") === 2, col("xc") * col("x2"))
+          .otherwise(lit(0).cast(d))).as("g2"),
+        max(struct(col("day"), col("xc"))).as("lst"),
+        max(struct(col("d1").isNotNull, col("d1"), col("x1"))).as("prv"))
+      g.select(col("n").as("n_days"),
+          expr("sx * 100 div n").as("mean_e2"),
+          expr("(g1 * (g0 - g2) * 1000000) div (g0 * g0 - g1 * g1)")
+            .as("phi1_e6"),
+          expr("((g2 * g0 - g1 * g1) * 1000000) div (g0 * g0 - g1 * g1)")
+            .as("phi2_e6"),
+          (expr("sx * 100 div n") +
+            expr("""((g1 * (g0 - g2)) * lst.xc * 100
+                   | + ((g2 * g0 - g1 * g1)) * prv.x1 * 100)
+                   | div ((g0 * g0 - g1 * g1) * n)""".stripMargin))
+            .as("forecast_e2"))
     })
   )
 
@@ -10351,6 +10574,162 @@ object SparkEntry {
         |  FROM bb CROSS JOIN t),
         |iv AS (SELECT sum(iv_part_e6)::BIGINT AS iv_e6_total FROM w)
         |SELECT bin, good_b, bad_b, woe_e6, iv_part_e6, iv_e6_total
-        |FROM w CROSS JOIN iv""".stripMargin
+        |FROM w CROSS JOIN iv""".stripMargin,
+
+    "export_rendezvous_shards" ->
+      OracleSql.exportRendezvousShards(nShards = 8),
+
+    "events_concurrency" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |lagd AS (
+        |  SELECT user_id, day, us, lag(us) OVER (
+        |    PARTITION BY user_id, day ORDER BY us) AS prev
+        |  FROM ev),
+        |marked AS (
+        |  SELECT user_id, day, us,
+        |    (CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |      THEN 1 ELSE 0 END)::BIGINT AS new_sess
+        |  FROM lagd),
+        |sess AS MATERIALIZED (
+        |  SELECT user_id, day, sid, min(us) AS st, max(us) AS en
+        |  FROM (SELECT user_id, day, us, sum(new_sess) OVER (
+        |      PARTITION BY user_id, day ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |    FROM marked)
+        |  GROUP BY 1, 2, 3),
+        |bounds AS (
+        |  SELECT day, st AS t, 1::BIGINT AS delta FROM sess
+        |  UNION ALL
+        |  SELECT day, en AS t, -1::BIGINT AS delta FROM sess),
+        |swept AS (
+        |  SELECT day, sum(delta) OVER (PARTITION BY day
+        |    ORDER BY t ASC, delta DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM bounds)
+        |SELECT day, (count(*) // 2)::BIGINT AS n_sessions,
+        |  max(open)::BIGINT AS max_concurrent
+        |FROM swept GROUP BY 1""".stripMargin,
+
+    "events_fdr_bh" ->
+      """WITH seg AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) // 6 AS bucket,
+        |    (CASE WHEN (datediff('day', DATE '2024-01-01', ts::DATE)
+        |        % 7) >= 5 THEN 1 ELSE 0 END)::BIGINT AS we,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |mo AS (
+        |  SELECT event_type, bucket, we, count(*)::BIGINT AS n,
+        |    sum(cents)::BIGINT AS sv,
+        |    sum(cents::HUGEINT * cents::HUGEINT)::HUGEINT AS qv
+        |  FROM seg GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT a.event_type, a.bucket, a.n AS n1, a.sv AS s1,
+        |    a.qv AS q1, b.n AS n2, b.sv AS s2, b.qv AS q2
+        |  FROM mo a JOIN mo b
+        |    ON a.event_type = b.event_type AND a.bucket = b.bucket
+        |    AND a.we = 0 AND b.we = 1),
+        |zz AS (
+        |  SELECT event_type, bucket, n1, n2,
+        |    (s1 / n1::DOUBLE - s2 / n2::DOUBLE) /
+        |    sqrt(
+        |      ((q1::DOUBLE - s1::DOUBLE * s1 / n1) / (n1 - 1)) / n1 +
+        |      ((q2::DOUBLE - s2::DOUBLE * s2 / n2) / (n2 - 1)) / n2)
+        |      AS z
+        |  FROM j),
+        |pp AS MATERIALIZED (
+        |  SELECT event_type, bucket, n1, n2,
+        |    CAST(round(z * 1000000.0) AS BIGINT) AS z_e6,
+        |    CAST(round(
+        |      (0.254829592 * tt - 0.284496736 * tt * tt
+        |       + 1.421413741 * tt * tt * tt
+        |       - 1.453152027 * tt * tt * tt * tt
+        |       + 1.061405429 * tt * tt * tt * tt * tt)
+        |      * exp(-x * x) * 1000000000.0) AS BIGINT) AS p_e9
+        |  FROM (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt
+        |    FROM (SELECT *, abs(z) / sqrt(2.0) AS x FROM zz))),
+        |cnt AS (SELECT count(*)::BIGINT AS m FROM pp),
+        |rk AS (
+        |  SELECT pp.*, cnt.m, row_number() OVER (
+        |    ORDER BY p_e9 ASC, event_type ASC, bucket ASC) AS rank
+        |  FROM pp CROSS JOIN cnt)
+        |SELECT event_type, bucket, n1, n2, z_e6, p_e9, rank,
+        |  least(min(p_e9 * m // rank) OVER (
+        |    ORDER BY p_e9 DESC, event_type DESC, bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    1000000000)::BIGINT AS bh_adj_e9,
+        |  (CASE WHEN least(min(p_e9 * m // rank) OVER (
+        |    ORDER BY p_e9 DESC, event_type DESC, bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    1000000000) <= 100000000 THEN 1 ELSE 0 END)::BIGINT
+        |    AS reject
+        |FROM rk""".stripMargin,
+
+    "events_seq_mining" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, event_type AS et, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |fa AS (
+        |  SELECT user_id, et AS a, min(rn)::BIGINT AS fa
+        |  FROM ev GROUP BY 1, 2),
+        |pab AS (
+        |  SELECT f.user_id, f.a, e.et AS b, min(e.rn)::BIGINT AS fab
+        |  FROM fa f JOIN ev e
+        |    ON e.user_id = f.user_id AND e.rn > f.fa
+        |  GROUP BY 1, 2, 3),
+        |tri AS (
+        |  SELECT DISTINCT p.user_id, p.a, p.b, e.et AS c
+        |  FROM pab p JOIN ev e
+        |    ON e.user_id = p.user_id AND e.rn > p.fab),
+        |sup AS (
+        |  SELECT a, b, c, count(DISTINCT user_id)::BIGINT AS support
+        |  FROM tri GROUP BY 1, 2, 3)
+        |SELECT a, b, c, support FROM sup
+        |ORDER BY support DESC, a ASC, b ASC, c ASC
+        |LIMIT 20""".stripMargin,
+
+    "events_ar2" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+        |    count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+        |  FROM daily),
+        |cent AS (
+        |  SELECT day, n, sx,
+        |    (x::HUGEINT * n::HUGEINT - sx::HUGEINT) AS xc
+        |  FROM daily CROSS JOIN tot),
+        |lagged AS (
+        |  SELECT day, n, sx, xc,
+        |    lag(day, 1) OVER (ORDER BY day) AS d1,
+        |    lag(xc, 1) OVER (ORDER BY day) AS x1,
+        |    lag(day, 2) OVER (ORDER BY day) AS d2,
+        |    lag(xc, 2) OVER (ORDER BY day) AS x2
+        |  FROM cent),
+        |g AS (
+        |  SELECT any_value(n) AS n, any_value(sx) AS sx,
+        |    sum(xc * xc) AS g0,
+        |    sum(CASE WHEN day - d1 = 1 THEN xc * x1
+        |      ELSE 0::HUGEINT END) AS g1,
+        |    sum(CASE WHEN day - d2 = 2 THEN xc * x2
+        |      ELSE 0::HUGEINT END) AS g2,
+        |    max_by(xc, day) AS lst_xc,
+        |    max_by(x1, CASE WHEN d1 IS NOT NULL THEN day END) AS prv_x1
+        |  FROM lagged)
+        |SELECT n::BIGINT AS n_days,
+        |  (sx * 100 // n)::BIGINT AS mean_e2,
+        |  ((g1 * (g0 - g2) * 1000000) // (g0 * g0 - g1 * g1))::BIGINT
+        |    AS phi1_e6,
+        |  (((g2 * g0 - g1 * g1) * 1000000)
+        |    // (g0 * g0 - g1 * g1))::BIGINT AS phi2_e6,
+        |  ((sx * 100 // n) +
+        |    ((g1 * (g0 - g2)) * lst_xc * 100
+        |      + (g2 * g0 - g1 * g1) * prv_x1 * 100)
+        |    // ((g0 * g0 - g1 * g1) * n))::BIGINT AS forecast_e2
+        |FROM g""".stripMargin
   )
 }
