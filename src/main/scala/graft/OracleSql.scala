@@ -1698,6 +1698,42 @@ object OracleSql {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Oracle for `privacy_randomized_response`: both per-user coins are
+    * chained xxhash64 values — the constant first-argument hash
+    * (xxhash64(13, user_id) = hashLong(user_id, hashLong(13, 42))) is
+    * folded at build time with Spark's own XXH64, so the emulated
+    * chain provably replays the engine's coin flips.
+    */
+  def privacyRandomizedResponse(): String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val s13 = u(XXH64.hashLong(13L, 42L))
+    val s17 = u(XXH64.hashLong(17L, 42L))
+    val ch = new Chain("rr",
+      "SELECT user_id, user_id::HUGEINT AS ka, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)" +
+        "::BIGINT AS t " +
+        "FROM events GROUP BY 1, 2")
+    val h1 = hashLong(ch, "ka", s"$s13::HUGEINT", "c1")
+    val h2 = hashLong(ch, "ka", s"$s17::HUGEINT", "c2")
+    s"""WITH ${ch.render},
+       |coins AS (
+       |  SELECT t,
+       |    ((${sig(h1)} % 4) + 4) % 4 AS c1,
+       |    ((${sig(h2)} % 2) + 2) % 2 AS c2
+       |  FROM ${ch.last}),
+       |rep AS (
+       |  SELECT t, CASE WHEN c1 < 3 THEN t ELSE c2 END AS report
+       |  FROM coins),
+       |m AS (SELECT count(*)::BIGINT AS n_users,
+       |  sum(t)::BIGINT AS true_cnt, sum(report)::BIGINT AS obs_cnt
+       |  FROM rep)
+       |SELECT n_users, true_cnt, obs_cnt,
+       |  ((8 * obs_cnt - n_users) * 100 // 6)::BIGINT AS est_e2,
+       |  (((8 * obs_cnt - n_users) * 100 // 6) - true_cnt * 100)
+       |    ::BIGINT AS err_e2
+       |FROM m""".stripMargin
+  }
+
   def exportShards(nShards: Int = 8): String =
     s"""WITH ${idHashCtes()},
        |sh AS (

@@ -6661,6 +6661,425 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "ml_gbdt_stumps" -> ((s, dir) => {
+      // gradient-boosted regression STUMPS trained inside the engine —
+      // the boosting model class (sequential bias correction) that the
+      // single-shot OLS/ridge/logreg family can't express. 3 rounds;
+      // each round scans ONE 50-bin rollup of the residuals (feature =
+      // integer quantity), scores 9 candidate thresholds by the exact
+      // SSE-reduction surrogate S_L²/n_L + S_R²/n_R — numerator and
+      // denominator built in decimal(38,0) and divided as ONE double
+      // (identical IEEE op both engines; argmax tie-breaks by
+      // threshold), and leaf values are integral-division residual
+      // means in e2 fixed point, so residuals stay exact longs through
+      // every round. Driver state is 3 numbers per round (the k-means/
+      // logreg discipline); everything data-sized is map-side combined.
+      // Labels are truncated integer dollars to keep the decimal gain
+      // products inside 38 digits at any fixture scale.
+      val d = "decimal(38,0)"
+      val feat = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          (floor(col("l_extendedprice")) * 100).as("y_e2"))
+        .localCheckpoint(true) // re-read once per boosting round
+      val n = feat.count()
+      val f0 = feat.agg(expr("sum(y_e2) div count(1)").as("f0"))
+        .head().getLong(0)
+      val cands = (5 to 45 by 5)
+      var rCol: Column = col("y_e2") - lit(f0)
+      val rounds = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long)]
+      for (k <- 1 to 3) {
+        val bins = feat.withColumn("r", rCol)
+          .groupBy("x").agg(sum("r").as("s"), count(lit(1)).as("c"))
+        val tot = bins.agg(sum("s").as("st"), sum("c").as("ct"))
+        val cand = bins.crossJoin(broadcast(tot))
+          .withColumn("t", explode(array(cands.map(lit(_)): _*)))
+          .groupBy("t")
+          .agg(
+            sum(when(col("x") <= col("t"), col("s")).otherwise(0L))
+              .as("sl"),
+            sum(when(col("x") <= col("t"), col("c")).otherwise(0L))
+              .as("nl"),
+            first("st").as("st"), first("ct").as("ct"))
+          .withColumn("sr", col("st") - col("sl"))
+          .withColumn("nr", col("ct") - col("nl"))
+          .filter(col("nl") > 0 && col("nr") > 0)
+          .withColumn("gain",
+            (col("sl").cast(d) * col("sl").cast(d) * col("nr").cast(d) +
+              col("sr").cast(d) * col("sr").cast(d) * col("nl").cast(d))
+              .cast("double") /
+              (col("nl").cast(d) * col("nr").cast(d)).cast("double"))
+        val best = cand
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("gain").desc, col("t").asc)))
+          .filter(col("rn") === 1)
+          .select(col("t"), expr("sl div nl").as("vl"),
+            expr("sr div nr").as("vr"), col("nl"),
+            floor(col("gain")).as("gain_l"))
+          .head()
+        val (bt, vl, vr, nl, gl) = (best.getInt(0), best.getLong(1),
+          best.getLong(2), best.getLong(3), best.getLong(4))
+        rounds += ((k.toLong, bt.toLong, nl, vl, vr, gl))
+        rCol = rCol - when(col("x") <= bt, vl).otherwise(vr)
+      }
+      val finalAbs = feat.withColumn("r", rCol)
+        .agg(sum(abs(col("r"))).as("fin")).head().getLong(0)
+      import s.implicits._
+      rounds.toSeq
+        .toDF("round", "split_t", "n_l", "v_l_e2", "v_r_e2", "gain_l")
+        .withColumn("f0_e2", lit(f0))
+        .withColumn("final_abs_resid_e2", lit(finalAbs))
+    }),
+
+    "attribution_shapley" -> ((s, dir) => {
+      // exact SHAPLEY attribution over touch channels — the
+      // cooperative-game credit split (Zhao et al. 2018) that
+      // last-touch (events_attribution) structurally can't give:
+      // v(S) = share of users converting with their touch set ⊆ S,
+      // and each channel's value is the weighted marginal-contribution
+      // sum over all 2³ coalitions. With 3 channels the factorial
+      // weights are sixths, so φ·6N is pure integer arithmetic and
+      // the e6 output is hash-exact; efficiency (Σφ = v(grand) −
+      // v(∅)) is emitted as a checkable column. Scale: one user
+      // rollup to 3 booleans + an 8-row broadcast coalition frame —
+      // the cross join is coalition-bounded, never users × users.
+      val per = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          max((col("event_type") === "view").cast("long")).as("hv"),
+          max((col("event_type") === "click").cast("long")).as("hc"),
+          max((col("event_type") === "signup").cast("long")).as("hs"),
+          max((col("event_type") === "purchase").cast("long"))
+            .as("conv"))
+        .localCheckpoint(true) // coalition counts + N read it
+      val nUsers = per.count()
+      val coal = s.range(0, 8).select(
+        (col("id") % 2).as("sv"),
+        expr("id div 2 % 2").as("sc"),
+        expr("id div 4 % 2").as("ss"))
+      val cOfS = per.crossJoin(broadcast(coal))
+        .filter(col("hv") <= col("sv") && col("hc") <= col("sc") &&
+          col("hs") <= col("ss"))
+        .groupBy("sv", "sc", "ss")
+        .agg(sum("conv").as("cs"))
+        .localCheckpoint(true) // three per-channel marginals read it
+      // Shapley marginal weights for n=3, scaled by 3! = 6:
+      // |S|=0 → 2, |S|=1 → 1, |S|=2 → 2
+      def phi(ch: String): Column = {
+        val others = Seq("sv", "sc", "ss").filterNot(_ == ch)
+        val w = expr(s"case ${others(0)} + ${others(1)} " +
+          "when 0 then 2 when 1 then 1 else 2 end")
+        sum(when(col(ch) === 1, w * col("cs"))
+          .otherwise(-(w * col("cs"))))
+      }
+      val num = cOfS.agg(phi("sv").as("nv"), phi("sc").as("nc"),
+        phi("ss").as("ns"))
+      num.select(
+        lit(nUsers).as("n_users"),
+        expr(s"nv * 1000000 div (6 * $nUsers)").as("phi_view_e6"),
+        expr(s"nc * 1000000 div (6 * $nUsers)").as("phi_click_e6"),
+        expr(s"ns * 1000000 div (6 * $nUsers)").as("phi_signup_e6"),
+        expr(s"(nv + nc + ns) * 1000000 div (6 * $nUsers)")
+          .as("efficiency_e6"))
+    }),
+
+    "ml_pr_auc" -> ((s, dir) => {
+      // exact precision–recall metrics by the rank identity — the
+      // imbalanced-class complement to ml_auc_exact's ROC: average
+      // precision as the mean of precision@rank over the positives
+      // (each term the exact rational tp·1e9 // rank, summed as
+      // LONGS — no float accumulation), and the best-F1 operating
+      // point found by exact cross-multiplied fraction comparison
+      // (2tp·1e6 // (rank + P)), tie-broken by rank. Ranking is
+      // deterministic: score desc, doc_id asc. Scale: one sort-once
+      // window over the scored frame; every downstream frame is
+      // constant-size.
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("score"),
+          (col("lang") === "en").cast("long").as("pos"))
+      val ranked = scored
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long"))
+        .withColumn("tp", sum("pos").over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint(true) // AP terms + F1 argmax read it
+      val p = ranked.agg(sum("pos").as("np"), count(lit(1)).as("n"))
+      val ap = ranked.filter(col("pos") === 1)
+        .select(expr("tp * 1000000000 div rk").as("term_e9"))
+        .agg(sum("term_e9").as("sum_terms"))
+      val bestF1 = ranked.crossJoin(broadcast(p))
+        .withColumn("rnf", row_number().over(Window.orderBy(
+          // argmax of the fraction 2tp/(rk+np): ordering by the e18
+          // integral quotient IS exact — two distinct fractions with
+          // denominators ≤ b differ by ≥ 1/b², so at b ≤ 1e9 rows
+          // their e18 quotients differ by ≥ 1 (floor error < that);
+          // value ties (equal fractions) break by rank asc
+          expr("(2 * tp * cast(1000000000000000000 as decimal(38,0)))" +
+            " div (rk + np)").desc,
+          col("rk").asc)))
+        .filter(col("rnf") === 1)
+        .select(expr("2 * tp * 1000000 div (rk + np)").as("best_f1_e6"),
+          col("rk").as("best_f1_rank"), col("tp").as("best_f1_tp"))
+      ap.crossJoin(broadcast(p)).crossJoin(broadcast(bestF1))
+        .select(col("n"), col("np").as("n_pos"),
+          expr("sum_terms div np").as("ap_e9"),
+          col("best_f1_e6"), col("best_f1_rank"), col("best_f1_tp"))
+    }),
+
+    "curate_mmr" -> ((s, dir) => {
+      // TRUE maximal marginal relevance (Carbonell–Goldstein 1998) —
+      // the greedy relevance/diversity tradeoff sim_diverse_topk's
+      // label quota only approximates: each round picks
+      // argmax 0.7·rel − 0.3·max-sim-to-selected. Pool = top-16
+      // cosine neighbors of query 0; rel and pairwise sims land in
+      // e6 longs ONCE via floor(x·1e6 + 0.5) — floor is bit-identical
+      // on the identical doubles both engines already produce across
+      // the ANN surface (unlike round(), whose half-up tie semantics
+      // differ engine-to-engine) — so the greedy
+      // argmax chain is pure integer arithmetic (score_e7 = 7·rel_e6
+      // − 3·maxsim_e6) with id-asc tie-breaks. Scale: the pool bound
+      // makes every round a 16-row frame; the only corpus-sized work
+      // is the one broadcast-query scoring scan — MMR cost is
+      // k·pool², independent of corpus size.
+      import graft.expressions.exprs
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val pool = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          floor(exprs.cosine_sim(col("q_vec"), col("embedding"))
+            * 1000000.0 + 0.5).as("rel_e6"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("rel_e6").desc, col("vec_id").asc)))
+        .filter(col("rn") <= 16).drop("rn")
+        .localCheckpoint(true) // 5 greedy rounds + the pair frame
+      val pairs = pool.select(col("vec_id").as("ia"),
+          col("embedding").as("va"))
+        .join(pool.select(col("vec_id").as("ib"),
+          col("embedding").as("vb")), col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          floor(exprs.cosine_sim(col("va"), col("vb")) * 1000000.0
+            + 0.5).as("sim_e6"))
+        .localCheckpoint(true) // read once per greedy round
+      val p0 = pool.select("vec_id", "rel_e6")
+      var selected = p0
+        .orderBy(col("rel_e6").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), lit(1L).as("rank"),
+          (col("rel_e6") * 7).as("mmr_e7"))
+      for (r <- 2 to 5) {
+        val sel = selected.select(col("vec_id").as("sid"))
+        val cand = p0.join(sel, col("vec_id") === col("sid"),
+            "left_anti")
+          .join(pairs, col("vec_id") === col("ia"))
+          .join(sel.withColumnRenamed("sid", "jb"),
+            col("ib") === col("jb"))
+          .groupBy("vec_id", "rel_e6")
+          .agg(max("sim_e6").as("maxsim_e6"))
+          .select(col("vec_id"),
+            (col("rel_e6") * 7 - col("maxsim_e6") * 3).as("mmr_e7"))
+        val pick = cand.orderBy(col("mmr_e7").desc, col("vec_id").asc)
+          .limit(1)
+          .select(col("vec_id"), lit(r.toLong).as("rank"),
+            col("mmr_e7"))
+        selected = selected.unionByName(pick)
+      }
+      selected.join(p0, Seq("vec_id"))
+        .select(col("rank"), col("vec_id"), col("rel_e6"),
+          col("mmr_e7"))
+    }),
+
+    "cluster_dbscan_grid" -> ((s, dir) => {
+      // grid-accelerated DBSCAN (Ester et al. 1996) over the first two
+      // embedding coordinates — the DENSITY clustering the centroid
+      // family (k-means/SemDeDup) can't express: clusters are
+      // eps-connected cores (≥ minPts neighbors), borders attach to
+      // their min core cluster, the rest is noise. Coordinates land in
+      // e6 longs once (floor(x·1e6+0.5) — bit-identical on identical
+      // doubles), so neighbor tests are exact integer squared-distance
+      // compares. The SCALE story is the candidate generator: points
+      // bucket into eps-sized grid cells and only 3×3 adjacent cells
+      // join (the superset filter never changes semantics — the oracle
+      // proves it against the all-pairs definition), so candidate
+      // volume tracks true neighbor mass, never n². Core components
+      // run on the engine's convergence-checked min-label propagation.
+      val EPS = 50000L
+      val MIN = 8L // incl. the point itself
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(col("embedding").getItem(0).cast("double")
+            * 1000000.0 + 0.5).as("x"),
+          floor(col("embedding").getItem(1).cast("double")
+            * 1000000.0 + 0.5).as("y"))
+        .localCheckpoint(true) // grid sides + role/label joins
+      val aSide = pts.select(col("vec_id").as("ida"),
+        col("x").as("xa"), col("y").as("ya"),
+        expr(s"x div $EPS").as("cx"), expr(s"y div $EPS").as("cy"))
+      val offs = Seq(-1L, 0L, 1L)
+      val bSide = pts.select(col("vec_id").as("idb"),
+          col("x").as("xb"), col("y").as("yb"))
+        .withColumn("ox", explode(array(offs.map(lit(_)): _*)))
+        .withColumn("oy", explode(array(offs.map(lit(_)): _*)))
+        .select(col("idb"), col("xb"), col("yb"),
+          (expr(s"xb div $EPS") + col("ox")).as("cx"),
+          (expr(s"yb div $EPS") + col("oy")).as("cy"))
+      val nbr = aSide.join(bSide, Seq("cx", "cy"))
+        .filter(col("ida") =!= col("idb"))
+        .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))
+          <= lit(EPS * EPS))
+        .select("ida", "idb")
+        .localCheckpoint(true) // degree, core edges, border labels
+      val deg = nbr.groupBy(col("ida").as("vec_id"))
+        .agg(count(lit(1)).as("nn"))
+      val roles = pts.select("vec_id").join(deg, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (coalesce(col("nn"), lit(0L)) + 1 >= MIN).cast("long")
+            .as("is_core"))
+        .localCheckpoint(true) // core filter read three times
+      val coreIds = roles.filter(col("is_core") === 1).select("vec_id")
+      val coreEdges = nbr
+        .join(coreIds.select(col("vec_id").as("ida")), Seq("ida"))
+        .join(coreIds.select(col("vec_id").as("idb")), Seq("idb"))
+      val comp = Dedup.connectedComponents(coreEdges, "ida", "idb",
+        maxIter = 40)
+      val coreLbl = coreIds
+        .join(comp, col("vec_id") === col("doc_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("rep_id"), col("vec_id")).as("cluster"))
+        .localCheckpoint(true) // border labels + output read it
+      val borderLbl = roles.filter(col("is_core") === 0)
+        .select(col("vec_id"))
+        .join(nbr, col("vec_id") === col("ida"))
+        .join(coreLbl.select(col("vec_id").as("idb"),
+          col("cluster")), Seq("idb"))
+        .groupBy(col("vec_id")).agg(min("cluster").as("cluster"))
+      val noise = roles.filter(col("is_core") === 0)
+        .select("vec_id")
+        .join(borderLbl.select("vec_id"), Seq("vec_id"), "left_anti")
+      coreLbl.select(col("vec_id"), lit(2L).as("role"), col("cluster"))
+        .unionByName(borderLbl.select(col("vec_id"),
+          lit(1L).as("role"), col("cluster")))
+        .unionByName(noise.select(col("vec_id"), lit(0L).as("role"),
+          lit(-1L).as("cluster")))
+    }),
+
+    "ml_mrmr_features" -> ((s, dir) => {
+      // mRMR feature selection (Peng et al. 2005) — greedy
+      // max-relevance-min-redundancy over MUTUAL INFORMATION, the
+      // information-theoretic ranking that corr-matrix selection
+      // (profile_correlations) can't do for categorical features.
+      // All 10 pairwise MI values (4 features × label + 6 feature
+      // pairs) come from ONE shuffle: rows explode into (pair, av,
+      // bv) triples, one rollup makes the cells, broadcast marginals
+      // close the 2-D tables, each cell's term touches doubles once
+      // (one ln via floor(x·1e9+0.5) — bit-identical on identical
+      // doubles) and MI is a LONG sum over cells. The greedy rounds
+      // compare rel·|S| − Σred (integer-scaled mRMR quotient — same
+      // argmax, no division), tie-break by feature id. Scale: cells
+      // are bin²-bounded; the explode is a constant ×10 map-side
+      // factor, never a second shuffle.
+      val feats = t(s, dir, "lineitem")
+        .select(
+          least(expr("cast(l_quantity as long) div 10"), lit(4L))
+            .as("f1"),
+          least(expr("floor(l_extendedprice) div 20000"), lit(4L))
+            .as("f2"),
+          least(expr("floor(l_discount * 100) div 3"), lit(3L))
+            .as("f3"),
+          expr("cast(month(l_shipdate) as long) div 4").as("f4"),
+          (col("l_returnflag") === "R").cast("long").as("y"))
+      val pairDefs = Seq(
+        ("p1y", "f1", "y"), ("p2y", "f2", "y"), ("p3y", "f3", "y"),
+        ("p4y", "f4", "y"), ("p12", "f1", "f2"), ("p13", "f1", "f3"),
+        ("p14", "f1", "f4"), ("p23", "f2", "f3"), ("p24", "f2", "f4"),
+        ("p34", "f3", "f4"))
+      val exploded = feats.select(explode(array(pairDefs.map {
+        case (pid, a, b) =>
+          struct(lit(pid).as("pid"), col(a).as("av"), col(b).as("bv"))
+      }: _*)).as("e")).select(col("e.pid"), col("e.av"), col("e.bv"))
+      val cells = exploded.groupBy("pid", "av", "bv")
+        .agg(count(lit(1)).as("nab"))
+        .localCheckpoint(true) // marginals + terms read it
+      val ma = cells.groupBy("pid", "av").agg(sum("nab").as("na"))
+      val mb = cells.groupBy("pid", "bv").agg(sum("nab").as("nb"))
+      val nn = cells.groupBy("pid").agg(sum("nab").as("n"))
+      val mi = cells
+        .join(broadcast(ma), Seq("pid", "av"))
+        .join(broadcast(mb), Seq("pid", "bv"))
+        .join(broadcast(nn), Seq("pid"))
+        .withColumn("term_e9", floor(
+          (col("nab").cast("double") / col("n").cast("double")) *
+            log((col("nab").cast("double") * col("n").cast("double")) /
+              (col("na").cast("double") * col("nb").cast("double"))) *
+            1000000000.0 + 0.5))
+        .groupBy("pid").agg(sum("term_e9").as("mi_e9"))
+        .localCheckpoint(true) // greedy rounds read it repeatedly
+      val rel = mi.filter(col("pid").endsWith("y"))
+        .select(substring(col("pid"), 2, 1).cast("long").as("fid"),
+          col("mi_e9").as("rel_e9"))
+      val red = mi.filter(!col("pid").endsWith("y"))
+        .select(substring(col("pid"), 2, 1).cast("long").as("fa"),
+          substring(col("pid"), 3, 1).cast("long").as("fb"),
+          col("mi_e9").as("red_e9"))
+      val redSym = red.unionByName(red.select(col("fb").as("fa"),
+        col("fa").as("fb"), col("red_e9")))
+      var selected = rel
+        .orderBy(col("rel_e9").desc, col("fid").asc).limit(1)
+        .select(col("fid"), lit(1L).as("rank"),
+          col("rel_e9"), col("rel_e9").as("score_scaled"))
+      for (r <- 2 to 3) {
+        val sel = selected.select(col("fid").as("sid"))
+        val cand = rel.join(sel, col("fid") === col("sid"), "left_anti")
+          .join(redSym, col("fid") === col("fa"))
+          .join(sel.withColumnRenamed("sid", "sb"),
+            col("fb") === col("sb"))
+          .groupBy("fid", "rel_e9")
+          .agg(sum("red_e9").as("sum_red"), count(lit(1)).as("ns"))
+          .select(col("fid"), col("rel_e9"),
+            (col("rel_e9") * col("ns") - col("sum_red"))
+              .as("score_scaled"))
+        val pick = cand
+          .orderBy(col("score_scaled").desc, col("fid").asc).limit(1)
+          .select(col("fid"), lit(r.toLong).as("rank"), col("rel_e9"),
+            col("score_scaled"))
+        selected = selected.unionByName(pick)
+      }
+      selected.select("rank", "fid", "rel_e9", "score_scaled")
+    }),
+
+    "privacy_randomized_response" -> ((s, dir) => {
+      // LOCAL differential privacy via randomized response (Warner
+      // 1965) — the per-user coin the central-noise family
+      // (privacy_dp_counts) doesn't cover: each user reports their
+      // true purchaser bit with p = 3/4, otherwise a uniform bit, so
+      // any single report is (ln 3)-deniable, yet the debiased
+      // estimator t̂ = (8·obs − N)/6 recovers the population count.
+      // Both coins are xxhash64-derived (seeds 13/17) — replayable,
+      // so the oracle reproduces every coin flip bit-for-bit and the
+      // estimate, true count, and error are hash-exact integers (e2
+      // via integral division). Scale: one user rollup, one map-only
+      // coin projection, one 1-row agg — nothing state-ful anywhere.
+      val per = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max((col("event_type") === "purchase").cast("long"))
+          .as("t"))
+        .select(col("user_id"), col("t"),
+          pmod(xxhash64(lit(13L), col("user_id")), lit(4)).as("c1"),
+          pmod(xxhash64(lit(17L), col("user_id")), lit(2)).as("c2"))
+        .withColumn("report",
+          when(col("c1") < 3, col("t")).otherwise(col("c2")))
+      per.agg(count(lit(1)).as("n_users"), sum("t").as("true_cnt"),
+          sum("report").as("obs_cnt"))
+        .select(col("n_users"), col("true_cnt"), col("obs_cnt"),
+          expr("(8 * obs_cnt - n_users) * 100 div 6").as("est_e2"),
+          (expr("(8 * obs_cnt - n_users) * 100 div 6") -
+            col("true_cnt") * 100).as("err_e2"))
+    }),
+
     "events_ar2" -> ((s, dir) => {
       // AR(2) one-step forecast by Yule–Walker — the autoregressive
       // model class the smoothing family (EWMA/Holt/Holt-Winters)
@@ -10578,6 +10997,328 @@ object SparkEntry {
 
     "export_rendezvous_shards" ->
       OracleSql.exportRendezvousShards(nShards = 8),
+
+    "ml_gbdt_stumps" -> {
+      val cands = (5 to 45 by 5)
+        .map(t => s"($t)").mkString(",")
+      val sb = new StringBuilder
+      sb ++=
+        """WITH feat AS MATERIALIZED (
+          |  SELECT CAST(l_quantity AS BIGINT) AS x,
+          |    (floor(l_extendedprice)::BIGINT * 100) AS y_e2
+          |  FROM lineitem),
+          |c0 AS (SELECT count(*)::BIGINT AS n,
+          |  (sum(y_e2) // count(*))::BIGINT AS f0 FROM feat),
+          |res1 AS MATERIALIZED (
+          |  SELECT x, (y_e2 - c0.f0)::BIGINT AS r
+          |  FROM feat CROSS JOIN c0)""".stripMargin
+      for (k <- 1 to 3) {
+        sb ++=
+          s""",
+             |bin$k AS (SELECT x, sum(r)::BIGINT AS s,
+             |  count(*)::BIGINT AS c FROM res$k GROUP BY 1),
+             |tot$k AS (SELECT sum(s)::BIGINT AS st,
+             |  sum(c)::BIGINT AS ct FROM bin$k),
+             |cand$k AS (
+             |  SELECT t.t,
+             |    sum(CASE WHEN b.x <= t.t THEN b.s ELSE 0 END)::BIGINT
+             |      AS sl,
+             |    sum(CASE WHEN b.x <= t.t THEN b.c ELSE 0 END)::BIGINT
+             |      AS nl,
+             |    any_value(tt.st) AS st, any_value(tt.ct) AS ct
+             |  FROM bin$k b CROSS JOIN (VALUES $cands) t(t)
+             |  CROSS JOIN tot$k tt GROUP BY 1),
+             |g$k AS (
+             |  SELECT t, sl, nl, st - sl AS sr, ct - nl AS nr,
+             |    ((sl::HUGEINT * sl::HUGEINT * (ct - nl)::HUGEINT
+             |      + (st - sl)::HUGEINT * (st - sl)::HUGEINT
+             |        * nl::HUGEINT)::DOUBLE
+             |     / (nl::HUGEINT * (ct - nl)::HUGEINT)::DOUBLE) AS gain
+             |  FROM cand$k WHERE nl > 0 AND ct - nl > 0),
+             |best$k AS MATERIALIZED (
+             |  SELECT t::BIGINT AS t, (sl // nl)::BIGINT AS vl,
+             |    (sr // nr)::BIGINT AS vr, nl,
+             |    floor(gain)::BIGINT AS gain_l
+             |  FROM (SELECT *, row_number() OVER (
+             |      ORDER BY gain DESC, t ASC) AS rn FROM g$k)
+             |  WHERE rn = 1),
+             |res${k + 1} AS MATERIALIZED (
+             |  SELECT x,
+             |    (r - CASE WHEN x <= b.t THEN b.vl ELSE b.vr END)
+             |      ::BIGINT AS r
+             |  FROM res$k CROSS JOIN best$k b)""".stripMargin
+      }
+      sb ++=
+        """,
+          |fin AS (SELECT sum(abs(r))::BIGINT AS fab FROM res4)
+          |SELECT u.round, u.split_t, u.n_l, u.v_l_e2, u.v_r_e2,
+          |  u.gain_l, c0.f0 AS f0_e2, fin.fab AS final_abs_resid_e2
+          |FROM (
+          |  SELECT 1::BIGINT AS round, t AS split_t, nl AS n_l,
+          |    vl AS v_l_e2, vr AS v_r_e2, gain_l FROM best1
+          |  UNION ALL
+          |  SELECT 2::BIGINT, t, nl, vl, vr, gain_l FROM best2
+          |  UNION ALL
+          |  SELECT 3::BIGINT, t, nl, vl, vr, gain_l FROM best3) u
+          |CROSS JOIN c0 CROSS JOIN fin""".stripMargin
+      sb.toString
+    },
+
+    "attribution_shapley" -> {
+      def w(a: String, b: String) =
+        s"(CASE $a + $b WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END)"
+      def num(ch: String, o1: String, o2: String) =
+        s"sum(CASE WHEN $ch = 1 THEN ${w(o1, o2)} * cs " +
+          s"ELSE -(${w(o1, o2)} * cs) END)::BIGINT"
+      s"""WITH per AS MATERIALIZED (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      ::BIGINT AS hv,
+         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      ::BIGINT AS hc,
+         |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         |      ::BIGINT AS hs,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      ::BIGINT AS conv
+         |  FROM events GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS n_users FROM per),
+         |coal AS (SELECT (i % 2)::BIGINT AS sv,
+         |    (i // 2 % 2)::BIGINT AS sc, (i // 4 % 2)::BIGINT AS ss
+         |  FROM range(0, 8) t(i)),
+         |cs AS MATERIALIZED (
+         |  SELECT c.sv, c.sc, c.ss, sum(p.conv)::BIGINT AS cs
+         |  FROM per p CROSS JOIN coal c
+         |  WHERE p.hv <= c.sv AND p.hc <= c.sc AND p.hs <= c.ss
+         |  GROUP BY 1, 2, 3),
+         |num AS (SELECT
+         |  ${num("sv", "sc", "ss")} AS nv,
+         |  ${num("sc", "sv", "ss")} AS nc,
+         |  ${num("ss", "sv", "sc")} AS ns
+         |  FROM cs)
+         |SELECT nn.n_users,
+         |  (nv * 1000000 // (6 * nn.n_users))::BIGINT AS phi_view_e6,
+         |  (nc * 1000000 // (6 * nn.n_users))::BIGINT AS phi_click_e6,
+         |  (ns * 1000000 // (6 * nn.n_users))::BIGINT AS phi_signup_e6,
+         |  ((nv + nc + ns) * 1000000 // (6 * nn.n_users))::BIGINT
+         |    AS efficiency_e6
+         |FROM num CROSS JOIN nn""".stripMargin
+    },
+
+    "curate_mmr" -> {
+      val sb = new StringBuilder
+      sb ++=
+        """WITH qv AS (SELECT embedding AS q FROM embeddings
+          |  WHERE vec_id = 0),
+          |sc0 AS (
+          |  SELECT e.vec_id, e.embedding,
+          |    floor(list_cosine_similarity(e.embedding::DOUBLE[],
+          |      qv.q::DOUBLE[]) * 1000000.0 + 0.5)::BIGINT AS rel_e6
+          |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+          |pool AS MATERIALIZED (
+          |  SELECT vec_id, embedding, rel_e6 FROM (
+          |    SELECT *, row_number() OVER (
+          |      ORDER BY rel_e6 DESC, vec_id ASC) AS rn FROM sc0)
+          |  WHERE rn <= 16),
+          |pairs AS MATERIALIZED (
+          |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+          |    floor(list_cosine_similarity(a.embedding::DOUBLE[],
+          |      b.embedding::DOUBLE[]) * 1000000.0 + 0.5)::BIGINT
+          |      AS sim_e6
+          |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+          |sel1 AS MATERIALIZED (
+          |  SELECT vec_id, 1::BIGINT AS rank,
+          |    (rel_e6 * 7)::BIGINT AS mmr_e7
+          |  FROM pool ORDER BY rel_e6 DESC, vec_id ASC LIMIT 1)"""
+          .stripMargin
+      for (r <- 2 to 5) {
+        val prevSels = (1 until r).map(i => s"SELECT vec_id FROM sel$i")
+          .mkString(" UNION ALL ")
+        sb ++=
+          s""",
+             |selall${r - 1} AS (${prevSels}),
+             |cand$r AS (
+             |  SELECT p.vec_id,
+             |    (p.rel_e6 * 7 - max(pr.sim_e6) * 3)::BIGINT AS mmr_e7
+             |  FROM pool p
+             |  JOIN pairs pr ON pr.ia = p.vec_id
+             |  JOIN selall${r - 1} s ON pr.ib = s.vec_id
+             |  WHERE p.vec_id NOT IN (SELECT vec_id FROM selall${r - 1})
+             |  GROUP BY p.vec_id, p.rel_e6),
+             |sel$r AS MATERIALIZED (
+             |  SELECT vec_id, $r::BIGINT AS rank, mmr_e7 FROM cand$r
+             |  ORDER BY mmr_e7 DESC, vec_id ASC LIMIT 1)""".stripMargin
+      }
+      sb ++=
+        """
+          |SELECT u.rank, u.vec_id, p.rel_e6, u.mmr_e7
+          |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+          |  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+          |  UNION ALL SELECT * FROM sel5) u
+          |JOIN pool p ON p.vec_id = u.vec_id""".stripMargin
+      sb.toString
+    },
+
+    "cluster_dbscan_grid" ->
+      """WITH RECURSIVE pts AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    floor(embedding[1]::DOUBLE * 1000000.0 + 0.5)::BIGINT AS x,
+        |    floor(embedding[2]::DOUBLE * 1000000.0 + 0.5)::BIGINT AS y
+        |  FROM embeddings),
+        |nbr AS MATERIALIZED (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id
+        |    AND (a.x - b.x) * (a.x - b.x)
+        |      + (a.y - b.y) * (a.y - b.y) <= 2500000000),
+        |deg AS (SELECT ida AS vec_id, count(*)::BIGINT AS nn
+        |  FROM nbr GROUP BY 1),
+        |roles AS MATERIALIZED (
+        |  SELECT p.vec_id,
+        |    (CASE WHEN coalesce(d.nn, 0) + 1 >= 8 THEN 1 ELSE 0 END)
+        |      ::BIGINT AS is_core
+        |  FROM pts p LEFT JOIN deg d USING (vec_id)),
+        |ce AS MATERIALIZED (
+        |  SELECT n.ida AS src, n.idb AS dst FROM nbr n
+        |  JOIN roles ra ON ra.vec_id = n.ida AND ra.is_core = 1
+        |  JOIN roles rb ON rb.vec_id = n.idb AND rb.is_core = 1),
+        |verts2 AS (SELECT DISTINCT src AS id FROM ce),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM verts2
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN ce e
+        |    ON e.src = reach.r),
+        |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        |corelbl AS MATERIALIZED (
+        |  SELECT r.vec_id, coalesce(c.rep, r.vec_id)::BIGINT AS cluster
+        |  FROM roles r LEFT JOIN comp c ON c.id = r.vec_id
+        |  WHERE r.is_core = 1),
+        |borderlbl AS MATERIALIZED (
+        |  SELECT r.vec_id, min(cl.cluster)::BIGINT AS cluster
+        |  FROM roles r JOIN nbr n ON n.ida = r.vec_id
+        |  JOIN corelbl cl ON cl.vec_id = n.idb
+        |  WHERE r.is_core = 0 GROUP BY 1)
+        |SELECT vec_id, 2::BIGINT AS role, cluster FROM corelbl
+        |UNION ALL
+        |SELECT vec_id, 1::BIGINT, cluster FROM borderlbl
+        |UNION ALL
+        |SELECT r.vec_id, 0::BIGINT, (-1)::BIGINT FROM roles r
+        |WHERE r.is_core = 0
+        |  AND r.vec_id NOT IN (SELECT vec_id FROM borderlbl)"""
+        .stripMargin,
+
+    "privacy_randomized_response" ->
+      OracleSql.privacyRandomizedResponse(),
+
+    "ml_mrmr_features" -> {
+      val pairDefs = Seq(
+        ("p1y", "f1", "y"), ("p2y", "f2", "y"), ("p3y", "f3", "y"),
+        ("p4y", "f4", "y"), ("p12", "f1", "f2"), ("p13", "f1", "f3"),
+        ("p14", "f1", "f4"), ("p23", "f2", "f3"), ("p24", "f2", "f4"),
+        ("p34", "f3", "f4"))
+      val ex = pairDefs.map { case (pid, a, b) =>
+        s"SELECT '$pid' AS pid, $a AS av, $b AS bv FROM feats"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT least(CAST(l_quantity AS BIGINT) // 10, 4) AS f1,
+         |    least(floor(l_extendedprice)::BIGINT // 20000, 4) AS f2,
+         |    least(floor(l_discount * 100)::BIGINT // 3, 3) AS f3,
+         |    CAST(month(l_shipdate::DATE) AS BIGINT) // 4 AS f4,
+         |    (l_returnflag = 'R')::BIGINT AS y
+         |  FROM lineitem),
+         |ex AS ($ex),
+         |cells AS MATERIALIZED (
+         |  SELECT pid, av, bv, count(*)::BIGINT AS nab
+         |  FROM ex GROUP BY 1, 2, 3),
+         |ma AS (SELECT pid, av, sum(nab)::BIGINT AS na
+         |  FROM cells GROUP BY 1, 2),
+         |mb AS (SELECT pid, bv, sum(nab)::BIGINT AS nb
+         |  FROM cells GROUP BY 1, 2),
+         |nn AS (SELECT pid, sum(nab)::BIGINT AS n
+         |  FROM cells GROUP BY 1),
+         |mi AS MATERIALIZED (
+         |  SELECT c.pid,
+         |    sum(floor((c.nab::DOUBLE / nn.n::DOUBLE)
+         |      * ln((c.nab::DOUBLE * nn.n::DOUBLE)
+         |        / (ma.na::DOUBLE * mb.nb::DOUBLE))
+         |      * 1000000000.0 + 0.5)::BIGINT)::BIGINT AS mi_e9
+         |  FROM cells c
+         |  JOIN ma ON ma.pid = c.pid AND ma.av = c.av
+         |  JOIN mb ON mb.pid = c.pid AND mb.bv = c.bv
+         |  JOIN nn ON nn.pid = c.pid
+         |  GROUP BY 1),
+         |rel AS MATERIALIZED (
+         |  SELECT CAST(substr(pid, 2, 1) AS BIGINT) AS fid,
+         |    mi_e9 AS rel_e9
+         |  FROM mi WHERE pid LIKE '%y'),
+         |red AS (
+         |  SELECT CAST(substr(pid, 2, 1) AS BIGINT) AS fa,
+         |    CAST(substr(pid, 3, 1) AS BIGINT) AS fb,
+         |    mi_e9 AS red_e9
+         |  FROM mi WHERE pid NOT LIKE '%y'),
+         |redsym AS MATERIALIZED (
+         |  SELECT fa, fb, red_e9 FROM red
+         |  UNION ALL SELECT fb, fa, red_e9 FROM red),
+         |sel1 AS MATERIALIZED (
+         |  SELECT fid, 1::BIGINT AS rank, rel_e9,
+         |    rel_e9 AS score_scaled
+         |  FROM rel ORDER BY rel_e9 DESC, fid ASC LIMIT 1),
+         |cand2 AS (
+         |  SELECT r.fid, r.rel_e9,
+         |    (r.rel_e9 * count(*) - sum(rs.red_e9))::BIGINT
+         |      AS score_scaled
+         |  FROM rel r JOIN redsym rs ON rs.fa = r.fid
+         |  JOIN (SELECT fid FROM sel1) s ON rs.fb = s.fid
+         |  WHERE r.fid NOT IN (SELECT fid FROM sel1)
+         |  GROUP BY r.fid, r.rel_e9),
+         |sel2 AS MATERIALIZED (
+         |  SELECT fid, 2::BIGINT AS rank, rel_e9, score_scaled
+         |  FROM cand2 ORDER BY score_scaled DESC, fid ASC LIMIT 1),
+         |sel12 AS (SELECT fid FROM sel1 UNION ALL
+         |  SELECT fid FROM sel2),
+         |cand3 AS (
+         |  SELECT r.fid, r.rel_e9,
+         |    (r.rel_e9 * count(*) - sum(rs.red_e9))::BIGINT
+         |      AS score_scaled
+         |  FROM rel r JOIN redsym rs ON rs.fa = r.fid
+         |  JOIN sel12 s ON rs.fb = s.fid
+         |  WHERE r.fid NOT IN (SELECT fid FROM sel12)
+         |  GROUP BY r.fid, r.rel_e9),
+         |sel3 AS MATERIALIZED (
+         |  SELECT fid, 3::BIGINT AS rank, rel_e9, score_scaled
+         |  FROM cand3 ORDER BY score_scaled DESC, fid ASC LIMIT 1)
+         |SELECT rank, fid, rel_e9, score_scaled FROM (
+         |  SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+         |  UNION ALL SELECT * FROM sel3)""".stripMargin
+    },
+
+    "ml_pr_auc" ->
+      """WITH scored AS (
+        |  SELECT doc_id, length(text)::BIGINT AS score,
+        |    (lang = 'en')::BIGINT AS pos
+        |  FROM documents),
+        |ranked AS MATERIALIZED (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (ORDER BY score DESC, doc_id ASC)
+        |      ::BIGINT AS rk,
+        |    sum(pos) OVER (ORDER BY score DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS tp
+        |  FROM scored),
+        |p AS (SELECT sum(pos)::BIGINT AS np, count(*)::BIGINT AS n
+        |  FROM ranked),
+        |ap AS (SELECT sum(tp * 1000000000 // rk)::BIGINT AS sum_terms
+        |  FROM ranked WHERE pos = 1),
+        |bf AS (
+        |  SELECT (2 * tp * 1000000 // (rk + np))::BIGINT AS best_f1_e6,
+        |    rk AS best_f1_rank, tp AS best_f1_tp
+        |  FROM (SELECT r.rk, r.tp, p.np, row_number() OVER (
+        |      ORDER BY (2 * r.tp::HUGEINT * 1000000000000000000
+        |        // (r.rk + p.np)) DESC, r.rk ASC) AS rnf
+        |    FROM ranked r CROSS JOIN p)
+        |  WHERE rnf = 1)
+        |SELECT p.n, p.np AS n_pos,
+        |  (ap.sum_terms // p.np)::BIGINT AS ap_e9,
+        |  bf.best_f1_e6, bf.best_f1_rank, bf.best_f1_tp
+        |FROM ap CROSS JOIN p CROSS JOIN bf""".stripMargin,
 
     "events_concurrency" ->
       """WITH ev AS (
