@@ -1522,12 +1522,24 @@ object SparkEntry {
       // are unique), so the threshold admits true matches and the known
       // misses are exactly the doubly-degraded records. Balances
       // compare in exact integer cents — no float boundary anywhere.
+      // Blocking refinement (round 8, after the full-surface 10× run
+      // measured 100× pair growth in the 125 fixed (nation, segment)
+      // blocks): a THIRD key on the name's last-3 characters — the
+      // perturbation model truncates the PREFIX, so the tail is
+      // match-invariant, and the decision threshold (1 600 000) is
+      // reachable only with name agreement, so pairs pruned by the
+      // tail key can never be decisive — the OUTPUT is provably
+      // unchanged (the oracle keeps the 2-key join and still
+      // hash-matches) while candidate mass drops from quadratic-in-
+      // block to ~linear. This is standard ER practice: block on the
+      // stable substring of the discriminating field.
       val c = t(s, dir, "customer")
       val L = c.select(col("c_custkey"), col("c_name"),
         col("c_mktsegment"),
         round(col("c_acctbal") * 100, 0).cast("long").as("c_cents"),
         col("c_nationkey").as("blk_nat"),
-        upper(col("c_mktsegment")).as("blk_seg"))
+        upper(col("c_mktsegment")).as("blk_seg"),
+        expr("right(c_name, 3)").as("blk_tail"))
       val R = c.select(
         col("c_custkey").as("p_custkey"),
         when(pmod(col("c_custkey"), lit(5)) === 0,
@@ -1539,7 +1551,8 @@ object SparkEntry {
           pmod(col("c_custkey"), lit(7))).as("p_cents"),
         col("c_nationkey").as("blk_nat"))
         .withColumn("blk_seg", upper(col("p_mktsegment")))
-      L.join(R, Seq("blk_nat", "blk_seg"))
+        .withColumn("blk_tail", expr("right(p_name, 3)"))
+      L.join(R, Seq("blk_nat", "blk_seg", "blk_tail"))
         .withColumn("name_a",
           (col("c_name") === col("p_name")).cast("int"))
         .withColumn("seg_a",
