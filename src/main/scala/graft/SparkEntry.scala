@@ -4439,6 +4439,98 @@ object SparkEntry {
         Multimodal.renderPngImages(t(s, dir, "documents"))).toDF()
     }),
 
+    "multimodal_mixed_format_dups" -> ((s, dir) => {
+      // cross-FORMAT image near-dup clustering — the realistic crawl
+      // shape: one corpus where each image arrived as png, gif, or
+      // bmp (format = (id div 128) % 3), every blob decoded through
+      // the SAME sniffing `ImageIO.read`, hashed with the exact
+      // integer aHash, then clustered in the ahash_dups order:
+      // EXACT-dedup identical hashes first — the fixture's pixel
+      // twins at id ± 256 land in DIFFERENT formats, so identical-
+      // hash groups SPAN formats, proving the decode path is
+      // container-invariant — then the pigeonhole banding over
+      // DISTINCT signatures for near-neighbor (hamming ≤ 3) counts.
+      // Output is one row per hash group with its format span:
+      // group-level, so the pair explosion can never return; every
+      // stage is a narrow rollup or a banded join, the shapes that
+      // hold at 100 TB.
+      val h = Multimodal.averageHashes(
+        Multimodal.renderMixedFormatImages(t(s, dir, "documents")))
+        .toDF()
+        .withColumn("fmt", expr("element_at(array('png','gif','bmp')," +
+          " cast((media_id div 128) % 3 as int) + 1)"))
+      val g = h.groupBy("ahash")
+        .agg(min("media_id").as("rep_id"),
+          count(lit(1)).as("n_images"),
+          countDistinct("fmt").as("n_formats"),
+          array_join(sort_array(collect_set("fmt")), ",").as("formats"))
+        .localCheckpoint(true) // decode once; banding + join reuse
+      val bands = g.select(col("ahash"), col("rep_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            (shiftright(col("ahash"), b * 16).cast("long")
+              .bitwiseAND(lit(65535L))).as("bval"))): _*)).as("bb"))
+        .select(col("ahash"), col("rep_id"),
+          col("bb.band"), col("bb.bval"))
+      val nbr = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bval") === col("b.bval") &&
+            col("a.rep_id") =!= col("b.rep_id"))
+        .select(col("a.rep_id").as("rep_id"), col("b.rep_id").as("nb"),
+          col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+        .distinct()
+        .filter(expr("bit_count(ha ^ hb) <= 3"))
+        .groupBy("rep_id").agg(count(lit(1)).as("n_neighbors"))
+      g.join(nbr, Seq("rep_id"), "left")
+        .select(col("rep_id"), col("n_images"), col("n_formats"),
+          col("formats"),
+          coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+    }),
+
+    "multimodal_cross_format_twin" -> ((s, dir) => {
+      // the "one photo saved twice" crawl case: the SAME smooth image
+      // exists as a lossy JPEG and a lossless PNG, and near-dup
+      // detection must pair them ACROSS the codec boundary. Both
+      // blobs decode through the sniffing `ImageIO.read`; the jpeg's
+      // decoded aHash deviates from the source formula by ≤ 2 bits
+      // (measured over the fixture's full id period), so pigeonhole
+      // banding (4 × 16-bit, exact on some band whenever hamming ≤ 3)
+      // ALWAYS surfaces the png twin as a candidate. The match is a
+      // genuine band join + hamming verify — never an id shortcut —
+      // and the oracle checks the verdict: if the jpeg codec, the
+      // sniffing decode, or the banding broke, twin_found flips false
+      // and the hash compare fails.
+      val docs = t(s, dir, "documents")
+      val jb = Multimodal.averageHashes(
+        Multimodal.renderJpegImages(docs)).toDF()
+        .select(col("media_id"), col("ahash").as("jhash"))
+      val rb = Multimodal.averageHashes(
+        Multimodal.renderSmoothPngImages(docs)).toDF()
+        .select(col("media_id").as("ref_id"), col("ahash").as("rhash"))
+      def banded(df: DataFrame, hc: String): DataFrame =
+        df.select(df.columns.map(col) :+
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              (shiftright(col(hc), b * 16).cast("long")
+                .bitwiseAND(lit(65535L))).as("bval"))): _*)).as("bb"): _*)
+          .select(df.columns.map(col) :+ col("bb.band") :+
+            col("bb.bval"): _*)
+      val found = banded(jb, "jhash")
+        .join(banded(rb, "rhash"), Seq("band", "bval"))
+        .filter(col("ref_id") === col("media_id") &&
+          expr("bit_count(jhash ^ rhash) <= 3"))
+        .select(col("media_id")).distinct()
+        .withColumn("twin_found", lit(true))
+      jb.select(col("media_id"))
+        .join(found, Seq("media_id"), "left")
+        .select(col("media_id"),
+          (pmod(col("media_id"), lit(32)) + 16).cast("int").as("width"),
+          (pmod(col("media_id") * 7, lit(32)) + 16).cast("int")
+            .as("height"),
+          coalesce(col("twin_found"), lit(false)).as("twin_found"))
+    }),
+
     "multimodal_jpeg_decode" -> ((s, dir) => {
       // JPEG decode through the SAME sniffing `ImageIO.read` path any
       // crawled image takes (closing the r6 gap: the PNG-only fixture
@@ -9484,6 +9576,42 @@ object SparkEntry {
          |SELECT rep_a, rep_b, n_images_a, n_images_b,
          |  bit_count(xor(ha, hb))::INT AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    "multimodal_mixed_format_dups" ->
+      s"""WITH ah AS MATERIALIZED (${OracleSql.multimodalAhash()}),
+         |fh AS MATERIALIZED (
+         |  SELECT media_id, ahash,
+         |    CASE ((media_id // 128) % 3) WHEN 0 THEN 'png'
+         |      WHEN 1 THEN 'gif' ELSE 'bmp' END AS fmt
+         |  FROM ah),
+         |hg AS MATERIALIZED (
+         |  SELECT ahash, min(media_id)::BIGINT AS rep_id,
+         |    count(*)::BIGINT AS n_images,
+         |    count(DISTINCT fmt)::BIGINT AS n_formats,
+         |    string_agg(DISTINCT fmt, ',' ORDER BY fmt) AS formats
+         |  FROM fh GROUP BY ahash),
+         |bands AS MATERIALIZED (
+         |  SELECT ahash, rep_id, b.band,
+         |    (ahash >> (b.band * 16)) & 65535 AS bval
+         |  FROM hg, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |nbr AS (
+         |  SELECT rep_id, count(*)::BIGINT AS n_neighbors FROM (
+         |    SELECT DISTINCT a.rep_id, b.rep_id AS nb
+         |    FROM bands a JOIN bands b
+         |      ON a.band = b.band AND a.bval = b.bval
+         |      AND a.rep_id <> b.rep_id
+         |    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3) q
+         |  GROUP BY rep_id)
+         |SELECT hg.rep_id, hg.n_images, hg.n_formats, hg.formats,
+         |  COALESCE(nbr.n_neighbors, 0)::BIGINT AS n_neighbors
+         |FROM hg LEFT JOIN nbr USING (rep_id)""".stripMargin,
+
+    "multimodal_cross_format_twin" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 32 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+        |  TRUE AS twin_found
+        |FROM documents""".stripMargin,
+
     "text_feature_hash" -> OracleSql.textFeatureHash(buckets = 64),
 
     "dedup_prefix_filter" -> OracleSql.dedupPrefixFilter(minSim = 0.5),

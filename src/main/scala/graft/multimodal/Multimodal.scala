@@ -299,6 +299,33 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Deterministic lossless blob of the SMOOTH fixture ramp — the
+      * same image content [[encodeJpeg]] compresses, in a lossless
+      * format, so a jpeg blob and a png blob of the SAME picture exist
+      * side by side (the "one photo saved twice" crawl shape that
+      * cross-format near-dup detection must catch).
+      */
+    def encodeSmoothLossless(id: Long, format: String): Array[Byte] = {
+      val w = width(id)
+      val h = height(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, smoothPixel(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, format, bos),
+        s"no ImageIO writer for format=$format")
+      bos.toByteArray
+    }
+
     /** Decode any ImageIO-supported blob (sniffed by magic bytes — PNG,
       * JPEG, GIF, BMP all ship in the JDK) and measure fidelity against
       * a reference pixel formula. Because lossy decode is deterministic
@@ -407,6 +434,66 @@ object Multimodal {
         struct(
           lit("image").as("kind"),
           lit("image/jpeg").as("mime"),
+          (pmod(col("media_id"), lit(32)) + 16).cast(IntegerType)
+            .as("width"),
+          (pmod(col("media_id") * 7, lit(32)) + 16).cast(IntegerType)
+            .as("height"),
+          lit(null).cast(IntegerType).as("sample_rate"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
+  }
+
+  /** Render the MIXED-FORMAT lossless fixture: each doc's image lands
+    * in png, gif, or bmp by `(doc_id div 128) % 3` — the realistic
+    * crawl shape where one sniffing decode path must handle whatever
+    * format the source happened to save. The pixel formula is the
+    * shared sharp fixture ([[ImageCodec.pixel]], period 256 in the id),
+    * so EXACT pixel twins (`id` and `id ± 256`) always sit in
+    * DIFFERENT formats (a +256 step advances the format index by
+    * 2 mod 3), and all three formats appear at every fixture size
+    * (≥ 384 docs).
+    */
+  def renderMixedFormatImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val formats = Array("png", "gif", "bmp")
+    val mimes = Array("image/png", "image/gif", "image/bmp")
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // codec warm-up happens once per partition (ImageIO SPI scan)
+        ids.map { id =>
+          val f = ((id / 128) % 3).toInt
+          (id, ImageCodec.encodeLossless(id, formats(f)), mimes(f))
+        }
+      }
+      .toDF("media_id", "media", "mime")
+      .select(col("media_id"), col("media"),
+        struct(
+          lit("image").as("kind"),
+          col("mime"),
+          (pmod(col("media_id"), lit(32)) + 16).cast(IntegerType)
+            .as("width"),
+          (pmod(col("media_id") * 7, lit(32)) + 16).cast(IntegerType)
+            .as("height"),
+          lit(null).cast(IntegerType).as("sample_rate"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
+  }
+
+  /** Render the smooth fixture image as PNG — the lossless twin of
+    * [[renderJpegImages]]'s blobs (same picture, different container),
+    * for the cross-format jpeg↔png near-dup query.
+    */
+  def renderSmoothPngImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map(id => (id, ImageCodec.encodeSmoothLossless(id, "png")))
+      }
+      .toDF("media_id", "media")
+      .select(col("media_id"), col("media"),
+        struct(
+          lit("image").as("kind"),
+          lit("image/png").as("mime"),
           (pmod(col("media_id"), lit(32)) + 16).cast(IntegerType)
             .as("width"),
           (pmod(col("media_id") * 7, lit(32)) + 16).cast(IntegerType)

@@ -117,6 +117,57 @@ class MultimodalSpec extends SparkSpec {
     assert(two.width == 18 && two.height == 30 && two.n_pixels == 540)
   }
 
+  test("mixed-format render: decoded aHash is container-invariant") {
+    // The same pixel formula encoded as png, gif, and bmp must decode
+    // to the SAME perceptual hash through the sniffing ImageIO path —
+    // the property the multimodal_mixed_format_dups clusters rest on.
+    for (id <- Seq(0L, 10L, 42L, 127L, 255L)) {
+      val hashes = Seq("png", "gif", "bmp").map(f =>
+        ImageCodec.averageHash(id, ImageCodec.encodeLossless(id, f)).ahash)
+      assert(hashes.distinct.size == 1,
+        s"id=$id: format-dependent hashes $hashes")
+    }
+  }
+
+  test("mixed-format fixture: pixel twins at id±256 land in different formats") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val media = renderMixedFormatImages(docs)
+    val fmts = media.select($"media_id", $"meta.mime")
+      .as[(Long, String)].collect().toMap
+    // twins: 0↔256 (png↔bmp via div-128 index 0 vs 2), 130↔386 (gif↔png)
+    assert(fmts(0L) == "image/png" && fmts(256L) == "image/bmp")
+    assert(fmts(130L) == "image/gif" && fmts(386L) == "image/png")
+    // and they hash identically despite the format change
+    val h = averageHashes(media).toDF()
+      .select($"media_id", $"ahash").as[(Long, Long)].collect().toMap
+    assert(h(0L) == h(256L) && h(130L) == h(386L))
+  }
+
+  test("jpeg decoded aHash deviates ≤2 bits from the smooth-formula hash " +
+      "over the full id period") {
+    // The image content is periodic in id with period 64 (smoothPixel
+    // uses id%64, dims id%32), so probing 0..127 covers EVERY id. The
+    // ≤2-bit bound is what guarantees pigeonhole banding (4×16-bit,
+    // clean band whenever hamming ≤ 3) always surfaces the png twin in
+    // multimodal_cross_format_twin.
+    def formulaHash(id: Long): Long = {
+      val w = ImageCodec.width(id); val h = ImageCodec.height(id)
+      val s = (0 until 64).map { k =>
+        ImageCodec.smoothPixel(id, ((k % 8) * w) / 8, ((k / 8) * h) / 8)
+      }
+      val mean = s.map(_.toLong).sum / 64
+      s.zipWithIndex.foldLeft(0L) { case (acc, (p, k)) =>
+        if (p > mean) acc | (1L << k) else acc
+      }
+    }
+    val worst = (0L until 128L).map { id =>
+      val dec = ImageCodec.averageHash(id, ImageCodec.encodeJpeg(id)).ahash
+      java.lang.Long.bitCount(dec ^ formulaHash(id))
+    }.max
+    assert(worst <= 2, s"jpeg hash deviation $worst bits > 2")
+  }
+
   test("rendered blobs are genuine RIFF/WAVE files the JDK codec accepts") {
     val bytes = Multimodal.AudioCodec.encodeWav(5L)
     assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
