@@ -2200,6 +2200,90 @@ object OracleSql {
        |    // count(*))::BIGINT AS heavy_ppm
        |FROM m GROUP BY 1""".stripMargin
 
+  /** Oracle for `events_bandit_replay`: the epsilon-greedy replay
+    * rebuilt end-to-end — xxhash64(day) and xxhash64(day + 777)
+    * through the exact XXH64 chain emulation on the distinct-day
+    * frame, the complete (day × arm) grid with zero fill, cumulative
+    * PRIOR-day stats via 1-PRECEDING windows, e6 integral-div means
+    * with the same optimistic-init constant, argmax by
+    * (mean_e6 DESC, typ ASC), and the regret rollup.
+    */
+  def eventsBanditReplay(): String = {
+    val ch = new Chain("bd",
+      """SELECT day, day::HUGEINT AS d1u, (day + 777)::HUGEINT AS d2u
+        |  FROM (SELECT DISTINCT
+        |      datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT
+        |        AS day
+        |    FROM events) q""".stripMargin)
+    val h1 = hashLong(ch, "d1u", "42::HUGEINT", "ga")
+    val h2 = hashLong(ch, "d2u", "42::HUGEINT", "gb")
+    ch.add("h1v", sig(h1))
+    ch.add("h2v", sig(h2))
+    s"""WITH ${ch.render},
+       |hday AS (SELECT day, h1v, h2v FROM ${ch.last}),
+       |evd AS (
+       |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT
+       |      AS day,
+       |    event_type AS typ,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |daily AS MATERIALIZED (
+       |  SELECT day, typ, count(*)::BIGINT AS n,
+       |    sum(cents)::BIGINT AS cc
+       |  FROM evd GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d.day, t.typ, COALESCE(x.n, 0)::BIGINT AS n,
+       |    COALESCE(x.cc, 0)::BIGINT AS cc
+       |  FROM (SELECT DISTINCT day FROM daily) d
+       |  CROSS JOIN (SELECT DISTINCT typ FROM daily) t
+       |  LEFT JOIN daily x ON x.day = d.day AND x.typ = t.typ),
+       |st AS MATERIALIZED (
+       |  SELECT day, typ, n, cc,
+       |    COALESCE(sum(n) OVER (PARTITION BY typ ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0)::BIGINT AS cn,
+       |    COALESCE(sum(cc) OVER (PARTITION BY typ ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0)::BIGINT AS ccents
+       |  FROM grid),
+       |st2 AS MATERIALIZED (
+       |  SELECT day, typ, n, cc,
+       |    (CASE WHEN cn > 0 THEN (ccents * 1000000) // cn
+       |      ELSE 1000000000000000 END)::BIGINT AS mean_e6,
+       |    (CASE WHEN n > 0 THEN (cc * 1000000) // n
+       |      ELSE 0 END)::BIGINT AS dm_e6
+       |  FROM st),
+       |exploit AS (
+       |  SELECT day, typ AS ex_t FROM (
+       |    SELECT day, typ, row_number() OVER (PARTITION BY day
+       |      ORDER BY mean_e6 DESC, typ ASC) AS rn
+       |    FROM st2) r WHERE rn = 1),
+       |best AS (
+       |  SELECT day, max(dm_e6)::BIGINT AS best_e6 FROM st2 GROUP BY 1),
+       |arms AS (
+       |  SELECT day, list_sort(list(typ)) AS arms FROM st2 GROUP BY 1),
+       |chosen AS (
+       |  SELECT h.day,
+       |    ((h.h1v % 4) + 4) % 4 = 0 AS explored,
+       |    CASE WHEN ((h.h1v % 4) + 4) % 4 = 0
+       |      THEN a.arms[(((h.h2v % len(a.arms)) + len(a.arms))
+       |        % len(a.arms) + 1)::INT]
+       |      ELSE e.ex_t END AS chosen_type
+       |  FROM hday h JOIN exploit e ON e.day = h.day
+       |  JOIN arms a ON a.day = h.day),
+       |rew AS (
+       |  SELECT c.day, c.chosen_type, c.explored,
+       |    COALESCE(s.dm_e6, 0)::BIGINT AS reward_e6, b.best_e6
+       |  FROM chosen c JOIN best b ON b.day = c.day
+       |  LEFT JOIN st2 s ON s.day = c.day AND s.typ = c.chosen_type)
+       |SELECT day, chosen_type, explored, reward_e6, best_e6,
+       |  (best_e6 - reward_e6)::BIGINT AS regret_e6,
+       |  sum(best_e6 - reward_e6) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |    AS cum_regret_e6
+       |FROM rew""".stripMargin
+  }
+
   /** Oracle for `multimodal_ahash`: recompute the 8×8 average-hash
     * straight from the fixture's pixel formula
     * (`p(x,y) = (id + 7x + 13y) % 256`, dims `16 + id % 32` by
@@ -2609,6 +2693,145 @@ object OracleSql {
        |      ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
        |  FROM scored)
        |SELECT query_id, rank, neighbor_id, ${roundSpark("score", 4)} AS score
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** Oracle for `cluster_farthest_first`: the Gonzalez traversal
+    * unrolled — the int8 quantization CTE (same formulation as
+    * [[simQuantizedTopK]]), then per round an argmax-of-min-distance
+    * selection (ORDER BY dmin DESC, vec_id ASC LIMIT 1, matching the
+    * engine's TakeOrdered tie-break) with exact BIGINT squared
+    * distances, then the nearest-center assignment rollup. Every CTE
+    * in the sequential chain is MATERIALIZED (per-reference inlining
+    * re-evaluates the whole prefix otherwise).
+    */
+  def clusterFarthestFirst(dim: Int = 64, k: Int = 4): String = {
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> ($a[i] - $b[i])::BIGINT * ($a[i] - $b[i])::BIGINT))::BIGINT"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |scaled AS (
+         |  SELECT vec_id, v,
+         |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+         |         THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+         |         ELSE 1.0 END AS sc
+         |  FROM base),
+         |qz AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(${roundSpark("x * sc", 0)}
+         |      AS INTEGER)) AS qv
+         |  FROM scaled),
+         |c1 AS MATERIALIZED (
+         |  SELECT vec_id AS cid, qv FROM qz ORDER BY vec_id ASC LIMIT 1),
+         |d1 AS MATERIALIZED (
+         |  SELECT q.vec_id, q.qv, ${dist("q.qv", "c.qv")} AS dmin
+         |  FROM qz q CROSS JOIN c1 c)""".stripMargin)
+    for (r <- 2 to k) {
+      sb.append(
+        s""",
+           |c$r AS MATERIALIZED (
+           |  SELECT vec_id AS cid, qv FROM d${r - 1}
+           |  ORDER BY dmin DESC, vec_id ASC LIMIT 1)""".stripMargin)
+      if (r < k) sb.append(
+        s""",
+           |d$r AS MATERIALIZED (
+           |  SELECT d.vec_id, d.qv,
+           |    least(d.dmin, ${dist("d.qv", "c.qv")}) AS dmin
+           |  FROM d${r - 1} d CROSS JOIN c$r c)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |cents AS (${(1 to k).map(r => s"SELECT cid, qv FROM c$r")
+        .mkString(" UNION ALL ")}),
+         |ad AS (
+         |  SELECT q.vec_id, c.cid, ${dist("q.qv", "c.qv")} AS dd
+         |  FROM qz q CROSS JOIN cents c),
+         |best AS (
+         |  SELECT vec_id, cid, dd, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dd ASC, cid ASC) AS rn
+         |  FROM ad)
+         |SELECT cid AS center_id, count(*)::BIGINT AS n_assigned,
+         |  max(dd)::BIGINT AS radius_sq
+         |FROM best WHERE rn = 1 GROUP BY cid""".stripMargin)
+    sb.toString
+  }
+
+  /** Oracle for `ml_knn_classify`: the same int8 quantization CTE as
+    * [[simQuantizedTopK]] (with the label carried), exact BIGINT
+    * squared distances, per-query rank window (d2 ASC, neighbor ASC),
+    * 5-vote majority with ties toward the smaller label.
+    */
+  def mlKnnClassify(dim: Int = 64, k: Int = 5): String = {
+    val d2 = s"list_sum(list_transform(range(1, ${dim + 1}), " +
+      "i -> (q.q_qv[i] - c.c_qv[i])::BIGINT * " +
+      "(q.q_qv[i] - c.c_qv[i])::BIGINT))::BIGINT"
+    s"""WITH base AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |scaled AS (
+       |  SELECT vec_id, label, v,
+       |    CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+       |         THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+       |         ELSE 1.0 END AS sc
+       |  FROM base),
+       |qz AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    list_transform(v, x -> CAST(${roundSpark("x * sc", 0)}
+       |      AS INTEGER)) AS qv
+       |  FROM scaled),
+       |q AS (SELECT vec_id AS query_id, label AS true_label,
+       |    qv AS q_qv FROM qz WHERE vec_id % 5 = 0),
+       |c AS (SELECT vec_id AS neighbor_id, label AS n_label,
+       |    qv AS c_qv FROM qz WHERE vec_id % 5 <> 0),
+       |kd AS (
+       |  SELECT q.query_id, q.true_label, c.neighbor_id, c.n_label,
+       |    $d2 AS d2
+       |  FROM q CROSS JOIN c),
+       |rk AS (
+       |  SELECT query_id, true_label, n_label,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2 ASC, neighbor_id ASC) AS rank
+       |  FROM kd),
+       |votes AS (
+       |  SELECT query_id, true_label, n_label,
+       |    count(*)::BIGINT AS votes
+       |  FROM rk WHERE rank <= $k GROUP BY 1, 2, 3),
+       |win AS (
+       |  SELECT query_id, true_label, n_label AS pred_label, votes,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, n_label ASC) AS rn
+       |  FROM votes)
+       |SELECT query_id, true_label, pred_label, votes,
+       |  (pred_label = true_label) AS correct
+       |FROM win WHERE rn = 1""".stripMargin
+  }
+
+  /** Oracle for `sim_binary_topk`: the 1-bit sign-quantization codes
+    * rebuilt as HUGEINT bit sums (bit i set iff embedding[i+1] > 0 —
+    * float compared exactly, no rounding), converted to signed 64-bit,
+    * hamming = bit_count(xor), per-query rank window with the same
+    * (hamming asc, neighbor_id asc) tie-break as the engine.
+    */
+  def simBinaryTopK(dim: Int = 64, k: Int = 5): String = {
+    val bits = s"list_sum(list_transform(range(1, ${dim + 1}), " +
+      "i -> CASE WHEN embedding[i] > 0 THEN (1::HUGEINT << (i - 1)) " +
+      "ELSE 0::HUGEINT END))::HUGEINT"
+    s"""WITH code AS (
+       |  SELECT vec_id, ${sig(bits)} AS bits FROM embeddings),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    bit_count(xor(q.bits, c.bits))::INT AS hamming
+       |  FROM code q JOIN code c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 8),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming ASC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, neighbor_id, hamming
        |FROM ranked WHERE rank <= $k""".stripMargin
   }
 

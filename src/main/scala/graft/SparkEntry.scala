@@ -2605,6 +2605,82 @@ object SparkEntry {
         .select("query_id", "rank", "neighbor_id", "score")
     }),
 
+    "ml_knn_classify" -> ((s, dir) => {
+      // k-NN classification harness over the int8-quantized codes:
+      // every 5th vector is held out as a query, its label predicted
+      // by the 5-nearest majority among the REST. Quantized codes
+      // make every squared distance an exact long, so neighbor sets,
+      // ranking, and tie-breaks (distance, then id; majority ties
+      // toward the smaller label) are engine-independent — an eval
+      // harness with zero float ambiguity. This is the
+      // label-propagation shape that bootstraps training labels from
+      // a seed set. Scale: the eval slice is sampled by construction
+      // (1-in-5 here), broadcast against one corpus scan; per-query
+      // top-k via the bounded window on the candidate frame.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Similarity.quantize(col("embedding"))._2.as("qv"))
+        .localCheckpoint(true) // query + corpus sides share the encode
+      val queries = broadcast(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .select(col("vec_id").as("query_id"),
+            col("label").as("true_label"), col("qv").as("q_qv")))
+      val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        .select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"), col("qv").as("c_qv"))
+      val d2 = aggregate(
+        zip_with(col("q_qv"), col("c_qv"),
+          (x, y) => (x.cast("long") - y) * (x.cast("long") - y)),
+        lit(0L), (acc, e) => acc + e)
+      val wK = Window.partitionBy("query_id")
+        .orderBy(col("d2").asc, col("neighbor_id").asc)
+      corpus.crossJoin(queries)
+        .withColumn("d2", d2)
+        .withColumn("rank", row_number().over(wK))
+        .filter(col("rank") <= 5)
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(count(lit(1)).as("votes"))
+        .groupBy("query_id", "true_label")
+        .agg(min(struct((-col("votes")).as("nv"),
+          col("n_label").as("l"))).as("win"))
+        .select(col("query_id"), col("true_label"),
+          col("win.l").as("pred_label"), (-col("win.nv")).as("votes"),
+          (col("win.l") === col("true_label")).as("correct"))
+    }),
+
+    "sim_binary_topk" -> ((s, dir) => {
+      // 1-BIT embedding quantization ANN: each 64-dim float vector
+      // compresses to a single sign-bit long — 32× smaller than
+      // float32, the binary-code regime production vector stores use
+      // for the first-pass scan — and similarity is hamming distance
+      // via one xor + popcount per candidate: pure integer work, no
+      // floats, so scores are exact and order-independent. Completes
+      // the quantization ladder float → int8 (sim_quantized_topk) →
+      // PQ codes (sim_pq_topk) → 1 bit. Scale shape: the corpus side
+      // is a map-only projection to 8 bytes/vector (the whole 100 TB
+      // corpus fits hot at this width), queries broadcast, top-k via
+      // the bounded per-query window on the candidate frame.
+      // native fused loop (codegen'd, no intermediate array) — the
+      // zip_with+aggregate composition is bit-identical but runs two
+      // lambdas per element per row; PqExpressionsSpec pins parity
+      val signBits = graft.expressions.exprs.sign_pack(
+        col("embedding").cast("array<double>"))
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("neighbor_id"),
+        signBits.as("c_bits"))
+      val queries = broadcast(emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), signBits.as("q_bits")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("hamming").asc, col("neighbor_id").asc)
+      corpus.crossJoin(queries)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("hamming",
+          expr("cast(bit_count(c_bits ^ q_bits) as int)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "hamming")
+    }),
+
     "dedup_embedding_lsh" -> ((s, dir) => {
       // the SCALE path for embedding near-dup: candidates bounded by
       // multi-table hyperplane buckets, exact cosine refine — no bounded
@@ -2699,6 +2775,50 @@ object SparkEntry {
       Clustering.kmeansAssignAdaptive(t(s, dir, "embeddings"),
         "vec_id", "embedding", iters = 3,
         targetClusterSize = 256, minK = 8)
+    }),
+
+    "cluster_farthest_first" -> ((s, dir) => {
+      // Gonzalez farthest-first traversal (1985): k-CENTER coverage
+      // over int8-quantized embedding codes — the greedy
+      // 2-approximation every coreset selector starts from, and the
+      // diversity complement of k-means' density-seeking (SemDeDup
+      // keeps dense centers; k-center covers the FRINGE, which is
+      // where a training corpus's rare modes live). Quantized codes
+      // make every squared distance an exact long (Σ Δ² over int8
+      // components), so argmax/argmin are exact integer comparisons —
+      // no float tie ambiguity anywhere. Scale shape: k−1 distributed
+      // argmax passes (TakeOrdered(1): map + tiny reduce, the corpus
+      // never shuffles) over the ONCE-quantized checkpointed frame,
+      // one assignment pass, driver state = k codes.
+      val k = 4
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.quantize(col("embedding"))._2.as("qv"))
+        .localCheckpoint(true) // quantize once; k+1 passes reuse it
+      def d2To(center: Array[Int]): Column =
+        aggregate(
+          zip_with(col("qv"), array(center.map(lit(_)): _*),
+            (x, c) => (x.cast("long") - c) * (x.cast("long") - c)),
+          lit(0L), (acc, e) => acc + e)
+      val first = q.orderBy(col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("qv")).collect()(0)
+      var centers = Vector(
+        (first.getLong(0), first.getSeq[Int](1).toArray))
+      while (centers.size < k) {
+        val dmin = centers.map(c => d2To(c._2)).reduce(least(_, _))
+        val nxt = q.withColumn("dmin", dmin)
+          .orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id"), col("qv")).collect()(0)
+        centers = centers :+
+          ((nxt.getLong(0), nxt.getSeq[Int](1).toArray))
+      }
+      val best = array_min(array(centers.map { case (cid, cv) =>
+        struct(d2To(cv).as("dd"), lit(cid).as("cid"))
+      }: _*))
+      q.withColumn("best", best)
+        .groupBy(col("best.cid").as("center_id"))
+        .agg(count(lit(1)).as("n_assigned"),
+          max(col("best.dd")).as("radius_sq"))
     }),
 
     "embed_drift" -> ((s, dir) => {
@@ -3845,6 +3965,68 @@ object SparkEntry {
         .select("dur", "d", "n_risk", "s_e6")
     }),
 
+    "orders_logrank" -> ((s, dir) => {
+      // two-sample LOG-RANK test on the reorder-time curves: does the
+      // BUILDING segment reorder at a different hazard than everyone
+      // else? Completes the survival family (KM curve → Nelson–Aalen
+      // cumulative hazard → hypothesis test). Same duration/censoring
+      // construction as orders_survival_km (time-to-next-order, last
+      // order right-censored at the horizon); at each distinct event
+      // time the observed group-1 events d1 are compared with the
+      // hypergeometric expectation d·n1/n and variance
+      // d·n1·(n−n1)·(n−d)/(n²·(n−1)) (Mantel 1966). O and the risk
+      // sets are exact longs; E and V are summed in e9 fixed point
+      // with per-term `div` truncation (identical in both engines);
+      // χ² = (O−E)²/V lands in e6 through decimal(38,0) products —
+      // no float anywhere. Scale shape: one orders scan + one keyed
+      // join to the customer dim (AQE broadcasts it), then every
+      // window runs on the DISTINCT-duration rollup (calendar-
+      // bounded), and the statistic is a one-row total.
+      val d38 = "decimal(38,0)"
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_mktsegment") === lit("BUILDING")).cast("long").as("g1"))
+      val od = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderdate").cast("date").as("od"))
+      val hz = od.agg(max(col("od")).as("hz"))
+      val dur = od
+        .withColumn("nxt", lead("od", 1)
+          .over(Window.partitionBy("o_custkey").orderBy("od")))
+        .crossJoin(broadcast(hz))
+        .select(col("o_custkey"),
+          when(col("nxt").isNotNull, datediff(col("nxt"), col("od")))
+            .otherwise(datediff(col("hz"), col("od")))
+            .cast("long").as("dur"),
+          when(col("nxt").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("event"))
+        .filter(col("dur") > 0)
+        .join(cust, col("o_custkey") === cust("c_custkey"))
+      val ev = dur.groupBy("dur")
+        .agg(sum("event").as("d"), count(lit(1)).as("cnt"),
+          sum(col("event") * col("g1")).as("d1"),
+          sum("g1").as("cnt1"))
+      val wRisk = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev
+        .withColumn("n", sum(col("cnt")).over(wRisk))
+        .withColumn("n1", sum(col("cnt1")).over(wRisk))
+        .filter(col("d") > 0 && col("n") > 1)
+        .agg(
+          sum(col("d1")).as("o1"),
+          sum(expr(s"(cast(d as $d38) * cast(n1 as $d38) * 1000000000)" +
+            s" div cast(n as $d38)")).as("e1_e9"),
+          sum(expr(s"(cast(d as $d38) * cast(n1 as $d38)" +
+            s" * cast(n - n1 as $d38) * cast(n - d as $d38)" +
+            s" * 1000000000)" +
+            s" div (cast(n as $d38) * cast(n as $d38)" +
+            s" * cast(n - 1 as $d38))")).as("v_e9"),
+          count(lit(1)).as("n_times"))
+        .select(col("o1"), col("e1_e9").cast("long").as("e1_e9"),
+          col("v_e9").cast("long").as("v_e9"), col("n_times"),
+          expr(s"cast((cast(o1 as $d38) * 1000000000 - cast(e1_e9 as $d38))" +
+            s" * (cast(o1 as $d38) * 1000000000 - cast(e1_e9 as $d38))" +
+            s" div (cast(v_e9 as $d38) * 1000) as long)").as("chi2_e6"))
+    }),
+
     "text_zipf_fit" -> ((s, dir) => {
       // Zipf-law fit over the token frequency spectrum: least-squares
       // slope of ln(freq) on ln(rank) — the corpus-linguistics
@@ -4391,6 +4573,69 @@ object SparkEntry {
           sum("rev").as("revenue_cents"))
         .withColumn("heavy_ppm",
           expr("(n_heavy * 1000000) div n_users"))
+    }),
+
+    "events_bandit_replay" -> ((s, dir) => {
+      // offline BANDIT POLICY REPLAY: an epsilon-greedy agent choosing
+      // one event-type "arm" per day from logged history — explore on
+      // hash-gated days (pmod(xxhash64(day), 4) = 0, replayable like
+      // the A/B arm assignment), exploit the argmax of the cumulative
+      // PRIOR-day mean reward otherwise, with optimistic
+      // initialization for never-pulled arms. Every statistic is an
+      // exact integer: cumulative sums are longs, means are e6
+      // integral `div`s, the argmax compares (mean_e6 desc, type asc)
+      // — no float and no RNG, so the whole trajectory (choices,
+      // per-day regret vs the day's best arm, cumulative regret) is
+      // replayable bit-for-bit. The offline counterfactual-evaluation
+      // shape experimentation stacks run before shipping a policy.
+      // Scale: one corpus rollup to the (day × arm) grid; all windows
+      // and argmaxes run on that calendar-bounded frame.
+      val ev = t(s, dir, "events").select(
+        datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("day"),
+        col("event_type").as("typ"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val daily = ev.groupBy("day", "typ")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cc"))
+        .localCheckpoint(true) // grid axes + fill all read it
+      val grid = daily.select("day").distinct()
+        .crossJoin(broadcast(daily.select("typ").distinct()))
+        .join(daily, Seq("day", "typ"), "left")
+        .select(col("day"), col("typ"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("cc"), lit(0L)).as("cc"))
+      val wCum = Window.partitionBy("typ").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val st = grid
+        .withColumn("cn", coalesce(sum("n").over(wCum), lit(0L)))
+        .withColumn("ccents", coalesce(sum("cc").over(wCum), lit(0L)))
+        .withColumn("mean_e6", when(col("cn") > 0,
+          expr("(ccents * 1000000) div cn"))
+          .otherwise(lit(1000000000000000L))) // optimistic init
+        .withColumn("dm_e6", when(col("n") > 0,
+          expr("(cc * 1000000) div n")).otherwise(lit(0L)))
+      val wDay = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      st.groupBy("day").agg(
+          min(struct((-col("mean_e6")).as("nm"), col("typ").as("t")))
+            .as("ex"),
+          max(col("dm_e6")).as("best_e6"),
+          map_from_entries(collect_list(
+            struct(col("typ"), col("dm_e6")))).as("dm"),
+          sort_array(collect_list(col("typ"))).as("arms"))
+        .withColumn("explored",
+          pmod(xxhash64(col("day")), lit(4L)) === 0)
+        .withColumn("chosen_type", when(col("explored"),
+          element_at(col("arms"),
+            (pmod(xxhash64(col("day") + lit(777L)),
+              size(col("arms")).cast("long")) + 1).cast("int")))
+          .otherwise(col("ex.t")))
+        .withColumn("reward_e6",
+          coalesce(element_at(col("dm"), col("chosen_type")), lit(0L)))
+        .withColumn("regret_e6", col("best_e6") - col("reward_e6"))
+        .withColumn("cum_regret_e6", sum("regret_e6").over(wDay))
+        .select("day", "chosen_type", "explored", "reward_e6",
+          "best_e6", "regret_e6", "cum_regret_e6")
     }),
 
     "multimodal_ahash_dups" -> ((s, dir) => {
@@ -5843,6 +6088,45 @@ object SparkEntry {
         .select((col("pos") + 1).cast("int").as("h"),
           col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
           col("col").as("forecast_cents"))
+    }),
+
+    "events_stl_decompose" -> ((s, dir) => {
+      // STL-style seasonal decomposition of daily revenue by MOVING
+      // MEDIANS — the robust, integer-exact profiling twin of the
+      // Holt-Winters forecast fold: trend = centered 7-day moving
+      // median of daily cents (odd window ⇒ the median IS an element:
+      // exact long, no interpolation), seasonal = per-day-of-week
+      // median of the detrended series (carried ×2 so the even-count
+      // midpoint mean stays integral), remainder = the rest.
+      // Decomposition SHOWS the weekly shape the forecasters model —
+      // the monitoring view every pipeline dashboard wants. Scale:
+      // one corpus rollup to the calendar-bounded daily frame; the
+      // trend window runs on ≤ 366 rows, the seasonal frame is 7.
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val wT = Window.orderBy("day").rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("wnd", collect_list("cents").over(wT))
+        .filter(size(col("wnd")) === 7) // full windows only
+        .withColumn("trend_cents", element_at(sort_array(col("wnd")), 4))
+        .withColumn("detr", col("cents") - col("trend_cents"))
+        .withColumn("dow", pmod(col("day"), lit(7)))
+        .drop("wnd")
+        .localCheckpoint(true) // seasonal agg + final join both read it
+      val seas = tr.groupBy("dow")
+        .agg(sort_array(collect_list(col("detr"))).as("arr"))
+        .select(col("dow"),
+          (element_at(col("arr"),
+            expr("cast((size(arr) + 1) div 2 as int)")) +
+            element_at(col("arr"),
+              expr("cast(size(arr) div 2 + 1 as int)")))
+            .as("seasonal_x2"))
+      tr.join(broadcast(seas), Seq("dow"))
+        .select(col("day"), col("cents"), col("trend_cents"),
+          col("seasonal_x2"),
+          (col("detr") * 2 - col("seasonal_x2")).as("remainder_x2"))
     }),
 
     "dedup_components_star" -> ((s, dir) => {
@@ -8863,6 +9147,8 @@ object SparkEntry {
       dim = 64, topK = 5, trainBudget = 512),
     "sim_pq_refined" -> OracleSql.simPqRefined(m = 16, k = 32, iters = 2,
       dim = 64, topK = 5, shortlist = 150, trainBudget = 512),
+    "cluster_farthest_first" ->
+      OracleSql.clusterFarthestFirst(dim = 64, k = 4),
     "cluster_kmeans" -> OracleSql.clusterKmeans(targetClusterSize = 256,
       minK = 8, iters = 3, dim = 64),
     "dedup_semantic" -> OracleSql.dedupSemantic(targetClusterSize = 256,
@@ -8895,6 +9181,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> OracleSql.dedupEmbeddingLsh(minCos = 0.4),
     "dedup_mutual_knn" -> OracleSql.dedupMutualKnn(minCos = 0.2, k = 3),
     "sim_quantized_topk" -> OracleSql.simQuantizedTopK(dim = 64, k = 5),
+    "sim_binary_topk" -> OracleSql.simBinaryTopK(dim = 64, k = 5),
+    "ml_knn_classify" -> OracleSql.mlKnnClassify(dim = 64, k = 5),
     "text_decontaminate" ->
       OracleSql.textDecontaminate(shingleN = 4, evalMod = 13),
 
@@ -9154,6 +9442,36 @@ object SparkEntry {
     // the engine's array fold is replayed as a bounded recursion (one
     // step per day) — DuckDB 1.0's list_reduce corrupts multi-field
     // struct accumulators mid-chain, so the lambda form is not usable
+    "events_stl_decompose" ->
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT
+        |      AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT day, cents, wnd, dow FROM (
+        |    SELECT day, cents,
+        |      list(cents) OVER (ORDER BY day
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wnd,
+        |      (day % 7)::BIGINT AS dow
+        |    FROM daily) q
+        |  WHERE len(wnd) = 7),
+        |dt AS (
+        |  SELECT day, cents, dow,
+        |    list_sort(wnd)[4]::BIGINT AS trend_cents,
+        |    (cents - list_sort(wnd)[4])::BIGINT AS detr
+        |  FROM tr),
+        |seas AS (
+        |  SELECT dow,
+        |    (arr[((n + 1) // 2)::INT] + arr[(n // 2 + 1)::INT])::BIGINT
+        |      AS seasonal_x2
+        |  FROM (SELECT dow, list_sort(list(detr)) AS arr,
+        |          count(*)::BIGINT AS n
+        |        FROM dt GROUP BY dow) g)
+        |SELECT dt.day, dt.cents, dt.trend_cents, seas.seasonal_x2,
+        |  (dt.detr * 2 - seas.seasonal_x2)::BIGINT AS remainder_x2
+        |FROM dt JOIN seas USING (dow)""".stripMargin,
+
     "events_holt" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type,
@@ -9210,6 +9528,54 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |    * 1000000.0)::BIGINT AS s_e6
         |FROM f""".stripMargin,
+
+    "orders_logrank" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    (CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0
+        |     END)::BIGINT AS g1
+        |  FROM customer),
+        |od AS (SELECT o_custkey, o_orderdate::DATE AS od FROM orders),
+        |hz AS (SELECT max(od) AS hz FROM od),
+        |dur AS (
+        |  SELECT q.o_custkey,
+        |    CASE WHEN nxt IS NOT NULL THEN datediff('day', od, nxt)
+        |         ELSE datediff('day', od, hz.hz) END AS dur,
+        |    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS event
+        |  FROM (SELECT o_custkey, od, lead(od) OVER (
+        |      PARTITION BY o_custkey ORDER BY od) AS nxt FROM od) q
+        |  CROSS JOIN hz),
+        |dg AS (
+        |  SELECT dur.dur, dur.event, cust.g1
+        |  FROM dur JOIN cust ON dur.o_custkey = cust.c_custkey
+        |  WHERE dur.dur > 0),
+        |ev AS (
+        |  SELECT dur, sum(event)::BIGINT AS d, count(*)::BIGINT AS cnt,
+        |    sum(event * g1)::BIGINT AS d1, sum(g1)::BIGINT AS cnt1
+        |  FROM dg GROUP BY 1),
+        |risk AS (
+        |  SELECT dur, d, d1,
+        |    sum(cnt) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)::BIGINT AS n,
+        |    sum(cnt1) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW)::BIGINT AS n1
+        |  FROM ev),
+        |tot AS (
+        |  SELECT sum(d1)::BIGINT AS o1,
+        |    sum((d::HUGEINT * n1::HUGEINT * 1000000000)
+        |      // n::HUGEINT)::HUGEINT AS e1_e9,
+        |    sum((d::HUGEINT * n1::HUGEINT * (n - n1)::HUGEINT
+        |        * (n - d)::HUGEINT * 1000000000)
+        |      // (n::HUGEINT * n::HUGEINT * (n - 1)::HUGEINT))::HUGEINT
+        |      AS v_e9,
+        |    count(*)::BIGINT AS n_times
+        |  FROM risk WHERE d > 0 AND n > 1)
+        |SELECT o1, e1_e9::BIGINT AS e1_e9, v_e9::BIGINT AS v_e9,
+        |  n_times,
+        |  ((o1::HUGEINT * 1000000000 - e1_e9)
+        |    * (o1::HUGEINT * 1000000000 - e1_e9)
+        |    // (v_e9 * 1000))::BIGINT AS chi2_e6
+        |FROM tot""".stripMargin,
 
     "text_zipf_fit" ->
       """WITH tf AS (
@@ -9545,6 +9911,7 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "events_ab_test" -> OracleSql.eventsAbTest(),
+    "events_bandit_replay" -> OracleSql.eventsBanditReplay(),
     "multimodal_ahash" -> OracleSql.multimodalAhash(),
 
     "multimodal_jpeg_decode" ->

@@ -188,6 +188,23 @@ object Int8Ops {
     new GenericArrayData(out)
   }
 
+  /** Sign-bit pack (static entry point for generated code): bit k of
+    * the result is set iff element k is strictly positive, first 64
+    * elements only — exact float comparisons, so bit-identical to any
+    * per-element formulation.
+    */
+  def signPack(a: ArrayData): Long = {
+    val x = a.toDoubleArray()
+    val n = math.min(x.length, 64)
+    var bits = 0L
+    var i = 0
+    while (i < n) {
+      if (x(i) > 0) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
   /** Static entry point for generated code. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val x = a.toIntArray()
@@ -253,6 +270,33 @@ case class Int8CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Int8CosineSim = copy(l, r)
+}
+
+/** `long` sign-bit binary code of an `array<double>` vector: bit k set
+  * iff `x(k) > 0`, k < min(64, length) — the 1-bit quantization the
+  * binary-embedding scan (`sim_binary_topk`) keys on. One fused loop
+  * (see [[Int8Ops.signPack]]) replacing a zip_with + aggregate lambda
+  * composition that allocated an intermediate 64-element array and ran
+  * two interpreted lambdas per element per row.
+  */
+case class SignPack(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_pack"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      Int8Ops.signPack(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Int8Ops.signPack($c)")
+
+  override protected def withNewChildInternal(
+      c: Expression): SignPack = copy(child = c)
 }
 
 /** `array<int>` of the M PQ codes for a float-vector column — the

@@ -565,6 +565,9 @@ object exprs {
   def int8_quantize(vec: Column): Column =
     column(Int8Quantize(expression(vec)))
 
+  def sign_pack(vec: Column): Column =
+    column(SignPack(expression(vec)))
+
   def hyperplane_sigs(vec: Column,
                       planes: Array[Array[Array[Double]]]): Column =
     column(HyperplaneSigs(expression(vec), planes))

@@ -1,0 +1,78 @@
+package graft
+
+/** Structural invariants of the round-8 query tranche that the oracle's
+  * value-hash can't express: decomposition identities, policy-replay
+  * sanity bounds, coverage-assignment totals. Runs on the sf0.001
+  * fixture like the smoke tier.
+  */
+class QueryInvariantsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf("sf0.001")).collect()
+
+  test("events_stl_decompose: components reconstruct the series exactly") {
+    val rows = run("events_stl_decompose")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cents = r.getAs[Long]("cents")
+      val trend = r.getAs[Long]("trend_cents")
+      val sx2 = r.getAs[Long]("seasonal_x2")
+      val rx2 = r.getAs[Long]("remainder_x2")
+      assert(2 * cents == 2 * trend + sx2 + rx2,
+        s"decomposition identity broken at day ${r.getAs[Long]("day")}")
+    }
+  }
+
+  test("events_bandit_replay: regret non-negative, cumulative monotone, " +
+      "explore gate near 1/4") {
+    val rows = run("events_bandit_replay").sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    var prevCum = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("regret_e6") >= 0L)
+      val cum = r.getAs[Long]("cum_regret_e6")
+      assert(cum >= prevCum, "cumulative regret decreased")
+      prevCum = cum
+    }
+    val exploreFrac =
+      rows.count(_.getAs[Boolean]("explored")).toDouble / rows.length
+    assert(exploreFrac > 0.10 && exploreFrac < 0.45,
+      s"hash explore gate off: $exploreFrac")
+  }
+
+  test("orders_logrank: statistic well-formed") {
+    val Array(r) = run("orders_logrank")
+    assert(r.getAs[Long]("o1") >= 0L)
+    assert(r.getAs[Long]("v_e9") > 0L, "zero variance")
+    assert(r.getAs[Long]("n_times") > 0L)
+    assert(r.getAs[Long]("chi2_e6") >= 0L)
+  }
+
+  test("sim_binary_topk: ranks dense, hamming monotone within query") {
+    val rows = run("sim_binary_topk")
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5),
+        s"query $q ranks not dense")
+      val hs = sorted.map(_.getAs[Int]("hamming"))
+      assert(hs.forall(h => h >= 0 && h <= 64))
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b },
+        s"query $q hamming not monotone in rank")
+    }
+  }
+
+  test("cluster_farthest_first: k distinct centers cover the corpus") {
+    val rows = run("cluster_farthest_first")
+    assert(rows.length == 4, s"expected 4 centers, got ${rows.length}")
+    val ids = rows.map(_.getAs[Long]("center_id"))
+    assert(ids.distinct.length == 4)
+    val total = rows.map(_.getAs[Long]("n_assigned")).sum
+    val corpus = spark.read
+      .parquet(sf("sf0.001") + "/embeddings.parquet").count()
+    assert(total == corpus,
+      s"assignment covers $total of $corpus vectors")
+    rows.foreach(r => assert(r.getAs[Long]("radius_sq") >= 0L))
+  }
+}

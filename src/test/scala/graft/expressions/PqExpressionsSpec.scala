@@ -95,4 +95,21 @@ class PqExpressionsSpec extends SparkSpec {
       .diff(native.as[(Long, Seq[Int])].collect().toSet)
     assert(diff.isEmpty, s"native/composed disagree on ${diff.size} rows")
   }
+
+  test("sign_pack equals the zip_with fold, bit for bit") {
+    val v = col("embedding").cast("array<double>")
+    val composed = emb.select(col("vec_id"),
+      expr("aggregate(zip_with(cast(embedding as array<double>)," +
+        " sequence(0, 63)," +
+        " (x, i) -> IF(x > 0D, shiftleft(1L, cast(i as int)), 0L))," +
+        " 0L, (acc, b) -> acc | b)").as("bits"))
+    val native = emb.select(col("vec_id"),
+      exprs.sign_pack(v).as("bits"))
+    val diff = composed.as[(Long, Long)].collect().toSet
+      .diff(native.as[(Long, Long)].collect().toSet)
+    assert(diff.isEmpty, s"sign_pack disagrees on ${diff.size} rows")
+    // sanity: codes are non-degenerate on the fixture
+    val distinct = native.select("bits").distinct().count()
+    assert(distinct > 10, s"only $distinct distinct codes")
+  }
 }
