@@ -1726,6 +1726,61 @@ object SparkEntry {
           "pack_offset")
     }),
 
+    "pack_bestfit" -> ((s, dir) => {
+      // BEST-FIT-DECREASING context-window packing — the padding-
+      // minimizing counterpart of pack_training's arrival-order
+      // concat-and-chunk: within each 100-id shard, docs sorted by
+      // token count DESC are placed into the FULLEST bin that still
+      // fits (ties → lowest bin), else a new bin opens. BFD is the
+      // classic 11/9·OPT+1 guarantee; on this fixture it fills bins
+      // to exactly the 2048 cap where arrival-order packing leaves
+      // padding. The whole shard folds in ONE codegen'd higher-order
+      // aggregate (state = bin loads + assignments, ≤ shardSize
+      // each); shards are independent, so the corpus-sized work is
+      // one (shard)-keyed rollup — the same distribution contract as
+      // pack_training, just a smarter local packer. All arithmetic is
+      // integer; the oracle replays the identical fold as a recursive
+      // CTE (argmax-fitting-bin with strict > ⇒ identical
+      // tie-breaks).
+      val cap = 2048
+      val arr = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.subwordCount(col("text")).cast("long")
+            .as("n_tokens"))
+        .withColumn("shard", expr("doc_id div 100"))
+        .groupBy("shard")
+        .agg(sort_array(collect_list(struct(
+          (-col("n_tokens")).as("s1"), col("doc_id").as("id"),
+          col("n_tokens").as("t")))).as("arr"))
+      val best = s"IF(size(acc.loads) = 0, 0," +
+        s" aggregate(sequence(1, size(acc.loads))," +
+        s" named_struct('i', 0, 'l', cast(-1 as bigint))," +
+        s" (b, i) -> IF(element_at(acc.loads, i) + e.t <= $cap" +
+        s" AND element_at(acc.loads, i) > b.l," +
+        s" named_struct('i', i, 'l', element_at(acc.loads, i)), b)).i)"
+      val fold =
+        s"""aggregate(arr,
+           |  named_struct(
+           |    'loads', cast(array() as array<bigint>),
+           |    'asg', cast(array() as
+           |      array<struct<id: bigint, bin: int, t: bigint>>)),
+           |  (acc, e) -> named_struct(
+           |    'loads',
+           |      CASE WHEN ($best) > 0
+           |        THEN transform(acc.loads,
+           |          (l, j) -> IF(j + 1 = ($best), l + e.t, l))
+           |        ELSE concat(acc.loads, array(e.t)) END,
+           |    'asg', concat(acc.asg, array(named_struct(
+           |      'id', e.id,
+           |      'bin', cast(IF(($best) > 0, ($best),
+           |        size(acc.loads) + 1) as int),
+           |      't', e.t)))))""".stripMargin
+      arr.select(col("shard"), expr(fold).as("res"))
+        .select(col("shard"), explode(col("res.asg")).as("a"))
+        .select(col("a.id").as("doc_id"), col("a.t").as("n_tokens"),
+          col("shard"), col("a.bin").as("bin"))
+    }),
+
     "training_mix_semantic" -> ((s, dir) => {
       // the embedding-side training mix, end to end: within-cluster
       // semantic near-dups dropped, the linear quality gate, shard-
@@ -4834,6 +4889,38 @@ object SparkEntry {
             col("mean_word_len_e2").between(300, 1000) &&
             col("stopword_hits") >= 2 &&
             col("alpha_ppm") >= 800000)
+    }),
+
+    "text_char_entropy" -> ((s, dir) => {
+      // character-level Shannon entropy per document (bits, e6) — the
+      // information-density quality signal: natural prose sits near
+      // 4–4.5 bits/char, repetitive template spam collapses toward 0,
+      // keyboard mash saturates toward log2(alphabet). The char-level
+      // twin of the token-level TTR/perplexity battery. Determinism:
+      // counts are exact; the single float reduction Σ c·ln c runs as
+      // a LEFT FOLD over the char-sorted count array (identical
+      // association in both engines), H = (ln n − S/n)/ln 2, rounded
+      // e6. Two narrow rollups — (doc, char) counts, then per-doc
+      // fold on the alphabet-bounded array; the explode is map-only.
+      val dx = t(s, dir, "documents")
+        .select(col("doc_id"), lower(trim(col("text"))).as("tx"))
+        .filter(length(col("tx")) > 0)
+      val cc = dx
+        .select(col("doc_id"), col("tx"),
+          explode(sequence(lit(1), length(col("tx")))).as("i"))
+        .select(col("doc_id"), expr("substring(tx, i, 1)").as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      cc.groupBy("doc_id")
+        .agg(sum("c").as("n_chars"),
+          count(lit(1)).as("n_distinct"),
+          sort_array(collect_list(struct(col("ch"), col("c"))))
+            .as("arr"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+          expr("cast(round((ln(cast(n_chars as double))" +
+            " - aggregate(arr, 0D, (acc, e) ->" +
+            " acc + cast(e.c as double) * ln(cast(e.c as double)))" +
+            " / cast(n_chars as double)) / ln(2D) * 1000000, 0)" +
+            " as long)").as("entropy_bits_e6"))
     }),
 
     "text_ttr" -> ((s, dir) => {
@@ -8432,6 +8519,50 @@ object SparkEntry {
         |    AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS shared_ratio
         |FROM agg""".stripMargin,
 
+    "pack_bestfit" ->
+      """WITH RECURSIVE n0 AS MATERIALIZED (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tk AS MATERIALIZED (
+        |  SELECT doc_id, doc_id // 100 AS shard, n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id // 100
+        |      ORDER BY n_tokens DESC, doc_id ASC) AS rk
+        |  FROM n0),
+        |cnt AS MATERIALIZED (
+        |  SELECT shard, count(*)::BIGINT AS m FROM tk GROUP BY 1),
+        |st AS (
+        |  SELECT shard, 0::BIGINT AS k, []::BIGINT[] AS loads,
+        |    []::STRUCT(id BIGINT, bin INTEGER, t BIGINT)[] AS asg
+        |  FROM cnt
+        |  UNION ALL
+        |  SELECT s.shard, s.k + 1, u.newloads, u.newasg
+        |  FROM st s
+        |  JOIN tk t ON t.shard = s.shard AND t.rk = s.k + 1,
+        |  LATERAL (SELECT CASE WHEN len(s.loads) = 0 THEN 0
+        |    ELSE list_reduce(
+        |      list_concat([0::BIGINT], range(1, len(s.loads) + 1)),
+        |      (b, i) -> CASE WHEN s.loads[i] + t.n_tokens <= 2048
+        |        AND (b = 0 OR s.loads[i] > s.loads[b])
+        |        THEN i ELSE b END)
+        |    END AS best) bb,
+        |  LATERAL (SELECT
+        |    CASE WHEN bb.best > 0
+        |      THEN list_transform(range(1, len(s.loads) + 1),
+        |        j -> CASE WHEN j = bb.best
+        |          THEN s.loads[j] + t.n_tokens ELSE s.loads[j] END)
+        |      ELSE list_append(s.loads, t.n_tokens) END AS newloads,
+        |    list_append(s.asg, {'id': t.doc_id,
+        |      'bin': (CASE WHEN bb.best > 0 THEN bb.best
+        |        ELSE len(s.loads) + 1 END)::INTEGER,
+        |      't': t.n_tokens}) AS newasg) u
+        |),
+        |fin AS (
+        |  SELECT st.shard, st.asg FROM st
+        |  JOIN cnt ON cnt.shard = st.shard AND st.k = cnt.m)
+        |SELECT a.id AS doc_id, a.t AS n_tokens, fin.shard, a.bin
+        |FROM fin, LATERAL (SELECT unnest(asg) AS a) x""".stripMargin,
+
     "pack_training" ->
       """WITH n0 AS (
         |  SELECT doc_id,
@@ -10387,6 +10518,30 @@ object SparkEntry {
          |    AND mean_word_len_e2 BETWEEN 300 AND 1000
          |    AND stopword_hits >= 2 AND alpha_ppm >= 800000) AS pass
          |FROM m""".stripMargin,
+
+    "text_char_entropy" ->
+      """WITH dx AS (
+        |  SELECT doc_id, lower(trim(text)) AS tx FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |ch AS (
+        |  SELECT doc_id, substr(tx, g.i, 1) AS ch
+        |  FROM dx, LATERAL (SELECT unnest(generate_series(1,
+        |    length(tx))) AS i) g),
+        |cc AS (
+        |  SELECT doc_id, ch, count(*)::BIGINT AS c
+        |  FROM ch GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_chars,
+        |    count(*)::BIGINT AS n_distinct,
+        |    list_sort(list({'ch': ch, 'c': c})) AS arr
+        |  FROM cc GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct,
+        |  round((ln(n_chars::DOUBLE)
+        |    - list_reduce(list_transform(arr,
+        |        e -> e.c::DOUBLE * ln(e.c::DOUBLE)), (a, b) -> a + b)
+        |      / n_chars::DOUBLE) / ln(2::DOUBLE)
+        |    * 1000000)::BIGINT AS entropy_bits_e6
+        |FROM ag""".stripMargin,
 
     "text_ttr" ->
       """WITH tok AS (

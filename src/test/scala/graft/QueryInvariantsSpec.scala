@@ -63,6 +63,37 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("pack_bestfit: caps respected, every doc packed exactly once") {
+    val rows = run("pack_bestfit")
+    val docs = spark.read
+      .parquet(sf("sf0.001") + "/documents.parquet").count()
+    assert(rows.length == docs, s"${rows.length} packed of $docs docs")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length ==
+      rows.length, "a doc packed twice")
+    val binLoads = rows.groupBy(r =>
+      (r.getAs[Long]("shard"), r.getAs[Int]("bin")))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_tokens")).sum }
+    assert(binLoads.forall(_ <= 2048L),
+      s"bin over cap: ${binLoads.max}")
+    // BFD on this fixture beats naive one-doc-one-bin by a wide margin
+    assert(binLoads.size < docs / 2, s"${binLoads.size} bins for $docs docs")
+  }
+
+  test("text_char_entropy: bounds hold per document") {
+    val rows = run("text_char_entropy")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("entropy_bits_e6")
+      val nd = r.getAs[Long]("n_distinct")
+      val n = r.getAs[Long]("n_chars")
+      assert(nd <= n)
+      assert(h >= 0L, s"negative entropy $h")
+      // H <= log2(n_distinct) (+1 ulp slack in e6)
+      val hmax = math.log(nd.toDouble) / math.log(2.0) * 1e6 + 1
+      assert(h <= hmax, s"entropy $h above log2($nd) bound")
+    }
+  }
+
   test("cluster_farthest_first: k distinct centers cover the corpus") {
     val rows = run("cluster_farthest_first")
     assert(rows.length == 4, s"expected 4 centers, got ${rows.length}")

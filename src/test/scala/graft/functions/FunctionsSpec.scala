@@ -204,6 +204,26 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= 0.8, s"quantized recall@5 = $recall")
   }
 
+  test("1-bit sign codes: bounded recall on isotropic vectors") {
+    // Axis-sign binary codes are the no-rotation degenerate case of
+    // hyperplane codes; on this fixture's isotropic embeddings their
+    // structural recall ceiling is low (0.425 measured at the 20k
+    // corpus, 0.175 at this 500-vector fixture — BENCH_NOTES round-8
+    // addendum). Pin a floor an order of magnitude above the random
+    // baseline (5/499 ≈ 0.01) so a broken pack/popcount path can't
+    // hide behind the known coarseness.
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 8)
+    val truth = Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = graft.SparkEntry.queries("sim_binary_topk")(
+      spark, sf("sf0.001"))
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.1, s"binary recall@5 = $recall")
+  }
+
   test("embedding near-dup LSH: exact precision, bounded recall loss") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val exact = Similarity
