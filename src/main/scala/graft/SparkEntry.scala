@@ -2683,10 +2683,12 @@ object SparkEntry {
       val corpus = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
         .select(col("vec_id").as("neighbor_id"),
           col("label").as("n_label"), col("qv").as("c_qv"))
-      val d2 = aggregate(
-        zip_with(col("q_qv"), col("c_qv"),
-          (x, y) => (x.cast("long") - y) * (x.cast("long") - y)),
-        lit(0L), (acc, e) => acc + e)
+      // native fused integer loop (codegen'd) — the zip_with+aggregate
+      // composition is result-identical (exact integer sums) but runs
+      // an interpreted lambda per element per candidate; measured
+      // 8.85 s → native at sf0.1 (4M candidates × 64 dims)
+      val d2 = graft.expressions.exprs.int8_sqdist(
+        col("q_qv"), col("c_qv"))
       val wK = Window.partitionBy("query_id")
         .orderBy(col("d2").asc, col("neighbor_id").asc)
       corpus.crossJoin(queries)
@@ -2851,10 +2853,8 @@ object SparkEntry {
           Similarity.quantize(col("embedding"))._2.as("qv"))
         .localCheckpoint(true) // quantize once; k+1 passes reuse it
       def d2To(center: Array[Int]): Column =
-        aggregate(
-          zip_with(col("qv"), array(center.map(lit(_)): _*),
-            (x, c) => (x.cast("long") - c) * (x.cast("long") - c)),
-          lit(0L), (acc, e) => acc + e)
+        graft.expressions.exprs.int8_sqdist(col("qv"),
+          array(center.map(lit(_)): _*))
       val first = q.orderBy(col("vec_id").asc).limit(1)
         .select(col("vec_id"), col("qv")).collect()(0)
       var centers = Vector(

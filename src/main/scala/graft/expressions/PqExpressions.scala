@@ -205,6 +205,25 @@ object Int8Ops {
     bits
   }
 
+  /** Exact squared euclidean distance of two int8-quantized vectors
+    * (static entry point for generated code): Σ (x−y)² over the
+    * min-length overlap as a long — integer sums, so the result is
+    * identical under any formulation.
+    */
+  def sqdist(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toIntArray()
+    val y = b.toIntArray()
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = (x(i) - y(i)).toLong
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Static entry point for generated code. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val x = a.toIntArray()
@@ -270,6 +289,32 @@ case class Int8CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Int8CosineSim = copy(l, r)
+}
+
+/** `long` exact squared euclidean distance of two `array<int>`
+  * int8-quantized vectors (see [[Int8Ops.sqdist]]) — one fused loop
+  * replacing the zip_with + aggregate lambda composition on the ANN /
+  * k-NN hot paths.
+  */
+case class Int8SqDist(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int8_sqdist"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.valueOf(Int8Ops.sqdist(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.expressions.Int8Ops.sqdist($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Int8SqDist = copy(l, r)
 }
 
 /** `long` sign-bit binary code of an `array<double>` vector: bit k set

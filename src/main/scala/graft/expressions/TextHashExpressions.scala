@@ -568,6 +568,9 @@ object exprs {
   def sign_pack(vec: Column): Column =
     column(SignPack(expression(vec)))
 
+  def int8_sqdist(a: Column, b: Column): Column =
+    column(Int8SqDist(expression(a), expression(b)))
+
   def hyperplane_sigs(vec: Column,
                       planes: Array[Array[Array[Double]]]): Column =
     column(HyperplaneSigs(expression(vec), planes))

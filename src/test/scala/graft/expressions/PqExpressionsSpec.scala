@@ -96,6 +96,20 @@ class PqExpressionsSpec extends SparkSpec {
     assert(diff.isEmpty, s"native/composed disagree on ${diff.size} rows")
   }
 
+  test("int8_sqdist equals the zip_with fold, exactly") {
+    val q = emb.select($"vec_id",
+      exprs.int8_quantize($"embedding".cast("array<double>")).as("qv"))
+    val a = q.select($"vec_id".as("ia"), $"qv".as("qa"))
+    val b = q.select($"vec_id".as("ib"), $"qv".as("qb"))
+    val pairs = a.crossJoin(b).filter($"ia" < $"ib").limit(500)
+    val composed = expr("aggregate(zip_with(qa, qb, (x, y) ->" +
+      " (cast(x as long) - y) * (cast(x as long) - y)), 0L," +
+      " (acc, e) -> acc + e)")
+    val nDiff = pairs
+      .filter(composed =!= exprs.int8_sqdist($"qa", $"qb")).count()
+    assert(nDiff == 0, s"$nDiff pairs disagree")
+  }
+
   test("sign_pack equals the zip_with fold, bit for bit") {
     val v = col("embedding").cast("array<double>")
     val composed = emb.select(col("vec_id"),
