@@ -2783,7 +2783,7 @@ object OracleSql {
        |      AS INTEGER)) AS qv
        |  FROM scaled),
        |q AS (SELECT vec_id AS query_id, label AS true_label,
-       |    qv AS q_qv FROM qz WHERE vec_id % 5 = 0),
+       |    qv AS q_qv FROM qz WHERE vec_id % 5 = 0 AND vec_id < 2500),
        |c AS (SELECT vec_id AS neighbor_id, label AS n_label,
        |    qv AS c_qv FROM qz WHERE vec_id % 5 <> 0),
        |kd AS (
