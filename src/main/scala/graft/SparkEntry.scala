@@ -4538,6 +4538,47 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "basket_rules" -> ((s, dir) => {
+      // DIRECTIONAL association rules (Agrawal & Srikant's actual
+      // output contract, which the symmetric lift frame can't give):
+      // a → b with support, exact-ppm CONFIDENCE = co/count(a), and
+      // lift, min-support gated, top-20 by (confidence, support).
+      // Each co-purchased pair yields both directions; all ratios are
+      // integral `div`s on decimal(38,0) products. The same
+      // within-order fan-out as basket_lift — candidate mass bounded
+      // by basket size, never the fact-table square.
+      val d = "decimal(38,0)"
+      val minSup = 3L
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = li.select(countDistinct("l_orderkey").as("n_orders"))
+      val pc = li.groupBy("l_partkey").agg(count(lit(1)).as("pc"))
+      val co = li.as("a")
+        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"),
+          col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= minSup)
+      val rules = co.select(col("pa").as("antecedent"),
+          col("pb").as("consequent"), col("co"))
+        .unionByName(co.select(col("pb").as("antecedent"),
+          col("pa").as("consequent"), col("co")))
+      rules
+        .join(pc.withColumnRenamed("l_partkey", "antecedent")
+          .withColumnRenamed("pc", "ca"), Seq("antecedent"))
+        .join(pc.withColumnRenamed("l_partkey", "consequent")
+          .withColumnRenamed("pc", "cc"), Seq("consequent"))
+        .crossJoin(broadcast(n))
+        .select(col("antecedent"), col("consequent"), col("co"),
+          expr("(co * 1000000) div ca").as("confidence_ppm"),
+          expr(s"(cast(co AS $d) * n_orders * 1000000)" +
+            s" div (cast(ca AS $d) * cc)").as("lift_ppm"))
+        .orderBy(col("confidence_ppm").desc, col("co").desc,
+          col("antecedent").asc, col("consequent").asc)
+        .limit(20)
+    }),
+
     "basket_frequent_triples" -> ((s, dir) => {
       // A-priori frequent 3-itemsets (Agrawal & Srikant, VLDB'94):
       // every leg of a candidate triple is pruned against the frequent
@@ -10024,6 +10065,35 @@ object SparkEntry {
         |  array_to_string((array_agg(doc_id ORDER BY doc_id))[1:10], ',')
         |    AS postings_head
         |FROM toks GROUP BY token HAVING count(*) >= 5""".stripMargin,
+
+    "basket_rules" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders
+        |  FROM li),
+        |pc AS MATERIALIZED (
+        |  SELECT l_partkey, count(*)::BIGINT AS pc FROM li GROUP BY 1),
+        |co AS MATERIALIZED (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*)::BIGINT AS co
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |rules AS (
+        |  SELECT pa AS antecedent, pb AS consequent, co FROM co
+        |  UNION ALL
+        |  SELECT pb AS antecedent, pa AS consequent, co FROM co)
+        |SELECT r.antecedent, r.consequent, r.co,
+        |  ((r.co * 1000000) // ca.pc)::BIGINT AS confidence_ppm,
+        |  ((r.co::HUGEINT * n.n_orders * 1000000)
+        |    // (ca.pc::HUGEINT * cc.pc))::BIGINT AS lift_ppm
+        |FROM rules r
+        |JOIN pc ca ON ca.l_partkey = r.antecedent
+        |JOIN pc cc ON cc.l_partkey = r.consequent
+        |CROSS JOIN n
+        |ORDER BY confidence_ppm DESC, r.co DESC, r.antecedent ASC,
+        |  r.consequent ASC
+        |LIMIT 20""".stripMargin,
 
     "basket_lift" ->
       """WITH li AS (

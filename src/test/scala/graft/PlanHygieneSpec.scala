@@ -172,6 +172,29 @@ class PlanHygieneSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges")
   }
 
+  test("best-fit packing shuffles exactly once (the shard rollup)") {
+    val df = SparkEntry.queries("pack_bestfit")(spark, sf("sf0.001"))
+    val exchanges = df.queryExecution.executedPlan.toString.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges")
+  }
+
+  test("k-NN harness broadcasts the fixed eval set (no corpus-side shuffle join)") {
+    val df = SparkEntry.queries("ml_knn_classify")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(plan.contains("int8_sqdist"), "native distance missing")
+  }
+
+  test("binary-code scan packs signs natively and broadcasts queries") {
+    val df = SparkEntry.queries("sim_binary_topk")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("sign_pack"), "native sign_pack missing")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1500))
+  }
+
   test("embedding LSH bucket join moves no vector columns") {
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.types.ArrayType
