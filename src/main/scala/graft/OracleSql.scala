@@ -1533,6 +1533,71 @@ object OracleSql {
        |SELECT id AS doc_id, min(d)::BIGINT AS depth
        |FROM reach GROUP BY 1""".stripMargin
 
+  /** Oracle for `graph_betweenness`: k-source depth-bounded Brandes,
+    * fully unrolled — per level a frontier expansion with σ summed
+    * over shortest-path DAG edges (anti-joined against the visited
+    * set), then the backward dependency fold with the engine's exact
+    * per-term e6 integral truncation. Every level CTE is MATERIALIZED
+    * (sequential chain, multi-referenced).
+    */
+  def graphBetweenness(numHashes: Int = 16, rowsPerBand: Int = 2,
+                       nSeeds: Int = 4, levels: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH ${tokenHashCtes()},
+         |${shingleHashCtes()},
+         |${minhashCtes(numHashes, rowsPerBand)},
+         |${edgeCtes(numHashes)},
+         |bseeds AS MATERIALIZED (
+         |  SELECT id FROM verts ORDER BY id LIMIT $nSeeds),
+         |bl0 AS MATERIALIZED (
+         |  SELECT id AS s, id AS node, 1::BIGINT AS sig FROM bseeds),
+         |bv0 AS MATERIALIZED (SELECT s, node FROM bl0)""".stripMargin
+    for (l <- 1 to levels) {
+      sb ++=
+        s""",
+           |bl$l AS MATERIALIZED (
+           |  SELECT p.s, e.dst AS node, sum(p.sig)::BIGINT AS sig
+           |  FROM bl${l - 1} p JOIN edges e ON e.src = p.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM bv${l - 1} w
+           |    WHERE w.s = p.s AND w.node = e.dst)
+           |  GROUP BY 1, 2),
+           |bv$l AS MATERIALIZED (
+           |  SELECT s, node FROM bv${l - 1}
+           |  UNION ALL SELECT s, node FROM bl$l)""".stripMargin
+    }
+    sb ++=
+      s""",
+         |bd$levels AS MATERIALIZED (
+         |  SELECT s, node, sig, 0::BIGINT AS delta FROM bl$levels)"""
+        .stripMargin
+    for (l <- levels to 1 by -1) {
+      sb ++=
+        s""",
+           |bd${l - 1} AS MATERIALIZED (
+           |  SELECT u.s, u.node, u.sig,
+           |    COALESCE(t.dsum, 0)::BIGINT AS delta
+           |  FROM bl${l - 1} u LEFT JOIN (
+           |    SELECT uu.s, uu.node,
+           |      sum((uu.sig * (1000000 + v.delta)) // v.sig)::BIGINT
+           |        AS dsum
+           |    FROM bl${l - 1} uu JOIN edges e ON e.src = uu.node
+           |    JOIN bd$l v ON v.node = e.dst AND v.s = uu.s
+           |    GROUP BY 1, 2) t
+           |    ON t.s = u.s AND t.node = u.node)""".stripMargin
+    }
+    val union = (1 to levels)
+      .map(l => s"SELECT s, node, delta FROM bd$l")
+      .mkString("\n  UNION ALL ")
+    sb ++=
+      s"""
+         |SELECT node AS doc_id, count(*)::BIGINT AS n_sources,
+         |  sum(delta)::BIGINT AS bc_e6
+         |FROM ($union) q
+         |WHERE node <> s GROUP BY 1""".stripMargin
+    sb.toString
+  }
+
   /** Oracle for `graph_sssp`: the same near-dup candidate machinery
     * with edges carrying integer ppm DISSIMILARITY weights
     * ((10000 − round(est·10⁴))·100 — exact: est is a 4-dp-rounded

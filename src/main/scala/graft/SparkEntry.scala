@@ -3637,6 +3637,78 @@ object SparkEntry {
       Dedup.bfsDepthsFromSeeds(pairs, "id_a", "id_b", seeds, rounds = 4)
     }),
 
+    "graph_betweenness" -> ((s, dir) => {
+      // k-source depth-bounded BETWEENNESS (Brandes 2001; Brandes &
+      // Pich 2007 for the sampled-sources form): from the 4 smallest
+      // vertices of the near-dup graph, a 4-level BFS forward pass
+      // accumulates shortest-path counts σ (exact longs — every edge
+      // between consecutive BFS levels is a shortest-path DAG edge),
+      // then the backward pass folds dependencies level by level:
+      // δ(u) = Σ_succ (σu·(1e6 + δv)) div σv — per-term integral
+      // truncation in e6, identical in both engines, so the whole
+      // centrality is engine-exact with zero floats. Brokers (nodes
+      // that sit ON many shortest paths) rank above mere hubs — the
+      // signal that separates bridge documents from dense-cluster
+      // members when pruning a dedup graph. Scale shape: every level
+      // is one keyed join + rollup on the frontier (never the whole
+      // graph), levels and sources are bounded constants, and each
+      // frontier is checkpointed once for its forward + backward
+      // reuse.
+      val L = 4
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val edges = pairs.select(col("id_a").as("esrc"),
+          col("id_b").as("edst"))
+        .unionByName(pairs.select(col("id_b").as("esrc"),
+          col("id_a").as("edst")))
+        .distinct().localCheckpoint(true)
+      val seeds = edges.select(col("esrc").as("id")).distinct()
+        .orderBy("id").limit(4)
+      var lvl = Vector(seeds
+        .select(col("id").as("s"), col("id").as("node"),
+          lit(1L).as("sig")).localCheckpoint(true))
+      var visited = lvl(0).select("s", "node").localCheckpoint(true)
+      for (_ <- 1 to L) {
+        val nxt = lvl.last
+          .join(edges, lvl.last("node") === edges("esrc"))
+          .select(col("s"), col("edst").as("node"), col("sig"))
+          .join(visited, Seq("s", "node"), "left_anti")
+          .groupBy("s", "node").agg(sum("sig").as("sig"))
+          .localCheckpoint(true) // forward + backward + visited reuse
+        lvl = lvl :+ nxt
+        visited = visited.unionByName(nxt.select("s", "node"))
+          .localCheckpoint(true)
+      }
+      var delta = lvl(L).withColumn("delta_e6", lit(0L))
+      var acc = delta
+      for (l <- L to 1 by -1) {
+        val u = lvl(l - 1)
+        val terms = u
+          .join(edges, u("node") === edges("esrc"))
+          .select(col("s"), col("node"), col("sig"),
+            col("edst").as("vnode"))
+          .join(delta.select(col("s"), col("node").as("vnode"),
+            col("sig").as("vsig"), col("delta_e6").as("vdelta")),
+            Seq("s", "vnode"))
+          .groupBy("s", "node")
+          .agg(sum(expr("(sig * (1000000 + vdelta)) div vsig"))
+            .as("dsum"))
+        delta = u.join(terms, Seq("s", "node"), "left")
+          .select(col("s"), col("node"), col("sig"),
+            coalesce(col("dsum"), lit(0L)).as("delta_e6"))
+          .localCheckpoint(true) // next backward level + final union
+        if (l > 1) acc = acc.unionByName(delta)
+      }
+      // acc holds levels 1..L; the loop's last delta is the level-0
+      // (source) frame, unioned then dropped by the s-filter below
+      acc.unionByName(delta)
+        .filter(col("node") =!= col("s")) // sources carry no dependency
+        .groupBy(col("node").as("doc_id"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum("delta_e6").as("bc_e6"))
+    }),
+
     "graph_sssp" -> ((s, dir) => {
       // weighted contamination distance: Bellman-Ford (4 rounds) over
       // the near-dup graph with integer ppm DISSIMILARITY weights
@@ -8178,6 +8250,8 @@ object SparkEntry {
 
     "graph_sssp" ->
       OracleSql.graphSssp(nSeeds = 5, rounds = 4),
+    "graph_betweenness" ->
+      OracleSql.graphBetweenness(nSeeds = 4, levels = 4),
     "graph_label_prop" -> OracleSql.graphLabelProp(rounds = 3),
     "export_shards" -> OracleSql.exportShards(nShards = 8),
     "sample_budget_fill" -> OracleSql.sampleBudgetFill(budget = 4000L),
