@@ -6979,11 +6979,32 @@ object SparkEntry {
       // breakdown point). Slopes are exact e6 fixed point (integer
       // div of cent deltas by day deltas — truncation toward zero,
       // identical in Spark `div` and DuckDB `//`), and the median is
-      // a RANK (row (n+1) div 2 in slope order, ties by nothing —
-      // longs), so the result is hash-exact. Scale: the pair frame is
-      // CALENDAR-bounded — days², independent of row count — so the
-      // self-join costs the same at 100 TB as at sf0.01; the only
-      // data-sized pass is the daily rollup (map-side combined).
+      // a RANK (row (n+1) div 2 in slope order — longs), so the
+      // result is hash-exact. Scale: the pair frame is CALENDAR-
+      // bounded — days², independent of row count — so the self-join
+      // costs the same at 100 TB as at sf0.01; the only data-sized
+      // pass is the daily rollup (map-side combined).
+      //
+      // Median path (round 9, closing the r8 verdict's perf finding):
+      // the old plan ran row_number + count windows over the full
+      // ~9M-row pair frame partitioned by 3 flags — three single-task
+      // full sorts, zero parallelism, 13.8 s at sf0.1. Now the rank
+      // comes from the same sketch-bracket + exact-rank refinement
+      // the conformal interval uses: pass 1 rolls up n_pairs and an
+      // approx_percentile bracket [v_lo, v_hi] at 0.5∓0.01 (accuracy
+      // 10000 ⇒ rank error ≤ n/10000, 100× inside the ±1%·n margin;
+      // below 10k pairs the sketch stores every value and is exact,
+      // and 0.49·(n−1)+1 ≤ (n+1)/2 ≤ 0.51·(n−1)+1 for all n ≥ 1, so
+      // the bracket provably covers the median rank). Pass 2 counts
+      // slopes strictly below v_lo. Pass 3 sorts ONLY the ~2% band
+      // and picks band-position k − cnt_lt_lo = the global k-th
+      // smallest. The pair frame is regenerated per pass from the
+      // checkpointed days-sized daily frame (a broadcast self-join —
+      // cheaper and more parallel than materializing days² rows); if
+      // a bracket ever failed to cover rank k the flag's row would
+      // vanish — loud under the gate's row-count check. The DuckDB
+      // oracle still computes the rank by FULL sort, so equality is
+      // hash-proven at every fixture.
       val daily = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"),
           datediff(col("l_shipdate").cast("date"),
@@ -6991,19 +7012,46 @@ object SparkEntry {
         .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
           .as("y"))
         .localCheckpoint(true) // both sides of the pair self-join
+      // pair generation: an equi-join on flag alone has 3 keys → 3
+      // tasks own all days² rows. Broadcast the (days-sized) right
+      // side and spread the left over 32 partitions so every pass
+      // generates pairs with full parallelism.
       val a = daily.select(col("flag"), col("x").as("x1"),
-        col("y").as("y1"))
-      val b = daily.select(col("flag"), col("x").as("x2"),
+        col("y").as("y1")).repartition(32)
+      val b = daily.select(col("flag").as("bflag"), col("x").as("x2"),
         col("y").as("y2"))
-      val slopes = a.join(b, Seq("flag"))
-        .filter(col("x2") > col("x1"))
+      // nullif guards the diagonal: pushdown can merge later band
+      // predicates into the join condition AHEAD of x2 > x1, and ANSI
+      // div then hits x2 == x1. NULL slopes exist only on rows the
+      // x2 > x1 filter drops, so values are unchanged.
+      def slopes = a.join(broadcast(b),
+          col("flag") === col("bflag") && col("x2") > col("x1"))
         .select(col("flag"),
-          expr("(y2 - y1) * 1000000 div (x2 - x1)").as("slope_e6"))
-      val ranked = slopes.withColumn("rn", row_number().over(
+          expr("(y2 - y1) * 1000000 div nullif(x2 - x1, 0)")
+            .as("slope_e6"))
+      // pass 1: per-flag pair count, target rank, sketch bracket
+      val stats = slopes.groupBy("flag").agg(
+          count(lit(1)).as("n_pairs"),
+          expr("approx_percentile(slope_e6, array(0.49, 0.51), 10000)")
+            .as("br"))
+        .select(col("flag"), col("n_pairs"),
+          expr("(n_pairs + 1) div 2").as("k"),
+          col("br").getItem(0).as("v_lo"),
+          col("br").getItem(1).as("v_hi"))
+        .localCheckpoint(true) // 3 rows; passes 2 and 3 both read it
+      // pass 2: exact count of slopes strictly below the band
+      val below = slopes.join(broadcast(stats), "flag")
+        .groupBy("flag")
+        .agg(sum(when(col("slope_e6") < col("v_lo"), 1L)
+          .otherwise(0L)).as("cnt_lt_lo"))
+      // pass 3: sort ONLY the band, take the refined exact rank
+      slopes.join(broadcast(stats), "flag")
+        .filter(col("slope_e6") >= col("v_lo") &&
+          col("slope_e6") <= col("v_hi"))
+        .join(broadcast(below), "flag")
+        .withColumn("rn", row_number().over(
           Window.partitionBy("flag").orderBy(col("slope_e6"))))
-        .withColumn("n_pairs",
-          count(lit(1)).over(Window.partitionBy("flag")))
-      ranked.filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .filter(col("rn") === col("k") - col("cnt_lt_lo"))
         .select(col("flag"), col("n_pairs"),
           col("slope_e6").as("slope_e6_med"))
     }),
