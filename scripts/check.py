@@ -70,26 +70,45 @@ def _sql_with_timeout(con, sql, timeout):
     exceeds `timeout` seconds — a hanging oracle (the CTE-inlining
     explosion class) becomes a loud error, not a stuck gate."""
     import threading
-    done = threading.Event()
-    # The lock serializes "query finished" against "watchdog fires":
-    # without it, an interrupt landing just as the query returns can
-    # cancel the NEXT oracle on this pooled connection (spurious
-    # TIMEOUT on an innocent query — ADVICE r7).
-    lock = threading.Lock()
 
-    def watchdog():
-        if not done.wait(timeout):
+    def attempt():
+        done = threading.Event()
+        # The lock serializes "query finished" against "watchdog fires":
+        # without it, an interrupt landing just as the query returns can
+        # cancel the NEXT oracle on this pooled connection (spurious
+        # TIMEOUT on an innocent query — ADVICE r7). `fired` records
+        # whether THIS query's watchdog actually interrupted: a prior
+        # query's interrupt can still land in the window between its
+        # con.sql() returning and its finally block taking the lock,
+        # cancelling US instead (ADVICE r8) — distinguishable because
+        # our own watchdog never fired.
+        lock = threading.Lock()
+        fired = []
+
+        def watchdog():
+            if not done.wait(timeout):
+                with lock:
+                    if not done.is_set():
+                        fired.append(True)
+                        con.interrupt()
+
+        threading.Thread(target=watchdog, daemon=True).start()
+        try:
+            return True, con.sql(sql).df()
+        except Exception as e:
+            if "INTERRUPT" in str(e).upper() and not fired:
+                return False, e  # stale interrupt, not our timeout
+            raise
+        finally:
             with lock:
-                if not done.is_set():
-                    con.interrupt()
+                done.set()
 
-    w = threading.Thread(target=watchdog, daemon=True)
-    w.start()
-    try:
-        return con.sql(sql).df()
-    finally:
-        with lock:
-            done.set()
+    ok, res = attempt()
+    if not ok:  # cancelled by a stale interrupt — retry once
+        ok, res = attempt()
+        if not ok:
+            raise res
+    return res
 
 
 def check_one(args):

@@ -2381,6 +2381,39 @@ object OracleSql {
        |  ${sig("hu")} AS ahash
        |FROM hb""".stripMargin
 
+  /** Oracle for the SMOOTH (JPEG-twin) fixture's lossless aHash:
+    * identical sample/mean/bit math to [[multimodalAhash]] but over
+    * the clamped linear ramp `p(x,y) = min(255, 4x + 3y + id % 64)`
+    * ([[graft.multimodal.Multimodal.ImageCodec.smoothPixel]]). PNG is
+    * lossless, so the engine's sniffing decode of the smooth PNG must
+    * land on these bits exactly — this is the independent recompute
+    * the cross-format-twin gate checks the band join's output against
+    * (ADVICE r8: the verdict column alone was unfalsifiable).
+    */
+  def multimodalSmoothAhash(): String =
+    s"""WITH sdims AS (
+       |  SELECT doc_id,
+       |    CAST(16 + doc_id % 32 AS INT) AS width,
+       |    CAST(16 + (doc_id * 7) % 32 AS INT) AS height
+       |  FROM documents),
+       |ss AS (
+       |  SELECT d.doc_id, d.width, d.height, g.k,
+       |    least(255, 4 * (((g.k % 8) * d.width) // 8)
+       |      + 3 * (((g.k // 8) * d.height) // 8) + d.doc_id % 64) AS p
+       |  FROM sdims d,
+       |    LATERAL (SELECT unnest(generate_series(0, 63)) AS k) g),
+       |sm AS (
+       |  SELECT doc_id, sum(p)::BIGINT // 64 AS mean
+       |  FROM ss GROUP BY 1),
+       |shb AS (
+       |  SELECT ss.doc_id, ss.width, ss.height,
+       |    sum(CASE WHEN ss.p > sm.mean
+       |        THEN (1::HUGEINT << ss.k) ELSE 0::HUGEINT END) AS hu
+       |  FROM ss JOIN sm USING (doc_id) GROUP BY 1, 2, 3)
+       |SELECT doc_id AS media_id, width, height,
+       |  ${sig("hu")} AS ahash
+       |FROM shb""".stripMargin
+
   /** Oracle for `text_feature_hash`: the hashing-trick featurization —
     * every whitespace-token OCCURRENCE hashed with the exact XXH64
     * emulation ([[tokenHashCtes]]), bucketed by unsigned mod (equal to

@@ -4917,9 +4917,14 @@ object SparkEntry {
       // banding (4 × 16-bit, exact on some band whenever hamming ≤ 3)
       // ALWAYS surfaces the png twin as a candidate. The match is a
       // genuine band join + hamming verify — never an id shortcut —
-      // and the oracle checks the verdict: if the jpeg codec, the
-      // sniffing decode, or the banding broke, twin_found flips false
-      // and the hash compare fails.
+      // and the oracle checks MORE than the verdict (ADVICE r8: a
+      // constant-TRUE oracle couldn't tell a real join from a
+      // shortcut): the matched partner's PNG aHash is carried THROUGH
+      // the band join into the output, and the DuckDB oracle
+      // recomputes that hash independently from the smooth-pixel
+      // formula. If the sniffing decode drifts, the banding breaks,
+      // or the join is bypassed, ref_ahash goes wrong/NULL and the
+      // hash gate fails — not just the unit-test pin.
       val docs = t(s, dir, "documents")
       val jb = Multimodal.averageHashes(
         Multimodal.renderJpegImages(docs)).toDF()
@@ -4939,7 +4944,7 @@ object SparkEntry {
         .join(banded(rb, "rhash"), Seq("band", "bval"))
         .filter(col("ref_id") === col("media_id") &&
           expr("bit_count(jhash ^ rhash) <= 3"))
-        .select(col("media_id")).distinct()
+        .select(col("media_id"), col("rhash")).distinct()
         .withColumn("twin_found", lit(true))
       jb.select(col("media_id"))
         .join(found, Seq("media_id"), "left")
@@ -4947,6 +4952,10 @@ object SparkEntry {
           (pmod(col("media_id"), lit(32)) + 16).cast("int").as("width"),
           (pmod(col("media_id") * 7, lit(32)) + 16).cast("int")
             .as("height"),
+          // the partner's hash as surfaced BY the join — NULL (a gate
+          // failure vs the oracle's recomputed value) if the band
+          // join ever stops finding the twin
+          col("rhash").as("ref_ahash"),
           coalesce(col("twin_found"), lit(false)).as("twin_found"))
     }),
 
@@ -10301,12 +10310,15 @@ object SparkEntry {
          |  COALESCE(nbr.n_neighbors, 0)::BIGINT AS n_neighbors
          |FROM hg LEFT JOIN nbr USING (rep_id)""".stripMargin,
 
+    // the PNG partner's aHash is recomputed HERE from the smooth-pixel
+    // formula (ADVICE r8) — the engine must deliver the same bits
+    // through its decode + band join, so a decode drift, a banding
+    // break, or an id shortcut all fail the hash gate
     "multimodal_cross_format_twin" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(16 + doc_id % 32 AS INT) AS width,
-        |  CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
-        |  TRUE AS twin_found
-        |FROM documents""".stripMargin,
+      s"""WITH ah AS MATERIALIZED (${OracleSql.multimodalSmoothAhash()})
+         |SELECT media_id, width, height, ahash AS ref_ahash,
+         |  TRUE AS twin_found
+         |FROM ah""".stripMargin,
 
     "text_feature_hash" -> OracleSql.textFeatureHash(buckets = 64),
 

@@ -161,6 +161,24 @@ case class KmeansAssignExpr(child: Expression,
   */
 object Int8Ops {
 
+  /** One O(n) pre-scan, same contract as DtwDistanceImpl.rejectNulls:
+    * `toDoubleArray`/`toIntArray` on an array with null slots reads
+    * undefined garbage bits (aggregate-built arrays are
+    * nullable-typed even when no element ever is), so a loud error
+    * here replaces silently wrong packed bits / distances (ADVICE r8).
+    */
+  private def rejectNulls(arr: ArrayData, op: String): Unit = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"$op: null element at index $i — toDoubleArray/toIntArray " +
+          "on a null slot reads garbage bits; clean the array " +
+          "(filter/array_compact) before calling")
+      i += 1
+    }
+  }
+
   /** Symmetric int8 quantization of a double vector in one loop —
     * bit-identical to the composed form: absMax by a left-to-right
     * `greatest` fold, scale = 127/absMax (1.0 for the zero vector),
@@ -169,6 +187,7 @@ object Int8Ops {
     * HALF_UP, NOT `Math.round`, which differs on negative halves).
     */
   def quantize(a: ArrayData): GenericArrayData = {
+    rejectNulls(a, "int8_quantize")
     val x = a.toDoubleArray()
     var absMax = 0.0
     var i = 0
@@ -194,6 +213,7 @@ object Int8Ops {
     * per-element formulation.
     */
   def signPack(a: ArrayData): Long = {
+    rejectNulls(a, "sign_pack")
     val x = a.toDoubleArray()
     val n = math.min(x.length, 64)
     var bits = 0L
@@ -211,6 +231,8 @@ object Int8Ops {
     * identical under any formulation.
     */
   def sqdist(a: ArrayData, b: ArrayData): Long = {
+    rejectNulls(a, "int8_sqdist")
+    rejectNulls(b, "int8_sqdist")
     val x = a.toIntArray()
     val y = b.toIntArray()
     val n = math.min(x.length, y.length)
@@ -226,6 +248,8 @@ object Int8Ops {
 
   /** Static entry point for generated code. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
+    rejectNulls(a, "int8_cosine")
+    rejectNulls(b, "int8_cosine")
     val x = a.toIntArray()
     val y = b.toIntArray()
     val n = math.min(x.length, y.length)

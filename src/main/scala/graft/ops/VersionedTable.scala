@@ -154,10 +154,33 @@ object VersionedTable {
     val dir = vdir(root, n)
     df.write.mode("errorifexists").parquet(dir.toString)
     writeSmall(spark, new Path(dir, "_commit_ts"), nowMillis().toString)
+    requireClaimLive(spark, root, n)
     writeSmall(spark, new Path(dir, "_COMMITTED"), "")
     writeSmall(spark, new Path(root, "_LATEST"), n.toString) // cache only
     releaseClaim(spark, root, n) // v=N itself holds the number now
     n
+  }
+
+  /** Guard against a commit that outlived vacuum's `claimTtlMillis`:
+    * once vacuum sweeps our claim it may also delete part-files from
+    * the uncommitted `v=N` dir, and writing `_COMMITTED` after that
+    * would publish a TORN version — marked committed, missing data,
+    * which is strictly worse than lost work. Checked immediately
+    * before the marker write; a swept claim aborts the commit loudly.
+    * (A vacuum landing in the instant between this check and the
+    * marker write can still produce the torn state — the check
+    * shrinks the 24 h exposure window to microseconds, it cannot
+    * close it without a lock the lake layout doesn't have. Writers
+    * expected to run past the TTL must raise it.)
+    */
+  private def requireClaimLive(spark: SparkSession, root: String,
+                               n: Long): Unit = {
+    if (!fs(spark, new Path(root)).exists(new Path(root, s"_claim=$n")))
+      throw new IllegalStateException(
+        s"claim for version $n of $root vanished before _COMMITTED " +
+          "was written — this commit outlived the vacuum claim TTL " +
+          "and the version dir may be partially swept; aborting " +
+          "rather than publishing a torn committed version")
   }
 
   /** Latest committed version, if any. Trusts the `_LATEST` cache only
@@ -228,6 +251,7 @@ object VersionedTable {
         df.write.mode("errorifexists").parquet(dir.toString)
         writeSmall(spark, new Path(dir, "_commit_ts"), nowMillis().toString)
         writeSmall(spark, new Path(dir, "_batch_id"), batchId.toString)
+        requireClaimLive(spark, root, n)
         writeSmall(spark, new Path(dir, "_COMMITTED"), "")
         writeSmall(spark, new Path(root, "_LATEST"), n.toString)
         releaseClaim(spark, root, n)
@@ -235,6 +259,21 @@ object VersionedTable {
       }
     }
   }
+
+  /** mtime of `_claim=n`, or None if the claim no longer exists. A
+    * racing commit's releaseClaim can delete a claim between vacuum's
+    * listing and this stat; a vanished claim is NOT live — it can only
+    * disappear because its commit completed (at some n claimNext
+    * allocated ABOVE every version visible to this vacuum, so its dir
+    * is never doomed here) or because another vacuum already swept it.
+    * Either way treating it as gone is safe; throwing mid-vacuum is
+    * not (ADVICE r8).
+    */
+  private[ops] def claimMtime(filesystem: org.apache.hadoop.fs.FileSystem,
+                              root: String, n: Long): Option[Long] =
+    scala.util.Try(
+      filesystem.getFileStatus(new Path(root, s"_claim=$n"))
+        .getModificationTime).toOption
 
   /** Delete everything except the newest `keepLast` committed versions;
     * torn (uncommitted) dirs below the latest committed version are
@@ -249,6 +288,16 @@ object VersionedTable {
     * any real commit duration); an uncommitted dir with NO live claim
     * is torn debris and is removed immediately. This makes vacuum safe
     * to run concurrently with commits, not just "while none in flight".
+    *
+    * TTL failure mode, stated plainly: a writer that legitimately runs
+    * LONGER than `claimTtlMillis` has its live claim and its partially
+    * written `v=N` dir swept — and without a guard its late
+    * `_COMMITTED` write would then publish a committed version with
+    * missing part-files (corruption, not just lost work). Both commit
+    * paths therefore re-verify the claim file still exists immediately
+    * before writing `_COMMITTED` and abort loudly if it vanished; see
+    * `requireClaimLive` for the residual microsecond window. Size the
+    * TTL above any plausible commit duration.
     * `nowMillis` is injectable for deterministic tests.
     */
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
@@ -261,10 +310,16 @@ object VersionedTable {
     val rootPath = new Path(root)
     val filesystem = fs(spark, rootPath)
     val cutoff = nowMillis() - claimTtlMillis
-    val liveClaims = claimedDirs(spark, root).filter { n =>
-      val st = filesystem.getFileStatus(new Path(root, s"_claim=$n"))
-      st.getModificationTime >= cutoff
-    }.toSet
+    // A racing commit's releaseClaim can delete a claim between the
+    // listing above and the stat below. A vanished claim is NOT live:
+    // it can only disappear because its commit completed (at some
+    // n > this vacuum's `latest` snapshot — claimNext always claims
+    // above every visible version, so its dir is never doomed here)
+    // or because another vacuum already swept it. Either way skipping
+    // it is safe; throwing mid-vacuum is not.
+    val liveClaims = claimedDirs(spark, root)
+      .filter(n => claimMtime(filesystem, root, n).exists(_ >= cutoff))
+      .toSet
     val doomed = allDirs(spark, root)
       .filter(n => n < latest && !keep(n) &&
         (isCommitted(spark, root, n) || !liveClaims(n)))

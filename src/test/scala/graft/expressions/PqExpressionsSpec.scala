@@ -126,4 +126,27 @@ class PqExpressionsSpec extends SparkSpec {
     val distinct = native.select("bits").distinct().count()
     assert(distinct > 10, s"only $distinct distinct codes")
   }
+
+  test("null array elements are rejected loudly, not read as garbage") {
+    // aggregate-built arrays are nullable-typed even when no element
+    // ever is; toDoubleArray/toIntArray on a null slot reads undefined
+    // bits — the same failure class DtwDistanceImpl.rejectNulls closed
+    // (ADVICE r8 flagged signPack/sqdist as still exposed)
+    val withNull = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("id", "v")
+    for (bad <- Seq(
+        exprs.sign_pack(col("v")),
+        exprs.int8_quantize(col("v")),
+        exprs.int8_sqdist(
+          exprs.int8_quantize(col("v")), exprs.int8_quantize(col("v"))))) {
+      val e = intercept[Exception] {
+        withNull.select(bad).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("null element")),
+        s"expected a loud null-element error, got: ${msgs(e)}")
+    }
+  }
 }

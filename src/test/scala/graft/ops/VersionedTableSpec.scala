@@ -191,6 +191,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root) == Seq(2L, 4L))
   }
 
+  test("a claim that vanishes between vacuum's list and stat is not-live") {
+    // the race itself (releaseClaim landing inside vacuum's filter) is
+    // a microsecond window; the contract it must satisfy is this one:
+    // stat of a gone claim yields None (treated not-live), never throws
+    val root = tmpRoot()
+    VersionedTable.commit(df(1), root, () => 1000L)
+    val filesystem = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(VersionedTable.claimMtime(filesystem, root, 99L).isEmpty)
+    new java.io.File(root, "_claim=7").createNewFile()
+    assert(VersionedTable.claimMtime(filesystem, root, 7L).nonEmpty)
+  }
+
+  test("commit outliving the claim TTL aborts instead of publishing torn") {
+    val root = tmpRoot()
+    VersionedTable.commit(df(1), root, () => 1000L)
+    // simulate a vacuum sweeping our claim mid-commit: the injected
+    // clock fires after the parquet write and before _COMMITTED, the
+    // exact window where a TTL-expired claim gets swept
+    val ex = intercept[IllegalStateException] {
+      VersionedTable.commit(df(2), root, () => {
+        new java.io.File(root, "_claim=2").delete()
+        2000L
+      })
+    }
+    assert(ex.getMessage.contains("torn"))
+    // the half-written version must stay invisible: no marker, not listed
+    assert(!new java.io.File(s"$root/v=2", "_COMMITTED").exists())
+    assert(VersionedTable.versions(spark, root) == Seq(1L))
+    // and the table is not wedged: the next commit claims past the debris
+    assert(VersionedTable.commit(df(3), root, () => 3000L) == 3L)
+    assert(VersionedTable.versions(spark, root) == Seq(1L, 3L))
+  }
+
   test("vacuum keeps the newest keepLast committed versions") {
     val root = tmpRoot()
     (1 to 5).foreach(v =>
