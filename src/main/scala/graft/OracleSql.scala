@@ -1145,6 +1145,84 @@ object OracleSql {
        |  count(*)::BIGINT AS n3
        |FROM r GROUP BY 1""".stripMargin
 
+  /** Oracle for `graph_neighborhood_hll`: the HyperANF loop with HLL
+    * register states instead of exact sets, re-derived end to end —
+    * the recursive walk gives each vertex's TRUE hop-h reachable set,
+    * every reachable dst is hashed through the bit-exact XXH64
+    * emulation, and bucket/rank/registers/estimator reuse the shared
+    * integer constants of [[approxDistinctHll]]. HLL registers from a
+    * merged union equal registers over the union set (max is
+    * associative), so the engine's iterated state merges land on these
+    * exact estimates bit for bit.
+    */
+  def graphNeighborhoodHll(numHashes: Int = 16, rowsPerBand: Int = 2,
+                           hops: Int = 3): String = {
+    import graft.expressions.Hll
+    val sb = Hll.SuffixBits
+    val two = BigInt(1) << sb
+    val ch = new Chain("gh", "SELECT dst, dst::HUGEINT AS lv FROM dv")
+    val hv = hashLong(ch, "lv", "42", "h")
+    val rankCase = (1 to sb)
+      .map(r => s"WHEN sfx >= ${BigInt(1) << (sb - r)} THEN $r")
+      .mkString("\n|     ")
+    val termCase = (0 to sb + 1)
+      .map(m => s"WHEN $m THEN ${BigInt(1) << (sb + 1 - m)}")
+      .mkString("\n|           ")
+    val lnCase = (1 to Hll.M)
+      .map(v => s"WHEN $v THEN ${Hll.LnTable(v - 1)}")
+      .mkString("\n|            ")
+    s"""WITH RECURSIVE ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |${edgeCtes(numHashes)},
+       |es AS (SELECT src, dst FROM edges
+       |       UNION SELECT id, id FROM verts),
+       |walk(src, dst, h) AS (
+       |  SELECT src, dst, 1 FROM es
+       |  UNION
+       |  SELECT w.src, e.dst, w.h + 1 FROM walk w
+       |  JOIN es e ON e.src = w.dst
+       |  WHERE w.h < $hops),
+       |rw AS MATERIALIZED (
+       |  SELECT src, dst, min(h) AS mh FROM walk GROUP BY 1, 2),
+       |dv AS (SELECT DISTINCT dst FROM rw),
+       |${ch.render},
+       |hh AS MATERIALIZED (SELECT dst, $hv AS hv FROM ${ch.last}),
+       |bx AS (SELECT dst, hv // $two AS j, hv % $two AS sfx FROM hh),
+       |br AS (SELECT dst, j,
+       |   CASE WHEN sfx = 0 THEN ${sb + 1}
+       |     $rankCase END AS r FROM bx),
+       |hp AS (SELECT unnest([${(1 to hops).mkString(", ")}]) AS h),
+       |regs AS (SELECT w.src, hp.h, b.j, max(b.r) AS m
+       |         FROM rw w JOIN br b ON b.dst = w.dst
+       |         JOIN hp ON w.mh <= hp.h GROUP BY 1, 2, 3),
+       |fr AS (SELECT g.src, g.h, t.j, coalesce(rg.m, 0) AS m
+       |       FROM (SELECT DISTINCT src, h FROM regs) g
+       |       CROSS JOIN range(0, ${Hll.M}) t(j)
+       |       LEFT JOIN regs rg ON rg.src = g.src AND rg.h = g.h
+       |         AND rg.j = t.j),
+       |ag AS (SELECT src, h,
+       |         sum(CASE m
+       |           $termCase END)::HUGEINT AS s,
+       |         sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS v
+       |       FROM fr GROUP BY 1, 2),
+       |esr AS (SELECT src, h, v,
+       |         CAST('${Hll.RawNumerator}' AS HUGEINT) // (s * 1000000)
+       |           AS raw
+       |       FROM ag),
+       |ev2 AS (SELECT src, h,
+       |  CASE WHEN v > 0 AND raw <= ${Hll.LinearThreshold}
+       |       THEN (${Hll.M}::HUGEINT * (CASE v
+       |            $lnCase END)) // 1000000
+       |       ELSE least(raw, 9223372036854775807) END::BIGINT AS e
+       |  FROM esr)
+       |SELECT src AS doc_id,
+       |  max(CASE WHEN h = 1 THEN e END)::BIGINT AS n1_est,
+       |  max(CASE WHEN h = 2 THEN e END)::BIGINT AS n2_est,
+       |  max(CASE WHEN h = 3 THEN e END)::BIGINT AS n3_est
+       |FROM ev2 GROUP BY 1""".stripMargin
+  }
+
   /** Oracle for `split_leakage_safe`: component closure (the
     * `dedup_components` CTEs), singleton docs their own rep, the REP id
     * hashed through the XXH64 chain into the same 0.9/0.05/0.05 buckets

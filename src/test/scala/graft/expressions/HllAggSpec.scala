@@ -59,6 +59,26 @@ class HllAggSpec extends SparkSpec {
     assert(direct == rolled, "HLL rollup must be lossless")
   }
 
+  test("iterated state-merge + scalar estimate equals single-pass") {
+    // the HyperANF round shape: states merged round-to-round as
+    // STATES (hll_merge_state), estimated once at the end by the
+    // scalar hll_estimate — must equal the one-shot hll_distinct
+    val df = spark.range(120000).select(
+      (col("id") % 3).as("g"), (col("id") % 11).as("part"),
+      (col("id") % 23456).as("v"))
+    val direct = df.groupBy("g")
+      .agg(HllSketches.hll_distinct(col("v")).as("a"))
+      .as[(Long, Long)].collect().toMap
+    val iterated = df.groupBy("g", "part")
+      .agg(HllSketches.hll_state(col("v")).as("sk"))
+      .groupBy("g")
+      .agg(HllSketches.hll_merge_state(col("sk")).as("sk"))
+      .select(col("g"), HllSketches.hll_estimate(col("sk")).as("a"))
+      .as[(Long, Long)].collect().toMap
+    assert(direct == iterated,
+      "merge-as-state + scalar estimate must be lossless")
+  }
+
   test("state is exactly m bytes and malformed states are rejected") {
     val st = spark.range(1000).select(col("id").as("v"))
       .agg(HllSketches.hll_state(col("v")).as("sk"))
