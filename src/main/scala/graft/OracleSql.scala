@@ -2492,6 +2492,77 @@ object OracleSql {
        |  ${sig("hu")} AS ahash
        |FROM shb""".stripMargin
 
+  /** Oracle for `ml_quantile_regression`: the τ = 0.9 pinball
+    * subgradient descent unrolled round by round (one MATERIALIZED
+    * g/w CTE pair per step — the sequential-chain class MUST be
+    * materialized or DuckDB re-inlines the whole prefix 2^rounds
+    * times). Same integer update as the engine:
+    * w ← w − (gq·w0) // (10·sx·div), gq = 10·Σ_{y<wx} x − 9·Σx.
+    */
+  def mlQuantileRegression(
+      sched: Seq[Int] = Seq(1, 1, 1, 2, 4, 8)): String = {
+    val rounds = sched.zipWithIndex.map { case (div, i) =>
+      val prev = if (i == 0) "w0" else s"w$i"
+      s"""g${i + 1} AS MATERIALIZED (
+         |  SELECT b.flag, max(w.sx) AS sx, max(w.n) AS n,
+         |    max(w.w0e6) AS w0e6, max(w.w) AS wp,
+         |    10 * sum(CASE WHEN b.y * 1000000 < w.w * b.x
+         |        THEN b.x ELSE 0 END)::HUGEINT
+         |      - 9 * max(w.sx) AS gq
+         |  FROM base b JOIN $prev w ON w.flag = b.flag GROUP BY 1),
+         |w${i + 1} AS MATERIALIZED (
+         |  SELECT flag, sx, n, w0e6,
+         |    wp - (gq * w0e6) // (10 * sx * $div) AS w
+         |  FROM g${i + 1})""".stripMargin
+    }.mkString(",\n")
+    val wN = s"w${sched.size}"
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+       |  FROM lineitem WHERE l_quantity >= 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT flag, sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+       |    count(*)::BIGINT AS n FROM base GROUP BY 1),
+       |w0 AS MATERIALIZED (
+       |  SELECT flag, sx, n, (sy * 1000000) // sx AS w0e6,
+       |    (sy * 1000000) // sx AS w FROM s0),
+       |$rounds
+       |SELECT b.flag, max(w.w)::BIGINT AS w_e6, max(w.n)::BIGINT AS n,
+       |  ((sum(CASE WHEN b.y * 1000000 <= w.w * b.x THEN 1 ELSE 0
+       |      END)::HUGEINT * 1000000) // max(w.n))::BIGINT
+       |    AS cover_ppm,
+       |  ((sum(CASE WHEN b.y * 1000000 <= w.w * b.x THEN b.x ELSE 0
+       |      END)::HUGEINT * 1000000) // max(w.sx))::BIGINT
+       |    AS xcover_ppm
+       |FROM base b JOIN $wN w ON w.flag = b.flag GROUP BY 1""".stripMargin
+  }
+
+  /** Oracle for `sample_priority_topk`: Duffield–Lund–Thorup priority
+    * sampling — same xxhash64(doc_id) residue coin (the [[idHashCtes]]
+    * chain), same integer priority w·10¹² // (u+1), top-k by
+    * (priority DESC, doc_id ASC), threshold = the (k+1)-th priority,
+    * estimator ŵ = max(w, τ).
+    */
+  def samplePriorityTopk(k: Int = 100): String =
+    s"""WITH ${idHashCtes()},
+       |dw AS (SELECT doc_id,
+       |    len(regexp_split_to_array(lower(trim(text)), '\\s+'))::BIGINT
+       |      AS w
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |pr AS (SELECT dw.doc_id, dw.w,
+       |    ((h.hv % 1000000000000) + 1000000000000) % 1000000000000
+       |      + 1 AS u
+       |  FROM dw JOIN hashed h USING (doc_id)),
+       |q AS (SELECT doc_id, w,
+       |    (w::HUGEINT * 1000000000000) // u AS priority FROM pr),
+       |r AS (SELECT doc_id, w, priority,
+       |    row_number() OVER (ORDER BY priority DESC, doc_id ASC)
+       |      AS rn FROM q),
+       |tau AS (SELECT priority AS tv FROM r WHERE rn = ${k + 1})
+       |SELECT r.doc_id, r.w, r.priority::BIGINT AS priority,
+       |  greatest(r.w::HUGEINT, tau.tv)::BIGINT AS w_hat
+       |FROM r CROSS JOIN tau WHERE rn <= $k""".stripMargin
+
   /** Oracle for `text_feature_hash`: the hashing-trick featurization —
     * every whitespace-token OCCURRENCE hashed with the exact XXH64
     * emulation ([[tokenHashCtes]]), bucketed by unsigned mod (equal to
