@@ -7294,15 +7294,19 @@ object SparkEntry {
           pmod(xxhash64(col("doc_id")), lit(1000000000000L)) + 1)
         .select(col("doc_id"), col("w"),
           expr("w * 1000000000000 div u").as("priority"))
-      val top = pri
-        .orderBy(col("priority").desc, col("doc_id").asc)
+      // one linear plan: rank and threshold both come from windows
+      // over the k+1-row TakeOrdered output (bounded single-task
+      // frames), so TakeOrderedAndProject stays visible and pinned in
+      // the final physical plan — no checkpoint/rejoin to hide it
+      pri.orderBy(col("priority").desc, col("doc_id").asc)
         .limit(k + 1)
         .withColumn("rn", row_number().over(
           Window.orderBy(col("priority").desc, col("doc_id").asc)))
-        .localCheckpoint(true) // k+1 rows
-      val tau = top.filter(col("rn") === k + 1)
-        .select(col("priority").as("tau"))
-      top.filter(col("rn") <= k).crossJoin(broadcast(tau))
+        .withColumn("tau", max(when(col("rn") === k + 1,
+          col("priority"))).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter(col("rn") <= k)
         .select(col("doc_id"), col("w"), col("priority"),
           greatest(col("w"), col("tau")).as("w_hat"))
     }),

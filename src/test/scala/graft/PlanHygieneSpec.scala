@@ -488,6 +488,59 @@ class PlanHygieneSpec extends SparkSpec {
       s"events re-scan leaked into the DTW pair plan:\n${plan.take(1500)}")
   }
 
+  test("priority sampling's global op is TakeOrdered, never a full sort") {
+    // Duffield-Lund-Thorup top-(k+1): a per-partition heap + driver
+    // merge; if orderBy(...).limit ever decomposes to a global Sort +
+    // Exchange the sampler stops scaling
+    val plan = SparkEntry.queries("sample_priority_topk")(
+      spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("theil_sen pair generation broadcasts the days-sized side") {
+    // the r9 fix: an equi-join on flag alone has 3 keys (3 tasks own
+    // all days^2 rows); the plan must show the broadcast right side
+    // and must NOT contain a window over the un-banded pair frame
+    // (row_number appears only inside the ~2% bracket band)
+    val df = SparkEntry.queries("analytics_theil_sen")(
+      spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // final stage: the window's input must be band-filtered (slope
+    // between the sketch bracket), not the raw pair frame
+    assert(plan.contains("v_lo") && plan.contains("v_hi"),
+      "band filter columns missing from the physical plan")
+  }
+
+  test("quantile regression rounds broadcast the 3-row weight frame") {
+    val plan = SparkEntry.queries("ml_quantile_regression")(
+      spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("mann-whitney windows run over the distinct-value rollup") {
+    // the rank cum-sum must consume HashAggregate output (the cents
+    // vocabulary), never the raw row-sized event frame
+    val df = SparkEntry.queries("events_mann_whitney")(
+      spark, sf("sf0.001"))
+    val unwrapped = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = unwrapped.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected a window for the rank cum-sum")
+    windows.foreach { w =>
+      val below = w.child.collect {
+        case agg: org.apache.spark.sql.execution.aggregate.HashAggregateExec => agg
+      }
+      assert(below.nonEmpty,
+        "window input must be the aggregated distinct-value frame")
+    }
+  }
+
   test("survivorship rollups read the checkpointed member frame") {
     // canonical-name, segment-mode and count/max all consume members;
     // the checkpoint keeps the match join + component join to ONE run
