@@ -7349,21 +7349,36 @@ object SparkEntry {
         .select(col("n_a"), col("n_b"), col("tie_term"),
           (col("r2_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"),
           (col("n_a") + col("n_b")).as("nn"))
-      agg.select(col("n_a"), col("n_b"), col("u2_a"), col("tie_term"),
+      // z² = (D/2)² / Var with D = u2_a − nA·nB and the tie-corrected
+      // Var = nA·nB·(N(N−1)(N+1) − T)/(12N(N−1)); the 12/4 collapses
+      // into the 3 in K. The single product K·D² overflows
+      // DECIMAL(38,0) near N ~ 10⁷ (found LOUDLY at the 100× events
+      // fixture), so the floor is taken by STAGED exact division:
+      // D² = q·B + r against B = nA·nB first, then
+      //   floor(K·D²/(B·C)) = floor(K·q/C) + floor((xr·B + K·r)/(B·C))
+      // with xr = K·q mod C — algebraically the same floor, every
+      // intermediate ≤ ~10³⁴ up to N ≈ 5·10⁷ (hash-exact at the 100×
+      // fixture's 8M samples; past the bound ANSI still fails loudly,
+      // never silently wrong).
+      agg
+        .withColumn("dd", expr(s"cast(u2_a - n_a * n_b as $d)" +
+          s" * cast(u2_a - n_a * n_b as $d)"))
+        .withColumn("bb", expr(s"cast(n_a as $d) * cast(n_b as $d)"))
+        .withColumn("cc", expr(s"cast(nn + 1 as $d) * cast(nn as $d)" +
+          s" * cast(nn - 1 as $d) - cast(tie_term as $d)"))
+        .withColumn("kk", expr(s"cast(3 as $d) * cast(nn as $d)" +
+          s" * cast(nn - 1 as $d) * 1000000"))
+        .withColumn("qq", expr("dd div bb"))
+        .withColumn("rr", expr(s"dd - cast(qq as $d) * bb"))
+        .withColumn("kq", expr(s"kk * cast(qq as $d)"))
+        .withColumn("xx", expr("kq div cc"))
+        .withColumn("xr", expr(s"kq - cast(xx as $d) * cc"))
+        .withColumn("yy", expr("(xr * bb + kk * rr) div (bb * cc)"))
+        .select(col("n_a"), col("n_b"), col("u2_a"), col("tie_term"),
           when(col("u2_a") > col("n_a") * col("n_b"), 1)
             .when(col("u2_a") < col("n_a") * col("n_b"), -1)
             .otherwise(0).as("direction"),
-          // z² = (D/2)² / Var with D = u2_a − nA·nB and the
-          // tie-corrected Var = nA·nB·(N(N−1)(N+1) − T)/(12N(N−1));
-          // the 12/4 collapses into the 3 in the numerator
-          expr(s"""cast(
-            cast(3 as $d) * cast(u2_a - n_a * n_b as $d)
-              * cast(u2_a - n_a * n_b as $d)
-              * cast(nn as $d) * cast(nn - 1 as $d) * 1000000
-            div (cast(n_a as $d) * cast(n_b as $d)
-              * (cast(nn + 1 as $d) * cast(nn as $d)
-                 * cast(nn - 1 as $d) - cast(tie_term as $d)))
-            as long)""").as("z2_e6"))
+          (col("xx") + col("yy")).cast("long").as("z2_e6"))
     }),
 
     "ml_target_encode_oof" -> ((s, dir) => {
@@ -12177,17 +12192,22 @@ object SparkEntry {
         |    sum(t * t * t - t)::BIGINT AS tie_term FROM rk),
         |fin AS (SELECT n_a, n_b, tie_term,
         |    (r2_a - n_a * (n_a + 1))::BIGINT AS u2_a,
-        |    (n_a + n_b)::BIGINT AS nn FROM ag)
+        |    (n_a + n_b)::BIGINT AS nn FROM ag),
+        |f2 AS (SELECT n_a, n_b, u2_a, tie_term, nn,
+        |    (u2_a - n_a * n_b)::HUGEINT * (u2_a - n_a * n_b) AS dd,
+        |    n_a::HUGEINT * n_b AS bb,
+        |    (nn + 1)::HUGEINT * nn * (nn - 1) - tie_term AS cc,
+        |    3::HUGEINT * nn * (nn - 1) * 1000000 AS kk
+        |  FROM fin),
+        |s1 AS (SELECT *, dd // bb AS qq, dd % bb AS rr FROM f2),
+        |s2 AS (SELECT *, kk * qq AS kq FROM s1),
+        |s3 AS (SELECT *, kq // cc AS xx, kq % cc AS xr FROM s2)
         |SELECT n_a, n_b, u2_a, tie_term,
         |  (CASE WHEN u2_a > n_a * n_b THEN 1
         |        WHEN u2_a < n_a * n_b THEN -1 ELSE 0 END)::INT
         |    AS direction,
-        |  ((3::HUGEINT * (u2_a - n_a * n_b) * (u2_a - n_a * n_b)
-        |    * nn * (nn - 1) * 1000000)
-        |   // (n_a::HUGEINT * n_b
-        |       * ((nn + 1)::HUGEINT * nn * (nn - 1) - tie_term)))
-        |    ::BIGINT AS z2_e6
-        |FROM fin""".stripMargin,
+        |  (xx + (xr * bb + kk * rr) // (bb * cc))::BIGINT AS z2_e6
+        |FROM s3""".stripMargin,
 
     "ml_target_encode_oof" ->
       """WITH li AS MATERIALIZED (
