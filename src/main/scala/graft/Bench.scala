@@ -50,10 +50,23 @@ object Bench {
     }
     // run-major (full suite per repetition, not query-major) so a load
     // burst degrades one SAMPLE of many queries, not every sample of one
+    // A query that THROWS must not masquerade as a healthy timing: its
+    // time-to-failure still enters the medians (the protocol needs a
+    // number) but the name lands in `failed` on the emitted line — a
+    // 0.8 s "measurement" that is really an ANSI overflow at the big
+    // fixture reads as success otherwise (found in round 9 when
+    // events_mann_whitney overflowed DECIMAL(38,0) at 100× and the
+    // bench silently recorded the crash time).
+    val failedNames = scala.collection.mutable.LinkedHashSet[String]()
     val samples: Seq[Seq[(String, Double)]] = (1 to runsN).map { _ =>
       queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        try { materialize(fn(spark, sfDir)) } catch {
+          case e: Throwable =>
+            failedNames += name
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getMessage.take(200)}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -100,7 +113,8 @@ object Bench {
         .filter(_.nonEmpty).map(_.trim.toLong)
         .count(pid => !ancestors.contains(pid))
     } catch { case _: Throwable => -1 }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runsN,"spread":$sp,"unstable":$un,"loadavg":"$loadavg","other_jvms":$otherJvms}"""
+    val fl = failedNames.map(n => s""""$n"""").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runsN,"spread":$sp,"unstable":$un,"failed":$fl,"loadavg":"$loadavg","other_jvms":$otherJvms}"""
     println(line)
     // Also persist the COMPLETE line to a committed artifact: the
     // driver's BENCH_r*.json keeps only the tail of stdout, truncating
