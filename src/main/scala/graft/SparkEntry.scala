@@ -7205,6 +7205,81 @@ object SparkEntry {
                  div (n - 2 * klv)""").as("trimmed_mean_e2"))
     }),
 
+    "profile_psi" -> ((s, dir) => {
+      // Population Stability Index — THE deployed-model drift gate
+      // (the 0.1 "investigate" / 0.25 "act" bands every scoring
+      // runbook wires an alert to): order totals in the reference
+      // period (≤ 1997-12-31) define 5 EQUIDEPTH bins; the current
+      // period's mass is scored against them; per bin
+      // (p_cur − p_ref)·ln(p_cur/p_ref), summed. Adjacency, stated:
+      // profile_ks_test is the max CDF gap (unbinned, band-free) and
+      // corpus_kl_drift is token-space KL — PSI is the BINNED
+      // symmetrized-KL with the industry action bands. Exactness: the
+      // 4 bin edges are EXACT rank statistics of the reference period
+      // (ranks i·n div 5) found WITHOUT a full sort — the bracket
+      // pattern's fourth deployment (4 cut ranks in one pass family);
+      // counts are exact longs; each bin touches doubles exactly once
+      // (one ln of the exact ppm ratio, one product — the ml_woe_iv
+      // float discipline), rounds to e9, and the total is a sum of
+      // LONGs over the 5-bin frame.
+      val base = t(s, dir, "orders").select(
+          when(col("o_orderdate").cast("date") <=
+            lit("1997-12-31").cast("date"), 0).otherwise(1).as("per"),
+          floor(col("o_totalprice") * 100).cast("long").as("y"))
+        .localCheckpoint(true) // cut passes + binning re-read it
+      val ref = base.filter(col("per") === 0)
+      val stats = ref.agg(count(lit(1)).as("n"),
+          expr("approx_percentile(y, array(0.19, 0.21, 0.39, 0.41," +
+            " 0.59, 0.61, 0.79, 0.81), 10000)").as("br"))
+        .select(Seq(col("n")) ++ (1 to 4).flatMap(i => Seq(
+          expr(s"$i * n div 5").as(s"k$i"),
+          col("br").getItem(2 * (i - 1)).as(s"lo$i"),
+          col("br").getItem(2 * i - 1).as(s"hi$i"))): _*)
+        .localCheckpoint(true) // 1 row
+      val bexprs = (1 to 4).map(i =>
+        sum(when(col("y") < col(s"lo$i"), 1L).otherwise(0L))
+          .as(s"blt$i"))
+      val below = ref.crossJoin(broadcast(stats))
+        .agg(bexprs.head, bexprs.tail: _*)
+      val st2 = stats.crossJoin(below).localCheckpoint(true) // 1 row
+      def cutAt(i: Int): DataFrame =
+        ref.crossJoin(broadcast(st2))
+          .filter(col("y") >= col(s"lo$i") && col("y") <= col(s"hi$i"))
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("y"))))
+          .filter(col("rn") === col(s"k$i") - col(s"blt$i"))
+          .select(col("y").as(s"c$i"))
+      val cuts = cutAt(1).crossJoin(cutAt(2)).crossJoin(cutAt(3))
+        .crossJoin(cutAt(4)).localCheckpoint(true) // 1 row
+      val binned = base.crossJoin(broadcast(cuts)).select(col("per"),
+        when(col("y") <= col("c1"), 0)
+          .when(col("y") <= col("c2"), 1)
+          .when(col("y") <= col("c3"), 2)
+          .when(col("y") <= col("c4"), 3).otherwise(4).as("bin"))
+      val tot = binned.groupBy("per").agg(count(lit(1)).as("n"))
+        .select(sum(when(col("per") === 0, col("n"))).as("nref"),
+          sum(when(col("per") === 1, col("n"))).as("ncur"))
+      val pp = binned.groupBy("bin").agg(
+          sum(when(col("per") === 0, 1L).otherwise(0L)).as("refc"),
+          sum(when(col("per") === 1, 1L).otherwise(0L)).as("curc"))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"),
+          expr("refc * 1000000 div nref").as("ref_ppm"),
+          expr("curc * 1000000 div ncur").as("cur_ppm"))
+      val pb = pp.withColumn("psi_e9",
+        round((col("cur_ppm") - col("ref_ppm")).cast("double") *
+          log(col("cur_ppm").cast("double") /
+            col("ref_ppm").cast("double")) * 1000.0, 0).cast("long"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      pb.withColumn("psi_total_e9", sum(col("psi_e9")).over(wAll))
+        .select(col("bin"), col("ref_ppm"), col("cur_ppm"),
+          col("psi_e9"), col("psi_total_e9"),
+          when(col("psi_total_e9") >= 250000000L, "act")
+            .when(col("psi_total_e9") >= 100000000L, "investigate")
+            .otherwise("stable").as("alert"))
+    }),
+
     "ml_quantile_regression" -> ((s, dir) => {
       // τ = 0.9 QUANTILE regression (Koenker–Bassett pinball loss) of
       // line revenue on quantity, per return flag — the P90 cost
@@ -12170,6 +12245,55 @@ object SparkEntry {
         |FROM k GROUP BY flag""".stripMargin,
 
     "ml_quantile_regression" -> OracleSql.mlQuantileRegression(),
+
+    // bin edges recomputed by FULL sort here (the engine finds the
+    // same exact rank statistics via the sketch bracket)
+    "profile_psi" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN o_orderdate <= DATE '1997-12-31' THEN 0
+        |      ELSE 1 END AS per,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |rr AS (SELECT y, row_number() OVER (ORDER BY y) AS rn,
+        |    count(*) OVER ()::BIGINT AS n
+        |  FROM base WHERE per = 0),
+        |cuts AS (SELECT
+        |    max(CASE WHEN rn = 1 * n // 5 THEN y END) AS c1,
+        |    max(CASE WHEN rn = 2 * n // 5 THEN y END) AS c2,
+        |    max(CASE WHEN rn = 3 * n // 5 THEN y END) AS c3,
+        |    max(CASE WHEN rn = 4 * n // 5 THEN y END) AS c4
+        |  FROM rr),
+        |binned AS (SELECT per,
+        |    CASE WHEN y <= c1 THEN 0 WHEN y <= c2 THEN 1
+        |         WHEN y <= c3 THEN 2 WHEN y <= c4 THEN 3
+        |         ELSE 4 END AS bin
+        |  FROM base CROSS JOIN cuts),
+        |cnts AS (SELECT per, bin, count(*)::BIGINT AS c
+        |  FROM binned GROUP BY 1, 2),
+        |tot AS (SELECT per, count(*)::BIGINT AS n
+        |  FROM base GROUP BY 1),
+        |pv AS (SELECT bin,
+        |    max(CASE WHEN per = 0 THEN c END)::BIGINT AS refc,
+        |    max(CASE WHEN per = 1 THEN c END)::BIGINT AS curc
+        |  FROM cnts GROUP BY 1),
+        |pp AS (SELECT bin,
+        |    (refc * 1000000) // (SELECT n FROM tot WHERE per = 0)
+        |      AS ref_ppm,
+        |    (curc * 1000000) // (SELECT n FROM tot WHERE per = 1)
+        |      AS cur_ppm
+        |  FROM pv),
+        |pb AS (SELECT bin, ref_ppm, cur_ppm,
+        |    CAST(round((cur_ppm - ref_ppm)::DOUBLE
+        |      * ln(cur_ppm::DOUBLE / ref_ppm::DOUBLE) * 1000)
+        |      AS BIGINT) AS psi_e9
+        |  FROM pp)
+        |SELECT bin, ref_ppm, cur_ppm, psi_e9,
+        |  sum(psi_e9) OVER ()::BIGINT AS psi_total_e9,
+        |  CASE WHEN sum(psi_e9) OVER () >= 250000000 THEN 'act'
+        |       WHEN sum(psi_e9) OVER () >= 100000000
+        |         THEN 'investigate'
+        |       ELSE 'stable' END AS alert
+        |FROM pb""".stripMargin,
 
     "sample_priority_topk" -> OracleSql.samplePriorityTopk(),
 
