@@ -94,6 +94,89 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("profile_psi: contributions non-negative, bins partition, " +
+      "ref mass equidepth") {
+    val rows = run("profile_psi").sortBy(_.getAs[Int]("bin"))
+    assert(rows.length == 5, s"expected 5 bins, got ${rows.length}")
+    // (p_cur − p_ref)·ln(p_cur/p_ref) has matching signs — every
+    // bin's PSI contribution is mathematically ≥ 0 (= 0 only when
+    // the masses tie); a negative value means the formula broke
+    rows.foreach(r => assert(r.getAs[Long]("psi_e9") >= 0L,
+      s"negative PSI contribution in bin ${r.getAs[Int]("bin")}"))
+    val total = rows.head.getAs[Long]("psi_total_e9")
+    assert(rows.forall(_.getAs[Long]("psi_total_e9") == total))
+    assert(total == rows.map(_.getAs[Long]("psi_e9")).sum)
+    // equidepth on the reference: every bin holds 20% ± rounding
+    rows.foreach { r =>
+      val ppm = r.getAs[Long]("ref_ppm")
+      assert(ppm > 150000 && ppm < 250000,
+        s"ref bin ${r.getAs[Int]("bin")} not equidepth: $ppm ppm")
+    }
+    val alerts = rows.map(_.getAs[String]("alert")).distinct
+    assert(alerts.length == 1 &&
+      Set("stable", "investigate", "act")(alerts.head))
+  }
+
+  test("analytics_trimmed_mean: cuts ordered, mean inside the cuts, " +
+      "kept count exact") {
+    val rows = run("analytics_trimmed_mean")
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val kept = r.getAs[Long]("kept")
+      assert(kept == n - 2 * (n / 5), "kept != n - 2*(n div 5)")
+      val lo = r.getAs[Long]("lo_cut")
+      val hi = r.getAs[Long]("hi_cut")
+      assert(lo <= hi)
+      val meanE2 = r.getAs[Long]("trimmed_mean_e2")
+      assert(meanE2 >= lo * 100 && meanE2 <= hi * 100,
+        s"trimmed mean $meanE2 outside cut window [$lo, $hi] cents")
+    }
+  }
+
+  test("ml_quantile_regression: line above the mean ratio, coverage " +
+      "between count and target") {
+    val rows = run("ml_quantile_regression")
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      // τ = 0.9 > 0.5 ⇒ the pinball line sits above the mean-ratio
+      // start, and x-weighted coverage must EXCEED count coverage
+      // here (big-x rows fall under the line preferentially) while
+      // moving toward the 0.9 target from 0.5
+      val xcov = r.getAs[Long]("xcover_ppm")
+      val ccov = r.getAs[Long]("cover_ppm")
+      assert(xcov > ccov, s"xcover $xcov <= count cover $ccov")
+      assert(xcov > 600000L && xcov <= 1000000L,
+        s"xcover $xcov not converging toward the 0.9 target")
+    }
+  }
+
+  test("sample_priority_topk: exactly k rows, estimator floors at tau") {
+    val rows = run("sample_priority_topk")
+    assert(rows.length == 100, s"expected k=100 rows, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 100)
+    val minPriority = rows.map(_.getAs[Long]("priority")).min
+    rows.foreach { r =>
+      // every kept priority beats the threshold, and ŵ = max(w, τ)
+      // can never sit below the raw weight
+      assert(r.getAs[Long]("w_hat") >= r.getAs[Long]("w"))
+      assert(r.getAs[Long]("priority") >= minPriority)
+    }
+  }
+
+  test("events_mann_whitney: U within range, direction matches, z2 sane") {
+    val rows = run("events_mann_whitney")
+    assert(rows.length == 1)
+    val r = rows.head
+    val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+    val u2 = r.getAs[Long]("u2_a")
+    assert(u2 >= 0L && u2 <= 2 * na * nb, s"2U=$u2 outside [0, 2·nA·nB]")
+    val dir = r.getAs[Int]("direction")
+    assert(dir == Integer.signum(
+      java.lang.Long.compare(u2, na * nb)))
+    assert(r.getAs[Long]("z2_e6") >= 0L)
+  }
+
   test("cluster_farthest_first: k distinct centers cover the corpus") {
     val rows = run("cluster_farthest_first")
     assert(rows.length == 4, s"expected 4 centers, got ${rows.length}")
