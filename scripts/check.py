@@ -96,7 +96,16 @@ def _sql_with_timeout(con, sql, timeout):
         try:
             return True, con.sql(sql).df()
         except Exception as e:
-            if "INTERRUPT" in str(e).upper() and not fired:
+            # Classify UNDER the lock, setting done first: otherwise a
+            # stale interrupt cancelling us in the same instant our own
+            # watchdog times out appends to `fired` after we read it,
+            # and the stale cancellation surfaces as TIMEOUT instead of
+            # being retried (ADVICE r9). With done set under the lock,
+            # the watchdog can no longer fire, so `fired` is frozen.
+            with lock:
+                done.set()
+                ours = bool(fired)
+            if "INTERRUPT" in str(e).upper() and not ours:
                 return False, e  # stale interrupt, not our timeout
             raise
         finally:

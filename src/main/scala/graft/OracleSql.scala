@@ -2541,7 +2541,12 @@ object OracleSql {
     * sampling — same xxhash64(doc_id) residue coin (the [[idHashCtes]]
     * chain), same integer priority w·10¹² // (u+1), top-k by
     * (priority DESC, doc_id ASC), threshold = the (k+1)-th priority,
-    * estimator ŵ = max(w, τ).
+    * estimator ŵ = max(w, τ). When the corpus has ≤ k eligible docs
+    * there is no rank-(k+1) row and DLT defines NO threshold (every
+    * doc is taken, ŵ = w): tau joins LEFT with a 0 fallback so the
+    * oracle degrades exactly like the engine's null-skipping
+    * `greatest` instead of CROSS-JOINing against an empty frame
+    * (ADVICE r9).
     */
   def samplePriorityTopk(k: Int = 100): String =
     s"""WITH ${idHashCtes()},
@@ -2560,8 +2565,8 @@ object OracleSql {
        |      AS rn FROM q),
        |tau AS (SELECT priority AS tv FROM r WHERE rn = ${k + 1})
        |SELECT r.doc_id, r.w, r.priority::BIGINT AS priority,
-       |  greatest(r.w::HUGEINT, tau.tv)::BIGINT AS w_hat
-       |FROM r CROSS JOIN tau WHERE rn <= $k""".stripMargin
+       |  greatest(r.w::HUGEINT, coalesce(tau.tv, 0))::BIGINT AS w_hat
+       |FROM r LEFT JOIN tau ON true WHERE rn <= $k""".stripMargin
 
   /** Oracle for `text_feature_hash`: the hashing-trick featurization —
     * every whitespace-token OCCURRENCE hashed with the exact XXH64

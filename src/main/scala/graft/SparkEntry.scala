@@ -7266,10 +7266,20 @@ object SparkEntry {
         .select(col("bin"),
           expr("refc * 1000000 div nref").as("ref_ppm"),
           expr("curc * 1000000 div ncur").as("cur_ppm"))
-      val pb = pp.withColumn("psi_e9",
-        round((col("cur_ppm") - col("ref_ppm")).cast("double") *
-          log(col("cur_ppm").cast("double") /
-            col("ref_ppm").cast("double")) * 1000.0, 0).cast("long"))
+      // ADVICE r9: a bin with ZERO current-period mass must produce a
+      // finite 'act' verdict, not an ANSI cast crash on ln(0) — the
+      // standard PSI epsilon convention clamps the proportions inside
+      // the term to >= 1 ppm (output ppm columns stay raw/exact; on
+      // any fixture where every bin has mass the clamp is identity,
+      // so committed hashes are untouched).
+      val pb = pp
+        .withColumn("curq", greatest(col("cur_ppm"), lit(1L)))
+        .withColumn("refq", greatest(col("ref_ppm"), lit(1L)))
+        .withColumn("psi_e9",
+          round((col("curq") - col("refq")).cast("double") *
+            log(col("curq").cast("double") /
+              col("refq").cast("double")) * 1000.0, 0).cast("long"))
+        .drop("curq", "refq")
       val wAll = Window.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
       pb.withColumn("psi_total_e9", sum(col("psi_e9")).over(wAll))
@@ -12273,8 +12283,10 @@ object SparkEntry {
         |tot AS (SELECT per, count(*)::BIGINT AS n
         |  FROM base GROUP BY 1),
         |pv AS (SELECT bin,
-        |    max(CASE WHEN per = 0 THEN c END)::BIGINT AS refc,
-        |    max(CASE WHEN per = 1 THEN c END)::BIGINT AS curc
+        |    coalesce(max(CASE WHEN per = 0 THEN c END), 0)::BIGINT
+        |      AS refc,
+        |    coalesce(max(CASE WHEN per = 1 THEN c END), 0)::BIGINT
+        |      AS curc
         |  FROM cnts GROUP BY 1),
         |pp AS (SELECT bin,
         |    (refc * 1000000) // (SELECT n FROM tot WHERE per = 0)
@@ -12283,8 +12295,10 @@ object SparkEntry {
         |      AS cur_ppm
         |  FROM pv),
         |pb AS (SELECT bin, ref_ppm, cur_ppm,
-        |    CAST(round((cur_ppm - ref_ppm)::DOUBLE
-        |      * ln(cur_ppm::DOUBLE / ref_ppm::DOUBLE) * 1000)
+        |    CAST(round((greatest(cur_ppm, 1) - greatest(ref_ppm, 1))
+        |        ::DOUBLE
+        |      * ln(greatest(cur_ppm, 1)::DOUBLE
+        |        / greatest(ref_ppm, 1)::DOUBLE) * 1000)
         |      AS BIGINT) AS psi_e9
         |  FROM pp)
         |SELECT bin, ref_ppm, cur_ppm, psi_e9,

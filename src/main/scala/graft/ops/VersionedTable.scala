@@ -267,13 +267,20 @@ object VersionedTable {
     * allocated ABOVE every version visible to this vacuum, so its dir
     * is never doomed here) or because another vacuum already swept it.
     * Either way treating it as gone is safe; throwing mid-vacuum is
-    * not (ADVICE r8).
+    * not (ADVICE r8). Only a FILE-NOT-FOUND maps to None, though: a
+    * transient IO/permission error says nothing about liveness, and
+    * classifying it as "dead" would let vacuum sweep an in-flight
+    * writer's dir — those rethrow so the vacuum aborts instead
+    * (ADVICE r9).
     */
   private[ops] def claimMtime(filesystem: org.apache.hadoop.fs.FileSystem,
                               root: String, n: Long): Option[Long] =
-    scala.util.Try(
-      filesystem.getFileStatus(new Path(root, s"_claim=$n"))
-        .getModificationTime).toOption
+    try {
+      Some(filesystem.getFileStatus(new Path(root, s"_claim=$n"))
+        .getModificationTime)
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
 
   /** Delete everything except the newest `keepLast` committed versions;
     * torn (uncommitted) dirs below the latest committed version are

@@ -177,6 +177,56 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(r.getAs[Long]("z2_e6") >= 0L)
   }
 
+  test("profile_psi: extreme drift (empty current bins) yields a " +
+      "finite 'act' verdict, not a crash") {
+    // ADVICE r9: pre-clamp, a bin with zero current mass made
+    // ln(cur/ref) = -Inf and the e9 cast failed — the drift gate
+    // crashed precisely in the scenario it exists to flag. Synthetic
+    // orders: reference period uniform over 5 bins, current period
+    // concentrated entirely in the top bin.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("psi_drift").toString
+    val ref = (1 to 100).map(i =>
+      (f"1997-0${i % 6 + 1}-15", i.toDouble))
+    val cur = (1 to 50).map(_ => ("1998-06-15", 95.0))
+    (ref ++ cur).toDF("o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("profile_psi")(spark, dir)
+      .collect().sortBy(_.getAs[Int]("bin"))
+    assert(rows.length == 5)
+    // bins 0-3 are empty in the current period — raw ppm stays 0
+    rows.take(4).foreach(r => assert(r.getAs[Long]("cur_ppm") == 0L,
+      s"bin ${r.getAs[Int]("bin")} expected empty"))
+    // every contribution finite and non-negative; verdict is 'act'
+    rows.foreach(r => assert(r.getAs[Long]("psi_e9") >= 0L))
+    assert(rows.head.getAs[Long]("psi_total_e9") >= 250000000L)
+    assert(rows.forall(_.getAs[String]("alert") == "act"))
+  }
+
+  test("sample_priority_topk: corpus smaller than k keeps every doc " +
+      "with w_hat = w (no threshold)") {
+    // ADVICE r9 (oracle side): with <= k eligible docs there is no
+    // rank-(k+1) priority, so DLT defines NO threshold — every doc is
+    // its own estimate. The engine's null-skipping greatest already
+    // did this; the oracle now LEFT-joins tau to agree. This pins the
+    // engine half of that contract.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("ptopk_small").toString
+    Seq((1L, "alpha beta gamma"), (2L, "delta"), (3L, "ep ze eta th"),
+        (4L, "iota kappa"), (5L, "lambda mu nu"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("sample_priority_topk")(spark, dir)
+      .collect()
+    assert(rows.length == 5, s"expected all 5 docs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("w_hat") == r.getAs[Long]("w"),
+        s"doc ${r.getAs[Long]("doc_id")}: w_hat != w with no threshold")
+    }
+  }
+
   test("cluster_farthest_first: k distinct centers cover the corpus") {
     val rows = run("cluster_farthest_first")
     assert(rows.length == 4, s"expected 4 centers, got ${rows.length}")
