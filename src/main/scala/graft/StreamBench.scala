@@ -111,6 +111,15 @@ object StreamBench {
     sinkQ.awaitTermination()
     val sinkRes = finish("versioned_sink", sinkT0, sinkQ.recentProgress.toSeq)
 
+    // "trained" drift baseline: the fixture's own offline mix (the
+    // collect is enum-sized, never row-sized)
+    val mixRows = spark.read.parquet(landing)
+      .groupBy("event_type").count().collect()
+    val mixTotal = mixRows.map(_.getLong(1)).sum
+    val baselinePpm = mixRows
+      .map(r => r.getString(0) -> r.getLong(1) * 1000000L / mixTotal)
+      .toMap
+
     val results = Seq(
       run("dedup_stream")(df =>
         EventsStreaming.dedupStream(df, Seq("event_id"))),
@@ -119,10 +128,26 @@ object StreamBench {
       run("cep_sequences", mode = "append")(df =>
         EventsStreaming.detectSequences(
           df.as[EventsStreaming.Event]).toDF()),
+      run("throttle", mode = "append")(df =>
+        EventsStreaming.throttleStream(df.as[EventsStreaming.Event],
+          windowSeconds = 3600, maxPerKeyWindow = 3).toDF()),
+      run("interval_join", mode = "append")(_ =>
+        EventsStreaming.intervalJoinStream(
+          source().filter(col("event_type") === "view"),
+          source().filter(col("event_type") === "purchase"),
+          windowSeconds = 600)),
       run("windowed_user_bitmap")(df =>
         EventsStreaming.windowedUserBitmap(df)),
       run("windowed_counts")(df =>
         EventsStreaming.windowedCounts(df)),
+      run("windowed_distinct_kmv")(df =>
+        EventsStreaming.windowedDistinctUsers(df)),
+      run("windowed_cms")(df =>
+        EventsStreaming.windowedFrequencySketch(df)),
+      run("windowed_trending")(df =>
+        EventsStreaming.windowedTrending(df)),
+      run("drift_monitor")(df =>
+        EventsStreaming.driftMonitorStream(df, baselinePpm)),
       sinkRes)
 
     val ops = results.map { r =>
