@@ -34,8 +34,13 @@ object MixBench {
     def docs = Tables.load(spark, sfDir, "documents")
     def embs = Tables.load(spark, sfDir, "embeddings")
 
-    def force(df: DataFrame): Long = {
+    // by-name: stages like connectedComponents do EAGER work (persist
+    // + count + label-prop rounds) at construction — that work must
+    // land inside the timer, so the frame is built here, not at the
+    // call site
+    def force(mk: => DataFrame): Long = {
       val t0 = System.nanoTime()
+      val df = mk
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1000000L
     }

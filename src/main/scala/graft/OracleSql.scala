@@ -888,6 +888,79 @@ object OracleSql {
        |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= $minPpm""".stripMargin
   }
 
+  /** Oracle for `dedup_auto_route` (VERDICT r9 #6): recomputes the
+    * routing statistic — the size-biased mean shingle df Σdf²/Σdf —
+    * in SQL and gates BOTH full path replays on it (the banded
+    * [[dedupMinhash]] chain where load ≥ threshold, the exact
+    * [[dedupPrefixFilter]] chain where load < threshold; prefix-side
+    * CTEs are p-prefixed to avoid colliding with the minhash chain's
+    * names), so the hash compare proves the routing decision AND the
+    * routed pair set per fixture.
+    */
+  def dedupAutoRoute(minSim: Double = 0.5, shingleN: Int = 3,
+                     numHashes: Int = 16, rowsPerBand: Int = 2,
+                     hotThreshold: Double = 8.0): String = {
+    val minPpm = math.round(minSim * 1000000)
+    val n = shingleN
+    val est = s"round(len(list_filter(range(1, ${numHashes + 1}), " +
+      s"i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    s"""WITH ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |ptoks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+       |    AS a
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |praw AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(a) <= $n THEN [array_to_string(a, ' ')]
+       |    ELSE [array_to_string(a[i+1:i+$n], ' ')
+       |          FOR i IN range(0, len(a) - ${n - 1})] END) AS token
+       |  FROM ptoks),
+       |ptk AS MATERIALIZED (SELECT DISTINCT doc_id, token FROM praw),
+       |pdfq AS MATERIALIZED (
+       |  SELECT token, count(*) AS df FROM ptk GROUP BY 1),
+       |lod AS (SELECT CASE WHEN coalesce(sum(df), 0) = 0 THEN 0.0
+       |    ELSE sum(df * df)::DOUBLE / sum(df) END AS l FROM pdfq),
+       |psz AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS sz FROM ptk GROUP BY 1),
+       |ppref AS MATERIALIZED (
+       |  SELECT doc_id, token FROM (
+       |    SELECT t.doc_id, t.token, s.sz,
+       |      row_number() OVER (PARTITION BY t.doc_id
+       |        ORDER BY d.df ASC, t.token ASC) AS pos
+       |    FROM ptk t JOIN pdfq d USING (token) JOIN psz s USING (doc_id))
+       |  WHERE pos <= sz - ceil($minSim * sz) + 1),
+       |pcand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ppref a JOIN ppref b ON b.token = a.token
+       |    AND a.doc_id < b.doc_id),
+       |pinter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS ic
+       |  FROM pcand c
+       |  JOIN ptk x ON x.doc_id = c.id_a
+       |  JOIN ptk y ON y.doc_id = c.id_b AND y.token = x.token
+       |  GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(round($est * 1000000) AS BIGINT) AS sim_ppm,
+       |  'banded' AS route
+       |FROM cand c JOIN sigv sa ON sa.doc_id = c.id_a
+       |            JOIN sigv sb ON sb.doc_id = c.id_b
+       |WHERE $est >= $minSim AND (SELECT l FROM lod) >= $hotThreshold
+       |UNION ALL
+       |SELECT c.id_a, c.id_b,
+       |  ((coalesce(i.ic, 0)::BIGINT * 1000000)
+       |    // (sa.sz + sb.sz - coalesce(i.ic, 0)))::BIGINT AS sim_ppm,
+       |  'prefix' AS route
+       |FROM pcand c
+       |JOIN psz sa ON sa.doc_id = c.id_a
+       |JOIN psz sb ON sb.doc_id = c.id_b
+       |LEFT JOIN pinter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |WHERE (coalesce(i.ic, 0)::BIGINT * 1000000)
+       |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= $minPpm
+       |  AND (SELECT l FROM lod) < $hotThreshold""".stripMargin
+  }
+
   /** Oracle for `graph_link_predict`: the mutual-kNN edge set (same
     * CTEs as `dedup_mutual_knn`), degrees from the exploded edge list,
     * wedge join x–y ⋈ y–z (x < z), hub-discounted integer RA score,

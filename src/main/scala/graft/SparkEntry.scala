@@ -879,6 +879,25 @@ object SparkEntry {
         .filter(col("est_jaccard") >= 0.5)
     }),
 
+    "dedup_auto_route" -> ((s, dir) => {
+      // the measured dedup-path dial as a first-class query
+      // (VERDICT r9 #6): one cheap df-profile pre-pass (size-biased
+      // mean shingle df — the expected bucket population a random
+      // posting sees, the direct driver of prefix candidate mass)
+      // routes the corpus to the exact prefix-filter path when buckets
+      // are cold or the banded MinHash-LSH path when the vocabulary is
+      // closed/dense and exact candidates would go quadratic (the r6
+      // adversarial floor). The oracle recomputes the SAME statistic
+      // in SQL and gates BOTH full path replays on it, so the routing
+      // decision itself is hash-proven, per fixture, per path — the
+      // driver gate exercises the prefix branch (sf0.01: load 2.1),
+      // sf0.1 exercises the banded branch (load 10.7; threshold 8
+      // justified from the measured decade tables in BENCH_NOTES).
+      val (route, pairs) = Dedup.similarityPairsAuto(
+        t(s, dir, "documents"), "doc_id", "text")
+      pairs.withColumn("route", lit(route))
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // daily-ingestion shape: docs with doc_id % 10 >= 8 are "today's
       // batch", the rest are history known only through a persisted
@@ -9737,6 +9756,8 @@ object SparkEntry {
     // ---------- generated oracles (see OracleSql): exact DuckDB
     // emulation of the xxhash64/LSH/IVF pipelines ----------
     "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, rowsPerBand = 2),
+
+    "dedup_auto_route" -> OracleSql.dedupAutoRoute(),
 
     "dedup_containment" -> OracleSql.dedupContainment(
       numHashes = 16, rowsPerBand = 2, minCont = 0.5),
