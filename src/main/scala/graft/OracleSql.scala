@@ -888,6 +888,211 @@ object OracleSql {
        |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= $minPpm""".stripMargin
   }
 
+  /** Oracle for `embed_isolation_forest`: the hash-derandomized
+    * forest replayed — node split parameters from the exact XXH64
+    * emulation over (tree·2²⁰ + node), identical global-range e6
+    * thresholds, the same depth-unrolled walk, population rollup,
+    * isolation depths with the standard c(m) correction, and the same
+    * (avg-path, vec_id) top-50 order.
+    */
+  def embedIsolationForest(trees: Int = 16, depth: Int = 8): String = {
+    val ch = new Chain("ifh", "SELECT t, node, ku FROM ikeys")
+    val h = hashLong(ch, "ku", "42::HUGEINT", "g")
+    ch.add("hv", sig(h))
+    val cols = (0 until 4)
+    val ptsCols = cols.map(f =>
+      s"floor(embedding[${f + 1}]::DOUBLE * 1000000.0 + 0.5)::BIGINT" +
+        s" AS x$f").mkString(",\n    ")
+    val rngCols = cols.map(f =>
+      s"min(x$f) AS mn$f, max(x$f) AS mx$f").mkString(", ")
+    def caseOver(mk: Int => String): String =
+      "CASE nt.f " + cols.map(f => s"WHEN $f THEN ${mk(f)}")
+        .mkString(" ") + " END"
+    val walk = (1 to depth).map { l =>
+      val xv = caseOver(f => s"p.x$f")
+      val thr = caseOver(f =>
+        s"r.mn$f + ((r.mx$f - r.mn$f) * nt.u) // 1000000")
+      s"""lvl$l AS MATERIALIZED (
+         |  SELECT p.*, p.n${l - 1} * 2 + ($xv > $thr)::BIGINT AS n$l
+         |  FROM lvl${l - 1} p
+         |  JOIN ntab nt ON nt.t = p.t AND nt.node = p.n${l - 1}
+         |  CROSS JOIN rng r)""".stripMargin
+    }.mkString(",\n")
+    val pathsSel = (1 to depth).map(l =>
+      s"SELECT vec_id, t, ${l}::BIGINT AS l, n$l AS node FROM lvl$depth")
+      .mkString("\n  UNION ALL ")
+    val cOfLeaf = """CASE WHEN leafm <= 1 THEN 0.0
+      |      WHEN leafm = 2 THEN 1.0
+      |      ELSE (ln(leafm::DOUBLE - 1.0) + 0.5772156649) * 2.0
+      |        - (leafm::DOUBLE - 1.0) * 2.0 / leafm::DOUBLE
+      |      END""".stripMargin
+    s"""WITH epts AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    $ptsCols
+       |  FROM embeddings),
+       |rng AS MATERIALIZED (SELECT $rngCols FROM epts),
+       |ikeys AS (
+       |  SELECT r1.range::BIGINT AS t, r2.range::BIGINT AS node,
+       |    (r1.range * 1048576 + r2.range)::HUGEINT AS ku
+       |  FROM range(0, $trees) r1, range(1, ${1 << depth}) r2),
+       |${ch.render},
+       |ntab AS MATERIALIZED (
+       |  SELECT t, node, ((hv % 4) + 4) % 4 AS f,
+       |    ((CASE WHEN hv < 0 THEN hv::HUGEINT + $M
+       |      ELSE hv::HUGEINT END) // 256) % 1000000 AS u
+       |  FROM ${ch.last}),
+       |lvl0 AS (
+       |  SELECT e.*, tr.range::BIGINT AS t, 1::BIGINT AS n0
+       |  FROM epts e, range(0, $trees) tr),
+       |$walk,
+       |paths AS MATERIALIZED (
+       |  $pathsSel),
+       |pops AS MATERIALIZED (
+       |  SELECT t, l, node, count(*)::BIGINT AS cnt
+       |  FROM paths GROUP BY 1, 2, 3),
+       |pertree AS MATERIALIZED (
+       |  SELECT p.vec_id, p.t,
+       |    min(CASE WHEN c.cnt = 1 THEN p.l END) AS iso_l,
+       |    max(CASE WHEN p.l = $depth THEN c.cnt END) AS leafm
+       |  FROM paths p JOIN pops c USING (t, l, node)
+       |  GROUP BY 1, 2),
+       |hpt AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CASE WHEN iso_l IS NOT NULL THEN iso_l * 1000000
+       |    ELSE ${depth * 1000000} + round(($cOfLeaf)
+       |      * 1000000.0)::BIGINT END::BIGINT AS h_e6
+       |  FROM pertree),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM epts),
+       |cnv AS (SELECT CASE WHEN n <= 1 THEN 0.0 WHEN n = 2 THEN 1.0
+       |    ELSE (ln(n::DOUBLE - 1.0) + 0.5772156649) * 2.0
+       |      - (n::DOUBLE - 1.0) * 2.0 / n::DOUBLE END AS c FROM nn),
+       |agg AS MATERIALIZED (
+       |  SELECT vec_id, (sum(h_e6) // $trees)::BIGINT AS avg_path_e6
+       |  FROM hpt GROUP BY 1),
+       |topk AS (
+       |  SELECT vec_id, avg_path_e6,
+       |    round(pow(2.0, -(avg_path_e6::DOUBLE / 1000000.0)
+       |      / (SELECT c FROM cnv)) * 1000000.0)::BIGINT AS score_e6
+       |  FROM agg ORDER BY avg_path_e6 ASC, vec_id ASC LIMIT 50)
+       |SELECT row_number() OVER (ORDER BY avg_path_e6 ASC, vec_id ASC)
+       |    ::INT AS rank,
+       |  vec_id, avg_path_e6, score_e6
+       |FROM topk""".stripMargin
+  }
+
+  /** Oracle for `orders_cox_ph`: the Breslow partial-likelihood
+    * gradient ascent unrolled round by round — identical subject
+    * frame (first order → reorder duration, horizon-censored),
+    * identical e9-rounded risk weights (exp touched once per subject
+    * per round), identical suffix-sum risk sets over the distinct-day
+    * frame, identical e6 ratio/rounding and double β updates in the
+    * same evaluation order. Every chain CTE is MATERIALIZED (the
+    * DuckDB inlining-explosion discipline).
+    */
+  def ordersCoxPh(iters: Int = 4, lr: Double = 0.5): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH od AS (
+         |  SELECT o_custkey, o_orderdate::DATE AS od, o_totalprice,
+         |    o_orderpriority, o_orderkey FROM orders),
+         |hz AS (SELECT max(od) AS hz FROM od),
+         |ranked AS (
+         |  SELECT o_custkey, od, o_totalprice, o_orderpriority,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY od, o_orderkey) AS rn,
+         |    lead(od) OVER (PARTITION BY o_custkey
+         |      ORDER BY od, o_orderkey) AS nxt
+         |  FROM od),
+         |subj AS (
+         |  SELECT CASE WHEN nxt IS NOT NULL
+         |      THEN datediff('day', od, nxt)
+         |      ELSE datediff('day', od, (SELECT hz FROM hz))
+         |      END::BIGINT AS dur,
+         |    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END::BIGINT
+         |      AS event,
+         |    o_totalprice / 500000.0 AS x1,
+         |    (substr(o_orderpriority, 1, 1) IN ('1', '2'))::INT::DOUBLE
+         |      AS x2
+         |  FROM ranked WHERE rn = 1),
+         |subje AS MATERIALIZED (
+         |  SELECT dur, event, x1, x2,
+         |    round(x1 * 1000000.0)::BIGINT AS x1_e6,
+         |    round(x2 * 1000000.0)::BIGINT AS x2_e6
+         |  FROM subj WHERE dur > 0),
+         |ne AS (SELECT sum(event)::BIGINT AS ne FROM subje),
+         |bt0 AS (SELECT 0.0::DOUBLE AS b1, 0.0::DOUBLE AS b2),
+         |""".stripMargin)
+    for (r <- 1 to iters) {
+      val sfx = "OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW)"
+      sb.append(
+        s"""pw$r AS MATERIALIZED (
+           |  SELECT s.dur, s.event, s.x1_e6, s.x2_e6,
+           |    round(exp(b.b1 * s.x1 + b.b2 * s.x2)
+           |      * 1000000000.0)::BIGINT AS w_e9,
+           |    round(exp(b.b1 * s.x1 + b.b2 * s.x2) * s.x1
+           |      * 1000000000.0)::BIGINT AS wx1_e9,
+           |    round(exp(b.b1 * s.x1 + b.b2 * s.x2) * s.x2
+           |      * 1000000000.0)::BIGINT AS wx2_e9
+           |  FROM subje s CROSS JOIN bt${r - 1} b),
+           |rd$r AS MATERIALIZED (
+           |  SELECT dur, sum(w_e9)::BIGINT AS s0,
+           |    sum(wx1_e9)::BIGINT AS s1, sum(wx2_e9)::BIGINT AS s2,
+           |    sum(event)::BIGINT AS d,
+           |    sum(CASE WHEN event = 1 THEN x1_e6 ELSE 0 END)::BIGINT
+           |      AS dx1,
+           |    sum(CASE WHEN event = 1 THEN x2_e6 ELSE 0 END)::BIGINT
+           |      AS dx2
+           |  FROM pw$r GROUP BY 1),
+           |sf$r AS MATERIALIZED (
+           |  SELECT dur, d, dx1, dx2,
+           |    sum(s0) $sfx::BIGINT AS cs0,
+           |    sum(s1) $sfx::BIGINT AS cs1,
+           |    sum(s2) $sfx::BIGINT AS cs2
+           |  FROM rd$r),
+           |gr$r AS MATERIALIZED (
+           |  SELECT (sum(dx1) - sum(d * round(cs1::DOUBLE / cs0::DOUBLE
+           |      * 1000000.0)::BIGINT))::BIGINT AS g1,
+           |    (sum(dx2) - sum(d * round(cs2::DOUBLE / cs0::DOUBLE
+           |      * 1000000.0)::BIGINT))::BIGINT AS g2
+           |  FROM sf$r WHERE d > 0),
+           |bt$r AS MATERIALIZED (
+           |  SELECT b.b1 + $lr * ((g.g1::DOUBLE / 1000000.0) / ne.ne)
+           |      AS b1,
+           |    b.b2 + $lr * ((g.g2::DOUBLE / 1000000.0) / ne.ne) AS b2
+           |  FROM bt${r - 1} b CROSS JOIN gr$r g CROSS JOIN ne),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""pwf AS MATERIALIZED (
+         |  SELECT s.dur, s.event,
+         |    round((b.b1 * s.x1 + b.b2 * s.x2) * 1000000.0)::BIGINT
+         |      AS z_e6,
+         |    round(exp(b.b1 * s.x1 + b.b2 * s.x2)
+         |      * 1000000000.0)::BIGINT AS w_e9
+         |  FROM subje s CROSS JOIN bt$iters b),
+         |rdf AS MATERIALIZED (
+         |  SELECT dur, sum(w_e9)::BIGINT AS s0, sum(event)::BIGINT AS d,
+         |    sum(CASE WHEN event = 1 THEN z_e6 ELSE 0 END)::BIGINT AS dz
+         |  FROM pwf GROUP BY 1),
+         |sff AS MATERIALIZED (
+         |  SELECT dur, d, dz,
+         |    sum(s0) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)::BIGINT AS cs0
+         |  FROM rdf),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM subje)
+         |SELECT round(b.b1 * 1000000.0)::BIGINT AS b1_e6,
+         |  round(b.b2 * 1000000.0)::BIGINT AS b2_e6,
+         |  round(exp(b.b1) * 1000000.0)::BIGINT AS hr1_e6,
+         |  round(exp(b.b2) * 1000000.0)::BIGINT AS hr2_e6,
+         |  nn.n AS n, ne.ne AS n_events,
+         |  (SELECT (sum(dz) - sum(d * round(ln(cs0::DOUBLE
+         |      / 1000000000.0) * 1000000.0)::BIGINT))::BIGINT
+         |   FROM sff WHERE d > 0) AS pll_e6
+         |FROM bt$iters b CROSS JOIN nn CROSS JOIN ne""".stripMargin)
+    sb.toString
+  }
+
   /** Oracle for `dedup_auto_route` (VERDICT r9 #6): recomputes the
     * routing statistic — the size-biased mean shingle df Σdf²/Σdf —
     * in SQL and gates BOTH full path replays on it (the banded

@@ -4138,6 +4138,115 @@ object SparkEntry {
         .agg(Bitmaps.bitmap_merge_count(col("bm")).as("n_users"))
     }),
 
+    "orders_cox_ph" -> ((s, dir) => {
+      // Cox proportional-hazards regression (Cox 1972, Breslow ties) —
+      // the COVARIATE-ADJUSTED member the survival family lacked: KM/
+      // Nelson–Aalen describe the curve, the log-rank test compares two
+      // groups, Cox quantifies per-covariate hazard ratios. Subjects =
+      // customers, duration = first order → reorder (right-censored at
+      // the horizon); covariates x1 = first-order value (/5e5), x2 =
+      // urgent/high priority dummy. 4 full-batch gradient-ascent rounds
+      // on the Breslow partial likelihood: per round ONE rollup of
+      // e9-rounded per-subject risk weights (exp touched once per
+      // subject, the logreg discipline) to the DISTINCT-day frame, one
+      // CALENDAR-BOUNDED suffix window (risk sets are suffix sums over
+      // duration — the KM single-partition discipline on a day-domain
+      // frame), and a 1-row gradient collect; β state is 2 doubles on
+      // the driver. All cross-engine-compared values are e6/e9 longs;
+      // the oracle unrolls the identical 4 rounds. Bound stated: S0 is
+      // a sum of e9 weights — exact to ~10⁹ subjects per fixture at
+      // |z| ≲ 1.
+      val od = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date")
+          .as("od"), col("o_totalprice"), col("o_orderpriority"),
+          col("o_orderkey"))
+      val hz = od.agg(max(col("od")).as("hz"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("od"), col("o_orderkey"))
+      val subj = od
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nxt", lead("od", 1).over(w))
+        .filter(col("rn") === 1)
+        .crossJoin(broadcast(hz))
+        .select(
+          when(col("nxt").isNotNull, datediff(col("nxt"), col("od")))
+            .otherwise(datediff(col("hz"), col("od")))
+            .cast("long").as("dur"),
+          when(col("nxt").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("event"),
+          (col("o_totalprice") / 500000.0).as("x1"),
+          substring(col("o_orderpriority"), 1, 1).isin("1", "2")
+            .cast("int").cast("double").as("x2"))
+        .filter(col("dur") > 0)
+        .withColumn("x1_e6", round(col("x1") * 1000000.0, 0)
+          .cast("long"))
+        .withColumn("x2_e6", round(col("x2") * 1000000.0, 0)
+          .cast("long"))
+        .localCheckpoint(true) // 4 GD rounds + final frame re-read it
+      val cnts = subj.agg(count(lit(1)).as("n"),
+        sum("event").as("ne")).head()
+      val nSubj = cnts.getLong(0)
+      val nEvents = cnts.getLong(1)
+      val lr = 0.5
+      val wSuffix = Window.orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def suffixFrame(b1: Double, b2: Double): DataFrame = {
+        val z = lit(b1) * col("x1") + lit(b2) * col("x2")
+        val wgt = exp(z)
+        subj
+          .withColumn("w_e9", round(wgt * 1000000000.0, 0)
+            .cast("long"))
+          .withColumn("wx1_e9", round(wgt * col("x1") * 1000000000.0,
+            0).cast("long"))
+          .withColumn("wx2_e9", round(wgt * col("x2") * 1000000000.0,
+            0).cast("long"))
+          .withColumn("z_e6", round(z * 1000000.0, 0).cast("long"))
+          .groupBy("dur")
+          .agg(sum("w_e9").as("s0"), sum("wx1_e9").as("s1"),
+            sum("wx2_e9").as("s2"), sum("event").as("d"),
+            sum(when(col("event") === 1, col("x1_e6")).otherwise(0L))
+              .as("dx1"),
+            sum(when(col("event") === 1, col("x2_e6")).otherwise(0L))
+              .as("dx2"),
+            sum(when(col("event") === 1, col("z_e6")).otherwise(0L))
+              .as("dz"))
+          .select(col("dur"), col("d"), col("dx1"), col("dx2"),
+            col("dz"),
+            sum("s0").over(wSuffix).as("cs0"),
+            sum("s1").over(wSuffix).as("cs1"),
+            sum("s2").over(wSuffix).as("cs2"))
+      }
+      var b1 = 0.0
+      var b2 = 0.0
+      for (_ <- 1 to 4) {
+        val g = suffixFrame(b1, b2).filter(col("d") > 0)
+          .agg(
+            (sum("dx1") - sum(col("d") *
+              round(col("cs1").cast("double") / col("cs0")
+                .cast("double") * 1000000.0, 0).cast("long")))
+              .as("g1"),
+            (sum("dx2") - sum(col("d") *
+              round(col("cs2").cast("double") / col("cs0")
+                .cast("double") * 1000000.0, 0).cast("long")))
+              .as("g2")).head()
+        b1 += lr * ((g.getLong(0).toDouble / 1000000.0) / nEvents)
+        b2 += lr * ((g.getLong(1).toDouble / 1000000.0) / nEvents)
+      }
+      // Breslow partial log-likelihood at the fitted betas: Σ_deaths z
+      // − Σ_t d·ln(S0(t)/1e9) — the one-number fit audit
+      suffixFrame(b1, b2).filter(col("d") > 0)
+        .agg((sum("dz") - sum(col("d") *
+          round(log(col("cs0").cast("double") / 1000000000.0)
+            * 1000000.0, 0).cast("long"))).as("pll_e6"))
+        .select(
+          round(lit(b1) * 1000000.0, 0).cast("long").as("b1_e6"),
+          round(lit(b2) * 1000000.0, 0).cast("long").as("b2_e6"),
+          round(exp(lit(b1)) * 1000000.0, 0).cast("long").as("hr1_e6"),
+          round(exp(lit(b2)) * 1000000.0, 0).cast("long").as("hr2_e6"),
+          lit(nSubj).as("n"), lit(nEvents).as("n_events"),
+          col("pll_e6"))
+    }),
+
     "orders_survival_km" -> ((s, dir) => {
       // Kaplan–Meier survival over inter-purchase gaps: time-to-next-
       // order per customer, the LAST order right-censored at the
@@ -8016,6 +8125,103 @@ object SparkEntry {
           col("dist_sq"))
     }),
 
+    "embed_isolation_forest" -> ((s, dir) => {
+      // Isolation Forest (Liu–Ting–Zhou, ICDM'08) — the model-based
+      // anomaly detector the distance family (embed_outliers = centroid
+      // z-scores, profile_iqr = univariate fences) can't replace:
+      // anomalies are points that isolate in FEW random axis-parallel
+      // splits, which catches sparse-region outliers regardless of
+      // their distance to any centroid. Hash-derandomized variant so
+      // the forest is replayable bit-for-bit: 16 trees × depth 8 over
+      // the first 4 embedding coords (e6 longs); node (t, i) draws its
+      // split feature from pmod(xxhash64(t·2²⁰ + i), 4) and its
+      // threshold from the feature's EXACT global [min, max] at a
+      // hash-chosen ppm fraction (the classic per-node subsample range
+      // is data-order-dependent; global ranges keep the isolation
+      // principle — dense regions need many splits, sparse points few —
+      // and make the oracle a pure replay). Path length h = first
+      // level the point is alone in its node (population rollup per
+      // (tree, level, node) — one shuffle), else depth + c(leaf pop)
+      // (the standard average-BST correction; ln touched once per
+      // unresolved leaf). Score 2^(−h̄/c(n)) e6-rounded; top 50
+      // anomalies out. Scale: ×16 trees ×8 levels is a map-side
+      // constant; the only shuffles are the node rollup and the final
+      // TakeOrdered(50).
+      val T = 16
+      val D = 8
+      val pts = t(s, dir, "embeddings")
+        .select(Seq(col("vec_id")) ++ (0 until 4).map(f =>
+          floor(col("embedding").getItem(f).cast("double")
+            * 1000000.0 + 0.5).as(s"x$f")): _*)
+        .localCheckpoint(true) // ranges + walk read it
+      val ranges = pts.agg(
+        (0 until 4).flatMap(f => Seq(min(col(s"x$f")).as(s"mn$f"),
+          max(col(s"x$f")).as(s"mx$f"))).head,
+        (0 until 4).flatMap(f => Seq(min(col(s"x$f")).as(s"mn$f"),
+          max(col(s"x$f")).as(s"mx$f"))).tail: _*)
+      var walk = pts
+        .withColumn("t", explode(array((0 until T).map(i =>
+          lit(i.toLong)): _*)))
+        .crossJoin(broadcast(ranges))
+        .withColumn("n0", lit(1L))
+      for (l <- 1 to D) {
+        walk = walk
+          .withColumn("h", xxhash64(col("t") * lit(1048576L) +
+            col(s"n${l - 1}")))
+          .withColumn("f", pmod(col("h"), lit(4L)))
+          .withColumn("u", pmod(shiftrightunsigned(col("h"), 8),
+            lit(1000000L)))
+          .withColumn("thr", (0 until 4).map(f =>
+              when(col("f") === f, col(s"mn$f") +
+                expr(s"(mx$f - mn$f) * u div 1000000")))
+            .reduceRight(_.otherwise(_)))
+          .withColumn("xv", (0 until 4).map(f =>
+              when(col("f") === f, col(s"x$f")))
+            .reduceRight(_.otherwise(_)))
+          .withColumn(s"n$l", col(s"n${l - 1}") * 2 +
+            (col("xv") > col("thr")).cast("long"))
+          .drop("h", "f", "u", "thr", "xv")
+      }
+      val paths = walk.select(col("vec_id"), col("t"),
+          explode(array((1 to D).map(l => struct(lit(l).as("l"),
+            col(s"n$l").as("node"))): _*)).as("e"))
+        .select(col("vec_id"), col("t"), col("e.l"), col("e.node"))
+        .localCheckpoint(true) // population rollup + re-join read it
+      val pops = paths.groupBy("t", "l", "node")
+        .agg(count(lit(1)).as("cnt"))
+      val gamma = 0.5772156649
+      def cOf(m: Column): Column = when(m <= 1, lit(0.0))
+        .when(m === 2, lit(1.0))
+        .otherwise((log(m.cast("double") - 1.0) + gamma) * 2.0 -
+          (m.cast("double") - 1.0) * 2.0 / m.cast("double"))
+      val perTree = paths.join(pops, Seq("t", "l", "node"))
+        .groupBy("vec_id", "t")
+        .agg(min(when(col("cnt") === 1, col("l"))).as("iso_l"),
+          max(when(col("l") === D, col("cnt"))).as("leafm"))
+        .select(col("vec_id"),
+          when(col("iso_l").isNotNull, col("iso_l") * 1000000L)
+            .otherwise(lit(D * 1000000L) +
+              round(cOf(col("leafm")) * 1000000.0, 0).cast("long"))
+            .as("h_e6"))
+      // c(n) stays in the expression domain (Spark log ≡ DuckDB ln on
+      // identical doubles — the engine-wide ln discipline; a
+      // driver-side math.log would be a third libm)
+      val cnFrame = pts.agg(count(lit(1)).as("nn"))
+        .select(cOf(col("nn")).as("cn"))
+      perTree.groupBy("vec_id")
+        .agg(expr(s"sum(h_e6) div $T").as("avg_path_e6"))
+        .crossJoin(broadcast(cnFrame))
+        .withColumn("score_e6",
+          round(pow(lit(2.0), -(col("avg_path_e6").cast("double") /
+            1000000.0) / col("cn")) * 1000000.0, 0).cast("long"))
+        .drop("cn")
+        .orderBy(col("avg_path_e6").asc, col("vec_id").asc)
+        .limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("avg_path_e6").asc, col("vec_id").asc)))
+        .select("rank", "vec_id", "avg_path_e6", "score_e6")
+    }),
+
     "ml_mrmr_features" -> ((s, dir) => {
       // mRMR feature selection (Peng et al. 2005) — greedy
       // max-relevance-min-redundancy over MUTUAL INFORMATION, the
@@ -9861,6 +10067,8 @@ object SparkEntry {
       minK = 8, iters = 3, dim = 64),
     "dedup_semantic" -> OracleSql.dedupSemantic(targetClusterSize = 256,
       minK = 8, iters = 3, dim = 64, minCos = 0.4),
+    "embed_isolation_forest" -> OracleSql.embedIsolationForest(),
+
     "embed_outliers" -> OracleSql.embedOutliers(targetClusterSize = 256,
       minK = 8, iters = 3, dim = 64, zThresh = 2.0),
 
@@ -10206,6 +10414,8 @@ object SparkEntry {
     "incr_distinct_merge" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "orders_cox_ph" -> OracleSql.ordersCoxPh(),
 
     "orders_survival_km" ->
       """WITH od AS (

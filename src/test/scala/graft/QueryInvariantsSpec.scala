@@ -227,6 +227,42 @@ class QueryInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("orders_cox_ph: hazard ratios consistent with betas, " +
+      "partial likelihood negative, counts coherent") {
+    val Array(r) = run("orders_cox_ph")
+    val b1 = r.getAs[Long]("b1_e6"); val b2 = r.getAs[Long]("b2_e6")
+    val hr1 = r.getAs[Long]("hr1_e6"); val hr2 = r.getAs[Long]("hr2_e6")
+    // hr = exp(b): recompute within 1 e6-ulp of the emitted value
+    assert(math.abs(math.round(math.exp(b1 / 1e6) * 1e6) - hr1) <= 1)
+    assert(math.abs(math.round(math.exp(b2 / 1e6) * 1e6) - hr2) <= 1)
+    assert(r.getAs[Long]("n") >= r.getAs[Long]("n_events"))
+    assert(r.getAs[Long]("n_events") > 0)
+    // log of a product of probabilities < 1
+    assert(r.getAs[Long]("pll_e6") < 0L)
+    // the synthetic fixture has no planted covariate effect: 4 mean-
+    // gradient rounds must stay in a sane hazard-ratio band
+    assert(hr1 > 500000L && hr1 < 2000000L)
+    assert(hr2 > 500000L && hr2 < 2000000L)
+  }
+
+  test("embed_isolation_forest: dense ranks, monotone paths and " +
+      "scores, depth bounds hold") {
+    val rows = run("embed_isolation_forest").sortBy(_.getAs[Int]("rank"))
+    assert(rows.length == 50)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 50))
+    val paths = rows.map(_.getAs[Long]("avg_path_e6"))
+    assert(paths.zip(paths.tail).forall { case (a, b) => a <= b },
+      "avg path not monotone in rank")
+    val scores = rows.map(_.getAs[Long]("score_e6"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "score not monotone in rank")
+    // a path is at least 1 split and at most depth + c(leaf) levels;
+    // c(m) <= c(n) and depth = 8, so 16e6 is a generous roof
+    assert(paths.forall(p => p >= 1000000L && p < 16000000L))
+    assert(scores.forall(s => s > 0L && s < 1000000L))
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 50)
+  }
+
   test("cluster_farthest_first: k distinct centers cover the corpus") {
     val rows = run("cluster_farthest_first")
     assert(rows.length == 4, s"expected 4 centers, got ${rows.length}")
