@@ -888,6 +888,60 @@ object OracleSql {
        |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= $minPpm""".stripMargin
   }
 
+  /** Oracle for `recs_als_rank1`: the two ALS alternations unrolled —
+    * identical ratings rollup, identical integer factor updates
+    * (per-term v²//1e6 truncation, integral num·1e6//(den+λ)
+    * division — all operands positive so DuckDB floor-div equals
+    * Spark trunc-div), identical fixed eval slice, anti-join and
+    * per-customer top-3.
+    */
+  def recsAlsRank1(rounds: Int = 2, lam: Long = 100000L): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH ratings AS MATERIALIZED (
+        |  SELECT o.o_custkey AS c, l.l_partkey AS p,
+        |    sum(CAST(l.l_quantity AS BIGINT))::BIGINT AS r
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT p, 1000000::BIGINT AS v_e6
+        |  FROM ratings),
+        |""".stripMargin)
+    for (rd <- 1 to rounds) {
+      sb.append(
+        s"""u$rd AS MATERIALIZED (
+           |  SELECT r.c,
+           |    ((sum(r.r * v.v_e6) * 1000000)
+           |      // (sum(v.v_e6 * v.v_e6 // 1000000) + $lam))::BIGINT
+           |      AS u_e6
+           |  FROM ratings r JOIN v${rd - 1} v ON v.p = r.p
+           |  GROUP BY 1),
+           |v$rd AS MATERIALIZED (
+           |  SELECT r.p,
+           |    ((sum(r.r * u.u_e6) * 1000000)
+           |      // (sum(u.u_e6 * u.u_e6 // 1000000) + $lam))::BIGINT
+           |      AS v_e6
+           |  FROM ratings r JOIN u$rd u ON u.c = r.c
+           |  GROUP BY 1),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""scored AS (
+         |  SELECT u.c, v.p,
+         |    (u.u_e6 * v.v_e6 // 1000000)::BIGINT AS score_e6
+         |  FROM u$rounds u CROSS JOIN v$rounds v
+         |  WHERE u.c <= 20
+         |    AND NOT EXISTS (SELECT 1 FROM ratings x
+         |      WHERE x.c = u.c AND x.p = v.p)),
+         |ranked AS (
+         |  SELECT c, p, score_e6,
+         |    row_number() OVER (PARTITION BY c
+         |      ORDER BY score_e6 DESC, p ASC)::INT AS rank
+         |  FROM scored)
+         |SELECT c AS o_custkey, p AS l_partkey, score_e6, rank
+         |FROM ranked WHERE rank <= 3""".stripMargin)
+    sb.toString
+  }
+
   /** Oracle for `embed_isolation_forest`: the hash-derandomized
     * forest replayed — node split parameters from the exact XXH64
     * emulation over (tree·2²⁰ + node), identical global-range e6
@@ -1125,8 +1179,17 @@ object OracleSql {
        |ptk AS MATERIALIZED (SELECT DISTINCT doc_id, token FROM praw),
        |pdfq AS MATERIALIZED (
        |  SELECT token, count(*) AS df FROM ptk GROUP BY 1),
+       |${idHashCtes()},
+       |qmod AS (SELECT CASE WHEN (SELECT count(*) FROM documents)
+       |    <= 8192 THEN 1 ELSE 16 END AS m),
+       |stk AS MATERIALIZED (
+       |  SELECT t.doc_id, t.token FROM ptk t
+       |  JOIN hashed h ON h.doc_id = t.doc_id
+       |  CROSS JOIN qmod q WHERE ((h.hv % q.m) + q.m) % q.m = 0),
+       |sdfq AS (SELECT token, count(*) AS df FROM stk GROUP BY 1),
        |lod AS (SELECT CASE WHEN coalesce(sum(df), 0) = 0 THEN 0.0
-       |    ELSE sum(df * df)::DOUBLE / sum(df) END AS l FROM pdfq),
+       |    ELSE 1.0 + (sum(df * df)::DOUBLE / sum(df) - 1.0)
+       |      * (SELECT m FROM qmod) END AS l FROM sdfq),
        |psz AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS sz FROM ptk GROUP BY 1),
        |ppref AS MATERIALIZED (

@@ -8125,6 +8125,67 @@ object SparkEntry {
           col("dist_sq"))
     }),
 
+    "recs_als_rank1" -> ((s, dir) => {
+      // rank-1 Alternating Least Squares (Zhou et al., AAIM'08 — the
+      // canonical distributed matrix-factorization recommender) over
+      // the customer×part quantity matrix: the LATENT-factor member
+      // the neighborhood family (recs_item_cosine = item-item
+      // similarity) can't express — a global low-rank structure that
+      // scores parts a customer has NEVER co-purchased with anything.
+      // Two full alternations of the closed-form ridge update
+      // u_c = Σ r·v / (Σ v² + λ), v_p symmetric. Exactness: factors
+      // are e6 longs; each update is ONE join + rollup of exact
+      // integer products (per-term v²·div-1e6 truncation —
+      // deterministic under any partitioning), one integral division
+      // per entity; NO floats anywhere. Output: top-3 unbought parts
+      // for the fixed 20-customer eval slice (the ml_knn_classify
+      // fixed-eval discipline: eval work is corpus-size-independent,
+      // candidate scoring is linear in parts). Scale: factor frames
+      // shuffle by entity key only; bound stated — num·1e6 stays
+      // inside long for Σr·v ≤ 9·10¹².
+      val ratings = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(sum(col("l_quantity").cast("long")).as("r"))
+        .localCheckpoint(true) // 4 factor rollups + anti-join read it
+      val lam = 100000L // λ = 0.1 in e6
+      var v = ratings.select("p").distinct()
+        .withColumn("v_e6", lit(1000000L))
+      var u: DataFrame = null
+      for (_ <- 1 to 2) {
+        u = ratings.join(v, Seq("p"))
+          .groupBy("c")
+          .agg(sum(col("r") * col("v_e6")).as("num"),
+            sum(expr("v_e6 * v_e6 div 1000000")).as("den"))
+          .select(col("c"),
+            expr(s"num * 1000000 div (den + $lam)").as("u_e6"))
+          .localCheckpoint(true) // next half-step + scoring read it
+        v = ratings.join(u, Seq("c"))
+          .groupBy("p")
+          .agg(sum(col("r") * col("u_e6")).as("num"),
+            sum(expr("u_e6 * u_e6 div 1000000")).as("den"))
+          .select(col("p"),
+            expr(s"num * 1000000 div (den + $lam)").as("v_e6"))
+          .localCheckpoint(true)
+      }
+      // scoring: the 20-row eval slice broadcasts against the part
+      // factors (v streams, never collects), and the anti-join's
+      // ratings prune to the eval customers FIRST — the 100 TB shape:
+      // nothing matrix-sized crosses an executor boundary here
+      val evalBought = ratings.filter(col("c") <= 20).select("c", "p")
+      v.crossJoin(broadcast(u.filter(col("c") <= 20)))
+        .withColumn("score_e6", expr("u_e6 * v_e6 div 1000000"))
+        .join(broadcast(evalBought), Seq("c", "p"), "left_anti")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("c")
+            .orderBy(col("score_e6").desc, col("p").asc)))
+        .filter(col("rank") <= 3)
+        .select(col("c").as("o_custkey"), col("p").as("l_partkey"),
+          col("score_e6"), col("rank"))
+    }),
+
     "embed_isolation_forest" -> ((s, dir) => {
       // Isolation Forest (Liu–Ting–Zhou, ICDM'08) — the model-based
       // anomaly detector the distance family (embed_outliers = centroid
@@ -10765,6 +10826,8 @@ object SparkEntry {
         |  (lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    IS NULL) AS is_current
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "recs_als_rank1" -> OracleSql.recsAlsRank1(),
 
     "recs_item_cosine" ->
       """WITH li AS (

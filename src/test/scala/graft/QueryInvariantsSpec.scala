@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Structural invariants of the round-8 query tranche that the oracle's
   * value-hash can't express: decomposition identities, policy-replay
   * sanity bounds, coverage-assignment totals. Runs on the sf0.001
@@ -261,6 +263,36 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(paths.forall(p => p >= 1000000L && p < 16000000L))
     assert(scores.forall(s => s > 0L && s < 1000000L))
     assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 50)
+  }
+
+  test("recs_als_rank1: 3 recs per eval customer, never an already-" +
+      "bought part, scores positive and ranked") {
+    val rows = run("recs_als_rank1")
+    assert(rows.nonEmpty)
+    val byC = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byC.foreach { case (c, rs) =>
+      assert(c <= 20L)
+      val ranked = rs.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      assert(rs.length <= 3)
+      val sc = ranked.map(_.getAs[Long]("score_e6"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+      assert(sc.forall(_ > 0L), s"non-positive ALS score for cust $c")
+    }
+    // no recommendation may be a part the customer already bought
+    val bought = spark.read
+      .parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("o_custkey"), r.getAs[Long]("l_partkey"))
+      assert(!bought(key), s"recommended an already-bought part: $key")
+    }
   }
 
   test("cluster_farthest_first: k distinct centers cover the corpus") {
