@@ -541,6 +541,68 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("ALS scoring broadcasts the eval slice and the pruned bought " +
+      "set — nothing matrix-sized is built or replicated") {
+    // the round-10 100x OOM fix, pinned: the cross join's broadcast
+    // side must be the 20-row eval slice (BroadcastNestedLoopJoin),
+    // the anti-join must consume a BROADCAST of the eval-pruned
+    // ratings (never shuffle the 55M-row matrix), and no
+    // CartesianProduct may appear anywhere
+    val plan = SparkEntry.queries("recs_als_rank1")(
+      spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      s"unguided cross product in the ALS plan:\n${plan.take(1500)}")
+    assert(plan.contains("LeftAnti, BuildRight") ||
+      plan.contains("LeftAnti, BuildLeft"),
+      s"anti-join not broadcast:\n${plan.take(1500)}")
+  }
+
+  test("isolation forest walk stays map-side: one rollup shuffle " +
+      "plus the bounded top-k") {
+    // 16 trees x 8 levels of hash/threshold decisions must fuse into
+    // projections over the checkpointed points frame — the only
+    // exchanges are the (tree, level, node) population rollup, the
+    // per-(vec, tree) depth rollup, the final per-vec rollup and the
+    // 50-row TakeOrdered; a per-level shuffle would make depth a
+    // shuffle multiplier at 100 TB
+    val df = SparkEntry.queries("embed_isolation_forest")(
+      spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // composition: pops rollup + its join repartition, the two depth/
+    // score rollups, and the two 1-row stat aggs (ranges, c(n)) — a
+    // 7th exchange means a walk level started shuffling
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 6,
+      s"$exchanges exchanges in the isolation-forest plan (walk must " +
+        s"not shuffle per level):\n${plan.take(2000)}")
+  }
+
+  test("cox risk sets consume the distinct-day rollup, never the " +
+      "subject frame") {
+    // the suffix-sum window must sit on HashAggregate output (the
+    // day-domain frame) — a window over raw subjects would be a
+    // row-sized single-partition sort
+    val df = SparkEntry.queries("orders_cox_ph")(spark, sf("sf0.001"))
+    val unwrapped = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = unwrapped.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the suffix-sum window")
+    windows.foreach { w =>
+      val aggBelow = w.child.collect {
+        case agg: org.apache.spark.sql.execution.aggregate.HashAggregateExec => agg
+      }
+      assert(aggBelow.nonEmpty,
+        "cox suffix window must consume the per-day rollup")
+    }
+  }
+
   test("survivorship rollups read the checkpointed member frame") {
     // canonical-name, segment-mode and count/max all consume members;
     // the checkpoint keeps the match join + component join to ONE run
