@@ -7594,6 +7594,99 @@ object SparkEntry {
           (col("xx") + col("yy")).cast("long").as("z2_e6"))
     }),
 
+    "events_kruskal_wallis" -> ((s, dir) => {
+      // Kruskal–Wallis H — the k-SAMPLE extension of
+      // events_mann_whitney (one-way ANOVA on ranks): do purchase,
+      // view AND click values share a distribution? Same exact-integer
+      // machinery as MW: one rollup to the DISTINCT-cents frame,
+      // 2×-scaled midranks (2·cum + t + 1), tie term Σ(t³−t), and the
+      // tie-corrected H = [3·ΣR2²/n_g/(N(N+1)) − 3(N+1)] · (N³−N)/C
+      // in e6 via the SAME staged DECIMAL(38,0) division that fixed
+      // MW's overflow (every intermediate ≤ ~10³⁵ to N ≈ 10⁷).
+      // Two floor-truncation artifacts, stated: the per-group
+      // w_g div n_g drops Σr_g/n_g < 3 e6-grains pre-division-by-
+      // N(N+1) (≤ 3/(N(N+1)) of a grain after), and P clamps at 0
+      // (mathematically H ≥ 0; the clamp only removes the ≤3-unit
+      // floor residue at exact rank equality, and keeps every operand
+      // non-negative so Spark trunc-div ≡ DuckDB floor-div). Verdict
+      // column: reject at α=0.05 against the χ²(df=2) critical value.
+      val d = "decimal(38,0)"
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view", "click"))
+        .select(
+          when(col("event_type") === "purchase", 0L)
+            .when(col("event_type") === "view", 1L)
+            .otherwise(2L).as("g"),
+          round(col("value") * 100, 0).cast("long").as("v"))
+      val byV = ev.groupBy("v").agg(
+          sum(when(col("g") === 0L, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("g") === 1L, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g") === 2L, 1L).otherwise(0L)).as("c2"))
+        .withColumn("t", col("c0") + col("c1") + col("c2"))
+      val wCum = Window.orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byV
+        .withColumn("cum", coalesce(sum(col("t")).over(wCum), lit(0L)))
+        .withColumn("m2", lit(2L) * col("cum") + col("t") + 1L)
+      // the tie term sums t³ per DISTINCT value — a hot cents value
+      // holding >2.1M rows (clicks at 10M events) overflows a long,
+      // found LOUDLY at the 100× fixture: it lives in DECIMAL(38,0)
+      // from birth, and the output reports the bounded tie FRACTION
+      // (ppm of N³−N) instead of the raw sum
+      val agg = ranked.agg(
+        sum("c0").as("n0"), sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c0") * col("m2")).as("r0"),
+        sum(col("c1") * col("m2")).as("r1"),
+        sum(col("c2") * col("m2")).as("r2"),
+        sum(expr(s"cast(t as $d) * cast(t as $d) * cast(t as $d)" +
+          s" - cast(t as $d)")).as("tie_term"))
+      // Spark's integral `div` returns LONG whatever the operand type,
+      // so the naive (3e6·r²) div n quotient (~10²⁶ at 6M samples)
+      // overflows — found LOUDLY at the 100× fixture. The floor
+      // decomposes exactly instead: with a = r div n, ρ = r mod n,
+      // floor(r²/n) = a²n + 2aρ + floor(ρ²/n) — every div quotient
+      // fits a long (a ≲ 2N, ρ²/n < n), the big values live only in
+      // pure-multiply decimals. S = 3e6·Σ floor(r_g²/n_g) drops ≤
+      // 3·(3e6−1) pre-division-by-N(N+1) — identical in both engines
+      // and < 1 e6-grain of H for N ≥ 250.
+      val qg = (g: Int) =>
+        s"cast(a$g as $d) * cast(a$g as $d) * cast(n$g as $d)" +
+          s" + cast(2 as $d) * cast(a$g as $d) * cast(o$g as $d)" +
+          s" + cast(o$g * o$g div n$g as $d)"
+      agg
+        .withColumn("nn", col("n0") + col("n1") + col("n2"))
+        .withColumn("a0", expr("r0 div n0"))
+        .withColumn("o0", expr("r0 - a0 * n0"))
+        .withColumn("a1", expr("r1 div n1"))
+        .withColumn("o1", expr("r1 - a1 * n1"))
+        .withColumn("a2", expr("r2 div n2"))
+        .withColumn("o2", expr("r2 - a2 * n2"))
+        .withColumn("s", expr(s"cast(3000000 as $d)" +
+          s" * ((${qg(0)}) + (${qg(1)}) + (${qg(2)}))"))
+        .withColumn("p", expr(s"greatest(cast(s as $d)" +
+          s" - cast(3000000 as $d) * cast(nn as $d)" +
+          s" * cast(nn + 1 as $d) * cast(nn + 1 as $d)," +
+          s" cast(0 as $d))"))
+        .withColumn("bb", expr(s"cast(nn as $d) * cast(nn + 1 as $d)"))
+        .withColumn("ee", expr(s"cast(nn as $d) * cast(nn as $d)" +
+          s" * cast(nn as $d) - cast(nn as $d)"))
+        .withColumn("cc", expr(s"cast(ee as $d)" +
+          s" - cast(tie_term as $d)"))
+        .withColumn("qq", expr("p div bb"))
+        .withColumn("rr", expr(s"p - cast(qq as $d) * bb"))
+        .withColumn("qe", expr(s"cast(qq as $d) * ee"))
+        .withColumn("xx", expr("qe div cc"))
+        .withColumn("xr", expr(s"qe - cast(xx as $d) * cc"))
+        .withColumn("yy", expr("(xr * bb + rr * ee) div (bb * cc)"))
+        .select(col("n0").as("n_purchase"), col("n1").as("n_view"),
+          col("n2").as("n_click"),
+          expr(s"cast((cast(tie_term as $d) * 1000000) div ee" +
+            s" as long)").as("tie_ppm"),
+          (col("xx") + col("yy")).cast("long").as("h_e6"),
+          when((col("xx") + col("yy")).cast("long") >= 5991465L, 1L)
+            .otherwise(0L).as("reject_05"))
+    }),
+
     "ml_target_encode_oof" -> ((s, dir) => {
       // leakage-free OUT-OF-FOLD target encoding — the feature-prep
       // op every tabular training pipeline needs and every naive one
@@ -12581,6 +12674,56 @@ object SparkEntry {
         |FROM pb""".stripMargin,
 
     "sample_priority_topk" -> OracleSql.samplePriorityTopk(),
+
+    "events_kruskal_wallis" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 0
+        |      WHEN event_type = 'view' THEN 1 ELSE 2 END::BIGINT AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'view', 'click')),
+        |byv AS (SELECT v,
+        |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN g = 2 THEN 1 ELSE 0 END)::BIGINT AS c2,
+        |    count(*)::BIGINT AS t
+        |  FROM ev GROUP BY 1),
+        |rk AS (SELECT c0, c1, c2, t,
+        |    2 * coalesce(sum(t) OVER (ORDER BY v ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT + t + 1 AS m2
+        |  FROM byv),
+        |ag AS (SELECT sum(c0)::BIGINT AS n0, sum(c1)::BIGINT AS n1,
+        |    sum(c2)::BIGINT AS n2,
+        |    sum(c0 * m2)::BIGINT AS r0, sum(c1 * m2)::BIGINT AS r1,
+        |    sum(c2 * m2)::BIGINT AS r2,
+        |    sum(t::HUGEINT * t * t - t)::HUGEINT AS tie_term FROM rk),
+        |f0 AS (SELECT *, r0 // n0 AS a0, r0 % n0 AS o0,
+        |    r1 // n1 AS a1, r1 % n1 AS o1,
+        |    r2 // n2 AS a2, r2 % n2 AS o2 FROM ag),
+        |f1 AS (SELECT *, (n0 + n1 + n2)::HUGEINT AS nn,
+        |    3000000::HUGEINT * (
+        |      (a0::HUGEINT * a0 * n0 + 2::HUGEINT * a0 * o0
+        |        + (o0 * o0) // n0)
+        |      + (a1::HUGEINT * a1 * n1 + 2::HUGEINT * a1 * o1
+        |        + (o1 * o1) // n1)
+        |      + (a2::HUGEINT * a2 * n2 + 2::HUGEINT * a2 * o2
+        |        + (o2 * o2) // n2)) AS s
+        |  FROM f0),
+        |f2 AS (SELECT *, greatest(s - 3000000::HUGEINT * nn
+        |      * (nn + 1) * (nn + 1), 0::HUGEINT) AS p,
+        |    nn * (nn + 1) AS bb,
+        |    nn * nn * nn - nn AS ee FROM f1),
+        |f3 AS (SELECT *, ee - tie_term AS cc,
+        |    p // bb AS qq, p % bb AS rr FROM f2),
+        |f4 AS (SELECT *, qq * ee AS qe FROM f3),
+        |f5 AS (SELECT *, qe // cc AS xx, qe % cc AS xr FROM f4)
+        |SELECT n0 AS n_purchase, n1 AS n_view, n2 AS n_click,
+        |  ((tie_term * 1000000) // ee)::BIGINT AS tie_ppm,
+        |  (xx + (xr * bb + rr * ee) // (bb * cc))::BIGINT AS h_e6,
+        |  CASE WHEN xx + (xr * bb + rr * ee) // (bb * cc)
+        |    >= 5991465 THEN 1 ELSE 0 END::BIGINT AS reject_05
+        |FROM f5""".stripMargin,
 
     "events_mann_whitney" ->
       """WITH ev AS (

@@ -265,6 +265,22 @@ class QueryInvariantsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 50)
   }
 
+  test("events_kruskal_wallis: H consistent with the pairwise MW " +
+      "shape, counts coherent, tie fraction bounded") {
+    val Array(r) = run("events_kruskal_wallis")
+    val n = r.getAs[Long]("n_purchase") + r.getAs[Long]("n_view") +
+      r.getAs[Long]("n_click")
+    assert(r.getAs[Long]("n_purchase") > 0 &&
+      r.getAs[Long]("n_view") > 0 && r.getAs[Long]("n_click") > 0)
+    val h = r.getAs[Long]("h_e6")
+    // 0 <= H <= N-1 (rank variance bound), e6-scaled
+    assert(h >= 0L && h <= (n - 1) * 1000000L, s"H out of range: $h")
+    assert(r.getAs[Long]("tie_ppm") >= 0L &&
+      r.getAs[Long]("tie_ppm") <= 1000000L)
+    assert(r.getAs[Long]("reject_05") ==
+      (if (h >= 5991465L) 1L else 0L))
+  }
+
   test("recs_als_rank1: 3 recs per eval customer, never an already-" +
       "bought part, scores positive and ranked") {
     val rows = run("recs_als_rank1")
