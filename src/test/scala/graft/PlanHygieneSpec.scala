@@ -580,6 +580,27 @@ class PlanHygieneSpec extends SparkSpec {
         s"not shuffle per level):\n${plan.take(2000)}")
   }
 
+  test("kruskal-wallis midrank window runs over the distinct-value " +
+      "rollup, like mann-whitney") {
+    val df = SparkEntry.queries("events_kruskal_wallis")(
+      spark, sf("sf0.001"))
+    val unwrapped = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = unwrapped.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the midrank cum-sum window")
+    windows.foreach { w =>
+      val below = w.child.collect {
+        case agg: org.apache.spark.sql.execution.aggregate.HashAggregateExec => agg
+      }
+      assert(below.nonEmpty,
+        "window input must be the cents-domain rollup, not raw events")
+    }
+  }
+
   test("cox risk sets consume the distinct-day rollup, never the " +
       "subject frame") {
     // the suffix-sum window must sit on HashAggregate output (the
