@@ -44,15 +44,19 @@ def fail(report, key, detail):
 def main():
     import duckdb
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = dict(a.lstrip("-").split("=", 1) if "=" in a
-                else (a.lstrip("-"), nxt) for a, nxt in
-                zip(sys.argv[1:], sys.argv[2:] + [""])
-                if a.startswith("--"))
-    outdir, fixture = args[0], args[1]
-    eps = int(opts.get("eps", 50000))
-    min_pts = int(opts.get("min-pts", 8))
-    sample_mod = int(opts.get("sample-mod", 997))
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="replay-verify cluster_dbscan_grid from the "
+                    "engine's own pair dump")
+    ap.add_argument("outdir", help="graft.Verify dump directory")
+    ap.add_argument("fixture", help="fixture directory with "
+                                    "embeddings.parquet")
+    ap.add_argument("--eps", type=int, default=50000)
+    ap.add_argument("--min-pts", type=int, default=8)
+    ap.add_argument("--sample-mod", type=int, default=997)
+    a = ap.parse_args()
+    outdir, fixture = a.outdir, a.fixture
+    eps, min_pts, sample_mod = a.eps, a.min_pts, a.sample_mod
 
     t0 = time.time()
     con = duckdb.connect()

@@ -1158,7 +1158,9 @@ object OracleSql {
     */
   def dedupAutoRoute(minSim: Double = 0.5, shingleN: Int = 3,
                      numHashes: Int = 16, rowsPerBand: Int = 2,
-                     hotThreshold: Double = 8.0): String = {
+                     hotThreshold: Double = 8.0,
+                     sampleCutoff: Long = 8192L,
+                     sampleMod: Int = 16): String = {
     val minPpm = math.round(minSim * 1000000)
     val n = shingleN
     val est = s"round(len(list_filter(range(1, ${numHashes + 1}), " +
@@ -1181,7 +1183,7 @@ object OracleSql {
        |  SELECT token, count(*) AS df FROM ptk GROUP BY 1),
        |${idHashCtes()},
        |qmod AS (SELECT CASE WHEN (SELECT count(*) FROM documents)
-       |    <= 8192 THEN 1 ELSE 16 END AS m),
+       |    <= $sampleCutoff THEN 1 ELSE $sampleMod END AS m),
        |stk AS MATERIALIZED (
        |  SELECT t.doc_id, t.token FROM ptk t
        |  JOIN hashed h ON h.doc_id = t.doc_id

@@ -7649,17 +7649,34 @@ object SparkEntry {
       // pure-multiply decimals. S = 3e6·Σ floor(r_g²/n_g) drops ≤
       // 3·(3e6−1) pre-division-by-N(N+1) — identical in both engines
       // and < 1 e6-grain of H for N ≥ 250.
+      // degenerate guards (ADVICE r10): a fixture missing one of the
+      // three event types gives n_g = 0, an all-tied value column
+      // gives cc = ee − tie_term = 0 (and nn ≤ 1 gives ee = 0) —
+      // every divisor gets a clamped-to-1 twin and the verdict columns
+      // collapse to a DEFINED H = 0 / reject = 0 under `ok`, so both
+      // engines return the same degenerate row instead of failing
+      // divergently (Spark ANSI DIVIDE_BY_ZERO vs DuckDB // error).
+      // On any fixture with all three types and at least two distinct
+      // values the clamps are identity — output unchanged.
       val qg = (g: Int) =>
         s"cast(a$g as $d) * cast(a$g as $d) * cast(n$g as $d)" +
           s" + cast(2 as $d) * cast(a$g as $d) * cast(o$g as $d)" +
-          s" + cast(o$g * o$g div n$g as $d)"
+          s" + cast(o$g * o$g div greatest(n$g, 1L) as $d)"
       agg
+        .withColumn("n0", coalesce(col("n0"), lit(0L)))
+        .withColumn("n1", coalesce(col("n1"), lit(0L)))
+        .withColumn("n2", coalesce(col("n2"), lit(0L)))
+        .withColumn("r0", coalesce(col("r0"), lit(0L)))
+        .withColumn("r1", coalesce(col("r1"), lit(0L)))
+        .withColumn("r2", coalesce(col("r2"), lit(0L)))
+        .withColumn("tie_term",
+          coalesce(col("tie_term"), lit(0).cast(d)))
         .withColumn("nn", col("n0") + col("n1") + col("n2"))
-        .withColumn("a0", expr("r0 div n0"))
+        .withColumn("a0", expr("r0 div greatest(n0, 1L)"))
         .withColumn("o0", expr("r0 - a0 * n0"))
-        .withColumn("a1", expr("r1 div n1"))
+        .withColumn("a1", expr("r1 div greatest(n1, 1L)"))
         .withColumn("o1", expr("r1 - a1 * n1"))
-        .withColumn("a2", expr("r2 div n2"))
+        .withColumn("a2", expr("r2 div greatest(n2, 1L)"))
         .withColumn("o2", expr("r2 - a2 * n2"))
         .withColumn("s", expr(s"cast(3000000 as $d)" +
           s" * ((${qg(0)}) + (${qg(1)}) + (${qg(2)}))"))
@@ -7668,22 +7685,30 @@ object SparkEntry {
           s" * cast(nn + 1 as $d) * cast(nn + 1 as $d)," +
           s" cast(0 as $d))"))
         .withColumn("bb", expr(s"cast(nn as $d) * cast(nn + 1 as $d)"))
+        .withColumn("bbs", expr(s"greatest(bb, cast(1 as $d))"))
         .withColumn("ee", expr(s"cast(nn as $d) * cast(nn as $d)" +
           s" * cast(nn as $d) - cast(nn as $d)"))
         .withColumn("cc", expr(s"cast(ee as $d)" +
           s" - cast(tie_term as $d)"))
-        .withColumn("qq", expr("p div bb"))
-        .withColumn("rr", expr(s"p - cast(qq as $d) * bb"))
+        .withColumn("ccs", expr(s"greatest(cc, cast(1 as $d))"))
+        .withColumn("ok", col("n0") > 0 && col("n1") > 0 &&
+          col("n2") > 0 && col("cc") > 0)
+        .withColumn("qq", expr("p div bbs"))
+        .withColumn("rr", expr(s"p - cast(qq as $d) * bbs"))
         .withColumn("qe", expr(s"cast(qq as $d) * ee"))
-        .withColumn("xx", expr("qe div cc"))
-        .withColumn("xr", expr(s"qe - cast(xx as $d) * cc"))
-        .withColumn("yy", expr("(xr * bb + rr * ee) div (bb * cc)"))
+        .withColumn("xx", expr("qe div ccs"))
+        .withColumn("xr", expr(s"qe - cast(xx as $d) * ccs"))
+        .withColumn("yy", expr("(xr * bbs + rr * ee) div (bbs * ccs)"))
         .select(col("n0").as("n_purchase"), col("n1").as("n_view"),
           col("n2").as("n_click"),
-          expr(s"cast((cast(tie_term as $d) * 1000000) div ee" +
-            s" as long)").as("tie_ppm"),
-          (col("xx") + col("yy")).cast("long").as("h_e6"),
-          when((col("xx") + col("yy")).cast("long") >= 5991465L, 1L)
+          when(col("ee") > 0,
+            expr(s"cast((cast(tie_term as $d) * 1000000)" +
+              s" div greatest(ee, cast(1 as $d)) as long)"))
+            .otherwise(0L).as("tie_ppm"),
+          when(col("ok"), (col("xx") + col("yy")).cast("long"))
+            .otherwise(0L).as("h_e6"),
+          when(col("ok") &&
+            (col("xx") + col("yy")).cast("long") >= 5991465L, 1L)
             .otherwise(0L).as("reject_05"))
     }),
 
@@ -12693,35 +12718,48 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |      0)::BIGINT + t + 1 AS m2
         |  FROM byv),
-        |ag AS (SELECT sum(c0)::BIGINT AS n0, sum(c1)::BIGINT AS n1,
-        |    sum(c2)::BIGINT AS n2,
-        |    sum(c0 * m2)::BIGINT AS r0, sum(c1 * m2)::BIGINT AS r1,
-        |    sum(c2 * m2)::BIGINT AS r2,
-        |    sum(t::HUGEINT * t * t - t)::HUGEINT AS tie_term FROM rk),
-        |f0 AS (SELECT *, r0 // n0 AS a0, r0 % n0 AS o0,
-        |    r1 // n1 AS a1, r1 % n1 AS o1,
-        |    r2 // n2 AS a2, r2 % n2 AS o2 FROM ag),
+        |ag AS (SELECT coalesce(sum(c0), 0)::BIGINT AS n0,
+        |    coalesce(sum(c1), 0)::BIGINT AS n1,
+        |    coalesce(sum(c2), 0)::BIGINT AS n2,
+        |    coalesce(sum(c0 * m2), 0)::BIGINT AS r0,
+        |    coalesce(sum(c1 * m2), 0)::BIGINT AS r1,
+        |    coalesce(sum(c2 * m2), 0)::BIGINT AS r2,
+        |    coalesce(sum(t::HUGEINT * t * t - t), 0)::HUGEINT
+        |      AS tie_term FROM rk),
+        |f0 AS (SELECT *,
+        |    r0 // greatest(n0, 1) AS a0, r0 % greatest(n0, 1) AS o0,
+        |    r1 // greatest(n1, 1) AS a1, r1 % greatest(n1, 1) AS o1,
+        |    r2 // greatest(n2, 1) AS a2, r2 % greatest(n2, 1) AS o2
+        |  FROM ag),
         |f1 AS (SELECT *, (n0 + n1 + n2)::HUGEINT AS nn,
         |    3000000::HUGEINT * (
         |      (a0::HUGEINT * a0 * n0 + 2::HUGEINT * a0 * o0
-        |        + (o0 * o0) // n0)
+        |        + (o0 * o0) // greatest(n0, 1))
         |      + (a1::HUGEINT * a1 * n1 + 2::HUGEINT * a1 * o1
-        |        + (o1 * o1) // n1)
+        |        + (o1 * o1) // greatest(n1, 1))
         |      + (a2::HUGEINT * a2 * n2 + 2::HUGEINT * a2 * o2
-        |        + (o2 * o2) // n2)) AS s
+        |        + (o2 * o2) // greatest(n2, 1))) AS s
         |  FROM f0),
         |f2 AS (SELECT *, greatest(s - 3000000::HUGEINT * nn
         |      * (nn + 1) * (nn + 1), 0::HUGEINT) AS p,
         |    nn * (nn + 1) AS bb,
+        |    greatest(nn * (nn + 1), 1::HUGEINT) AS bbs,
         |    nn * nn * nn - nn AS ee FROM f1),
         |f3 AS (SELECT *, ee - tie_term AS cc,
-        |    p // bb AS qq, p % bb AS rr FROM f2),
-        |f4 AS (SELECT *, qq * ee AS qe FROM f3),
-        |f5 AS (SELECT *, qe // cc AS xx, qe % cc AS xr FROM f4)
+        |    greatest(ee - tie_term, 1::HUGEINT) AS ccs,
+        |    p // bbs AS qq, p % bbs AS rr FROM f2),
+        |f4 AS (SELECT *, qq * ee AS qe,
+        |    (n0 > 0 AND n1 > 0 AND n2 > 0 AND ee - tie_term > 0)
+        |      AS ok FROM f3),
+        |f5 AS (SELECT *, qe // ccs AS xx, qe % ccs AS xr FROM f4)
         |SELECT n0 AS n_purchase, n1 AS n_view, n2 AS n_click,
-        |  ((tie_term * 1000000) // ee)::BIGINT AS tie_ppm,
-        |  (xx + (xr * bb + rr * ee) // (bb * cc))::BIGINT AS h_e6,
-        |  CASE WHEN xx + (xr * bb + rr * ee) // (bb * cc)
+        |  CASE WHEN ee > 0 THEN
+        |    ((tie_term * 1000000) // greatest(ee, 1::HUGEINT))::BIGINT
+        |    ELSE 0 END AS tie_ppm,
+        |  CASE WHEN ok THEN
+        |    (xx + (xr * bbs + rr * ee) // (bbs * ccs))::BIGINT
+        |    ELSE 0 END AS h_e6,
+        |  CASE WHEN ok AND xx + (xr * bbs + rr * ee) // (bbs * ccs)
         |    >= 5991465 THEN 1 ELSE 0 END::BIGINT AS reject_05
         |FROM f5""".stripMargin,
 

@@ -124,8 +124,17 @@ object Dbscan {
     val coreEdges = nbr
       .join(coreIds.select(col("rid").as("ra")), Seq("ra"))
       .join(coreIds.select(col("rid").as("rb")), Seq("rb"))
-    val comp = Dedup.connectedComponents(coreEdges, "ra", "rb",
-      maxIter = 40)
+    // strict: a core-graph chain of diameter > 40 (elongated
+    // eps-connected clusters at scale) must not SILENTLY yield split
+    // labels — on non-convergence fall back to star contraction,
+    // whose O(log diameter) rounds cover any practical chain
+    val comp =
+      try Dedup.connectedComponents(coreEdges, "ra", "rb",
+        maxIter = 40, strict = true)
+      catch {
+        case _: Dedup.ConvergenceException =>
+          Dedup.starContraction(coreEdges, "ra", "rb")
+      }
     val coreLbl = coreIds
       .join(comp, col("rid") === col("doc_id"), "left")
       .select(col("rid"),

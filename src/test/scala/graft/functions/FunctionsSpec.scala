@@ -434,6 +434,61 @@ class FunctionsSpec extends SparkSpec {
       s"expected only the in-block near pair, got $got")
   }
 
+  test("edit-distance pairs: segment candidates match brute force " +
+    "on adversarial mutations") {
+    // deterministic fuzz around the PassJoin second blocking key:
+    // titles share an 8-char block prefix, then up-to-5 random edits
+    // (sub/ins/del) over a 32-char suffix — pairs at dist 5 must drop,
+    // dist <= 4 must survive with the exact distance, INCLUDING
+    // truncated short titles (the brute-force side route) and edits
+    // that concentrate indels early (max segment shift)
+    val rnd = new scala.util.Random(0xED17)
+    val alpha = "abcdefgh"
+    def mutate(s: String, nEdits: Int): String = {
+      var cs = s.toVector
+      (0 until nEdits).foreach { _ =>
+        val i = rnd.nextInt(cs.length)
+        rnd.nextInt(3) match {
+          case 0 => cs = cs.updated(i, alpha(rnd.nextInt(alpha.length)))
+          case 1 => cs = (cs.take(i) :+ alpha(rnd.nextInt(alpha.length))) ++ cs.drop(i)
+          case 2 => cs = cs.take(i) ++ cs.drop(i + 1)
+        }
+      }
+      cs.mkString
+    }
+    // 12 shared base strings: docs mutate a COMMON base, so variants
+    // of the same base within the same block form the true pair set
+    val bases = Vector.fill(12)(
+      Vector.fill(32)(alpha(rnd.nextInt(alpha.length))).mkString)
+    val docs = (0 until 120).map { i =>
+      val blk = s"block0${i % 3} "
+      val seed = bases(i / 10)
+      val text =
+        if (i % 11 == 0) blk + mutate(seed, 1 + rnd.nextInt(5)).take(12) // short title
+        else if (i % 2 == 0)
+          (blk + seed).take(40) + " trailing text beyond the title"
+        else (blk + mutate(seed, 1 + rnd.nextInt(5))).take(40) +
+          " trailing text beyond the title"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text",
+        prefixLen = 8, titleLen = 40, maxDist = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val t = docs.select(col("doc_id"),
+      substring(col("text"), 1, 40).as("title"),
+      substring(col("text"), 1, 8).as("blk"))
+    val brute = t.as("a").join(t.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.title"), col("b.title")).as("d"))
+      .filter(col("d") <= 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(brute.nonEmpty, "fixture must produce near pairs")
+    assert(got == brute,
+      s"missed: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
+  }
+
   test("star contraction matches plain propagation on mixed clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
