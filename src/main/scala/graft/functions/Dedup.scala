@@ -1277,7 +1277,12 @@ object Dedup {
     val shift = maxDist / 2 // net indels at equal total length
     val full = t.filter(length(col("title")) === titleLen)
       .withColumn("suf", substring(col("title"), prefixLen + 1, sufLen))
-    val ix = full.select(col("blk"), col("id"), col("title"),
+    // the segment join carries ONLY ids — titles would be replicated
+    // (maxDist+1)x on the index side and ~(maxDist+1)(maxDist+1)x on
+    // the probe side through the explode; they re-attach AFTER the
+    // distinct via two narrow id-keyed joins of the (much smaller)
+    // candidate frame
+    val ix = full.select(col("blk"), col("id"),
       posexplode(array(segs.map { case (_, p, l) =>
         substring(col("suf"), p, l)
       }: _*)).as(Seq("si", "sg")))
@@ -1288,31 +1293,31 @@ object Dedup {
             substring(col("suf"), p + d, l).as("sg"))
       }
     }
-    val pr = full.select(col("blk"), col("id"), col("title"),
+    val pr = full.select(col("blk"), col("id"),
         explode(array(probeKeys: _*)).as("k"))
-      .select(col("blk"), col("id"), col("title"),
+      .select(col("blk"), col("id"),
         col("k.si").as("si"), col("k.sg").as("sg"))
-    // titles ride through the distinct (functionally determined by the
-    // ids), saving two re-join shuffles of the candidate frame
+    val titles = t.select(col("id"), col("title"))
     val longPairs = pr.select(col("blk"), col("si"), col("sg"),
-        col("id").as("pid"), col("title").as("ptitle"))
+        col("id").as("pid"))
       .join(ix.select(col("blk"), col("si"), col("sg"),
-        col("id").as("xid"), col("title").as("xtitle")),
-        Seq("blk", "si", "sg"))
+        col("id").as("xid")), Seq("blk", "si", "sg"))
       .filter(col("pid") =!= col("xid"))
-      .select(
-        least(col("pid"), col("xid")).as("id_a"),
-        greatest(col("pid"), col("xid")).as("id_b"),
-        when(col("pid") < col("xid"), col("ptitle"))
-          .otherwise(col("xtitle")).as("title_a"),
-        when(col("pid") < col("xid"), col("xtitle"))
-          .otherwise(col("ptitle")).as("title_b"))
+      .select(least(col("pid"), col("xid")).as("id_a"),
+        greatest(col("pid"), col("xid")).as("id_b"))
       .distinct()
+      .join(titles.select(col("id").as("id_a"),
+        col("title").as("title_a")), Seq("id_a"))
+      .join(titles.select(col("id").as("id_b"),
+        col("title").as("title_b")), Seq("id_b"))
     // short-key tail: pairs where at least one side is truncated —
     // brute force against the block, |Δlen| <= maxDist pre-filter
+    // the short side is a small tail by construction (truncated keys),
+    // so broadcast it — the corpus-sized right side then never
+    // shuffles on blk for this route
     val short = t.filter(length(col("title")) < titleLen)
-    val shortPairs = short.select(col("blk"), col("id").as("sid"),
-        col("title").as("stitle"))
+    val shortPairs = broadcast(short.select(col("blk"),
+        col("id").as("sid"), col("title").as("stitle")))
       .join(t.select(col("blk"), col("id").as("oid"),
         col("title").as("otitle")), Seq("blk"))
       .filter(col("sid") =!= col("oid"))
