@@ -8209,7 +8209,13 @@ object SparkEntry {
       // definition; cluster_dbscan_pairs proves the candidate set
       // itself). Core components run on the engine's
       // convergence-checked min-label propagation.
-      val EPS = 50000L
+      // SPARK_GRAFT_DBSCAN_EPS: at-scale knob for the parameterized
+      // density-regime runs (scripts/dbscan_scale_check.py re-verifies
+      // such dumps engine-independently at the matching --eps). NEVER
+      // set in driver/oracle runs — the oracle SQL is built for the
+      // default, and unset ≡ 50000 keeps the gate surface unchanged.
+      val EPS = sys.env.get("SPARK_GRAFT_DBSCAN_EPS")
+        .map(_.toLong).getOrElse(50000L)
       val MIN = 8L // incl. the point itself
       val pts = t(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -8230,7 +8236,11 @@ object SparkEntry {
       // plus sampled completeness over this dump, never an n² rebuild
       // (scripts/dbscan_scale_check.py runs that at the 10× fixture,
       // where the full all-pairs oracle exceeded its cap).
-      val EPS = 50000L
+      // same SPARK_GRAFT_DBSCAN_EPS knob as cluster_dbscan_grid (the
+      // two dumps must share eps for the checker's replay); unset ≡
+      // the oracle default 50000
+      val EPS = sys.env.get("SPARK_GRAFT_DBSCAN_EPS")
+        .map(_.toLong).getOrElse(50000L)
       val pts = t(s, dir, "embeddings")
         .select(col("vec_id"),
           floor(col("embedding").getItem(0).cast("double")
