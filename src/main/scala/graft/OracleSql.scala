@@ -942,6 +942,73 @@ object OracleSql {
     sb.toString
   }
 
+  /** Oracle for `recs_als_rank2`: the unrolled rank-2 alternation —
+    * same ratings rollup, the Knuth multiplicative-hash f2 init, the
+    * five per-entity Gram sums with the per-term //1e6 truncation,
+    * and the Cramer 2×2 solve in HUGEINT (Spark mirrors it in
+    * DECIMAL(38,0); both `div` and `//` truncate toward zero, so the
+    * signed factor arithmetic is engine-identical).
+    */
+  def recsAlsRank2(rounds: Int = 2, lam: Long = 100000L): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH ratings AS MATERIALIZED (
+        |  SELECT o.o_custkey AS c, l.l_partkey AS p,
+        |    sum(CAST(l.l_quantity AS BIGINT))::BIGINT AS r
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT p, 1000000::BIGINT AS f1,
+        |  ((p * 2654435761) % 2000001 - 1000000)::BIGINT AS f2
+        |  FROM ratings),
+        |""".stripMargin)
+    def cramer = Seq("f1" -> ("b1", "a22l", "b2"),
+      "f2" -> ("b2", "a11l", "b1")).map { case (f, (bx, ax, by)) =>
+      s"""    ((($bx::HUGEINT * $ax::HUGEINT - $by::HUGEINT
+         |      * a12::HUGEINT) * 1000000)
+         |      // greatest(a11l::HUGEINT * a22l::HUGEINT
+         |      - a12::HUGEINT * a12::HUGEINT, 1::HUGEINT))::BIGINT
+         |      AS $f""".stripMargin
+    }.mkString(",\n")
+    def half(outCte: String, inCte: String, joinKey: String,
+             outKey: String): String =
+      s"""${outCte}g AS MATERIALIZED (
+         |  SELECT r.$outKey AS k,
+         |    (sum((x.f1 * x.f1) // 1000000) + $lam)::BIGINT AS a11l,
+         |    sum((x.f1 * x.f2) // 1000000)::BIGINT AS a12,
+         |    (sum((x.f2 * x.f2) // 1000000) + $lam)::BIGINT AS a22l,
+         |    sum(r.r * x.f1)::BIGINT AS b1,
+         |    sum(r.r * x.f2)::BIGINT AS b2
+         |  FROM ratings r JOIN $inCte x ON x.$joinKey = r.$joinKey
+         |  GROUP BY 1),
+         |$outCte AS MATERIALIZED (
+         |  SELECT k AS $outKey,
+         |$cramer
+         |  FROM ${outCte}g),
+         |""".stripMargin
+    for (rd <- 1 to rounds) {
+      sb.append(half(s"u$rd", s"v${rd - 1}", "p", "c"))
+      sb.append(half(s"v$rd", s"u$rd", "c", "p"))
+    }
+    sb.append(
+      s"""scored AS (
+         |  SELECT u.c, v.p,
+         |    ((u.f1::HUGEINT * v.f1::HUGEINT
+         |      + u.f2::HUGEINT * v.f2::HUGEINT) // 1000000)::BIGINT
+         |      AS score_e6
+         |  FROM u$rounds u CROSS JOIN v$rounds v
+         |  WHERE u.c <= 20
+         |    AND NOT EXISTS (SELECT 1 FROM ratings x
+         |      WHERE x.c = u.c AND x.p = v.p)),
+         |ranked AS (
+         |  SELECT c, p, score_e6,
+         |    row_number() OVER (PARTITION BY c
+         |      ORDER BY score_e6 DESC, p ASC)::INT AS rank
+         |  FROM scored)
+         |SELECT c AS o_custkey, p AS l_partkey, score_e6, rank
+         |FROM ranked WHERE rank <= 3""".stripMargin)
+    sb.toString
+  }
+
   /** Oracle for `embed_isolation_forest`: the hash-derandomized
     * forest replayed — node split parameters from the exact XXH64
     * emulation over (tree·2²⁰ + node), identical global-range e6
@@ -1229,6 +1296,111 @@ object OracleSql {
        |WHERE (coalesce(i.ic, 0)::BIGINT * 1000000)
        |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= $minPpm
        |  AND (SELECT l FROM lod) < $hotThreshold""".stripMargin
+  }
+
+  /** Oracle for `dedup_auto_route_mixed` (VERDICT r10 #7): the
+    * per-SOURCE routing dial — size-biased mean shingle df recomputed
+    * per source with a per-source sampling modulus — gating BOTH full
+    * path replays per source, restricted to within-source pairs. The
+    * banded/prefix chains run over the full corpus (signatures are
+    * per-doc and the prefix filter is lossless under any global df
+    * order, so the full-corpus candidate superset restricted to
+    * same-source routed pairs equals the engine's subset-union runs).
+    */
+  def dedupAutoRouteBySource(minSim: Double = 0.5, shingleN: Int = 3,
+                             numHashes: Int = 16, rowsPerBand: Int = 2,
+                             hotThreshold: Double = 8.0,
+                             sampleCutoff: Long = 8192L,
+                             sampleMod: Int = 16): String = {
+    val minPpm = math.round(minSim * 1000000)
+    val n = shingleN
+    val est = s"round(len(list_filter(range(1, ${numHashes + 1}), " +
+      s"i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    s"""WITH ${tokenHashCtes()},
+       |${shingleHashCtes()},
+       |${minhashCtes(numHashes, rowsPerBand)},
+       |ptoks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+       |    AS a
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |praw AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(a) <= $n THEN [array_to_string(a, ' ')]
+       |    ELSE [array_to_string(a[i+1:i+$n], ' ')
+       |          FOR i IN range(0, len(a) - ${n - 1})] END) AS token
+       |  FROM ptoks),
+       |ptk AS MATERIALIZED (SELECT DISTINCT doc_id, token FROM praw),
+       |pdfq AS MATERIALIZED (
+       |  SELECT token, count(*) AS df FROM ptk GROUP BY 1),
+       |${idHashCtes()},
+       |srcm AS MATERIALIZED (SELECT doc_id, source FROM documents),
+       |scnt AS (SELECT source, count(*) AS nd FROM documents
+       |  GROUP BY 1),
+       |smod AS MATERIALIZED (
+       |  SELECT source, CASE WHEN nd <= $sampleCutoff THEN 1
+       |    ELSE $sampleMod END AS m
+       |  FROM scnt),
+       |sstk AS MATERIALIZED (
+       |  SELECT sm.source, sm.m, t.token
+       |  FROM ptk t
+       |  JOIN hashed h ON h.doc_id = t.doc_id
+       |  JOIN srcm s2 ON s2.doc_id = t.doc_id
+       |  JOIN smod sm ON sm.source = s2.source
+       |  WHERE ((h.hv % sm.m) + sm.m) % sm.m = 0),
+       |ssdf AS (SELECT source, m, token, count(*) AS df
+       |  FROM sstk GROUP BY 1, 2, 3),
+       |slod AS MATERIALIZED (
+       |  SELECT source,
+       |    1.0 + (sum(df * df)::DOUBLE / sum(df) - 1.0) * m AS l
+       |  FROM ssdf GROUP BY source, m),
+       |srt AS MATERIALIZED (
+       |  SELECT s.source, CASE WHEN coalesce(l.l, 0) >= $hotThreshold
+       |    THEN 'banded' ELSE 'prefix' END AS route
+       |  FROM scnt s LEFT JOIN slod l USING (source)),
+       |psz AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS sz FROM ptk GROUP BY 1),
+       |ppref AS MATERIALIZED (
+       |  SELECT doc_id, token FROM (
+       |    SELECT t.doc_id, t.token, s.sz,
+       |      row_number() OVER (PARTITION BY t.doc_id
+       |        ORDER BY d.df ASC, t.token ASC) AS pos
+       |    FROM ptk t JOIN pdfq d USING (token) JOIN psz s USING (doc_id))
+       |  WHERE pos <= sz - ceil($minSim * sz) + 1),
+       |pcand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ppref a JOIN ppref b ON b.token = a.token
+       |    AND a.doc_id < b.doc_id),
+       |pinter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS ic
+       |  FROM pcand c
+       |  JOIN ptk x ON x.doc_id = c.id_a
+       |  JOIN ptk y ON y.doc_id = c.id_b AND y.token = x.token
+       |  GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(round($est * 1000000) AS BIGINT) AS sim_ppm,
+       |  sa2.source AS source, 'banded' AS route
+       |FROM cand c JOIN sigv sa ON sa.doc_id = c.id_a
+       |            JOIN sigv sb ON sb.doc_id = c.id_b
+       |            JOIN srcm sa2 ON sa2.doc_id = c.id_a
+       |            JOIN srcm sb2 ON sb2.doc_id = c.id_b
+       |            JOIN srt rt ON rt.source = sa2.source
+       |WHERE sa2.source = sb2.source AND rt.route = 'banded'
+       |  AND $est >= $minSim
+       |UNION ALL
+       |SELECT c.id_a, c.id_b,
+       |  ((coalesce(i.ic, 0)::BIGINT * 1000000)
+       |    // (sa.sz + sb.sz - coalesce(i.ic, 0)))::BIGINT AS sim_ppm,
+       |  sa2.source AS source, 'prefix' AS route
+       |FROM pcand c
+       |JOIN psz sa ON sa.doc_id = c.id_a
+       |JOIN psz sb ON sb.doc_id = c.id_b
+       |JOIN srcm sa2 ON sa2.doc_id = c.id_a
+       |JOIN srcm sb2 ON sb2.doc_id = c.id_b
+       |JOIN srt rt ON rt.source = sa2.source
+       |LEFT JOIN pinter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |WHERE sa2.source = sb2.source AND rt.route = 'prefix'
+       |  AND (coalesce(i.ic, 0)::BIGINT * 1000000)
+       |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= $minPpm""".stripMargin
   }
 
   /** Oracle for `graph_link_predict`: the mutual-kNN edge set (same

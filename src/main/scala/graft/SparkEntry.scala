@@ -898,6 +898,23 @@ object SparkEntry {
       pairs.withColumn("route", lit(route))
     }),
 
+    "dedup_auto_route_mixed" -> ((s, dir) => {
+      // the dial's THIRD outcome (VERDICT r10 #7): per-SOURCE routing
+      // for mixed corpora. The realistic crawl shape is a closed-vocab
+      // core (templated/boilerplate sources) plus an open-vocab tail —
+      // a single corpus-global dial mis-serves one half. Each source
+      // is priced by ITS OWN size-biased mean-df statistic (ONE
+      // sampled profile pass for all sources, per-source sampling
+      // modulus), routed independently, and the union of the two path
+      // runs is restricted to within-source pairs (per-shard dedup
+      // semantics). The oracle recomputes the per-source dial AND both
+      // path replays in SQL, so every source's routing decision and
+      // routed pair set is hash-proven. SimilarityRouteSpec measures
+      // the mixed fixture where this beats BOTH single-path choices.
+      Dedup.similarityPairsAutoBySource(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // daily-ingestion shape: docs with doc_id % 10 >= 8 are "today's
       // batch", the rest are history known only through a persisted
@@ -8301,15 +8318,144 @@ object SparkEntry {
       // scoring: the 20-row eval slice broadcasts against the part
       // factors (v streams, never collects), and the anti-join's
       // ratings prune to the eval customers FIRST — the 100 TB shape:
-      // nothing matrix-sized crosses an executor boundary here
+      // nothing matrix-sized crosses an executor boundary here.
+      // Per-customer top-3 comes from the bounded top-k aggregate
+      // (map-side ≤3 per customer per partition — the
+      // curate_domain_cap discipline), NOT a rank window: a
+      // Window.partitionBy(c) over 20 customers is 20 parts-sized
+      // task-local sorts at 100M parts. (score desc, p asc) packs
+      // into one long key score_e6·2³¹ − p, exact while
+      // score_e6 < 2³² and 0 ≤ p < 2³¹ — guarded loudly (factors
+      // are nonnegative by construction: r ≥ 1, v₀ = 1e6; observed
+      // scores are ~2²⁶, part keys at the 100× key-shifted fixture
+      // reach ~2³⁰).
       val evalBought = ratings.filter(col("c") <= 20).select("c", "p")
-      v.crossJoin(broadcast(u.filter(col("c") <= 20)))
+      val uEval = u.filter(col("c") <= 20)
+      val pb = 1L << 31
+      val ord = when(col("score_e6") >= lit(Long.MaxValue / pb) ||
+          col("p") >= lit(pb) || col("p") < 0 || col("score_e6") < 0,
+          raise_error(concat(lit("als top-k pack out of range: p="),
+            col("p"), lit(" score_e6="), col("score_e6"))).cast("long"))
+        .otherwise(col("score_e6") * lit(pb) - col("p"))
+      val winners = v.crossJoin(broadcast(uEval))
         .withColumn("score_e6", expr("u_e6 * v_e6 div 1000000"))
         .join(broadcast(evalBought), Seq("c", "p"), "left_anti")
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("c")
-            .orderBy(col("score_e6").desc, col("p").asc)))
-        .filter(col("rank") <= 3)
+        .groupBy("c")
+        .agg(graft.expressions.TopKBy.top_k_by(ord, col("p"), 3)
+          .as("top"))
+        .select(col("c"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("c"), col("p"), (col("pos") + 1).cast("int")
+          .as("rank"))
+      // score re-derivation for the ≤60 winner rows: v streams
+      // against the broadcast winner/eval frames — map-only
+      v.join(broadcast(winners), Seq("p"))
+        .join(broadcast(uEval), Seq("c"))
+        .withColumn("score_e6", expr("u_e6 * v_e6 div 1000000"))
+        .select(col("c").as("o_custkey"), col("p").as("l_partkey"),
+          col("score_e6"), col("rank"))
+    }),
+
+    "recs_als_rank2" -> ((s, dir) => {
+      // rank-2 ALS (Zhou et al., AAIM'08) — the TRUE latent-factor
+      // member: rank-1 is popularity×affinity (one global axis);
+      // rank 2 is the first factorization that can separate taste
+      // dimensions. Per-entity update is the closed-form 2×2 ridge
+      // normal-equation solve (AᵀA + λI)x = Aᵀb via CRAMER'S RULE —
+      // the ml_ridge_normal discipline distributed: each alternation
+      // is ONE join + rollup producing the five Gram sums
+      // (a11, a12, a22, b1, b2) per entity, then a map-only exact
+      // solve. Exactness: factors are e6 longs; Gram sums use the
+      // rank-1 per-term div-1e6 truncation (deterministic under any
+      // partitioning); Cramer's determinant/numerators clear into
+      // DECIMAL(38,0) (the ml_target_encode discipline — n ≤ ~10²⁶,
+      // n·1e6 ≤ ~10³² « 10³⁸) and ONE integral division lands the
+      // factor back in e6 longs. Symmetry breaking: v₂ init is a
+      // Knuth multiplicative-hash spread in [−1e6, 1e6] (identical
+      // init columns would make every normal matrix singular and
+      // collapse the factorization to rank-1 twice); replayable with
+      // exact integer arithmetic in any engine. det ≤ 0 cannot occur
+      // while Gram truncation error « λ² (real det ≥ λ·tr(A)+λ² > 0);
+      // the clamped-to-1 twin keeps both engines defined-and-identical
+      // even then (the KW degenerate convention). Signed integral
+      // division is safe cross-engine: Spark `div` and DuckDB `//`
+      // both truncate toward zero (verified: −7÷2 → −3 in both).
+      // Scale: identical shuffle shape to rank-1 — factor frames keyed
+      // by entity only, eval slice broadcast, bounded top-k winners.
+      val d = "decimal(38,0)"
+      val ratings = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(sum(col("l_quantity").cast("long")).as("r"))
+        .localCheckpoint(true) // 4 factor rollups + anti-join read it
+      val lam = 100000L // λ = 0.1 in e6
+      // closed-form 2×2 solve: (f1, f2) from the five Gram sums
+      def cramer(keyCol: String): Seq[Column] = Seq(
+        col(keyCol),
+        expr(s"cast((cast(b1 as $d) * cast(a22l as $d)" +
+          s" - cast(b2 as $d) * cast(a12 as $d)) * 1000000 div" +
+          s" greatest(cast(a11l as $d) * cast(a22l as $d)" +
+          s" - cast(a12 as $d) * cast(a12 as $d), cast(1 as $d))" +
+          s" as long)").as("f1"),
+        expr(s"cast((cast(b2 as $d) * cast(a11l as $d)" +
+          s" - cast(b1 as $d) * cast(a12 as $d)) * 1000000 div" +
+          s" greatest(cast(a11l as $d) * cast(a22l as $d)" +
+          s" - cast(a12 as $d) * cast(a12 as $d), cast(1 as $d))" +
+          s" as long)").as("f2"))
+      def gram(df: DataFrame, joinKey: String, outKey: String) =
+        ratings.join(df.withColumnRenamed("f1", "g1")
+            .withColumnRenamed("f2", "g2"), Seq(joinKey))
+          .groupBy(outKey)
+          .agg(sum(expr("g1 * g1 div 1000000")).as("a11"),
+            sum(expr("g1 * g2 div 1000000")).as("a12"),
+            sum(expr("g2 * g2 div 1000000")).as("a22"),
+            sum(col("r") * col("g1")).as("b1"),
+            sum(col("r") * col("g2")).as("b2"))
+          .withColumn("a11l", col("a11") + lam)
+          .withColumn("a22l", col("a22") + lam)
+          .select(cramer(outKey): _*)
+          .localCheckpoint(true) // next half-step + scoring read it
+      var v = ratings.select("p").distinct()
+        .withColumn("f1", lit(1000000L))
+        .withColumn("f2",
+          expr("(p * 2654435761) % 2000001 - 1000000"))
+      var u: DataFrame = null
+      for (_ <- 1 to 2) {
+        u = gram(v, "p", "c")
+        v = gram(u, "c", "p")
+      }
+      // scoring: same 100 TB shape as rank-1 — eval slice broadcast,
+      // anti-join right side pruned first, per-customer top-3 from
+      // the bounded top-k aggregate. score may be NEGATIVE at rank 2
+      // (signed second factor): the score·2³¹ − p pack stays order-
+      // preserving for signed scores while |score_e6| < 2³² — guarded
+      val uE = u.withColumnRenamed("f1", "u1")
+        .withColumnRenamed("f2", "u2")
+      val vE = v.withColumnRenamed("f1", "v1")
+        .withColumnRenamed("f2", "v2")
+      val evalBought = ratings.filter(col("c") <= 20).select("c", "p")
+      val uEval = uE.filter(col("c") <= 20)
+      val scoreE = expr(s"cast((cast(u1 as $d) * cast(v1 as $d)" +
+        s" + cast(u2 as $d) * cast(v2 as $d)) div 1000000 as long)")
+      val pb = 1L << 31
+      val ord = when(abs(col("score_e6")) >= lit(Long.MaxValue / pb) ||
+          col("p") >= lit(pb) || col("p") < 0,
+          raise_error(concat(lit("als2 top-k pack out of range: p="),
+            col("p"), lit(" score_e6="), col("score_e6"))).cast("long"))
+        .otherwise(col("score_e6") * lit(pb) - col("p"))
+      val winners = vE.crossJoin(broadcast(uEval))
+        .withColumn("score_e6", scoreE)
+        .join(broadcast(evalBought), Seq("c", "p"), "left_anti")
+        .groupBy("c")
+        .agg(graft.expressions.TopKBy.top_k_by(ord, col("p"), 3)
+          .as("top"))
+        .select(col("c"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("c"), col("p"), (col("pos") + 1).cast("int")
+          .as("rank"))
+      vE.join(broadcast(winners), Seq("p"))
+        .join(broadcast(uEval), Seq("c"))
+        .withColumn("score_e6", scoreE)
         .select(col("c").as("o_custkey"), col("p").as("l_partkey"),
           col("score_e6"), col("rank"))
     }),
@@ -10153,6 +10299,7 @@ object SparkEntry {
     "dedup_minhash" -> OracleSql.dedupMinhash(numHashes = 16, rowsPerBand = 2),
 
     "dedup_auto_route" -> OracleSql.dedupAutoRoute(),
+    "dedup_auto_route_mixed" -> OracleSql.dedupAutoRouteBySource(),
 
     "dedup_containment" -> OracleSql.dedupContainment(
       numHashes = 16, rowsPerBand = 2, minCont = 0.5),
@@ -10956,6 +11103,7 @@ object SparkEntry {
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "recs_als_rank1" -> OracleSql.recsAlsRank1(),
+    "recs_als_rank2" -> OracleSql.recsAlsRank2(),
 
     "recs_item_cosine" ->
       """WITH li AS (

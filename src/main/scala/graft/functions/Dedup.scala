@@ -437,6 +437,118 @@ object Dedup {
     }
   }
 
+  /** Per-source routing dial: [[sizeBiasedMeanDf]] computed for EVERY
+    * source in ONE sampled profile pass — `(source, load)` out. The
+    * realistic crawl shape is MIXED: a closed-vocabulary core (forum
+    * boilerplate, templated listings) plus an open-vocabulary tail,
+    * and a single corpus-global dial mis-serves one half. Per-source
+    * sampling modulus: sources at or below `sampleCutoff` docs profile
+    * in full (mod 1), bigger sources on the deterministic
+    * 1/`sampleMod` xxhash64(doc_id) slice with the same exact
+    * expectation inversion — the per-source doc counts come from one
+    * narrow rollup (sources are a bounded enum; the frame broadcasts).
+    * A source whose sampled slice is empty emits no row — callers
+    * treat missing as load 0 (cold → the exact path).
+    */
+  def sizeBiasedMeanDfBySource(docs: DataFrame, idCol: String,
+                               textCol: String, sourceCol: String,
+                               shingleN: Int = 3,
+                               sampleCutoff: Long = 8192L,
+                               sampleMod: Int = 16): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__src"),
+        when(col("__n") <= sampleCutoff, 1L)
+          .otherwise(sampleMod.toLong).as("__m"))
+    docs.join(broadcast(counts), col(sourceCol) === col("__src"))
+      .filter(pmod(xxhash64(col(idCol)), col("__m")) === 0)
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(sourceCol).as("source"), col("__m"),
+        col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), shingleN)).as("token"))
+      .distinct()
+      .groupBy("source", "__m", "token")
+      .agg(count(lit(1)).as("df"))
+      .groupBy("source", "__m")
+      .agg(sum("df").as("p"), sum(col("df") * col("df")).as("sq"))
+      .select(col("source"),
+        (lit(1.0) + (col("sq").cast("double") / col("p") - 1.0)
+          * col("__m")).as("load"))
+  }
+
+  /** The routing dial's third outcome (VERDICT r10 #7): per-SOURCE
+    * auto-routed similarity pairs for mixed corpora. Each source is
+    * routed by ITS OWN measured dial — closed-vocab sources take the
+    * banded MinHash-LSH path, open-vocab sources the exact
+    * prefix-filter path — and the result is the union, restricted to
+    * WITHIN-source pairs (the per-shard dedup semantics every crawl
+    * pipeline uses; cross-source near-dups are a separate,
+    * containment-shaped question).
+    *
+    * Scale shape: ONE profile pass prices every source (never a scan
+    * per source), each underlying path runs ONCE over the union of
+    * its routed sources (never a run per source — banding and exact
+    * verification make the subset-union run pair-identical to
+    * per-source runs after the same-source restriction: signatures
+    * are per-doc, and the prefix filter is lossless under ANY global
+    * df order), and the same-source restriction is two narrow
+    * id-keyed joins against the (doc_id, source) map. The per-source
+    * route list itself is a sources-sized collect — a bounded enum,
+    * the dimension-collect discipline.
+    *
+    * Output: `(id_a, id_b, sim_ppm, source, route)` — exact Jaccard
+    * ppm on prefix-routed sources, signature-estimated ppm on
+    * banded-routed ones.
+    */
+  def similarityPairsAutoBySource(docs: DataFrame, idCol: String,
+                                  textCol: String, sourceCol: String,
+                                  minSim: Double = 0.5,
+                                  shingleN: Int = 3, numHashes: Int = 16,
+                                  rowsPerBand: Int = 2,
+                                  hotBucketThreshold: Double = 8.0,
+                                  sampleCutoff: Long = 8192L,
+                                  sampleMod: Int = 16): DataFrame = {
+    val loads = sizeBiasedMeanDfBySource(docs, idCol, textCol,
+        sourceCol, shingleN, sampleCutoff, sampleMod)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val allSrcs = docs.select(col(sourceCol).cast("string"))
+      .distinct().collect().map(_.getString(0))
+    val bandedSrcs = allSrcs.filter(s =>
+      loads.getOrElse(s, 0.0) >= hotBucketThreshold).toSeq
+    val prefixSrcs = allSrcs.filterNot(bandedSrcs.contains).toSeq
+    val srcMap = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).cast("string").as("source"))
+    def sameSource(pairs: DataFrame): DataFrame = pairs
+      .join(srcMap.select(col("doc_id").as("id_a"),
+        col("source").as("__sa")), Seq("id_a"))
+      .join(srcMap.select(col("doc_id").as("id_b"),
+        col("source").as("__sb")), Seq("id_b"))
+      .filter(col("__sa") === col("__sb"))
+      .withColumn("source", col("__sa"))
+      .drop("__sa", "__sb")
+    val minEst = math.round(minSim * 10000).toDouble / 10000
+    val branches = Seq(
+      if (bandedSrcs.isEmpty) None else Some(sameSource(
+        minHashCandidates(
+          docs.filter(col(sourceCol).isin(bandedSrcs: _*)),
+          idCol, textCol, shingleN, numHashes, rowsPerBand)
+          .filter(col("est_jaccard") >= lit(minEst))
+          .select(col("id_a"), col("id_b"),
+            round(col("est_jaccard") * 1000000).cast("long")
+              .as("sim_ppm")))
+        .withColumn("route", lit("banded"))),
+      if (prefixSrcs.isEmpty) None else Some(sameSource(
+        prefixFilterPairs(
+          docs.filter(col(sourceCol).isin(prefixSrcs: _*)),
+          idCol, textCol, minSim, shingleN)
+          .select(col("id_a"), col("id_b"),
+            col("jac_ppm").as("sim_ppm")))
+        .withColumn("route", lit("prefix")))).flatten
+    require(branches.nonEmpty,
+      "similarityPairsAutoBySource: empty corpus, nothing to route")
+    branches.reduce(_ unionByName _)
+  }
+
   /** Link prediction over an undirected graph by the Resource
     * Allocation index (Zhou, Lü & Zhang, EPJ B 2009): for each
     * NON-adjacent pair (x, z) with at least one common neighbor,

@@ -548,14 +548,56 @@ class PlanHygieneSpec extends SparkSpec {
     // the anti-join must consume a BROADCAST of the eval-pruned
     // ratings (never shuffle the 55M-row matrix), and no
     // CartesianProduct may appear anywhere
-    val plan = SparkEntry.queries("recs_als_rank1")(
-      spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    val exec = SparkEntry.queries("recs_als_rank1")(
+      spark, sf("sf0.001")).queryExecution.executedPlan
+    val plan = exec.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"),
       s"unguided cross product in the ALS plan:\n${plan.take(1500)}")
     assert(plan.contains("LeftAnti, BuildRight") ||
       plan.contains("LeftAnti, BuildLeft"),
       s"anti-join not broadcast:\n${plan.take(1500)}")
+    // r10 verdict #3: the per-customer top-3 is the bounded top_k_by
+    // aggregate — a rank window here is 20 parts-sized task sorts
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val unwrapped = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(unwrapped.collect { case w: WindowExec => w }.isEmpty,
+      s"ALS scoring must not window-sort the part factors:\n" +
+        plan.take(1500))
+    assert(unwrapped.collect { case s: SortExec => s }.isEmpty,
+      s"ALS scoring must not sort the part factors:\n${plan.take(1500)}")
+    assert(plan.contains("top_k_by"),
+      "ALS winners must come from the bounded top_k_by aggregate")
+  }
+
+  test("rank-2 ALS keeps the rank-1 scoring shape: broadcast eval " +
+      "slice, broadcast pruned bought set, bounded top-k, no sorts") {
+    val exec = SparkEntry.queries("recs_als_rank2")(
+      spark, sf("sf0.001")).queryExecution.executedPlan
+    val plan = exec.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      s"unguided cross product in the ALS2 plan:\n${plan.take(1500)}")
+    assert(plan.contains("LeftAnti, BuildRight") ||
+      plan.contains("LeftAnti, BuildLeft"),
+      s"anti-join not broadcast:\n${plan.take(1500)}")
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val unwrapped = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(unwrapped.collect { case w: WindowExec => w }.isEmpty,
+      s"ALS2 scoring must not window-sort the part factors:\n" +
+        plan.take(1500))
+    assert(unwrapped.collect { case s: SortExec => s }.isEmpty,
+      s"ALS2 scoring must not sort the part factors:\n${plan.take(1500)}")
+    assert(plan.contains("top_k_by"),
+      "ALS2 winners must come from the bounded top_k_by aggregate")
   }
 
   test("isolation forest walk stays map-side: one rollup shuffle " +
