@@ -2315,6 +2315,61 @@ object OracleSql {
     sb.toString
   }
 
+  /** Oracle for `graph_louvain`: the deterministic synchronous
+    * modularity local move replayed — per round, each node's candidate
+    * communities (neighbor communities + its own, max-deduped k_{i,c}),
+    * the exact integer gain 2m·k_{i,c} − k_i·(d_c − [c = c_i]·k_i),
+    * argmax by (gain DESC, comm ASC). Mirrors
+    * [[graft.functions.Dedup.louvainLocalMove]] over the near-dup
+    * graph.
+    */
+  def graphLouvain(numHashes: Int = 16, rowsPerBand: Int = 2,
+                   rounds: Int = 2): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH ${tokenHashCtes()},
+         |${shingleHashCtes()},
+         |${minhashCtes(numHashes, rowsPerBand)},
+         |${edgeCtes(numHashes)},
+         |ldeg AS MATERIALIZED (
+         |  SELECT src AS node, count(*)::BIGINT AS ki
+         |  FROM edges GROUP BY 1),
+         |lm AS (SELECT (count(*) / 2)::BIGINT AS m FROM edges),
+         |c0 AS (SELECT id AS node, id AS comm FROM verts)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++=
+        s""",
+           |dc$r AS (SELECT c.comm, sum(d.ki)::BIGINT AS dc
+           |  FROM c${r - 1} c JOIN ldeg d USING (node) GROUP BY 1),
+           |kic$r AS (
+           |  SELECT e.src AS node, c.comm, count(*)::BIGINT AS kic
+           |  FROM edges e JOIN c${r - 1} c ON c.node = e.dst
+           |  GROUP BY 1, 2),
+           |cd$r AS (SELECT node, comm, max(kic)::BIGINT AS kic FROM (
+           |  SELECT node, comm, kic FROM kic$r
+           |  UNION ALL SELECT node, comm, 0::BIGINT FROM c${r - 1})
+           |  GROUP BY 1, 2),
+           |sc$r AS (
+           |  SELECT a.node, a.comm,
+           |    (2 * m.m * a.kic - d.ki * (dc.dc
+           |      - CASE WHEN a.comm = cur.comm THEN d.ki
+           |        ELSE 0 END))::BIGINT AS gain
+           |  FROM cd$r a JOIN dc$r dc USING (comm)
+           |  JOIN c${r - 1} cur ON cur.node = a.node
+           |  JOIN ldeg d ON d.node = a.node
+           |  CROSS JOIN lm m),
+           |c$r AS MATERIALIZED (SELECT node, comm FROM (
+           |  SELECT node, comm, row_number() OVER (PARTITION BY node
+           |    ORDER BY gain DESC, comm ASC) AS rn
+           |  FROM sc$r) WHERE rn = 1)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT node AS doc_id, comm AS community
+         |FROM c$rounds""".stripMargin
+    sb.toString
+  }
+
   /** Oracle for `export_shards`: xxhash64(doc_id) mod nShards shard
     * assignment (the integer-hash CTE chain) + per-shard volume stats.
     */
@@ -2857,6 +2912,48 @@ object OracleSql {
        |  ((sum(CASE WHEN np >= 14 THEN 1 ELSE 0 END)::BIGINT * 1000000)
        |    // count(*))::BIGINT AS heavy_ppm
        |FROM m GROUP BY 1""".stripMargin
+
+  /** Oracle for `events_sprt`: Wald's SPRT replayed — the same
+    * xxhash64 arm assignment, daily purchase rollup, cumulative
+    * counts, and the PRECOMPUTED integer log-likelihood constants
+    * (182322 / −68993 e6 per trial, boundary ±2944439) — pure
+    * integer arithmetic end to end, no libm in either engine.
+    */
+  def eventsSprt(lnA: Long = 182322L, lnB: Long = -68993L,
+                 up: Long = 2944439L): String =
+    s"""WITH ${idHashCtes("(SELECT DISTINCT user_id FROM events)",
+         "user_id")},
+       |arm1 AS MATERIALIZED (
+       |  SELECT user_id, ((hv % 2) + 2) % 2 AS arm FROM hashed),
+       |daily AS MATERIALIZED (
+       |  SELECT datediff('day', DATE '2024-01-01', e.ts::DATE)
+       |      ::BIGINT AS day,
+       |    count(*)::BIGINT AS n,
+       |    sum((e.event_type = 'purchase')::BIGINT)::BIGINT AS c
+       |  FROM events e JOIN arm1 a USING (user_id)
+       |  WHERE a.arm = 1 GROUP BY 1),
+       |cum AS (
+       |  SELECT day,
+       |    sum(n) OVER w::BIGINT AS n_cum,
+       |    sum(c) OVER w::BIGINT AS conv_cum
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day ASC ROWS BETWEEN UNBOUNDED
+       |    PRECEDING AND CURRENT ROW)),
+       |llr AS (
+       |  SELECT day, n_cum, conv_cum,
+       |    (conv_cum * $lnA + (n_cum - conv_cum) * ($lnB))::BIGINT
+       |      AS llr_e6
+       |  FROM cum),
+       |v AS (
+       |  SELECT day, n_cum, conv_cum, llr_e6,
+       |    (CASE WHEN llr_e6 >= $up THEN 1
+       |      WHEN llr_e6 <= -$up THEN -1 ELSE 0 END)::BIGINT
+       |      AS verdict
+       |  FROM llr)
+       |SELECT day, n_cum, conv_cum, llr_e6, verdict,
+       |  max(abs(verdict)) OVER (ORDER BY day ASC ROWS BETWEEN
+       |    UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS stopped
+       |FROM v""".stripMargin
 
   /** Oracle for `events_bandit_replay`: the epsilon-greedy replay
     * rebuilt end-to-end — xxhash64(day) and xxhash64(day + 777)

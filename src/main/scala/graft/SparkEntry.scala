@@ -3843,6 +3843,25 @@ object SparkEntry {
       Dedup.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
     }),
 
+    "graph_louvain" -> ((s, dir) => {
+      // modularity-OPTIMIZING community detection (Blondel et al. 2008
+      // phase 1, deterministic synchronous variant) — the member
+      // graph_label_prop can't replace: label prop follows majority
+      // labels and can glue along bridges; the Louvain local move
+      // prices every candidate community by the exact integer
+      // modularity-gain numerator 2m·k_ic − k_i·d_c^(−i) and moves
+      // only where Q improves (ties to the smallest community id, so
+      // the sweep is replayable — sequential Louvain is
+      // order-dependent and no oracle could twin it). 2 sweeps; the
+      // LouvainSpec proves the resulting partition's modularity (via
+      // the graph_modularity formula) is >= label prop's on the
+      // bridge-glue fixture.
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.louvainLocalMove(pairs, "id_a", "id_b", rounds = 2)
+    }),
+
     "export_shards" -> ((s, dir) =>
       Packing.shardManifest(t(s, dir, "documents"), "doc_id", "text", 8)),
 
@@ -4153,6 +4172,72 @@ object SparkEntry {
       hist.unionAll(delta)
         .groupBy("event_type")
         .agg(Bitmaps.bitmap_merge_count(col("bm")).as("n_users"))
+    }),
+
+    "orders_regression_discontinuity" -> ((s, dir) => {
+      // sharp regression discontinuity (Thistlethwaite–Campbell 1960;
+      // local linear per Imbens–Lemieux 2008) — the causal-family
+      // member the A/B/DiD/IPW/CEM kit can't express: treatment is
+      // assigned by a DETERMINISTIC cutoff on a running variable
+      // (here: does crossing the $250k spend threshold change the
+      // urgent/high-priority rate?), so the effect is identified by
+      // the jump between two local linear fits AT the cutoff, inside
+      // a ±$50k bandwidth. Exact-integer: the running variable lives
+      // in cents centered at the cutoff (dx), the outcome is a {0,1}
+      // flag; per (status, side) the five OLS sums accumulate with
+      // Σdx² in DECIMAL(38,0) FROM BIRTH (dx ≤ 5e6 → dx² ≤ 2.5e13;
+      // ~1e7 in-bandwidth rows would overflow a long — the KW overflow
+      // lesson applied at design time), and the cutoff intercepts come
+      // from the closed-form 2×2 normal equations by Cramer (num, den
+      // ≤ ~1e27 « 1e38), ONE integral division per side. Degenerate
+      // guard (the KW convention): den = n·Σdx² − (Σdx)² ≥ 0 by
+      // Cauchy–Schwarz, 0 only when a side has < 2 distinct dx values
+      // — the clamped-to-1 twin + ok gate return a defined 0 row
+      // identically in both engines. Scale: one fact scan with the
+      // bandwidth filter pushed to the parquet scan, ONE 3-group
+      // map-side-combined rollup, map-only Cramer over 3 rows.
+      val d = "decimal(38,0)"
+      val cC = 25000000L // cutoff: $250,000.00 in cents
+      val hC = 5000000L  // bandwidth: ±$50,000.00 in cents
+      val o = t(s, dir, "orders")
+        .select(col("o_orderstatus").as("status"),
+          (round(col("o_totalprice") * 100).cast("long") - cC)
+            .as("dx"),
+          substring(col("o_orderpriority"), 1, 1).isin("1", "2")
+            .cast("long").as("y"))
+        .filter(col("dx") >= -hC && col("dx") <= hC)
+        .withColumn("r", (col("dx") >= 0).cast("long"))
+      def sums(tag: String, side: Int) = Seq(
+        expr(s"sum(case when r = $side then 1L else 0L end)")
+          .as(s"n$tag"),
+        expr(s"sum(case when r = $side then dx else 0L end)")
+          .as(s"sx$tag"),
+        expr(s"sum(case when r = $side then y else 0L end)")
+          .as(s"sy$tag"),
+        expr(s"sum(case when r = $side then dx * y else 0L end)")
+          .as(s"sxy$tag"),
+        expr(s"sum(case when r = $side then cast(dx as $d) * dx" +
+          s" else cast(0 as $d) end)").as(s"sxx$tag"))
+      val agg = sums("l", 0) ++ sums("r", 1)
+      def alpha(tag: String): String =
+        s"(sxx$tag * cast(sy$tag as $d) - cast(sx$tag as $d)" +
+          s" * sxy$tag) * 1000000 div greatest(cast(n$tag as $d)" +
+          s" * sxx$tag - cast(sx$tag as $d) * sx$tag, cast(1 as $d))"
+      o.groupBy("status").agg(agg.head, agg.tail: _*)
+        .withColumn("ok",
+          (col("nl") >= 2 && col("nr") >= 2 &&
+            expr(s"cast(nl as $d) * sxxl - cast(sxl as $d) * sxl") >
+              expr(s"cast(0 as $d)") &&
+            expr(s"cast(nr as $d) * sxxr - cast(sxr as $d) * sxr") >
+              expr(s"cast(0 as $d)")).cast("long"))
+        .withColumn("al", when(col("ok") === 1L,
+          expr(alpha("l"))).otherwise(0L))
+        .withColumn("ar", when(col("ok") === 1L,
+          expr(alpha("r"))).otherwise(0L))
+        .select(col("status"), col("nl").as("n_left"),
+          col("nr").as("n_right"), col("ok"),
+          col("al").as("alpha_left_e6"), col("ar").as("alpha_right_e6"),
+          (col("ar") - col("al")).as("tau_e6"))
     }),
 
     "orders_cox_ph" -> ((s, dir) => {
@@ -4933,6 +5018,52 @@ object SparkEntry {
           (col("cw") - col("wt")) * 100 < col("q") * col("tot"))
         .select(col("l_returnflag"), col("q"),
           col("l_extendedprice").as("value"))
+    }),
+
+    "events_sprt" -> ((s, dir) => {
+      // Wald's Sequential Probability Ratio Test (Wald 1945) — the
+      // SEQUENTIAL member the experimentation kit lacked: the A/B/
+      // power/CUPED queries are fixed-horizon, but a live experiment
+      // wants to STOP as soon as the evidence crosses a boundary,
+      // with error rates guaranteed by construction. H0: purchase
+      // share p = 0.25 vs H1: p = 0.30 on the treatment arm's event
+      // stream (arm = pmod(xxhash64(user_id), 2), the events_ab_test
+      // assignment), monitored daily. ZERO floats in either engine:
+      // the per-trial log-likelihood increments are precomputed
+      // integer constants (ln(p1/p0)·1e6 = 182322, ln(q1/q0)·1e6 =
+      // −68993 — literals, not libm calls), so LLR_e6 = c·182322 +
+      // (n−c)·(−68993) is exact integer arithmetic, compared against
+      // the Wald boundary ±ln(0.95/0.05)·1e6 = ±2944439 (α = β =
+      // 0.05). verdict: +1 accept H1, −1 accept H0, 0 continue;
+      // `stopped` = has any boundary been crossed by this day (the
+      // test's actual stopping rule — a cumulative max over the
+      // day-domain window). Scale: one map-side-combined daily
+      // rollup; the cumulative windows run over the calendar-bounded
+      // daily frame, never raw events.
+      val lnA = 182322L
+      val lnB = -68993L
+      val up = 2944439L
+      val ev = t(s, dir, "events")
+        .filter(pmod(xxhash64(col("user_id")), lit(2)) === 1)
+        .select(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("day"),
+          (col("event_type") === "purchase").cast("long").as("x"))
+      val daily = ev.groupBy("day")
+        .agg(count(lit(1)).as("n"), sum("x").as("c"))
+      val wCum = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("n_cum", sum("n").over(wCum))
+        .withColumn("conv_cum", sum("c").over(wCum))
+        .withColumn("llr_e6",
+          col("conv_cum") * lnA + (col("n_cum") - col("conv_cum"))
+            * lnB)
+        .withColumn("verdict",
+          when(col("llr_e6") >= up, 1L)
+            .when(col("llr_e6") <= -up, -1L).otherwise(0L))
+        .withColumn("stopped", max(abs(col("verdict"))).over(wCum))
+        .select("day", "n_cum", "conv_cum", "llr_e6", "verdict",
+          "stopped")
     }),
 
     "events_ab_test" -> ((s, dir) => {
@@ -8208,6 +8339,48 @@ object SparkEntry {
           col("mmr_e7"))
     }),
 
+    "cluster_single_linkage" -> ((s, dir) => {
+      // exact single-linkage HIERARCHICAL clustering, 1D special case
+      // (Sibson's SLINK semantics; in one dimension the dendrogram is
+      // closed-form): the agglomerative member the partitional family
+      // (k-means = centroid, DBSCAN = density) can't express — merge
+      // heights ARE the sorted neighbor gaps, so the exact k-cluster
+      // solution cuts the k−1 LARGEST gaps (ties: gap desc, x asc) of
+      // the first embedding coordinate. No iteration, no candidate
+      // joins: the full dendrogram collapses to one distinct-value
+      // rollup (coordinates in e6 longs — the DBSCAN discipline, so
+      // gap arithmetic is exact integers) plus windows over that
+      // ROLLUP frame (the mann_whitney discipline — bounded by the
+      // coordinate domain, never the row count; duplicate mass rides
+      // along as multiplicity). Output: the k clusters in coordinate
+      // order with population, extent, and the dendrogram height
+      // (split_gap) at which each separates from its right neighbor —
+      // i.e. the top of the merge tree, hash-checkable.
+      val K = 8
+      val pts = t(s, dir, "embeddings")
+        .select(floor(col("embedding").getItem(0).cast("double")
+          * 1000000.0 + 0.5).cast("long").as("x"))
+        .groupBy("x").agg(count(lit(1)).as("mult"))
+      val wOrd = Window.orderBy(col("x").asc)
+      val g = pts.withColumn("nxt", lead(col("x"), 1).over(wOrd))
+        .withColumn("gap", coalesce(col("nxt") - col("x"), lit(0L)))
+      val ranked = g.withColumn("rk", row_number().over(
+          Window.orderBy(col("gap").desc, col("x").asc)))
+        .withColumn("cut",
+          (col("rk") <= K - 1 && col("nxt").isNotNull).cast("long"))
+      val wCum = Window.orderBy(col("x").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranked
+        .withColumn("cluster_idx",
+          coalesce(sum(col("cut")).over(wCum), lit(0L)))
+        .groupBy("cluster_idx")
+        .agg(sum("mult").as("n_points"),
+          count(lit(1)).as("n_distinct"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          max(when(col("cut") === 1L, col("gap")).otherwise(lit(0L)))
+            .as("split_gap"))
+    }),
+
     "cluster_dbscan_grid" -> ((s, dir) => {
       // grid-accelerated DBSCAN (Ester et al. 1996) over the first two
       // embedding coordinates — the DENSITY clustering the centroid
@@ -10753,6 +10926,50 @@ object SparkEntry {
 
     "orders_cox_ph" -> OracleSql.ordersCoxPh(),
 
+    "orders_regression_discontinuity" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderstatus AS status,
+        |    (round(o_totalprice * 100)::BIGINT - 25000000) AS dx,
+        |    (substr(o_orderpriority, 1, 1) IN ('1', '2'))::BIGINT AS y
+        |  FROM orders
+        |  WHERE round(o_totalprice * 100)::BIGINT - 25000000
+        |    BETWEEN -5000000 AND 5000000),
+        |g AS MATERIALIZED (
+        |  SELECT status,
+        |    sum(CASE WHEN dx < 0 THEN 1 ELSE 0 END)::BIGINT AS nl,
+        |    sum(CASE WHEN dx < 0 THEN dx ELSE 0 END)::BIGINT AS sxl,
+        |    sum(CASE WHEN dx < 0 THEN y ELSE 0 END)::BIGINT AS syl,
+        |    sum(CASE WHEN dx < 0 THEN dx * y ELSE 0 END)::BIGINT
+        |      AS sxyl,
+        |    sum(CASE WHEN dx < 0 THEN dx::HUGEINT * dx
+        |      ELSE 0::HUGEINT END) AS sxxl,
+        |    sum(CASE WHEN dx >= 0 THEN 1 ELSE 0 END)::BIGINT AS nr,
+        |    sum(CASE WHEN dx >= 0 THEN dx ELSE 0 END)::BIGINT AS sxr,
+        |    sum(CASE WHEN dx >= 0 THEN y ELSE 0 END)::BIGINT AS syr,
+        |    sum(CASE WHEN dx >= 0 THEN dx * y ELSE 0 END)::BIGINT
+        |      AS sxyr,
+        |    sum(CASE WHEN dx >= 0 THEN dx::HUGEINT * dx
+        |      ELSE 0::HUGEINT END) AS sxxr
+        |  FROM o GROUP BY 1),
+        |a AS (
+        |  SELECT status, nl, nr,
+        |    (nl >= 2 AND nr >= 2
+        |      AND nl::HUGEINT * sxxl - sxl::HUGEINT * sxl > 0
+        |      AND nr::HUGEINT * sxxr - sxr::HUGEINT * sxr > 0)::BIGINT
+        |      AS ok,
+        |    ((sxxl * syl::HUGEINT - sxl::HUGEINT * sxyl) * 1000000
+        |      // greatest(nl::HUGEINT * sxxl - sxl::HUGEINT * sxl,
+        |        1::HUGEINT))::BIGINT AS al,
+        |    ((sxxr * syr::HUGEINT - sxr::HUGEINT * sxyr) * 1000000
+        |      // greatest(nr::HUGEINT * sxxr - sxr::HUGEINT * sxr,
+        |        1::HUGEINT))::BIGINT AS ar
+        |  FROM g)
+        |SELECT status, nl AS n_left, nr AS n_right, ok,
+        |  CASE WHEN ok = 1 THEN al ELSE 0 END AS alpha_left_e6,
+        |  CASE WHEN ok = 1 THEN ar ELSE 0 END AS alpha_right_e6,
+        |  CASE WHEN ok = 1 THEN ar - al ELSE 0 END AS tau_e6
+        |FROM a""".stripMargin,
+
     "orders_survival_km" ->
       """WITH od AS (
         |  SELECT o_custkey, o_orderdate::DATE AS od FROM orders),
@@ -11197,6 +11414,7 @@ object SparkEntry {
         |LIMIT 20""".stripMargin,
 
     "events_ab_test" -> OracleSql.eventsAbTest(),
+    "events_sprt" -> OracleSql.eventsSprt(),
     "events_bandit_replay" -> OracleSql.eventsBanditReplay(),
     "multimodal_ahash" -> OracleSql.multimodalAhash(),
 
@@ -12076,6 +12294,39 @@ object SparkEntry {
     "events_ab_cuped" -> OracleSql.eventsAbCuped(),
 
     "graph_modularity" -> OracleSql.graphModularity(),
+    "graph_louvain" -> OracleSql.graphLouvain(),
+
+    "cluster_single_linkage" ->
+      """WITH pts AS MATERIALIZED (
+        |  SELECT floor(embedding[1]::DOUBLE * 1000000.0 + 0.5)::BIGINT
+        |      AS x,
+        |    count(*)::BIGINT AS mult
+        |  FROM embeddings GROUP BY 1),
+        |g AS MATERIALIZED (
+        |  SELECT x, mult, lead(x) OVER (ORDER BY x ASC) AS nxt,
+        |    coalesce(lead(x) OVER (ORDER BY x ASC) - x, 0)::BIGINT
+        |      AS gap
+        |  FROM pts),
+        |rk AS MATERIALIZED (
+        |  SELECT x, mult, nxt, gap,
+        |    row_number() OVER (ORDER BY gap DESC, x ASC) AS rk
+        |  FROM g),
+        |cuts AS MATERIALIZED (
+        |  SELECT x, mult, gap,
+        |    (rk <= 7 AND nxt IS NOT NULL)::BIGINT AS cut
+        |  FROM rk),
+        |cl AS (
+        |  SELECT x, mult, gap, cut,
+        |    coalesce(sum(cut) OVER (ORDER BY x ASC ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |      AS cluster_idx
+        |  FROM cuts)
+        |SELECT cluster_idx, sum(mult)::BIGINT AS n_points,
+        |  count(*)::BIGINT AS n_distinct,
+        |  min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+        |  max(CASE WHEN cut = 1 THEN gap ELSE 0 END)::BIGINT
+        |    AS split_gap
+        |FROM cl GROUP BY 1""".stripMargin,
 
     "events_diff_in_diff" -> OracleSql.eventsDiffInDiff(),
 

@@ -1150,6 +1150,76 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("community"))
   }
 
+  /** Louvain-style modularity local move (Blondel–Guillaume–Lambiotte–
+    * Lefebvre, J. Stat. Mech. 2008, phase 1) — the community detection
+    * that OPTIMIZES modularity, where [[labelPropagation]] merely
+    * follows majority labels (graph_modularity scores a partition;
+    * this one improves it). Deterministic synchronous variant:
+    * `rounds` sweeps where every node simultaneously moves to the
+    * candidate community (its neighbors' communities plus its own)
+    * maximizing the exact integer gain score 2m·k_{i,c} − k_i·d_c^{−i}
+    * (the standard ΔQ numerator with the constant self-terms dropped —
+    * they are equal across a node's candidates, so the argmax is the
+    * true Louvain local move), ties to the SMALLEST community id.
+    * Sequential Louvain is order-dependent; the synchronous sweep is
+    * replayable in any engine, which is what makes the oracle a plain
+    * SQL twin.
+    *
+    * Scale shape per round: one (node, neighbor-community) rollup over
+    * the edge list (the corpus-sized shuffle), one community-degree
+    * rollup, keyed joins, and a per-node argmax via min/max-by struct
+    * (bounded by degree). The 1-row edge-count frame broadcasts.
+    * Bound stated: gains live in longs — exact while
+    * 2m·deg_max < 2⁶³.
+    */
+  def louvainLocalMove(pairs: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = pairs
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("ki"))
+      .localCheckpoint(true)
+    val mstat = e.agg((count(lit(1)) / 2).cast("long").as("m"))
+    var comm = deg.select(col("node")).withColumn("comm", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val dcomm = comm.join(deg, Seq("node"))
+        .groupBy("comm").agg(sum("ki").as("dc"))
+      val kic = e
+        .join(comm.select(col("node").as("dst"), col("comm")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"), col("comm"))
+        .agg(count(lit(1)).as("kic"))
+      // the node's CURRENT community is always a candidate (staying
+      // must be priced); when it is also a neighbor community the
+      // max-dedup keeps the real k_{i,c}
+      val cand = kic
+        .unionByName(comm.withColumn("kic", lit(0L)))
+        .groupBy("node", "comm").agg(max("kic").as("kic"))
+      comm = cand
+        .join(dcomm, Seq("comm"))
+        .join(comm.withColumnRenamed("comm", "cc"), Seq("node"))
+        .join(deg, Seq("node"))
+        .crossJoin(broadcast(mstat))
+        .withColumn("gain",
+          lit(2L) * col("m") * col("kic") - col("ki") *
+            (col("dc") - when(col("comm") === col("cc"), col("ki"))
+              .otherwise(lit(0L))))
+        .groupBy("node")
+        .agg(max(struct(col("gain"), (-col("comm")).as("nc")))
+          .getField("nc").as("nc"))
+        .select(col("node"), (-col("nc")).as("comm"))
+        .localCheckpoint(true)
+    }
+    comm.select(col("node").as("doc_id"), col("comm").as("community"))
+  }
+
   /** Bounded-round multi-source BFS over the undirected near-dup
     * graph: minimum hop distance from any SEED vertex (a predicate
     * over vertex ids — e.g. an audited/“known-contaminated” doc set)

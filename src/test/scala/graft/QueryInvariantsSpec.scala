@@ -323,4 +323,73 @@ class QueryInvariantsSpec extends SparkSpec {
       s"assignment covers $total of $corpus vectors")
     rows.foreach(r => assert(r.getAs[Long]("radius_sq") >= 0L))
   }
+
+  test("orders_regression_discontinuity: rate intercepts in [0,1], " +
+      "tau the exact jump, sides populated") {
+    val rows = run("orders_regression_discontinuity")
+    assert(rows.length == 3, s"expected 3 statuses, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ok") == 1L, "degenerate side at sf0.001")
+      assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
+      val al = r.getAs[Long]("alpha_left_e6")
+      val ar = r.getAs[Long]("alpha_right_e6")
+      // local-linear intercepts of a {0,1} outcome can overshoot [0,1]
+      // slightly at small n; ±0.5 is a generous sanity band
+      assert(al > -500000L && al < 1500000L, s"alpha_left $al")
+      assert(ar > -500000L && ar < 1500000L, s"alpha_right $ar")
+      assert(r.getAs[Long]("tau_e6") == ar - al)
+    }
+  }
+
+  test("events_sprt: llr identity, verdict thresholds, stopping " +
+      "monotone") {
+    val rows = run("events_sprt").sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    var prevN = 0L
+    var prevStopped = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_cum")
+      val c = r.getAs[Long]("conv_cum")
+      val llr = r.getAs[Long]("llr_e6")
+      assert(n >= prevN && c <= n); prevN = n
+      assert(llr == c * 182322L + (n - c) * -68993L, "llr identity")
+      val v = r.getAs[Long]("verdict")
+      assert(v == (if (llr >= 2944439L) 1L
+        else if (llr <= -2944439L) -1L else 0L))
+      val st = r.getAs[Long]("stopped")
+      assert(st >= prevStopped, "stopped flag regressed")
+      prevStopped = st
+    }
+  }
+
+  test("cluster_single_linkage: clusters partition the corpus in " +
+      "coordinate order; split gaps dominate internal gaps") {
+    val rows = run("cluster_single_linkage")
+      .sortBy(_.getAs[Long]("cluster_idx"))
+    assert(rows.length >= 2 && rows.length <= 8)
+    val corpus = spark.read
+      .parquet(sf("sf0.001") + "/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_points")).sum == corpus)
+    // extents ordered and disjoint, separated by exactly split_gap
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_x") < b.getAs[Long]("min_x"))
+      assert(b.getAs[Long]("min_x") - a.getAs[Long]("max_x") ==
+        a.getAs[Long]("split_gap"), "split_gap is not the boundary gap")
+    }
+    // single-linkage guarantee: every cut gap >= every surviving
+    // (internal) gap — the k-cluster solution cuts the LARGEST gaps
+    val minSplit = rows.init.map(_.getAs[Long]("split_gap")).min
+    rows.foreach { r =>
+      val span = r.getAs[Long]("max_x") - r.getAs[Long]("min_x")
+      val nd = r.getAs[Long]("n_distinct")
+      if (nd > 1) {
+        // avg internal gap <= span/(nd-1) <= minSplit is implied by
+        // max internal gap <= minSplit; assert the weaker avg form
+        // computable from the summary row
+        assert(span / (nd - 1) <= minSplit,
+          s"cluster ${r.getAs[Long]("cluster_idx")} internal gaps " +
+            s"exceed the smallest cut ($minSplit)")
+      }
+    }
+  }
 }
