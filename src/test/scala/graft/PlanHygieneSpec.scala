@@ -600,6 +600,31 @@ class PlanHygieneSpec extends SparkSpec {
       "ALS2 winners must come from the bounded top_k_by aggregate")
   }
 
+  test("edit-distance segment join moves only (blk, si, sg, id) — " +
+      "titles re-attach after the pair distinct") {
+    // the round-11 PassJoin shape, pinned: the probe/index explode
+    // replicates each doc 5x/21x, so a title column in the segment
+    // exchange is the byte bottleneck the r10 verdict flagged. Every
+    // exchange that carries the segment key must be title-free.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val exec = SparkEntry.queries("dedup_edit_distance")(
+      spark, sf("sf0.001")).queryExecution.executedPlan
+    val unwrapped = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val segEx = unwrapped.collect {
+      case e: Exchange if e.output.exists(_.name == "sg") => e
+    }
+    assert(segEx.nonEmpty,
+      s"expected the (blk, si, sg) segment exchanges:\n" +
+        unwrapped.toString.take(1500))
+    segEx.foreach { e =>
+      assert(!e.output.exists(_.name.contains("title")),
+        s"segment exchange carries a title column: ${e.output}")
+    }
+  }
+
   test("isolation forest walk stays map-side: one rollup shuffle " +
       "plus the bounded top-k") {
     // 16 trees x 8 levels of hash/threshold decisions must fuse into
