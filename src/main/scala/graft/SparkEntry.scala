@@ -4785,10 +4785,15 @@ object SparkEntry {
         col("l_suppkey").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = rev.select(sum("revenue_cents").as("tot"))
+      // cum·1e6 in DECIMAL(38,0): the long product overflows once
+      // total revenue passes ~9.2e12 cents — found LOUDLY by the
+      // round-11 all-axes-10× refresh (ANSI ARITHMETIC_OVERFLOW at 6M
+      // lineitem), the exact failure class the scale gates exist for
       rev.withColumn("cum", sum("revenue_cents").over(w))
         .crossJoin(broadcast(tot))
         .select(col("l_suppkey"), col("revenue_cents"),
-          expr("(cum * 1000000) div tot").as("cum_share_ppm"))
+          expr("cast(cast(cum as decimal(38,0)) * 1000000 div tot" +
+            " as long)").as("cum_share_ppm"))
         .withColumn("abc_class",
           when(col("cum_share_ppm") <= 800000, "A")
             .when(col("cum_share_ppm") <= 950000, "B").otherwise("C"))
@@ -11303,9 +11308,9 @@ object SparkEntry {
         |    (SELECT sum(revenue_cents)::BIGINT FROM rev) AS tot
         |  FROM rev)
         |SELECT l_suppkey, revenue_cents,
-        |  ((cum * 1000000) // tot)::BIGINT AS cum_share_ppm,
-        |  CASE WHEN (cum * 1000000) // tot <= 800000 THEN 'A'
-        |       WHEN (cum * 1000000) // tot <= 950000 THEN 'B'
+        |  ((cum::HUGEINT * 1000000) // tot)::BIGINT AS cum_share_ppm,
+        |  CASE WHEN (cum::HUGEINT * 1000000) // tot <= 800000 THEN 'A'
+        |       WHEN (cum::HUGEINT * 1000000) // tot <= 950000 THEN 'B'
         |       ELSE 'C' END AS abc_class
         |FROM c""".stripMargin,
 
