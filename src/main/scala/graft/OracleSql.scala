@@ -2913,6 +2913,122 @@ object OracleSql {
        |    // count(*))::BIGINT AS heavy_ppm
        |FROM m GROUP BY 1""".stripMargin
 
+  /** Oracle for `pref_bradley_terry`: the comparison mining and the
+    * unrolled MM rounds replayed — same duel rule (strict spend win,
+    * ties abstain), same e6 integral-term denominators in HUGEINT,
+    * same zero-win boundary behavior.
+    */
+  def prefBradleyTerry(iters: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH ud AS MATERIALIZED (
+         |  SELECT user_id,
+         |    datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+         |    event_type,
+         |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+         |  FROM events GROUP BY 1, 2, 3),
+         |duel AS (
+         |  SELECT CASE WHEN a.c > b.c THEN a.event_type
+         |      WHEN a.c < b.c THEN b.event_type END AS winner,
+         |    CASE WHEN a.c > b.c THEN b.event_type
+         |      WHEN a.c < b.c THEN a.event_type END AS loser
+         |  FROM ud a JOIN ud b ON a.user_id = b.user_id
+         |    AND a.day = b.day AND a.event_type < b.event_type),
+         |wins AS MATERIALIZED (
+         |  SELECT winner AS i, loser AS j, count(*)::BIGINT AS n
+         |  FROM duel WHERE winner IS NOT NULL GROUP BY 1, 2),
+         |opp AS MATERIALIZED (
+         |  SELECT i, j, sum(n)::BIGINT AS m FROM (
+         |    SELECT i, j, n FROM wins
+         |    UNION ALL SELECT j, i, n FROM wins)
+         |  GROUP BY 1, 2),
+         |items AS (SELECT DISTINCT i FROM opp),
+         |wt AS MATERIALIZED (
+         |  SELECT it.i, coalesce(s.w, 0)::BIGINT AS w
+         |  FROM items it LEFT JOIN (SELECT i, sum(n)::BIGINT AS w
+         |    FROM wins GROUP BY 1) s USING (i)),
+         |s0 AS (SELECT i, 1000000::BIGINT AS s FROM items)""".stripMargin
+    for (r <- 1 to iters) {
+      sb ++=
+        s""",
+           |d$r AS (
+           |  SELECT o.i,
+           |    sum((o.m::HUGEINT * 1000000000000)
+           |      // greatest(si.s + sj.s, 1))::BIGINT AS dd
+           |  FROM opp o JOIN s${r - 1} si ON si.i = o.i
+           |  JOIN s${r - 1} sj ON sj.i = o.j
+           |  GROUP BY 1),
+           |s$r AS MATERIALIZED (
+           |  SELECT wt.i,
+           |    ((wt.w::HUGEINT * 1000000000000)
+           |      // greatest(dd::HUGEINT, 1))::BIGINT AS s
+           |  FROM wt JOIN d$r USING (i))""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT s.i AS event_type, wt.w AS wins,
+         |  oc.m AS n_comparisons, s.s AS strength_e6
+         |FROM s$iters s JOIN wt USING (i)
+         |JOIN (SELECT i, sum(m)::BIGINT AS m FROM opp GROUP BY 1) oc
+         |  USING (i)""".stripMargin
+    sb.toString
+  }
+
+  /** Oracle for `events_anova_f`: the same per-group sums, HUGEINT
+    * Σv², the identical floor decomposition of S²/n, and the same
+    * staged integral division — engine-identical to the last cent².
+    */
+  def eventsAnovaF(): String = {
+    def tg(sC: String, nC: String): String = {
+      val a = s"($sC // greatest($nC, 1))"
+      val r = s"($sC - $a * $nC)"
+      s"($a::HUGEINT * $a * $nC + 2 * $a::HUGEINT * $r" +
+        s" + ($r * $r // greatest($nC, 1))::HUGEINT)"
+    }
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT CASE WHEN event_type = 'purchase' THEN 0
+       |      WHEN event_type = 'view' THEN 1 ELSE 2 END AS g,
+       |    CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE event_type IN ('purchase', 'view', 'click')),
+       |a AS (
+       |  SELECT
+       |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+       |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |    sum(CASE WHEN g = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+       |    sum(CASE WHEN g = 0 THEN v ELSE 0 END)::BIGINT AS s0,
+       |    sum(CASE WHEN g = 1 THEN v ELSE 0 END)::BIGINT AS s1,
+       |    sum(CASE WHEN g = 2 THEN v ELSE 0 END)::BIGINT AS s2,
+       |    sum(v::HUGEINT * v) AS q
+       |  FROM ev),
+       |b AS (
+       |  SELECT n0, n1, n2, (n0 + n1 + n2)::BIGINT AS nn,
+       |    (s0 + s1 + s2)::BIGINT AS ss, s0, s1, s2, q
+       |  FROM a),
+       |c AS (
+       |  SELECT n0, n1, n2, nn, q,
+       |    (${tg("s0", "n0")} + ${tg("s1", "n1")}
+       |      + ${tg("s2", "n2")}) AS tsum,
+       |    ${tg("ss", "nn")} AS gg
+       |  FROM b),
+       |e AS (
+       |  SELECT n0, n1, n2, nn, (tsum - gg) AS ssb, (q - tsum) AS ssw
+       |  FROM c),
+       |f AS (
+       |  SELECT n0, n1, n2,
+       |    (n0 > 0 AND n1 > 0 AND n2 > 0 AND nn > 3 AND ssw > 0)
+       |      AS ok,
+       |    CASE WHEN n0 > 0 AND n1 > 0 AND n2 > 0 AND nn > 3
+       |        AND ssw > 0
+       |      THEN (ssb * (nn - 3) * 1000000 // (ssw * 2))::BIGINT
+       |      ELSE 0 END AS f_e6
+       |  FROM e)
+       |SELECT n0 AS n_purchase, n1 AS n_view, n2 AS n_click, f_e6,
+       |  CASE WHEN ok AND f_e6 >= 2995733 THEN 1 ELSE 0 END::BIGINT
+       |    AS reject_05
+       |FROM f""".stripMargin
+  }
+
   /** Oracle for `events_sprt`: Wald's SPRT replayed — the same
     * xxhash64 arm assignment, daily purchase rollup, cumulative
     * counts, and the PRECOMPUTED integer log-likelihood constants

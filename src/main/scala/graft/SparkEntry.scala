@@ -4653,6 +4653,58 @@ object SparkEntry {
       Analytics.autocorrelation(daily, "day", col("cents"), maxLag = 7)
     }),
 
+    "events_ljung_box" -> ((s, dir) => {
+      // Ljung–Box portmanteau test (Ljung & Box, Biometrika 1978) —
+      // the INFERENTIAL member on top of events_autocorr's ACF: "is
+      // there ANY autocorrelation in daily revenue up to lag 7?" as
+      // one χ²(7) verdict, Q = N(N+2)·Σ_k ρ_k²/(N−k). Each ρ_k lands
+      // in an integer ppm ONCE (the per-lag Pearson's one rounded
+      // IEEE step — the events_autocorr discipline); from there Q is
+      // pure integer arithmetic (ρ_ppm² div (N−k), then one N(N+2)
+      // product, e12 → e6), so the 7-term summation is
+      // order-independent — no float-sum flake surface. Reject at the
+      // χ²(7) 0.95 quantile 14.067140. Scale: one daily rollup; the
+      // 7 lag self-joins touch only the calendar-bounded daily frame.
+      val d = "decimal(38,0)"
+      val H = 7
+      val daily = t(s, dir, "events")
+        .groupBy(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .localCheckpoint(true) // the N stat + 7 lag joins read it
+      val base = daily.select(col("day").cast("long").as("p"),
+        col("cents").cast(d).as("v"))
+      val lagged = (1 to H).map { l =>
+        base.as("a").join(base.as("b"), col("a.p") === col("b.p") + l)
+          .select(lit(l.toLong).as("lag"), col("a.v").as("x"),
+            col("b.v").as("y"))
+      }.reduce(_ unionAll _)
+      val st = lagged.groupBy("lag")
+        .agg(count(lit(1)).cast(d).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val rho = st.select(col("lag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") * 1000000.0 /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))
+          .cast("long").as("rho_ppm"))
+      val nstat = daily.agg(count(lit(1)).as("nn"))
+      rho.crossJoin(broadcast(nstat))
+        .select(col("nn"),
+          expr("rho_ppm * rho_ppm div (nn - lag)").as("term_e12"))
+        .groupBy("nn")
+        .agg(sum("term_e12").as("tsum"))
+        .select(col("nn").as("n_days"),
+          expr("nn * (nn + 2) * tsum div 1000000").as("q_e6"))
+        .withColumn("reject_05",
+          when(col("q_e6") >= 14067141L, 1L).otherwise(0L))
+    }),
+
     "events_seasonality" -> ((s, dir) => {
       // day-of-week seasonal index: dow mean revenue relative to the
       // overall mean, as the cross-multiplied integer ratio
@@ -7747,6 +7799,69 @@ object SparkEntry {
           (col("xx") + col("yy")).cast("long").as("z2_e6"))
     }),
 
+    "events_anova_f" -> ((s, dir) => {
+      // one-way ANOVA F (Fisher) — the PARAMETRIC k-sample twin of
+      // events_kruskal_wallis (same three samples; KW tests rank
+      // distributions, F tests means under equal-variance normality —
+      // a pipeline wants both because they disagree exactly when the
+      // data is heavy-tailed). Exact integers end to end: per-group
+      // n_g, S_g = Σcents (longs; bound stated — S_g ≤ 9·10¹⁸ cents),
+      // Q = Σcents² in DECIMAL(38,0) FROM BIRTH (cents² ~ 10¹² × 10⁸
+      // rows overflows a long — the profile_abc lesson applied at
+      // design time); the between/within sums of squares use the KW
+      // exact floor decomposition floor(S²/n) = a²n + 2aρ + ⌊ρ²/n⌋
+      // so every division quotient fits a long while products stay in
+      // pure-multiply decimals. Each floor loses < 1 cent² —
+      // identically in both engines. Verdict against the F(2, ∞)
+      // critical value 2.9957 (α = 0.05; df₂ ≥ 10⁵ at every gated
+      // fixture, where the asymptote is exact to 5 decimals).
+      // Degenerate guards (KW convention): missing group or zero
+      // within-variance → defined F=0/reject=0 row under `ok`.
+      val d = "decimal(38,0)"
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view", "click"))
+        .select(
+          when(col("event_type") === "purchase", 0L)
+            .when(col("event_type") === "view", 1L)
+            .otherwise(2L).as("g"),
+          round(col("value") * 100, 0).cast("long").as("v"))
+      def gsum(gi: Int, e: String) =
+        expr(s"sum(case when g = $gi then $e else 0L end)")
+      val agg = ev.agg(
+        gsum(0, "1L").as("n0"), gsum(1, "1L").as("n1"),
+        gsum(2, "1L").as("n2"),
+        gsum(0, "v").as("s0"), gsum(1, "v").as("s1"),
+        gsum(2, "v").as("s2"),
+        expr(s"sum(cast(v as $d) * v)").as("q"))
+      // floor(S²/n) decomposed: a = S div n, r = S − a·n
+      def tg(sC: String, nC: String) =
+        s"(cast($sC div greatest($nC, 1L) as $d)" +
+          s" * ($sC div greatest($nC, 1L)) * $nC" +
+          s" + 2 * cast($sC div greatest($nC, 1L) as $d)" +
+          s" * ($sC - ($sC div greatest($nC, 1L)) * $nC)" +
+          s" + cast(($sC - ($sC div greatest($nC, 1L)) * $nC)" +
+          s" * ($sC - ($sC div greatest($nC, 1L)) * $nC)" +
+          s" div greatest($nC, 1L) as $d))"
+      agg
+        .withColumn("nn", col("n0") + col("n1") + col("n2"))
+        .withColumn("ss", col("s0") + col("s1") + col("s2"))
+        .withColumn("tsum", expr(s"${tg("s0", "n0")} + ${tg("s1", "n1")}" +
+          s" + ${tg("s2", "n2")}"))
+        .withColumn("gg", expr(tg("ss", "nn")))
+        .withColumn("ssb", expr(s"tsum - gg"))
+        .withColumn("ssw", expr(s"q - tsum"))
+        .withColumn("ok", col("n0") > 0 && col("n1") > 0 &&
+          col("n2") > 0 && col("nn") > 3 &&
+          expr(s"ssw > cast(0 as $d)"))
+        .withColumn("f_e6", when(col("ok"),
+          expr(s"cast(ssb * (nn - 3) * 1000000 div (ssw * 2)" +
+            s" as long)")).otherwise(0L))
+        .select(col("n0").as("n_purchase"), col("n1").as("n_view"),
+          col("n2").as("n_click"), col("f_e6"),
+          when(col("ok") && col("f_e6") >= 2995733L, 1L)
+            .otherwise(0L).as("reject_05"))
+    }),
+
     "events_kruskal_wallis" -> ((s, dir) => {
       // Kruskal–Wallis H — the k-SAMPLE extension of
       // events_mann_whitney (one-way ANOVA on ranks): do purchase,
@@ -8446,6 +8561,86 @@ object SparkEntry {
         .neighborPairs(graft.ops.Dbscan.reps(pts), EPS)
         .select(col("ra"), col("rb"), col("mult_a"), col("mult_b"),
           col("dist_sq"))
+    }),
+
+    "pref_bradley_terry" -> ((s, dir) => {
+      // Bradley–Terry preference model (Bradley & Terry, Biometrika
+      // 1952) — the PAIRWISE-preference member no other family covers,
+      // and the shape of RLHF preference-data analysis: given "A beat
+      // B" comparisons, fit latent strengths w with
+      // P(i beats j) = w_i/(w_i + w_j). Comparisons are mined from the
+      // event log: within each (user, day), an event type with
+      // strictly higher spend beats every co-present lower one (ties
+      // abstain). Fit: 3 unrolled rounds of the classic MM update
+      // (Hunter, Ann. Stat. 2004) w_i ← W_i / Σ_j m_ij/(w_i + w_j) —
+      // per-entity closed form, like ALS. Exactness: strengths are e6
+      // longs; each round's denominators are exact integral terms
+      // m_ij·1e12 div (w_i+w_j) (the numerator clears into
+      // DECIMAL(38,0): W_i·1e12 overflows a long at ~9·10⁶
+      // comparisons — the profile_abc lesson at design time); the MM
+      // update is scale-free, so no normalization step is needed and
+      // values stay e6-bounded from the w₀ = 1e6 init. Zero-win items
+      // converge to the MLE boundary w = 0 in one round, exactly, in
+      // both engines; items with no comparisons at all are absent
+      // (strength undefined). Scale: the corpus-sized work is ONE
+      // (user, day, type) rollup + a per-(user, day) self-join whose
+      // fan-out is bounded by the TYPE-ENUM size squared; everything
+      // after is enum×enum-sized.
+      val d = "decimal(38,0)"
+      val ud = t(s, dir, "events")
+        .groupBy(col("user_id"),
+          datediff(col("ts").cast("date"),
+            lit("2024-01-01").cast("date")).as("day"),
+          col("event_type"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+        .localCheckpoint(true) // both sides of the pair join read it
+      val duel = ud.as("a").join(ud.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .select(
+          when(col("a.c") > col("b.c"), col("a.event_type"))
+            .when(col("a.c") < col("b.c"), col("b.event_type"))
+            .as("winner"),
+          when(col("a.c") > col("b.c"), col("b.event_type"))
+            .when(col("a.c") < col("b.c"), col("a.event_type"))
+            .as("loser"))
+        .filter(col("winner").isNotNull)
+      val wins = duel.groupBy(col("winner").as("i"),
+          col("loser").as("j"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // opp + win totals + items read it
+      val opp = wins.select(col("i"), col("j"), col("n"))
+        .unionByName(wins.select(col("j").as("i"), col("i").as("j"),
+          col("n")))
+        .groupBy("i", "j").agg(sum("n").as("m"))
+        .localCheckpoint(true) // read by every MM round
+      val items = opp.select("i").distinct()
+      val winTot = items.join(
+          wins.groupBy("i").agg(sum("n").as("w")), Seq("i"), "left")
+        .select(col("i"), coalesce(col("w"), lit(0L)).as("w"))
+        .localCheckpoint(true)
+      var str = items.withColumn("s", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val dsum = opp
+          .join(str.select(col("i"), col("s").as("si")), Seq("i"))
+          .join(str.select(col("i").as("j"), col("s").as("sj")),
+            Seq("j"))
+          .select(col("i"),
+            expr(s"cast(cast(m as $d) * 1000000000000" +
+              s" div greatest(si + sj, 1L) as long)").as("t"))
+          .groupBy("i").agg(sum("t").as("dd"))
+        str = winTot.join(dsum, Seq("i"))
+          .select(col("i"),
+            expr(s"cast(cast(w as $d) * 1000000000000" +
+              s" div greatest(cast(dd as $d), cast(1 as $d))" +
+              s" as long)").as("s"))
+      }
+      str.join(winTot, Seq("i"))
+        .join(opp.groupBy("i").agg(sum("m").as("n_comparisons")),
+          Seq("i"))
+        .select(col("i").as("event_type"), col("w").as("wins"),
+          col("n_comparisons"), col("s").as("strength_e6"))
     }),
 
     "recs_als_rank1" -> ((s, dir) => {
@@ -11180,6 +11375,38 @@ object SparkEntry {
         |    AS r
         |FROM st""".stripMargin,
 
+    "events_ljung_box" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT datediff('day', DATE '2024-01-01', ts::DATE) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::HUGEINT AS cents
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT l.lag, a.cents AS x, b.cents AS y
+        |  FROM (SELECT unnest(range(1, 8)) AS lag) l
+        |  JOIN daily a ON true
+        |  JOIN daily b ON a.day = b.day + l.lag),
+        |st AS (
+        |  SELECT lag, count(*)::HUGEINT AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+        |    sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM lagged GROUP BY lag),
+        |rho AS (
+        |  SELECT lag,
+        |    CAST(round((n*sxy - sx*sy)::DOUBLE * 1000000.0 /
+        |      sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE))
+        |      AS BIGINT) AS rho_ppm
+        |  FROM st),
+        |ns AS (SELECT count(*)::BIGINT AS nn FROM daily),
+        |q AS (
+        |  SELECT ns.nn,
+        |    sum((rho_ppm * rho_ppm) // (ns.nn - lag))::BIGINT AS tsum
+        |  FROM rho CROSS JOIN ns GROUP BY 1)
+        |SELECT nn AS n_days,
+        |  (nn * (nn + 2) * tsum // 1000000)::BIGINT AS q_e6,
+        |  CASE WHEN (nn * (nn + 2) * tsum // 1000000) >= 14067141
+        |    THEN 1 ELSE 0 END::BIGINT AS reject_05
+        |FROM q""".stripMargin,
+
     "events_seasonality" ->
       """WITH ev AS (
         |  SELECT (dayofweek(ts::DATE) + 1)::INT AS dow,
@@ -11420,6 +11647,8 @@ object SparkEntry {
 
     "events_ab_test" -> OracleSql.eventsAbTest(),
     "events_sprt" -> OracleSql.eventsSprt(),
+    "events_anova_f" -> OracleSql.eventsAnovaF(),
+    "pref_bradley_terry" -> OracleSql.prefBradleyTerry(),
     "events_bandit_replay" -> OracleSql.eventsBanditReplay(),
     "multimodal_ahash" -> OracleSql.multimodalAhash(),
 

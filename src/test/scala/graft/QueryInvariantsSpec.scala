@@ -324,6 +324,59 @@ class QueryInvariantsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("radius_sq") >= 0L))
   }
 
+  test("events_anova_f: F nonnegative, counts match kruskal-wallis, " +
+      "same samples") {
+    val Array(r) = run("events_anova_f")
+    val Array(kw) = run("events_kruskal_wallis")
+    for (c <- Seq("n_purchase", "n_view", "n_click"))
+      assert(r.getAs[Long](c) == kw.getAs[Long](c),
+        s"$c differs from the KW rollup — not the same samples")
+    assert(r.getAs[Long]("f_e6") >= 0L)
+    assert(Set(0L, 1L)(r.getAs[Long]("reject_05")))
+  }
+
+  test("events_ljung_box: Q rebuilt exactly from events_autocorr's " +
+      "published ACF") {
+    val Array(r) = run("events_ljung_box")
+    val nn = r.getAs[Long]("n_days")
+    val acf = run("events_autocorr")
+    assert(acf.length == 7)
+    val tsum = acf.map { a =>
+      val rhoPpm = math.round(a.getAs[Double]("r") * 1e6)
+      val lag = a.getAs[Int]("lag").toLong
+      rhoPpm * rhoPpm / (nn - lag)
+    }.sum
+    assert(r.getAs[Long]("q_e6") == nn * (nn + 2) * tsum / 1000000L,
+      "Q does not reconstruct from the ACF query's own output")
+    assert(r.getAs[Long]("reject_05") ==
+      (if (r.getAs[Long]("q_e6") >= 14067141L) 1L else 0L))
+  }
+
+  test("pref_bradley_terry: wins bounded by comparisons, duel totals " +
+      "balance, strengths nonnegative and responsive") {
+    val rows = run("pref_bradley_terry")
+    assert(rows.nonEmpty)
+    var totWins = 0L
+    var totComp = 0L
+    rows.foreach { r =>
+      val w = r.getAs[Long]("wins")
+      val m = r.getAs[Long]("n_comparisons")
+      assert(w >= 0L && w <= m)
+      assert(r.getAs[Long]("strength_e6") >= 0L)
+      totWins += w; totComp += m
+    }
+    // every duel contributes 1 win and appears in BOTH items' m
+    assert(totComp == 2 * totWins,
+      s"duel bookkeeping broken: wins $totWins comparisons $totComp")
+    // strengths order with win RATE on this near-balanced fixture
+    val byRate = rows.sortBy(r =>
+      -r.getAs[Long]("wins").toDouble / r.getAs[Long]("n_comparisons"))
+    val byStr = rows.sortBy(-_.getAs[Long]("strength_e6"))
+    assert(byRate.map(_.getAs[String]("event_type")).head ==
+      byStr.map(_.getAs[String]("event_type")).head,
+      "top item by win rate != top item by fitted strength")
+  }
+
   test("orders_regression_discontinuity: rate intercepts in [0,1], " +
       "tau the exact jump, sides populated") {
     val rows = run("orders_regression_discontinuity")
