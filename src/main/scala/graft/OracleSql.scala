@@ -141,15 +141,19 @@ object OracleSql {
     * TextHash.tokenize: lower, trim, split on whitespace runs; empty
     * text yields zero tokens (not one empty token).
     */
-  private val TokenBase =
-    """SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS i FROM (
+  private def tokenBase(docsRel: String): String =
+    s"""SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS i FROM (
       |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-      |       ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
-      |  FROM documents)""".stripMargin
+      |       ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+      |  FROM $docsRel)""".stripMargin
 
-  /** XXH64(token bytes, seed 42) for every token: tokh(doc_id, i, thu). */
-  private def tokenHashCtes(): String = {
-    val ch = new Chain("tk", TokenBase)
+  /** XXH64(token bytes, seed 42) for every token: tokh(doc_id, i, thu).
+    * `docsRel` lets a caller hash a DERIVED (doc_id, text) relation —
+    * e.g. the dual-route fixture's synthetic corpus — instead of the
+    * raw documents table.
+    */
+  private def tokenHashCtes(docsRel: String = "documents"): String = {
+    val ch = new Chain("tk", tokenBase(docsRel))
     ch.add("n", "length(tok)::HUGEINT")
     ch.addMulti((0 until 23).map(j =>
       s"by$j" -> s"CASE WHEN n >= ${j + 1} THEN ord(substr(tok, ${j + 1}, 1))::HUGEINT END"))
@@ -1311,18 +1315,19 @@ object OracleSql {
                              numHashes: Int = 16, rowsPerBand: Int = 2,
                              hotThreshold: Double = 8.0,
                              sampleCutoff: Long = 8192L,
-                             sampleMod: Int = 16): String = {
+                             sampleMod: Int = 16,
+                             docsRel: String = "documents"): String = {
     val minPpm = math.round(minSim * 1000000)
     val n = shingleN
     val est = s"round(len(list_filter(range(1, ${numHashes + 1}), " +
       s"i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
-    s"""WITH ${tokenHashCtes()},
+    s"""WITH ${tokenHashCtes(docsRel)},
        |${shingleHashCtes()},
        |${minhashCtes(numHashes, rowsPerBand)},
        |ptoks AS (
        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
        |    AS a
-       |  FROM documents WHERE length(trim(text)) > 0),
+       |  FROM $docsRel WHERE length(trim(text)) > 0),
        |praw AS (
        |  SELECT doc_id, unnest(
        |    CASE WHEN len(a) <= $n THEN [array_to_string(a, ' ')]
@@ -1332,9 +1337,9 @@ object OracleSql {
        |ptk AS MATERIALIZED (SELECT DISTINCT doc_id, token FROM praw),
        |pdfq AS MATERIALIZED (
        |  SELECT token, count(*) AS df FROM ptk GROUP BY 1),
-       |${idHashCtes()},
-       |srcm AS MATERIALIZED (SELECT doc_id, source FROM documents),
-       |scnt AS (SELECT source, count(*) AS nd FROM documents
+       |${idHashCtes(docsRel)},
+       |srcm AS MATERIALIZED (SELECT doc_id, source FROM $docsRel),
+       |scnt AS (SELECT source, count(*) AS nd FROM $docsRel
        |  GROUP BY 1),
        |smod AS MATERIALIZED (
        |  SELECT source, CASE WHEN nd <= $sampleCutoff THEN 1
@@ -1401,6 +1406,41 @@ object OracleSql {
        |WHERE sa2.source = sb2.source AND rt.route = 'prefix'
        |  AND (coalesce(i.ic, 0)::BIGINT * 1000000)
        |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= $minPpm""".stripMargin
+  }
+
+  /** Oracle for `dedup_auto_route_dual` (ADVICE r11): the per-source
+    * dial and BOTH path replays of [[dedupAutoRouteBySource]], run
+    * over the synthetic dual-route corpus derived in-query from the
+    * documents table — 'tpl' groups of 16 identical docs (hot →
+    * banded), 'o_pair' unique-vocabulary boundary pairs at jaccard
+    * 20/36 (cold → prefix), everything else original text under
+    * 'o_'-prefixed sources. Mirrors the Spark-side derivation token
+    * for token; sampleCutoff forces the full profile so the dial is
+    * deterministic at any fixture size.
+    */
+  def dedupAutoRouteDual(): String = {
+    // NOTE: this snippet is embedded into templates that re-apply
+    // stripMargin, so no continuation line may START with '|' (a
+    // leading '||' would be eaten as a margin) — concatenations keep
+    // '||' at line ends.
+    val docsRel =
+      """(SELECT doc_id,
+        |   CASE WHEN doc_id % 4 = 0 THEN 'tpl'
+        |        WHEN doc_id % 200 IN (1, 5) THEN 'o_pair'
+        |        ELSE 'o_' || source END AS source,
+        |   CASE WHEN doc_id % 4 = 0 THEN
+        |       array_to_string(['g' || (doc_id // 64)::VARCHAR ||
+        |         'w' || i::VARCHAR FOR i IN range(0, 30)], ' ')
+        |     WHEN doc_id % 200 = 1 THEN
+        |       array_to_string(['p' || (doc_id // 200)::VARCHAR ||
+        |         'u' || i::VARCHAR FOR i IN range(0, 30)], ' ')
+        |     WHEN doc_id % 200 = 5 THEN
+        |       array_to_string(['p' || (doc_id // 200)::VARCHAR ||
+        |         CASE WHEN i < 22 THEN 'u' ELSE 'v' END ||
+        |         i::VARCHAR FOR i IN range(0, 30)], ' ')
+        |     ELSE text END AS text
+        | FROM documents)""".stripMargin
+    dedupAutoRouteBySource(sampleCutoff = 1000000L, docsRel = docsRel)
   }
 
   /** Oracle for `graph_link_predict`: the mutual-kNN edge set (same

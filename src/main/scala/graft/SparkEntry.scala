@@ -915,6 +915,44 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", "source")
     }),
 
+    "dedup_auto_route_dual" -> ((s, dir) => {
+      // gate-visible dual-route fixture (ADVICE r11): the real-source
+      // mixed query routes every sf0.01 source prefix, so the oracle
+      // twin's banded/prefix UNION was only exercised by unit specs.
+      // This corpus is derived IN-QUERY from documents so BOTH routes
+      // emit pairs at every fixture: 'tpl' holds 16 identical docs per
+      // doc_id-div-64 group (within-group shingle df 16 → hot → banded;
+      // per-group vocabulary is unique, so candidate buckets stay
+      // group-sized), 'o_pair' holds unique-vocabulary boundary pairs
+      // at exact jaccard 20/36 (→ cold → prefix), and the remaining
+      // docs keep their original text under 'o_'-prefixed sources
+      // (cold → prefix). sampleCutoff forces the full df profile so
+      // the dial is closed-form deterministic at any fixture size.
+      val raw = t(s, dir, "documents")
+      def words(mk: Column => Column) = array_join(
+        transform(sequence(lit(0), lit(29)), mk), " ")
+      val tpl = words(i => concat(lit("g"),
+        expr("doc_id div 64").cast("string"), lit("w"),
+        i.cast("string")))
+      val pairBase = words(i => concat(lit("p"),
+        expr("doc_id div 200").cast("string"), lit("u"),
+        i.cast("string")))
+      val pairPart = words(i => concat(lit("p"),
+        expr("doc_id div 200").cast("string"),
+        when(i < 22, lit("u")).otherwise(lit("v")), i.cast("string")))
+      val docs2 = raw.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, lit("tpl"))
+          .when(col("doc_id") % 200 === 1 || col("doc_id") % 200 === 5,
+            lit("o_pair"))
+          .otherwise(concat(lit("o_"), col("source"))).as("source"),
+        when(col("doc_id") % 4 === 0, tpl)
+          .when(col("doc_id") % 200 === 1, pairBase)
+          .when(col("doc_id") % 200 === 5, pairPart)
+          .otherwise(col("text")).as("text"))
+      Dedup.similarityPairsAutoBySource(docs2, "doc_id", "text",
+        "source", sampleCutoff = 1000000L)
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // daily-ingestion shape: docs with doc_id % 10 >= 8 are "today's
       // batch", the rest are history known only through a persisted
@@ -4685,22 +4723,33 @@ object SparkEntry {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"),
           sum(col("x") * col("y")).as("sxy"))
+      // degenerate guards (the KW/ANOVA convention, ADVICE r11):
+      // constant daily revenue has EXACTLY zero integer variance —
+      // the greatest(·,1) clamp under the sqrt makes rho a defined 0
+      // (numerator is exactly 0 there) instead of NaN/Inf diverging
+      // across engines; the term divisor clamps so ≤7 distinct days
+      // can't raise DIVIDE_BY_ZERO, and the `ok` gate (nn > maxlag,
+      // the statistic's validity condition) pins Q=0/reject=0
+      // identically in both engines when it trips.
       val rho = st.select(col("lag"),
         round((col("n") * col("sxy") - col("sx") * col("sy"))
           .cast("double") * 1000000.0 /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-            .cast("double") *
-            (col("n") * col("syy") - col("sy") * col("sy"))
-              .cast("double")))
+          sqrt(greatest((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), lit(1.0)) *
+            greatest((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double"), lit(1.0))))
           .cast("long").as("rho_ppm"))
       val nstat = daily.agg(count(lit(1)).as("nn"))
       rho.crossJoin(broadcast(nstat))
         .select(col("nn"),
-          expr("rho_ppm * rho_ppm div (nn - lag)").as("term_e12"))
+          expr("rho_ppm * rho_ppm div greatest(nn - lag, 1L)")
+            .as("term_e12"))
         .groupBy("nn")
         .agg(sum("term_e12").as("tsum"))
+        .withColumn("ok", col("nn") > H)
         .select(col("nn").as("n_days"),
-          expr("nn * (nn + 2) * tsum div 1000000").as("q_e6"))
+          when(col("ok"), expr("nn * (nn + 2) * tsum div 1000000"))
+            .otherwise(0L).as("q_e6"))
         .withColumn("reject_05",
           when(col("q_e6") >= 14067141L, 1L).otherwise(0L))
     }),
@@ -10673,6 +10722,7 @@ object SparkEntry {
 
     "dedup_auto_route" -> OracleSql.dedupAutoRoute(),
     "dedup_auto_route_mixed" -> OracleSql.dedupAutoRouteBySource(),
+    "dedup_auto_route_dual" -> OracleSql.dedupAutoRouteDual(),
 
     "dedup_containment" -> OracleSql.dedupContainment(
       numHashes = 16, rowsPerBand = 2, minCont = 0.5),
@@ -11371,7 +11421,8 @@ object SparkEntry {
         |  FROM lagged GROUP BY lag)
         |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
         |  round((n*sxy - sx*sy)::DOUBLE /
-        |    sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6)
+        |    sqrt(greatest((n*sxx - sx*sx)::DOUBLE, 1.0)
+        |      * greatest((n*syy - sy*sy)::DOUBLE, 1.0)), 6)
         |    AS r
         |FROM st""".stripMargin,
 
@@ -11393,17 +11444,22 @@ object SparkEntry {
         |rho AS (
         |  SELECT lag,
         |    CAST(round((n*sxy - sx*sy)::DOUBLE * 1000000.0 /
-        |      sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE))
+        |      sqrt(greatest((n*sxx - sx*sx)::DOUBLE, 1.0)
+        |        * greatest((n*syy - sy*sy)::DOUBLE, 1.0)))
         |      AS BIGINT) AS rho_ppm
         |  FROM st),
         |ns AS (SELECT count(*)::BIGINT AS nn FROM daily),
         |q AS (
         |  SELECT ns.nn,
-        |    sum((rho_ppm * rho_ppm) // (ns.nn - lag))::BIGINT AS tsum
+        |    sum((rho_ppm * rho_ppm) // greatest(ns.nn - lag, 1))::BIGINT
+        |      AS tsum
         |  FROM rho CROSS JOIN ns GROUP BY 1)
         |SELECT nn AS n_days,
-        |  (nn * (nn + 2) * tsum // 1000000)::BIGINT AS q_e6,
-        |  CASE WHEN (nn * (nn + 2) * tsum // 1000000) >= 14067141
+        |  CASE WHEN nn > 7
+        |    THEN (nn * (nn + 2) * tsum // 1000000)
+        |    ELSE 0 END::BIGINT AS q_e6,
+        |  CASE WHEN nn > 7
+        |    AND (nn * (nn + 2) * tsum // 1000000) >= 14067141
         |    THEN 1 ELSE 0 END::BIGINT AS reject_05
         |FROM q""".stripMargin,
 

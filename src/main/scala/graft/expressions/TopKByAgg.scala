@@ -65,22 +65,38 @@ case class TopKByAgg(ordKey: Expression, payload: Expression, k: Int,
     copy(ordKey = c(0), payload = c(1))
 }
 
-/** Bounded min-heap of (ordKey, payload) keeping the k LARGEST keys.
-  * Heap root = smallest retained key, evicted on overflow.
+/** Bounded min-heap of (ordKey, payload) keeping the k LARGEST
+  * entries under the TOTAL order (key DESC, payload ASC) — the same
+  * tie rule `topPayloadsDesc` uses to order its output. Breaking key
+  * ties on the payload in the heap itself (ADVICE r11) makes the
+  * RETAINED SET deterministic under duplicate ordering keys: without
+  * it, which of two equal-key entries survives at the heap boundary
+  * would depend on partition arrival order. Heap root = the worst
+  * retained entry (smallest key; among equal keys, largest payload),
+  * evicted on overflow.
   */
 final class TopKBuffer(val k: Int) {
-  // parallel arrays as a binary min-heap on key
+  // parallel arrays as a binary heap rooted at the WORST entry under
+  // (key DESC, payload ASC)
   private var keys = new Array[Long](math.max(k, 1))
   private var vals = new Array[Long](math.max(k, 1))
   private var n = 0
 
   def size: Int = n
 
+  /** true iff entry i ranks strictly worse than entry j under
+    * (key DESC, payload ASC) — worse = smaller key, or equal key with
+    * larger payload.
+    */
+  private def worse(i: Int, j: Int): Boolean =
+    keys(i) < keys(j) || (keys(i) == keys(j) && vals(i) > vals(j))
+
   def add(key: Long, value: Long): Unit = {
     if (n < k) {
       keys(n) = key; vals(n) = value; n += 1
       siftUp(n - 1)
-    } else if (k > 0 && key > keys(0)) {
+    } else if (k > 0 &&
+        (key > keys(0) || (key == keys(0) && value < vals(0)))) {
       keys(0) = key; vals(0) = value
       siftDown(0)
     }
@@ -113,7 +129,7 @@ final class TopKBuffer(val k: Int) {
 
   private def siftUp(i0: Int): Unit = {
     var i = i0
-    while (i > 0 && keys((i - 1) / 2) > keys(i)) {
+    while (i > 0 && worse(i, (i - 1) / 2)) {
       swap(i, (i - 1) / 2); i = (i - 1) / 2
     }
   }
@@ -125,8 +141,8 @@ final class TopKBuffer(val k: Int) {
       val l = 2 * i + 1
       val r = 2 * i + 2
       var m = i
-      if (l < n && keys(l) < keys(m)) m = l
-      if (r < n && keys(r) < keys(m)) m = r
+      if (l < n && worse(l, m)) m = l
+      if (r < n && worse(r, m)) m = r
       if (m == i) done = true else { swap(i, m); i = m }
     }
   }

@@ -109,8 +109,17 @@ object Analytics {
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // greatest(·,1) clamp (the repo's divisor convention, ADVICE r11):
+    // a constant-valued side has EXACTLY zero variance (all integer
+    // sums), which would put NaN/Inf in r divergently across engines;
+    // the clamp makes it a defined r = 0 in both (numerator is exactly
+    // 0 whenever either variance is — Cauchy–Schwarz on integers).
+    // Non-degenerate variances are ≥ n ≥ 1, so the clamp never alters
+    // a live value.
+    val dx = greatest((col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double"), lit(1.0))
+    val dy = greatest((col("n") * col("syy") - col("sy") * col("sy"))
+      .cast("double"), lit(1.0))
     st.select(col("lag"), col("n").cast("long").as("n_pairs"),
       round(num / sqrt(dx * dy), 6).as("r"))
   }

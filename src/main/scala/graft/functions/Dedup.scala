@@ -487,23 +487,36 @@ object Dedup {
     * 1/`sampleMod` xxhash64(doc_id) slice with the same exact
     * expectation inversion — the per-source doc counts come from one
     * narrow rollup (sources are a bounded enum; the frame broadcasts).
-    * A source whose sampled slice is empty emits no row — callers
-    * treat missing as load 0 (cold → the exact path).
+    * EVERY source emits a row — a source whose sampled slice is empty
+    * (or whose docs are all blank) comes back with load 0.0 (cold →
+    * the exact path), so callers read the full source list AND the
+    * loads from this one frame: routing costs exactly one metadata
+    * rollup plus the sampled profile pass (ADVICE r11 — the former
+    * extra `distinct().collect()` source scan is gone). The source
+    * key is cast to string here (matching the oracle and the callers'
+    * route maps), so a non-string source column keys identically in
+    * every path.
     */
   def sizeBiasedMeanDfBySource(docs: DataFrame, idCol: String,
                                textCol: String, sourceCol: String,
                                shingleN: Int = 3,
                                sampleCutoff: Long = 8192L,
                                sampleMod: Int = 16): DataFrame = {
-    val counts = docs.groupBy(col(sourceCol).as("__src"))
+    // sources-sized (bounded enum) — eagerly materialized so the two
+    // consumers below (modulus broadcast + full source list) share ONE
+    // scan of `docs` instead of re-deriving the rollup twice
+    val counts = docs
+      .groupBy(col(sourceCol).cast("string").as("__src"))
       .agg(count(lit(1)).as("__n"))
       .select(col("__src"),
         when(col("__n") <= sampleCutoff, 1L)
           .otherwise(sampleMod.toLong).as("__m"))
-    docs.join(broadcast(counts), col(sourceCol) === col("__src"))
+      .localCheckpoint(true)
+    val profiled = docs
+      .join(broadcast(counts), col(sourceCol).cast("string") === col("__src"))
       .filter(pmod(xxhash64(col(idCol)), col("__m")) === 0)
       .filter(length(trim(col(textCol))) > 0)
-      .select(col(sourceCol).as("source"), col("__m"),
+      .select(col("__src").as("source"), col("__m"),
         col(idCol).as("doc_id"),
         explode(shingles(col(textCol), shingleN)).as("token"))
       .distinct()
@@ -514,6 +527,10 @@ object Dedup {
       .select(col("source"),
         (lit(1.0) + (col("sq").cast("double") / col("p") - 1.0)
           * col("__m")).as("load"))
+    counts.select(col("__src").as("source"))
+      .join(profiled, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("load"), lit(0.0)).as("load"))
   }
 
   /** The routing dial's third outcome (VERDICT r10 #7): per-SOURCE
@@ -552,11 +569,14 @@ object Dedup {
                                   hotBucketThreshold: Double = 8.0,
                                   sampleCutoff: Long = 8192L,
                                   sampleMod: Int = 16): DataFrame = {
-    val loads = sizeBiasedMeanDfBySource(docs, idCol, textCol,
+    // ONE sources-sized collect: the dial frame carries every source
+    // (load 0.0 for empty sampled slices), so no second full-corpus
+    // distinct() scan is needed for the source list (ADVICE r11)
+    val loadRows = sizeBiasedMeanDfBySource(docs, idCol, textCol,
         sourceCol, shingleN, sampleCutoff, sampleMod)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val allSrcs = docs.select(col(sourceCol).cast("string"))
-      .distinct().collect().map(_.getString(0))
+      .collect()
+    val loads = loadRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val allSrcs = loadRows.map(_.getString(0))
     val bandedSrcs = allSrcs.filter(s =>
       loads.getOrElse(s, 0.0) >= hotBucketThreshold).toSeq
     val prefixSrcs = allSrcs.filterNot(bandedSrcs.contains).toSeq
