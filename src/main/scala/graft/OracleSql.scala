@@ -2410,6 +2410,114 @@ object OracleSql {
     sb.toString
   }
 
+  /** Oracle for `graph_louvain_multilevel`: the phase-1 sweep CTEs of
+    * [[graphLouvain]], then Blondel's community aggregation (inter
+    * weights = cross-edge counts, doubled intra self-loops), the SAME
+    * weighted synchronous local move on the supernode graph, and the
+    * two-level label unfold. Mirrors
+    * [[graft.functions.Dedup.louvainMultilevel]].
+    */
+  def graphLouvainMultilevel(numHashes: Int = 16, rowsPerBand: Int = 2,
+                             rounds1: Int = 2,
+                             rounds2: Int = 2): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH ${tokenHashCtes()},
+         |${shingleHashCtes()},
+         |${minhashCtes(numHashes, rowsPerBand)},
+         |${edgeCtes(numHashes)},
+         |ldeg AS MATERIALIZED (
+         |  SELECT src AS node, count(*)::BIGINT AS ki
+         |  FROM edges GROUP BY 1),
+         |lm AS (SELECT (count(*) / 2)::BIGINT AS m FROM edges),
+         |c0 AS (SELECT id AS node, id AS comm FROM verts)""".stripMargin
+    for (r <- 1 to rounds1) {
+      sb ++=
+        s""",
+           |dc$r AS (SELECT c.comm, sum(d.ki)::BIGINT AS dc
+           |  FROM c${r - 1} c JOIN ldeg d USING (node) GROUP BY 1),
+           |kic$r AS (
+           |  SELECT e.src AS node, c.comm, count(*)::BIGINT AS kic
+           |  FROM edges e JOIN c${r - 1} c ON c.node = e.dst
+           |  GROUP BY 1, 2),
+           |cd$r AS (SELECT node, comm, max(kic)::BIGINT AS kic FROM (
+           |  SELECT node, comm, kic FROM kic$r
+           |  UNION ALL SELECT node, comm, 0::BIGINT FROM c${r - 1})
+           |  GROUP BY 1, 2),
+           |sc$r AS (
+           |  SELECT a.node, a.comm,
+           |    (2 * m.m * a.kic - d.ki * (dc.dc
+           |      - CASE WHEN a.comm = cur.comm THEN d.ki
+           |        ELSE 0 END))::BIGINT AS gain
+           |  FROM cd$r a JOIN dc$r dc USING (comm)
+           |  JOIN c${r - 1} cur ON cur.node = a.node
+           |  JOIN ldeg d ON d.node = a.node
+           |  CROSS JOIN lm m),
+           |c$r AS MATERIALIZED (SELECT node, comm FROM (
+           |  SELECT node, comm, row_number() OVER (PARTITION BY node
+           |    ORDER BY gain DESC, comm ASC) AS rn
+           |  FROM sc$r) WHERE rn = 1)""".stripMargin
+    }
+    // phase 2: aggregate communities to a weighted supernode graph —
+    // inter weights both directions, intra folded into 2× self-loops
+    sb ++=
+      s""",
+         |p1 AS MATERIALIZED (SELECT node, comm FROM c$rounds1),
+         |em AS MATERIALIZED (
+         |  SELECT ca.comm AS ca, cb.comm AS cb
+         |  FROM fcand u JOIN p1 ca ON ca.node = u.id_a
+         |  JOIN p1 cb ON cb.node = u.id_b),
+         |winter AS (
+         |  SELECT least(ca, cb) AS x, greatest(ca, cb) AS y,
+         |    count(*)::BIGINT AS w
+         |  FROM em WHERE ca <> cb GROUP BY 1, 2),
+         |wintra AS (
+         |  SELECT ca AS x, (2 * count(*))::BIGINT AS w
+         |  FROM em WHERE ca = cb GROUP BY 1),
+         |wedges AS MATERIALIZED (
+         |  SELECT x AS src, y AS dst, w FROM winter
+         |  UNION ALL SELECT y, x, w FROM winter
+         |  UNION ALL SELECT x, x, w FROM wintra),
+         |wdeg AS MATERIALIZED (
+         |  SELECT src AS node, sum(w)::BIGINT AS ki
+         |  FROM wedges GROUP BY 1),
+         |wm AS (SELECT (sum(w) / 2)::BIGINT AS m FROM wedges),
+         |w0 AS (SELECT node, node AS comm FROM wdeg)""".stripMargin
+    for (r <- 1 to rounds2) {
+      sb ++=
+        s""",
+           |wdc$r AS (SELECT c.comm, sum(d.ki)::BIGINT AS dc
+           |  FROM w${r - 1} c JOIN wdeg d USING (node) GROUP BY 1),
+           |wkic$r AS (
+           |  SELECT e.src AS node, c.comm, sum(e.w)::BIGINT AS kic
+           |  FROM wedges e JOIN w${r - 1} c ON c.node = e.dst
+           |  WHERE e.src <> e.dst
+           |  GROUP BY 1, 2),
+           |wcd$r AS (SELECT node, comm, max(kic)::BIGINT AS kic FROM (
+           |  SELECT node, comm, kic FROM wkic$r
+           |  UNION ALL SELECT node, comm, 0::BIGINT FROM w${r - 1})
+           |  GROUP BY 1, 2),
+           |wsc$r AS (
+           |  SELECT a.node, a.comm,
+           |    (2 * m.m * a.kic - d.ki * (dc.dc
+           |      - CASE WHEN a.comm = cur.comm THEN d.ki
+           |        ELSE 0 END))::BIGINT AS gain
+           |  FROM wcd$r a JOIN wdc$r dc USING (comm)
+           |  JOIN w${r - 1} cur ON cur.node = a.node
+           |  JOIN wdeg d ON d.node = a.node
+           |  CROSS JOIN wm m),
+           |w$r AS MATERIALIZED (SELECT node, comm FROM (
+           |  SELECT node, comm, row_number() OVER (PARTITION BY node
+           |    ORDER BY gain DESC, comm ASC) AS rn
+           |  FROM wsc$r) WHERE rn = 1)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |SELECT p.node AS doc_id, w.comm AS community
+         |FROM p1 p JOIN w$rounds2 w ON w.node = p.comm""".stripMargin
+    sb.toString
+  }
+
   /** Oracle for `export_shards`: xxhash64(doc_id) mod nShards shard
     * assignment (the integer-hash CTE chain) + per-shard volume stats.
     */
@@ -3159,9 +3267,9 @@ object OracleSql {
        |  FROM grid),
        |st2 AS MATERIALIZED (
        |  SELECT day, typ, n, cc,
-       |    (CASE WHEN cn > 0 THEN (ccents * 1000000) // cn
+       |    (CASE WHEN cn > 0 THEN (ccents::HUGEINT * 1000000) // cn
        |      ELSE 1000000000000000 END)::BIGINT AS mean_e6,
-       |    (CASE WHEN n > 0 THEN (cc * 1000000) // n
+       |    (CASE WHEN n > 0 THEN (cc::HUGEINT * 1000000) // n
        |      ELSE 0 END)::BIGINT AS dm_e6
        |  FROM st),
        |exploit AS (

@@ -3900,6 +3900,25 @@ object SparkEntry {
       Dedup.louvainLocalMove(pairs, "id_a", "id_b", rounds = 2)
     }),
 
+    "graph_louvain_multilevel" -> ((s, dir) => {
+      // the MULTI-LEVEL member (VERDICT r11 #4): phase-1 sweeps, then
+      // Blondel's community-aggregation phase 2 — communities become
+      // supernodes (inter weights = cross-edge counts, intra counts
+      // fold into doubled self-loops, preserving the modularity
+      // function), the SAME weighted local move reruns on the
+      // supernode graph, labels unfold through both levels. Reaches
+      // merges the bounded synchronous sweep cannot; LouvainSpec
+      // proves modularity never drops below the phase-1 partition on
+      // the bridge fixture and that w≡1 delegation keeps phase 1
+      // bit-identical. The oracle replays the aggregation and the
+      // weighted sweep in SQL.
+      val pairs = Dedup
+        .minHashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+      Dedup.louvainMultilevel(pairs, "id_a", "id_b",
+        rounds1 = 2, rounds2 = 2)
+    }),
+
     "export_shards" -> ((s, dir) =>
       Packing.shardManifest(t(s, dir, "documents"), "doc_id", "text", 8)),
 
@@ -5232,11 +5251,17 @@ object SparkEntry {
       val st = grid
         .withColumn("cn", coalesce(sum("n").over(wCum), lit(0L)))
         .withColumn("ccents", coalesce(sum("cc").over(wCum), lit(0L)))
+        // cumulative cents × 1e6 is a money-sum product — unbounded
+        // at corpus scale, so it clears into DECIMAL(38,0)
+        // (overflow-sweep r12); longs capped the replay at ~9e12
+        // cumulative cents per arm
         .withColumn("mean_e6", when(col("cn") > 0,
-          expr("(ccents * 1000000) div cn"))
+          expr("cast(cast(ccents as decimal(38,0)) * 1000000 div cn" +
+            " as bigint)"))
           .otherwise(lit(1000000000000000L))) // optimistic init
         .withColumn("dm_e6", when(col("n") > 0,
-          expr("(cc * 1000000) div n")).otherwise(lit(0L)))
+          expr("cast(cast(cc as decimal(38,0)) * 1000000 div n" +
+            " as bigint)")).otherwise(lit(0L)))
       val wDay = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
       st.groupBy("day").agg(
@@ -5588,8 +5613,13 @@ object SparkEntry {
           (sum("c") - sum("cp")).as("n_neg"),
           sum("rank2sum_pos").as("r2p"))
         .select(col("n_pos"), col("n_neg"),
-          expr("(r2p - n_pos * (n_pos + 1)) * 1000000" +
-            " div (2 * n_pos * n_neg)").as("auc_ppm"))
+          // r2p <= 2U² (U users) — the ×1e6 product clears into
+          // DECIMAL(38,0) (overflow-sweep r12: longs cap U at ~2e6;
+          // decimals carry U to ~1e16)
+          expr("cast((cast(r2p as decimal(38,0)) - cast(n_pos as" +
+            " decimal(38,0)) * (n_pos + 1)) * 1000000" +
+            " div (2 * cast(n_pos as decimal(38,0)) * n_neg)" +
+            " as bigint)").as("auc_ppm"))
     }),
 
     "text_vocab_coverage" -> ((s, dir) => {
@@ -5615,7 +5645,11 @@ object SparkEntry {
         .crossJoin(broadcast(tot))
         .select(col("rank").cast("long").as("rank"), col("tok"),
           col("c"), col("cum"),
-          expr("cum * 1000000 div total").as("coverage_ppm"))
+          // cum <= total token occurrences — unbounded at corpus
+          // scale (1e13 tokens × 1e6 blows a long), so the scaled
+          // product clears into DECIMAL(38,0) (overflow-sweep r12)
+          expr("cast(cast(cum as decimal(38,0)) * 1000000 div total" +
+            " as bigint)").as("coverage_ppm"))
     }),
 
     "orders_rapid_repeat" -> ((s, dir) => {
@@ -6030,7 +6064,12 @@ object SparkEntry {
       val sAgg = pairs.agg(
         sum(when(col("dc") > 0, 1L).when(col("dc") < 0, -1L)
           .otherwise(0L)).as("s_stat"),
-        expr("percentile((dc * 1000000) div dd, 0.5d)")
+        // dc is a daily-cents difference (money-sum class): the ×1e6
+        // product clears into DECIMAL(38,0) and the per-pair slope
+        // lands back in a long before the percentile (overflow-sweep
+        // r12 — value-identical, same percentile input type)
+        expr("percentile(cast(cast(dc as decimal(38,0)) * 1000000" +
+          " div dd as bigint), 0.5d)")
           .as("sen_slope_e6"))
       val nn = daily.agg(count(lit(1)).as("n_days"))
       val ties = daily.groupBy("cents")
@@ -6604,16 +6643,24 @@ object SparkEntry {
         .withColumn("cum1", sum("c1").over(w))
         .withColumn("cum2", sum("c2").over(w))
         .crossJoin(broadcast(nn))
+        // cum·n is a count-product over two unbounded groups (n1·n2
+        // caps longs at ~3e6 docs per source) — DECIMAL(38,0) from
+        // birth (overflow-sweep r12); values are exact integers, so
+        // max/compare semantics are unchanged
         .withColumn("diff",
-          abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          abs(col("cum1").cast("decimal(38,0)") * col("n2")
+            - col("cum2").cast("decimal(38,0)") * col("n1")))
       val mx = cum.agg(max("diff").as("ks_num"))
       cum.crossJoin(broadcast(mx))
         .filter(col("diff") === col("ks_num"))
         .groupBy("n1", "n2", "ks_num")
         .agg(min("n_chars").as("at_value"))
         .select(lit(sa).as("source_a"), lit(sb).as("source_b"),
-          col("n1"), col("n2"), col("ks_num"), col("at_value"),
-          expr("(ks_num * 1000000) div (n1 * n2)").as("ks_ppm"))
+          col("n1"), col("n2"), col("ks_num").cast("long").as("ks_num"),
+          col("at_value"),
+          expr("cast(cast(ks_num as decimal(38,0)) * 1000000" +
+            " div (cast(n1 as decimal(38,0)) * n2) as bigint)")
+            .as("ks_ppm"))
     }),
 
     "events_power_analysis" -> ((s, dir) => {
@@ -7485,7 +7532,11 @@ object SparkEntry {
       def slopes = a.join(broadcast(b),
           col("flag") === col("bflag") && col("x2") > col("x1"))
         .select(col("flag"),
-          expr("(y2 - y1) * 1000000 div nullif(x2 - x1, 0)")
+          // y is a daily-revenue cents sum (money class): the ×1e6
+          // product clears into DECIMAL(38,0), slope lands back in a
+          // long (overflow-sweep r12 — value-identical)
+          expr("cast(cast(y2 - y1 as decimal(38,0)) * 1000000" +
+            " div nullif(x2 - x1, 0) as bigint)")
             .as("slope_e6"))
       // pass 1: per-flag pair count, target rank, sketch bracket
       val stats = slopes.groupBy("flag").agg(
@@ -12306,8 +12357,8 @@ object SparkEntry {
         |    sum(cp * (2 * (cum - c) + c + 1))::BIGINT AS r2p
         |  FROM r)
         |SELECT n_pos, n_neg,
-        |  ((r2p - n_pos * (n_pos + 1)) * 1000000
-        |    // (2 * n_pos * n_neg))::BIGINT AS auc_ppm
+        |  ((r2p::HUGEINT - n_pos::HUGEINT * (n_pos + 1)) * 1000000
+        |    // (2 * n_pos::HUGEINT * n_neg))::BIGINT AS auc_ppm
         |FROM m""".stripMargin,
 
     "text_vocab_coverage" ->
@@ -12325,7 +12376,7 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
         |  FROM tc)
         |SELECT r.rank, r.tok, r.c, r.cum,
-        |  (r.cum * 1000000 // t.total)::BIGINT AS coverage_ppm
+        |  (r.cum::HUGEINT * 1000000 // t.total)::BIGINT AS coverage_ppm
         |FROM r CROSS JOIN tot t""".stripMargin,
 
     "orders_rapid_repeat" ->
@@ -12585,6 +12636,7 @@ object SparkEntry {
 
     "graph_modularity" -> OracleSql.graphModularity(),
     "graph_louvain" -> OracleSql.graphLouvain(),
+    "graph_louvain_multilevel" -> OracleSql.graphLouvainMultilevel(),
 
     "cluster_single_linkage" ->
       """WITH pts AS MATERIALIZED (
@@ -12637,12 +12689,15 @@ object SparkEntry {
         |    sum(c1) OVER (ORDER BY n_chars)::BIGINT AS cum1,
         |    sum(c2) OVER (ORDER BY n_chars)::BIGINT AS cum2 FROM sup),
         |dd AS (SELECT c.n_chars,
-        |    abs(c.cum1 * nn.n2 - c.cum2 * nn.n1)::BIGINT AS diff,
+        |    abs(c.cum1::HUGEINT * nn.n2 - c.cum2::HUGEINT * nn.n1)
+        |      AS diff,
         |    nn.n1, nn.n2 FROM cum c, nn),
-        |mx AS (SELECT max(diff)::BIGINT AS ks_num FROM dd)
+        |mx AS (SELECT max(diff) AS ks_num FROM dd)
         |SELECT ab.sa AS source_a, ab.sb AS source_b, d.n1, d.n2,
-        |  m.ks_num, min(d.n_chars)::BIGINT AS at_value,
-        |  ((m.ks_num * 1000000) // (d.n1 * d.n2))::BIGINT AS ks_ppm
+        |  m.ks_num::BIGINT AS ks_num,
+        |  min(d.n_chars)::BIGINT AS at_value,
+        |  ((m.ks_num * 1000000) // (d.n1::HUGEINT * d.n2))::BIGINT
+        |    AS ks_ppm
         |FROM dd d, mx m, ab WHERE d.diff = m.ks_num
         |GROUP BY ab.sa, ab.sb, d.n1, d.n2, m.ks_num""".stripMargin,
 
@@ -12996,7 +13051,8 @@ object SparkEntry {
         |sagg AS (
         |  SELECT sum(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1
         |    ELSE 0 END)::BIGINT AS s_stat,
-        |    median((dc * 1000000) // dd) AS sen_slope_e6 FROM pairs),
+        |    median(((dc::HUGEINT * 1000000) // dd)::BIGINT)
+        |      AS sen_slope_e6 FROM pairs),
         |nn AS (SELECT count(*)::BIGINT AS n_days FROM daily),
         |tt AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::BIGINT
         |  AS tie_corr
@@ -13310,7 +13366,8 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1, 2),
         |slopes AS (
         |  SELECT a.flag,
-        |    ((b.y - a.y) * 1000000 // (b.x - a.x))::BIGINT AS slope_e6
+        |    (((b.y - a.y)::HUGEINT * 1000000) // (b.x - a.x))::BIGINT
+        |      AS slope_e6
         |  FROM daily a JOIN daily b
         |    ON a.flag = b.flag AND b.x > a.x),
         |r AS (

@@ -33,7 +33,14 @@ object Verify {
     }
     val dumps = selected.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): both yield the single-file
+        // layout the driver's DuckDB read expects, but coalesce
+        // collapses the final stage to ONE task — at the 10× gate
+        // fixture that serialized a candidate-verify join onto one
+        // core for tens of minutes. The extra exchange moves only the
+        // (small) result; compute stays at full parallelism. Row order
+        // changes are irrelevant — both gates sort before comparing.
+        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

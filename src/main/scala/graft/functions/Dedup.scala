@@ -330,7 +330,7 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .join(sz, Seq("doc_id"))
       .filter(col("pos") <= col("sz") - ceil(lit(minSim) * col("sz")) + 1)
-      .select("doc_id", "token", "sz")
+      .select("doc_id", "token", "sz", "pos")
     // PPJoin length filter inside the bucket join (lossless: Jaccard
     // >= s forces s·|x| <= |y|) — prunes size-incompatible pairs
     // before they reach the distinct. NOTE the measured trade on this
@@ -354,7 +354,7 @@ object Dedup {
     // the dominant cross-block share of the quadratic candidate mass.
     // None (the default) leaves the plan byte-identical.
     val prefH0 = pref.select(xxhash64(col("token")).as("tkh"),
-      col("doc_id"), col("sz"))
+      col("doc_id"), col("sz"), col("pos"))
     val (prefH, candKeys) = blockCol match {
       case Some(bc) =>
         val m = docs.select(col(idCol).as("doc_id"),
@@ -363,15 +363,38 @@ object Dedup {
       case None => (prefH0, Seq("tkh"))
     }
     val aSel = candKeys.map(col) ++
-      Seq(col("doc_id").as("id_a"), col("sz").as("za"))
+      Seq(col("doc_id").as("id_a"), col("sz").as("za"),
+        col("pos").as("pa"))
     val bSel = candKeys.map(col) ++
-      Seq(col("doc_id").as("id_b"), col("sz").as("zb"))
+      Seq(col("doc_id").as("id_b"), col("sz").as("zb"),
+        col("pos").as("pb"))
+    // PPJoin positional filter (Xiao et al. WWW'08 §3.2, VERDICT r11
+    // #2): a token shared at sorted positions (pa, pb) bounds the
+    // whole-set overlap by ub = min(pa−1, pb−1) + 1 + min(za−pa,
+    // zb−pb) — tokens before it in each set are strictly smaller in
+    // the global df order, tokens from it on number za−pa+1 / zb−pb+1.
+    // The bound holds at EVERY shared prefix token, so the per-pair
+    // aggregate takes the MIN over them (the same groupBy that used to
+    // be the dedup distinct — one int wider, no extra shuffle) and
+    // keeps the pair only if the bound can still reach the Jaccard
+    // threshold: jac ≥ s ⟺ O·(1e6+s_ppm) ≥ s_ppm·(za+zb), and
+    // ub ≥ O, so pruning on ub·(1e6+s_ppm) < s_ppm·(za+zb) is
+    // lossless (exact integer test — no float slop on either side).
+    // Verification work drops by the pruned share: the pairs killed
+    // here never pay the sorted-set intersection below.
+    val sPpm = math.round(minSim * 1000000)
     val cand = prefH.select(aSel: _*)
       .join(prefH.select(bSel: _*), candKeys)
       .filter(col("id_a") < col("id_b") &&
         col("zb") * lit(minSim) <= col("za") &&
         col("za") * lit(minSim) <= col("zb"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b")
+      .agg(min(least(col("pa"), col("pb")) +
+        least(col("za") - col("pa"), col("zb") - col("pb"))).as("ub"),
+        min("za").as("za"), min("zb").as("zb"))
+      .filter(col("ub") * lit(1000000L + sPpm) >=
+        lit(sPpm) * (col("za") + col("zb")))
+      .select("id_a", "id_b")
     // verify per-pair with a single codegen'd set intersection over the
     // collected sorted shingle sets (tk is already distinct) — two
     // narrow id-keyed joins instead of re-exploding every candidate's
@@ -1247,21 +1270,41 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .withColumn("w", lit(1L))
+    louvainLocalMoveWeighted(e, rounds)
+      .select(col("node").as("doc_id"), col("comm").as("community"))
+  }
+
+  /** The weighted synchronous local-move core both Louvain levels run
+    * on: `edges` is a DIRECTED symmetric frame `(src, dst, w)` where a
+    * self-loop row (src = dst) carries TWICE the intra weight (both
+    * endpoints), so `ki = Σ w` is the weighted degree and
+    * `m = Σ w / 2` the total weight. Self-loops contribute to degrees
+    * and community loads but never to a candidate k_{i,c} (the
+    * `src ≠ dst` filter) — exactly the weighted gain numerator
+    * 2m·k_{i,c} − k_i·(d_c − [c = c_i]·k_i) of Blondel et al. 2008
+    * §2. With w ≡ 1 this is bit-identical to the round-11 unweighted
+    * sweep (sum ≡ count). Overflow bound (count class): gains are
+    * ≤ 4m² < 2⁶³ for m ≤ 1.5e9 total edge weight — loud past it.
+    */
+  def louvainLocalMoveWeighted(edges: DataFrame,
+                               rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = edges.localCheckpoint(true)
     val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("ki"))
+      .agg(sum("w").as("ki"))
       .localCheckpoint(true)
-    val mstat = e.agg((count(lit(1)) / 2).cast("long").as("m"))
+    val mstat = e.agg((sum("w") / 2).cast("long").as("m"))
     var comm = deg.select(col("node")).withColumn("comm", col("node"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val dcomm = comm.join(deg, Seq("node"))
         .groupBy("comm").agg(sum("ki").as("dc"))
-      val kic = e
+      val kic = e.filter(col("src") =!= col("dst"))
         .join(comm.select(col("node").as("dst"), col("comm")),
           Seq("dst"))
         .groupBy(col("src").as("node"), col("comm"))
-        .agg(count(lit(1)).as("kic"))
+        .agg(sum("w").as("kic"))
       // the node's CURRENT community is always a candidate (staying
       // must be priced); when it is also a neighbor community the
       // max-dedup keeps the real k_{i,c}
@@ -1283,7 +1326,55 @@ object Dedup {
         .select(col("node"), (-col("nc")).as("comm"))
         .localCheckpoint(true)
     }
-    comm.select(col("node").as("doc_id"), col("comm").as("community"))
+    comm
+  }
+
+  /** Multi-level Louvain (VERDICT r11 #4 — the phase the round-11
+    * local move lacked): phase 1 runs `rounds1` synchronous sweeps on
+    * the raw graph; phase 2 AGGREGATES each community to a supernode
+    * (Blondel et al. 2008 §2, the "community aggregation" step) —
+    * inter-community edge weights are the cross-edge counts, each
+    * community's intra-edge count becomes a self-loop of twice that
+    * weight, so the aggregated graph's modularity function equals the
+    * original partition's — reruns the SAME weighted sweep on the
+    * supernode graph, and unfolds labels through the two levels. This
+    * reaches merges a bounded number of synchronous local moves
+    * cannot (large-diameter community hierarchies), while every step
+    * stays a rollup + keyed joins: the aggregation is ONE edge rollup
+    * over the phase-1 labels, and the level-2 sweep runs on the
+    * communities-sized frame.
+    */
+  def louvainMultilevel(pairs: DataFrame, aCol: String, bCol: String,
+                        rounds1: Int, rounds2: Int): DataFrame = {
+    val c1 = louvainLocalMove(pairs, aCol, bCol, rounds1)
+      .localCheckpoint(true)
+    val und = pairs
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+    val m1 = und
+      .join(c1.select(col("doc_id").as("a"), col("community").as("ca")),
+        Seq("a"))
+      .join(c1.select(col("doc_id").as("b"), col("community").as("cb")),
+        Seq("b"))
+    val inter = m1.filter(col("ca") =!= col("cb"))
+      .groupBy(least(col("ca"), col("cb")).as("x"),
+        greatest(col("ca"), col("cb")).as("y"))
+      .agg(count(lit(1)).as("w"))
+    val intra = m1.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("x"))
+      .agg((count(lit(1)) * lit(2L)).as("w"))
+    val agg = inter
+      .select(col("x").as("src"), col("y").as("dst"), col("w"))
+      .unionByName(inter.select(col("y").as("src"),
+        col("x").as("dst"), col("w")))
+      .unionByName(intra.select(col("x").as("src"),
+        col("x").as("dst"), col("w")))
+    val c2 = louvainLocalMoveWeighted(agg, rounds2)
+    c1.join(c2.select(col("node").as("community"),
+        col("comm").as("c2")), Seq("community"))
+      .select(col("doc_id"), col("c2").as("community"))
   }
 
   /** Bounded-round multi-source BFS over the undirected near-dup
@@ -1777,24 +1868,46 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxDist` Hamming distance, blocked by
-    * 16-bit signature quarters (pigeonhole: any pair within distance 3
-    * agrees on at least one of 4 quarters), so the join never goes O(n²).
+  /** SimHash near-dup pairs within `maxDist` Hamming distance.
+    *
+    * Blocking (VERDICT r11 #6 — the second-blocking-key playbook
+    * applied before the 16-bit pigeonhole became the next 26×): the
+    * signature splits into two 32-BIT HALVES; any pair within distance
+    * 3 has ≤ 1 error in one half (pigeonhole over 2 halves), so the
+    * candidate set is exactly the pairs whose halves match within
+    * Hamming 1 — realized as an ASYMMETRIC exact-key join in the
+    * multi-index style of Manku, Jain & Das Sarma (WWW'07 §3): the
+    * probe side emits each half plus its 32 one-bit flips (33 keys per
+    * half, 66 rows/doc — linear), the build side emits the exact half,
+    * and an exact 32-bit key match ⟺ half distance ≤ 1. Compared to
+    * the former 4×16-bit equality blocks this trades a constant 16.5×
+    * row fan-out for a 2¹⁶× sparser key space: bucket populations — and
+    * with them the quadratic candidate mass that made the 16-bit
+    * scheme superlinear on dense corpora (13.4× at 10× data) — drop to
+    * near-duplicate clusters only. Output-identical: both blockings
+    * are complete for distance ≤ 3 supersets, and the exact Hamming
+    * filter below decides membership.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"simHashPairs: 2-half/1-flip blocking is complete only for " +
+        s"maxDist <= 3, got $maxDist")
     val sig = docs.select(col(idCol).as("doc_id"),
       exprs.simhash64(col(textCol)).as("sim"))
-    val blocked = sig.select(col("doc_id"), col("sim"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "quarter")
-      .withColumnRenamed("col", "block")
-    val a = blocked.select(col("quarter"), col("block"),
+    val halves = sig.select(col("doc_id"), col("sim"),
+      posexplode(array(
+        shiftright(col("sim"), 32).bitwiseAND(lit(0xFFFFFFFFL)),
+        col("sim").bitwiseAND(lit(0xFFFFFFFFL)))))
+      .withColumnRenamed("pos", "half")
+      .withColumnRenamed("col", "hv")
+    val flips = (0 until 32).map(b => col("hv").bitwiseXOR(lit(1L << b)))
+    val probe = halves.select(col("half"),
+      explode(array(col("hv") +: flips: _*)).as("key"),
       col("doc_id").as("id_a"), col("sim").as("sim_a"))
-    val b = blocked.select(col("quarter"), col("block"),
+    val build = halves.select(col("half"), col("hv").as("key"),
       col("doc_id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("quarter", "block"))
+    probe.join(build, Seq("half", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))

@@ -82,6 +82,32 @@ class FunctionsSpec extends SparkSpec {
       s"near=$nearDist should be < far=$farDist")
   }
 
+  test("simHashPairs half/1-flip blocking equals the brute-force " +
+      "all-pairs join at maxDist 3") {
+    // adversarial corpus: near-dup clusters (1-2 token edits around a
+    // shared template) + unrelated tails, deterministic seed
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 60).map { i =>
+      val fam = i / 6
+      val words = (0 until 25).map { j =>
+        if (rnd.nextInt(10) == 0) s"n${i}_$j" else s"f${fam}_$j"
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val blocked = graft.functions.Dedup
+      .simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sig = docs.select($"doc_id", exprs.simhash64($"text").as("s"))
+    val brute = sig.as("a").crossJoin(sig.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .filter(bit_count($"a.s".bitwiseXOR($"b.s")) <= 3)
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)]
+      .collect().toSet
+    assert(blocked == brute,
+      s"missing=${brute -- blocked} extra=${blocked -- brute}")
+    assert(brute.nonEmpty, "fixture produced no close pairs")
+  }
+
   test("native minhash signature: est jaccard high for near-dups, low for unrelated") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i")

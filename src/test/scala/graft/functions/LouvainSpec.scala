@@ -107,4 +107,67 @@ class LouvainSpec extends SparkSpec {
       s"louvain Q ${q(lv)} < label-prop Q ${q(lp)}")
     assert(q(lv) > 0.3, s"louvain Q unexpectedly weak: ${q(lv)}")
   }
+
+  private def modularity(edges: Set[(Long, Long)],
+                         comm: Map[Long, Long]): Double = {
+    val m = edges.size.toDouble
+    val sym = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size }
+    comm.groupBy(_._2).keys.toSeq.map { c =>
+      val members = comm.filter(_._2 == c).keySet
+      val ec = edges.count { case (x, y) => members(x) && members(y) }
+      val dcv = members.toSeq.map(deg).sum
+      ec / m - math.pow(dcv / (2 * m), 2)
+    }.sum
+  }
+
+  private def runMultilevel(edges: Set[(Long, Long)], r1: Int,
+                            r2: Int): Map[Long, Long] =
+    Dedup.louvainMultilevel(
+        edges.toSeq.toDF("id_a", "id_b"), "id_a", "id_b", r1, r2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("weighted sweep with w=1 keeps phase 1 bit-identical " +
+      "(delegation refactor guard)") {
+    val rnd = new scala.util.Random(23L)
+    val n = 30
+    val edges = (0 until n * 2).map { _ =>
+      val a = rnd.nextInt(n).toLong
+      val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).toSet
+    assert(runEngine(edges, 2) == bruteLocalMove(edges, 2))
+  }
+
+  test("multi-level phase 2 merges the chain of cliques the bounded " +
+      "synchronous sweep leaves fragmented, and never lowers Q") {
+    // a RING of 8 tight triangles, consecutive triangles bridged —
+    // phase 1 settles each triangle as its own community; phase 2 on
+    // the supernode graph can merge adjacent triangles where Q gains
+    val tri = (0 until 8).flatMap { k =>
+      val base = k * 10L
+      clique(Seq(base, base + 1, base + 2))
+    }.toSet
+    val bridges = (0 until 8).map { k =>
+      (k * 10L + 2, ((k + 1) % 8) * 10L)
+    }.toSet
+    val edges = tri ++ bridges
+    val p1 = runEngine(edges, 2)
+    val ml = runMultilevel(edges, 2, 2)
+    assert(modularity(edges, ml) >= modularity(edges, p1) - 1e-12,
+      s"phase 2 lowered Q: ${modularity(edges, ml)} < " +
+        s"${modularity(edges, p1)}")
+    // the unfold is a consistent refinement: every phase-1 community
+    // maps to exactly one final community
+    val unfold = p1.keys.groupBy(p1).map { case (_, ns) =>
+      ns.map(ml).toSet.size }
+    assert(unfold.forall(_ == 1), "phase-1 community split by unfold")
+    // bridge fixture regression: phase 2 must keep the two-clique
+    // structure of the earlier tests intact
+    val e2 = clique(0L to 5L) ++ clique(10L to 15L) + ((5L, 10L))
+    val got = runMultilevel(e2, 2, 2)
+    assert((0L to 5L).map(got).toSet.size == 1)
+    assert((10L to 15L).map(got).toSet.size == 1)
+    assert((0L to 5L).map(got).toSet != (10L to 15L).map(got).toSet)
+  }
 }
