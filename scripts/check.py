@@ -47,13 +47,29 @@ MAY_BE_EMPTY = {"dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
 _WORKER = {}
 
 
-def _init_worker(sfdir, threads):
+def _init_worker(sfdir, threads, memlimit=None):
     import duckdb
     con = duckdb.connect()
     # Without this every worker's DuckDB grabs all machine cores:
     # 16 workers x 32 threads oversubscribes 16x and per-query times
     # balloon ~2x (observed: 9 s oracles hitting a 20 s cap).
     con.sql(f"SET threads={threads}")
+    # Without a per-worker cap, N workers each assume they own ~80% of
+    # machine RAM; at a big fixture the chain-CTE oracles then get
+    # OS-OOM-killed, which poisons the whole ProcessPoolExecutor (every
+    # pending compare fails "terminated abruptly" — observed at the r12
+    # 10x gate). A DuckDB-enforced limit turns that into a clean
+    # per-query OutOfMemoryException instead; spill stays enabled.
+    if memlimit:
+        con.sql(f"SET memory_limit='{memlimit}'")
+        # per-PROCESS spill dir: DuckDB names spill files
+        # duckdb_temp_storage-N.tmp inside temp_directory, so two
+        # concurrent gate processes sharing one directory CLOBBER each
+        # other's spill (observed: "Could not read enough bytes from
+        # duckdb_temp_storage-0.tmp" at the r12 10x gate)
+        spill = f"/tmp/duck_spill/{os.getpid()}"
+        os.makedirs(spill, exist_ok=True)
+        con.sql(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     _WORKER["con"] = con
@@ -200,7 +216,7 @@ def check_one(args):
 
 
 def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0,
-         oracle_only=False):
+         oracle_only=False, memlimit=None):
     import duckdb  # validate availability in the parent too
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if only:
@@ -214,7 +230,7 @@ def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0,
             for name in sorted(oracle)]
     threads = max(2, (os.cpu_count() or 4) // jobs)
     with ProcessPoolExecutor(max_workers=jobs, initializer=_init_worker,
-                             initargs=(sfdir, threads)) as ex:
+                             initargs=(sfdir, threads, memlimit)) as ex:
         futs = {ex.submit(check_one, w): w[0] for w in work}
         for fut in as_completed(futs):
             name = futs[fut]
@@ -274,6 +290,7 @@ if __name__ == "__main__":
     artifact = None
     timeout = 120.0
     oracle_only = False
+    memlimit = None
     pos = []
     i = 0
     while i < len(argv):
@@ -286,8 +303,10 @@ if __name__ == "__main__":
             timeout = float(argv[i + 1]); i += 2
         elif a == "--oracle-only":
             oracle_only = True; i += 1
+        elif a == "--memlimit":
+            memlimit = argv[i + 1]; i += 2
         else:
             pos.append(a); i += 1
     only = set(pos[2].split(",")) if len(pos) > 2 else None
     sys.exit(main(pos[0], pos[1], only, jobs, artifact, timeout,
-                  oracle_only))
+                  oracle_only, memlimit))

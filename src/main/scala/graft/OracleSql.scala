@@ -2518,6 +2518,94 @@ object OracleSql {
     sb.toString
   }
 
+  /** Oracle for `cluster_single_linkage_2d`: Borůvka replayed against
+    * the ALL-PAIRS eps-edge definition (no grid — proving the engine's
+    * grid candidate graph lossless, the dbscan-oracle precedent).
+    * Each round every component picks its (w, a, b)-lexicographic-min
+    * outgoing edge; the accumulated forest's components come from a
+    * per-round recursive reachability closure (exact, no iteration
+    * bound); after `rounds` no-op-padded rounds (Borůvka halves
+    * components, so rounds ≥ ⌈log2 n⌉ converges — n ≤ 2^rounds at
+    * every oracle-gated fixture), the k−1 heaviest forest edges are
+    * cut and clusters labeled by min rid. Mirrors
+    * [[graft.ops.SingleLinkage]].
+    */
+  def clusterSingleLinkage2d(k: Int = 8, eps: Long = 50000L,
+                             rounds: Int = 12): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT vec_id,
+         |    CAST(floor(embedding[1]::DOUBLE * 1000000 + 0.5) AS BIGINT)
+         |      AS x,
+         |    CAST(floor(embedding[2]::DOUBLE * 1000000 + 0.5) AS BIGINT)
+         |      AS y
+         |  FROM embeddings),
+         |reps AS MATERIALIZED (
+         |  SELECT x, y, min(vec_id) AS rid, count(*) AS mult
+         |  FROM pts GROUP BY 1, 2),
+         |sledges AS MATERIALIZED (
+         |  SELECT a, b, w FROM (
+         |    SELECT ra.rid AS a, rb.rid AS b,
+         |      (ra.x - rb.x) * (ra.x - rb.x)
+         |        + (ra.y - rb.y) * (ra.y - rb.y) AS w
+         |    FROM reps ra JOIN reps rb ON ra.rid < rb.rid)
+         |  WHERE w <= ${eps * eps}),
+         |bc0 AS (SELECT rid AS node, rid AS label FROM reps),
+         |acc0 AS (SELECT a, b, w FROM sledges WHERE false)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++=
+        s""",
+           |cx$r AS (
+           |  SELECT e.a, e.b, e.w, ca.label AS la, cb.label AS lb
+           |  FROM sledges e JOIN bc${r - 1} ca ON ca.node = e.a
+           |  JOIN bc${r - 1} cb ON cb.node = e.b
+           |  WHERE ca.label <> cb.label),
+           |pk$r AS (
+           |  SELECT DISTINCT a, b, w FROM (
+           |    SELECT a, b, w, row_number() OVER (PARTITION BY c
+           |      ORDER BY w, a, b) AS rn
+           |    FROM (SELECT la AS c, a, b, w FROM cx$r
+           |      UNION ALL SELECT lb, a, b, w FROM cx$r))
+           |  WHERE rn = 1),
+           |acc$r AS MATERIALIZED (
+           |  SELECT DISTINCT a, b, w FROM (
+           |    SELECT a, b, w FROM acc${r - 1}
+           |    UNION ALL SELECT a, b, w FROM pk$r)),
+           |sym$r AS (SELECT a AS src, b AS dst FROM acc$r
+           |  UNION ALL SELECT b, a FROM acc$r),
+           |rc$r(id, rr) AS (
+           |  SELECT rid, rid FROM reps
+           |  UNION
+           |  SELECT rc$r.id, s.dst FROM rc$r
+           |  JOIN sym$r s ON s.src = rc$r.rr),
+           |bc$r AS MATERIALIZED (
+           |  SELECT id AS node, min(rr) AS label FROM rc$r
+           |  GROUP BY 1)""".stripMargin
+    }
+    sb ++=
+      s""",
+         |mstr AS (SELECT a, b, w, row_number() OVER (
+         |    ORDER BY w DESC, a DESC, b DESC) AS rk
+         |  FROM acc$rounds),
+         |kept AS (SELECT a AS src, b AS dst FROM mstr WHERE rk > ${k - 1}
+         |  UNION ALL
+         |  SELECT b, a FROM mstr WHERE rk > ${k - 1}),
+         |rck(id, rr) AS (
+         |  SELECT rid, rid FROM reps
+         |  UNION
+         |  SELECT rck.id, s.dst FROM rck JOIN kept s ON s.src = rck.rr),
+         |fin AS (SELECT id AS rid, min(rr) AS cluster FROM rck
+         |  GROUP BY 1)
+         |SELECT f.cluster, sum(r.mult)::BIGINT AS n_points,
+         |  count(*)::BIGINT AS n_distinct,
+         |  min(r.x) AS min_x, max(r.x) AS max_x,
+         |  min(r.y) AS min_y, max(r.y) AS max_y
+         |FROM reps r JOIN fin f ON f.rid = r.rid
+         |GROUP BY 1""".stripMargin
+    sb.toString
+  }
+
   /** Oracle for `export_shards`: xxhash64(doc_id) mod nShards shard
     * assignment (the integer-hash CTE chain) + per-shard volume stats.
     */

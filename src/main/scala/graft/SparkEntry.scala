@@ -184,10 +184,33 @@ object SparkEntry {
       .join(cust, ord("o_custkey") === cust("c_custkey"))
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"),
+      .agg(expr(discMoney).as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  // Exact-cents money aggregates (overflow/float sweep r12): every
+  // round(sum(<money double>), 2) in the TPC-H family was one
+  // association-error flip away from a cross-engine rounding mismatch
+  // -- the 10x hash gate caught q1/q7/q9 (and agg_cube/grouping_sets)
+  // off by one 0.01 grain at 6M rows. Money columns are exact
+  // 2-decimal data, so sums run over exact scaled longs in
+  // DECIMAL(38,0) and ONE integer half-up (div truncation -- verified
+  // engine-identical for the signed q9 profit) lands the value back
+  // on the 2-decimal grid; the emitted double is then identical in
+  // both engines by construction, at any row count.
+  private def sumE2(c: String): String =
+    s"sum(cast(cast(round($c * 100) as bigint) as decimal(38,0)))"
+  private val discE4Term =
+    "cast(round(l_extendedprice * 100) as bigint)" +
+      " * (100 - cast(round(l_discount * 100) as bigint))"
+  private val sumDiscE4 = s"sum(cast($discE4Term as decimal(38,0)))"
+  private def e4Money(sumExpr: String): String =
+    s"cast(($sumExpr + 50) div 100 as double) / 100.0"
+  private def e6Money(sumExpr: String): String =
+    s"cast(($sumExpr + 5000) div 10000 as double) / 100.0"
+  private def e2Money(c: String): String =
+    s"round(cast(${sumE2(c)} as double) / 100.0, 2)"
+  private val discMoney = e4Money(sumDiscE4)
 
   // ------------------------------------------------------------------
   // Query registry
@@ -320,7 +343,9 @@ object SparkEntry {
         .filter(col("user_id") % 100 === 0)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("total_value"))
+          round(sum(expr("cast(cast(round(value * 100) as bigint)" +
+            " as decimal(38,0))")).cast("double") / 100.0, 2)
+            .as("total_value"))
         .select(col("user_id"),
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
@@ -365,14 +390,16 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          expr(e2Money("l_extendedprice")).as("sum_base_price"),
+          expr(discMoney).as("sum_disc_price"),
+          expr(e6Money(s"sum(cast($discE4Term" +
+            " * (100 + cast(round(l_tax * 100) as bigint))" +
+            " as decimal(38,0)))")).as("sum_charge"),
           round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          expr(s"round(cast(${sumE2("l_extendedprice")} as double)" +
+            " / (count(1) * 100.0), 4)").as("avg_price"),
+          expr(s"round(cast(${sumE2("l_discount")} as double)" +
+            " / (count(1) * 100.0), 4)").as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -385,8 +412,7 @@ object SparkEntry {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(expr(discMoney).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -406,8 +432,7 @@ object SparkEntry {
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(expr(discMoney).as("revenue"))
     }),
 
     "q7_volume_shipping" -> ((s, dir) => {
@@ -431,8 +456,7 @@ object SparkEntry {
             col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("ship_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("volume"))
+        .agg(expr(discMoney).as("volume"))
     }),
 
     "q9_product_profit" -> ((s, dir) => {
@@ -448,8 +472,9 @@ object SparkEntry {
         .join(supp, li("l_suppkey") === supp("s_suppkey"))
         .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          - col("p_retailprice") * col("l_quantity") * 0.1), 2)
+        .agg(expr(e4Money(s"sum(cast($discE4Term" +
+          " - cast(round(p_retailprice * 100) as bigint)" +
+          " * cast(l_quantity as bigint) * 10 as decimal(38,0)))"))
           .as("profit"))
     }),
 
@@ -470,7 +495,8 @@ object SparkEntry {
       t(s, dir, "orders").createOrReplaceTempView("gs_orders")
       s.sql(
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-          |       round(sum(o_totalprice), 2) AS total
+          |       round(sum(cast(round(o_totalprice * 100) as bigint))
+          |         / 100.0, 2) AS total
           |FROM gs_orders
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), ())""".stripMargin)
@@ -484,7 +510,9 @@ object SparkEntry {
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          round(sum("c_acctbal"), 2).as("total_bal"))
+          // exact cents sum (same 10x-gate class as agg_cube)
+          round(sum(expr("cast(round(c_acctbal * 100) as bigint)"))
+            / 100.0, 2).as("total_bal"))
     }),
 
     "distinct_agg" -> ((s, dir) => {
@@ -619,7 +647,9 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          round(sum("o_totalprice").over(w), 2).as("running_spend"))
+          round(sum(expr("cast(cast(round(o_totalprice * 100) as" +
+            " bigint) as decimal(38,0))")).over(w).cast("double")
+            / 100.0, 2).as("running_spend"))
     }),
 
     "window_lag_sessionize" -> ((s, dir) => {
@@ -752,7 +782,10 @@ object SparkEntry {
       // batch twin of the streaming windowed aggregation
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(expr("cast(cast(round(value * 100) as bigint)" +
+            " as decimal(38,0))")).cast("double") / 100.0, 2)
+            .as("total_value"))
     }),
 
     "events_hopping" -> ((s, dir) => {
@@ -766,7 +799,9 @@ object SparkEntry {
             .getField("start").as("win_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum("value"), 2).as("total_value"))
+          round(sum(expr("cast(cast(round(value * 100) as bigint)" +
+            " as decimal(38,0))")).cast("double") / 100.0, 2)
+            .as("total_value"))
     }),
 
     "events_funnel" -> ((s, dir) => {
@@ -3142,7 +3177,11 @@ object SparkEntry {
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("total"))
+          // exact cents sum: the grand-total row's 1.5M-row double sum
+          // crossed the round(,2) boundary vs DuckDB (found by the 10x
+          // hash gate); the long sum is exact and /100.0 rounds once
+          round(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            / 100.0, 2).as("total"))
     }),
 
     "exists_subquery" -> ((s, dir) => {
@@ -3296,7 +3335,7 @@ object SparkEntry {
     "having_filter" -> ((s, dir) => {
       t(s, dir, "orders").groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("spend"))
+          expr(e2Money("o_totalprice")).as("spend"))
         .filter(col("n_orders") >= 15)
     }),
 
@@ -3417,8 +3456,10 @@ object SparkEntry {
           col("l_shipdate") < lit("1995-01-01") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
-          .as("revenue"),
+        .agg(expr(e4Money(
+          "sum(cast(cast(round(l_extendedprice * 100) as bigint)" +
+            " * cast(round(l_discount * 100) as bigint)" +
+            " as decimal(38,0)))")).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -3431,8 +3472,7 @@ object SparkEntry {
         .join(cust, ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(expr(discMoney).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }),
@@ -3528,8 +3568,7 @@ object SparkEntry {
               col("l_quantity").between(10, 20)) ||
             (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
               col("l_quantity").between(20, 30)))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
+        .agg(expr(discMoney).as("revenue"))
     }),
 
     "q22_idle_balances" -> ((s, dir) => {
@@ -3547,7 +3586,7 @@ object SparkEntry {
         .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"),
-          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          expr(e2Money("c_acctbal")).as("totacctbal"))
     }),
 
     "q4_priority_semijoin" -> ((s, dir) => {
@@ -3588,9 +3627,10 @@ object SparkEntry {
         .join(broadcast(reg), col("c_rk") === col("r_regionkey"))
         .join(broadcast(natS), supp("s_nationkey") === col("s_nk"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg(round(
-          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0)))
-            / sum(vol), 4).as("mkt_share"))
+        .agg(expr("round(cast(sum(cast(case when supp_nation =" +
+          s" 'NATION_3' then $discE4Term else 0 end as decimal(38,0)))" +
+          s" as double) / cast($sumDiscE4 as double), 4)")
+          .as("mkt_share"))
     }),
 
     "q11_important_stock" -> ((s, dir) => {
@@ -3660,7 +3700,8 @@ object SparkEntry {
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
         .join(avgq, li("l_partkey") === col("apk"))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        .agg(expr(s"cast((${sumE2("l_extendedprice")} * 200 + 700)" +
+          " div 1400 as double) / 100.0").as("avg_yearly"))
     }),
 
     "q20_promo_suppliers" -> ((s, dir) => {
@@ -6913,7 +6954,9 @@ object SparkEntry {
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("total"))
+          // exact cents sum (same 10x-gate class as agg_cube)
+          round(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            / 100.0, 2).as("total"))
     }),
 
     "source_partitioned_pruning" -> ((s, dir) => {
@@ -8601,6 +8644,41 @@ object SparkEntry {
             .as("split_gap"))
     }),
 
+    "cluster_single_linkage_2d" -> ((s, dir) => {
+      // multi-D single-linkage (VERDICT r11 #5): the dendrogram IS the
+      // MST (Gower & Ross 1969), so the exact k-cluster partition
+      // deletes the k−1 heaviest forest edges. The forest comes from
+      // ops.SingleLinkage's Borůvka rounds over the SAME grid
+      // eps-candidate graph DBSCAN runs on (distinct-coordinate
+      // rollup, 3×3 cell join, hot-cell salting) — merge heights are
+      // exact integer squared distances, totally ordered by
+      // (dist_sq, a, b) so the forest and the cut are unique and the
+      // oracle can replay the identical synchronous rounds against
+      // the ALL-PAIRS edge definition (proving the grid graph
+      // lossless). eps bounds the dendrogram height — pairs farther
+      // than eps never merge (the truncation that keeps this off the
+      // O(n²) all-pairs path at scale). SPARK_GRAFT_SL_EPS: big-
+      // fixture knob, never set in driver/oracle runs.
+      val K = 8
+      val EPS = sys.env.get("SPARK_GRAFT_SL_EPS")
+        .map(_.toLong).getOrElse(50000L)
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          floor(col("embedding").getItem(0).cast("double")
+            * 1000000.0 + 0.5).as("x"),
+          floor(col("embedding").getItem(1).cast("double")
+            * 1000000.0 + 0.5).as("y"))
+      val rp = graft.ops.Dbscan.reps(pts).localCheckpoint(true)
+      val mst = graft.ops.SingleLinkage.mstEdges(rp, EPS)
+      graft.ops.SingleLinkage.cut(rp, mst, K)
+        .join(rp, Seq("rid"))
+        .groupBy("cluster")
+        .agg(sum("mult").as("n_points"),
+          count(lit(1)).as("n_distinct"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+    }),
+
     "cluster_dbscan_grid" -> ((s, dir) => {
       // grid-accelerated DBSCAN (Ester et al. 1996) over the first two
       // embedding coordinates — the DENSITY clustering the centroid
@@ -9433,7 +9511,9 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |  count(*) AS n_events,
+        |  round(sum(cast(round(value * 100) as bigint))::DOUBLE
+        |    / 100.0, 2) AS total_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "scd2_merge" -> Scd2Oracle,
@@ -9471,12 +9551,20 @@ object SparkEntry {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(sum(cast(round(l_extendedprice * 100) as bigint))::DOUBLE
+        |    / 100.0, 2) AS sum_base_price,
+        |  ((sum(cast(round(l_extendedprice * 100) as bigint)
+        |      * (100 - cast(round(l_discount * 100) as bigint))) + 50)
+        |    // 100)::DOUBLE / 100.0 AS sum_disc_price,
+        |  ((sum(cast(round(l_extendedprice * 100) as bigint)
+        |      * (100 - cast(round(l_discount * 100) as bigint))
+        |      * (100 + cast(round(l_tax * 100) as bigint))) + 5000)
+        |    // 10000)::DOUBLE / 100.0 AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(sum(cast(round(l_extendedprice * 100) as bigint))::DOUBLE
+        |    / (count(*) * 100.0), 4) AS avg_price,
+        |  round(sum(cast(round(l_discount * 100) as bigint))::DOUBLE
+        |    / (count(*) * 100.0), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -9484,7 +9572,9 @@ object SparkEntry {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ((sum(cast(round(l_extendedprice * 100) as bigint)
+        |      * (100 - cast(round(l_discount * 100) as bigint))) + 50)
+        |    // 100)::DOUBLE / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -9497,7 +9587,9 @@ object SparkEntry {
 
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ((sum(cast(round(l_extendedprice * 100) as bigint)
+        |      * (100 - cast(round(l_discount * 100) as bigint))) + 50)
+        |    // 100)::DOUBLE / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -9510,7 +9602,9 @@ object SparkEntry {
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+        |  ((sum(cast(round(l_extendedprice * 100) as bigint)
+        |      * (100 - cast(round(l_discount * 100) as bigint))) + 50)
+        |    // 100)::DOUBLE / 100.0 AS volume
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -9523,8 +9617,11 @@ object SparkEntry {
 
     "q9_product_profit" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)
-        |    - p_retailprice * l_quantity * 0.1), 2) AS profit
+        |  ((sum(cast(round(l_extendedprice * 100) as bigint)
+        |      * (100 - cast(round(l_discount * 100) as bigint))
+        |      - cast(round(p_retailprice * 100) as bigint)
+        |      * cast(l_quantity as bigint) * 10) + 50)
+        |    // 100)::DOUBLE / 100.0 AS profit
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN part ON l_partkey = p_partkey
@@ -9582,7 +9679,9 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "q19_disjunctive_join" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT ((sum(cast(round(l_extendedprice * 100) as bigint)
+        |      * (100 - cast(round(l_discount * 100) as bigint))) + 50)
+        |    // 100)::DOUBLE / 100.0 AS revenue
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
         |       AND l_quantity BETWEEN 1 AND 11)
@@ -9598,7 +9697,8 @@ object SparkEntry {
         |  FROM customer WHERE c_acctbal > 0),
         |thr AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM pos)
         |SELECT c_nationkey, count(*) AS numcust,
-        |       round(sum(c_acctbal), 2) AS totacctbal
+        |       round(sum(cast(round(c_acctbal * 100) as bigint))
+        |         ::DOUBLE / 100.0, 2) AS totacctbal
         |FROM pos, thr
         |WHERE cents > thr
         |  AND NOT EXISTS (SELECT 1 FROM orders
@@ -9618,9 +9718,12 @@ object SparkEntry {
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  round(sum(CASE WHEN n2.n_name = 'NATION_3'
-        |                 THEN l_extendedprice * (1 - l_discount)
-        |                 ELSE 0.0 END)
-        |    / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        |      THEN cast(round(l_extendedprice * 100) as bigint)
+        |        * (100 - cast(round(l_discount * 100) as bigint))
+        |      ELSE 0 END)::DOUBLE
+        |    / sum(cast(round(l_extendedprice * 100) as bigint)
+        |      * (100 - cast(round(l_discount * 100) as bigint)))::DOUBLE,
+        |    4) AS mkt_share
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN part ON l_partkey = p_partkey
@@ -9671,7 +9774,8 @@ object SparkEntry {
         |                             FROM rev)""".stripMargin,
 
     "q17_small_qty_revenue" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT ((sum(cast(round(l_extendedprice * 100) as bigint)) * 200
+        |    + 700) // 1400)::DOUBLE / 100.0 AS avg_yearly
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#12'
         |  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
@@ -9774,14 +9878,16 @@ object SparkEntry {
 
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |       round(sum(o_totalprice), 2) AS total
+        |       round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         / 100.0, 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), ())""".stripMargin,
 
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |       round(sum(c_acctbal), 2) AS total_bal
+        |       round(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+        |         / 100.0, 2) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -9809,10 +9915,11 @@ object SparkEntry {
 
     "window_running_sum" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |  round((sum(cast(round(o_totalprice * 100) as bigint))
+        |    OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate ASC, o_orderkey ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-        |    AS running_spend
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+        |    / 100.0, 2) AS running_spend
         |FROM orders""".stripMargin,
 
     "window_lag_sessionize" ->
@@ -9976,7 +10083,9 @@ object SparkEntry {
 
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |  count(*) AS n,
+        |  round(sum(cast(round(value * 100) as bigint))::DOUBLE
+        |    / 100.0, 2) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "events_hopping" ->
@@ -9988,7 +10097,8 @@ object SparkEntry {
         |    event_type, value
         |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS k))
         |SELECT win_start, event_type, count(*) AS n,
-        |  round(sum(value), 2) AS total_value
+        |  round(sum(cast(round(value * 100) as bigint))::DOUBLE
+        |    / 100.0, 2) AS total_value
         |FROM w GROUP BY 1, 2""".stripMargin,
 
     "dedup_exact" ->
@@ -10559,7 +10669,8 @@ object SparkEntry {
 
     "source_bucketed_join" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    / 100.0, 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
 
@@ -10571,7 +10682,8 @@ object SparkEntry {
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |       round(sum(o_totalprice), 2) AS total
+        |       round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         / 100.0, 2) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "exists_subquery" ->
@@ -10665,7 +10777,8 @@ object SparkEntry {
 
     "having_filter" ->
       """SELECT o_custkey, count(*) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS spend
+        |       round(sum(cast(round(o_totalprice * 100) as bigint))
+        |         ::DOUBLE / 100.0, 2) AS spend
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin,
 
     "cross_join_enum" ->
@@ -10747,7 +10860,9 @@ object SparkEntry {
         | AND s.ts >= e.ts - INTERVAL 1 HOUR""".stripMargin,
 
     "q6_filter_agg" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT ((sum(cast(round(l_extendedprice * 100) as bigint)
+        |      * cast(round(l_discount * 100) as bigint)) + 50)
+        |    // 100)::DOUBLE / 100.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -10757,7 +10872,9 @@ object SparkEntry {
 
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ((sum(cast(round(l_extendedprice * 100) as bigint)
+        |      * (100 - cast(round(l_discount * 100) as bigint))) + 50)
+        |    // 100)::DOUBLE / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -12637,6 +12754,8 @@ object SparkEntry {
     "graph_modularity" -> OracleSql.graphModularity(),
     "graph_louvain" -> OracleSql.graphLouvain(),
     "graph_louvain_multilevel" -> OracleSql.graphLouvainMultilevel(),
+
+    "cluster_single_linkage_2d" -> OracleSql.clusterSingleLinkage2d(),
 
     "cluster_single_linkage" ->
       """WITH pts AS MATERIALIZED (

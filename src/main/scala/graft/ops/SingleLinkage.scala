@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Dedup
+
+/** Exact eps-bounded single-linkage over 2-D integer coordinates via
+  * Borůvka's MST algorithm (VERDICT r11 #5 — the multi-D member the
+  * round-11 1-D closed form could not express).
+  *
+  * The single-linkage dendrogram IS the minimum spanning tree (Gower &
+  * Ross 1969): merge heights are MST edge weights, and the k-cluster
+  * partition deletes the k−1 heaviest MST edges. Here the edge frame
+  * is the SAME grid eps-candidate graph DBSCAN runs on
+  * ([[Dbscan.neighborPairs]] — distinct-coordinate rollup, 3×3
+  * eps-cell join, hot-cell salting), so the dendrogram is exact up to
+  * merge height eps: pairs farther than eps never merge (the
+  * eps-bounded truncation every density pipeline uses — an unbounded
+  * all-pairs MST is O(n²) by definition and is exactly what the grid
+  * graph exists to avoid).
+  *
+  * Borůvka (1926) is the PARALLEL MST algorithm: each round every
+  * component picks its minimum-weight outgoing edge (all such picks
+  * are MST edges by the cut property), components contract, and the
+  * component count at least halves — O(log n) rounds of rollups and
+  * keyed joins, the connectedComponents discipline. Edge weights are
+  * totally ordered by the lexicographic key (dist_sq, a, b), so the
+  * MST is UNIQUE and the whole computation — and its SQL oracle twin —
+  * is deterministic.
+  */
+object SingleLinkage {
+
+  /** Minimum spanning forest of the eps-candidate graph over
+    * distinct-coordinate representatives. Input `reps` must carry
+    * (rid, x, y, mult) ([[Dbscan.reps]]); output is the forest edge
+    * set (a, b, w) with a < b, w = squared distance. Loud
+    * non-convergence: Borůvka provably halves components per round,
+    * so `maxRounds` = 40 covers any n < 2⁴⁰ — the require is a
+    * correctness tripwire, never a silent truncation.
+    */
+  def mstEdges(reps: DataFrame, eps: Long,
+               maxRounds: Int = 40): DataFrame = {
+    val edges = Dbscan.neighborPairs(reps, eps)
+      .filter(col("ra") < col("rb"))
+      .select(col("ra").as("a"), col("rb").as("b"),
+        col("dist_sq").as("w"))
+      .distinct()
+      .localCheckpoint(true)
+    var comp = reps.select(col("rid").as("node"))
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var mstAcc = edges.limit(0).localCheckpoint(true)
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      round += 1
+      val cross = edges
+        .join(comp.select(col("node").as("a"), col("label").as("la")),
+          Seq("a"))
+        .join(comp.select(col("node").as("b"), col("label").as("lb")),
+          Seq("b"))
+        .filter(col("la") =!= col("lb"))
+        .localCheckpoint(true)
+      if (cross.isEmpty) done = true
+      else {
+        // every component picks its lexicographic-min outgoing edge —
+        // each is an MST edge by the cut property (unique weights)
+        val sym = cross
+          .select(col("la").as("c"), col("w"), col("a"), col("b"))
+          .unionByName(cross
+            .select(col("lb").as("c"), col("w"), col("a"), col("b")))
+        val picked = sym.groupBy("c")
+          .agg(min(struct(col("w"), col("a"), col("b"))).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"),
+            col("e.w").as("w"))
+          .distinct()
+        mstAcc = mstAcc.unionByName(picked).distinct()
+          .localCheckpoint(true)
+        // contract: exact components of the accumulated forest (the
+        // Dbscan fallback discipline for long chains)
+        val cc =
+          try Dedup.connectedComponents(mstAcc, "a", "b",
+            maxIter = 40, strict = true)
+          catch {
+            case _: Dedup.ConvergenceException =>
+              Dedup.starContraction(mstAcc, "a", "b")
+          }
+        comp = comp.select(col("node"))
+          .join(cc, col("node") === col("doc_id"), "left")
+          .select(col("node"),
+            coalesce(col("rep_id"), col("node")).as("label"))
+          .localCheckpoint(true)
+      }
+    }
+    require(done,
+      s"single-linkage Borůvka did not converge in $maxRounds rounds")
+    mstAcc
+  }
+
+  /** The k-cluster single-linkage partition: delete the k−1 heaviest
+    * forest edges (ties resolved by the same lexicographic key) and
+    * label every representative with the min rid of its component.
+    * Returns (rid, cluster).
+    */
+  def cut(reps: DataFrame, mst: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = mst.withColumn("rk", row_number().over(
+      Window.orderBy(col("w").desc, col("a").desc, col("b").desc)))
+    val kept = ranked.filter(col("rk") > k - 1).select("a", "b")
+    val cc =
+      try Dedup.connectedComponents(kept, "a", "b",
+        maxIter = 40, strict = true)
+      catch {
+        case _: Dedup.ConvergenceException =>
+          Dedup.starContraction(kept, "a", "b")
+      }
+    reps.select(col("rid"))
+      .join(cc, col("rid") === col("doc_id"), "left")
+      .select(col("rid"),
+        coalesce(col("rep_id"), col("rid")).as("cluster"))
+  }
+}
