@@ -73,9 +73,17 @@ def _init_worker(sfdir, threads, memlimit=None):
         # duckdb_temp_storage-N.tmp inside temp_directory, so two
         # concurrent gate processes sharing one directory CLOBBER each
         # other's spill (observed: "Could not read enough bytes from
-        # duckdb_temp_storage-0.tmp" at the r12 10x gate)
-        spill = f"/tmp/duck_spill/{os.getpid()}"
-        os.makedirs(spill, exist_ok=True)
+        # duckdb_temp_storage-0.tmp" at the r12 10x gate).
+        # mkdtemp (not bare PID — a recycled PID after a crashed run
+        # would inherit a stale dir) + atexit cleanup so repeated gate
+        # runs don't accumulate spill dirs (ADVICE r12 #1).
+        import atexit
+        import shutil
+        import tempfile
+        os.makedirs("/tmp/duck_spill", exist_ok=True)
+        spill = tempfile.mkdtemp(prefix=f"{os.getpid()}_",
+                                 dir="/tmp/duck_spill")
+        atexit.register(shutil.rmtree, spill, ignore_errors=True)
         con.sql(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -271,8 +279,26 @@ def main(outdir, sfdir, only=None, jobs=None, artifact=None, timeout=120.0,
         rows_only[name] = n
         print(f"[ROWS] {name}: {n} rows (no oracle)")
     if artifact:
+        # Oracle-environment stamp (VERDICT r12 #5): agg_grouping_sets
+        # passed locally and failed at the driver, and neither side's
+        # DuckDB build was recorded anywhere — a local-pass/driver-fail
+        # divergence must be diagnosable from the repo alone.
+        env = {
+            "duckdb": duckdb.__version__,
+            "python": sys.version.split()[0],
+        }
+        try:
+            import pandas
+            env["pandas"] = pandas.__version__
+        except Exception:
+            pass
+        try:  # graft.Verify writes outdir/env.json with the Spark side
+            env.update(json.load(open(f"{outdir}/env.json")))
+        except Exception:
+            pass
         payload = {
             "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "env": env,
             "sf_dir": sfdir,
             "out_dir": outdir,
             "jobs": jobs,

@@ -198,6 +198,17 @@ object SparkEntry {
   // engine-identical for the signed q9 profit) lands the value back
   // on the 2-decimal grid; the emitted double is then identical in
   // both engines by construction, at any row count.
+  //
+  // r13 hardening: the emission is ONE exact int->double conversion
+  // followed by ONE division by a power of ten -- both correctly
+  // rounded under IEEE-754 and therefore build-invariant. There must
+  // be NO trailing round(DOUBLE, n): the value is already on the
+  // n-decimal grid, so the round is a mathematical no-op, but its
+  // last-ulp behavior is implementation-defined (Spark rounds the
+  // shortest-repr BigDecimal HALF_UP; DuckDB multiplies and
+  // nearbyint-s, and has changed across releases) -- it flipped
+  // agg_grouping_sets at the r12 driver gate on a different DuckDB
+  // build while passing locally. MoneyTailSpec pins the invariant.
   private def sumE2(c: String): String =
     s"sum(cast(cast(round($c * 100) as bigint) as decimal(38,0)))"
   private val discE4Term =
@@ -209,7 +220,13 @@ object SparkEntry {
   private def e6Money(sumExpr: String): String =
     s"cast(($sumExpr + 5000) div 10000 as double) / 100.0"
   private def e2Money(c: String): String =
-    s"round(cast(${sumE2(c)} as double) / 100.0, 2)"
+    s"cast(${sumE2(c)} as double) / 100.0"
+  // 4-decimal average of an exact-cents sum over `cnt` rows: integer
+  // half-up onto the 1e-4 grid BEFORE the single exact division.
+  // half_up(a/b) = (2a + b) div (2b) for a, b >= 0.
+  private def e4AvgOfCents(c: String, cnt: String): String =
+    s"cast((2 * ${sumE2(c)} * 100 + $cnt) div (2 * $cnt) as double)" +
+      " / 10000.0"
   private val discMoney = e4Money(sumDiscE4)
 
   // ------------------------------------------------------------------
@@ -278,7 +295,8 @@ object SparkEntry {
           numBits = 1 << 17, numHashes = 5)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"),
-          round(sum("l_quantity"), 2).as("sum_qty"))
+          expr("cast(sum(cast(round(l_quantity) as bigint)) as double)")
+            .as("sum_qty"))
     }),
 
     "route_allowlist" -> ((s, dir) => {
@@ -343,8 +361,8 @@ object SparkEntry {
         .filter(col("user_id") % 100 === 0)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(expr("cast(cast(round(value * 100) as bigint)" +
-            " as decimal(38,0))")).cast("double") / 100.0, 2)
+          (sum(expr("cast(cast(round(value * 100) as bigint)" +
+            " as decimal(38,0))")).cast("double") / 100.0)
             .as("total_value"))
         .select(col("user_id"),
           col("session_window.start").as("session_start"),
@@ -389,17 +407,21 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
+          // quantities are integral: the bigint sum is exact and the
+          // single int->double conversion is build-invariant (no
+          // trailing round(DOUBLE, n) anywhere on the money surface)
+          expr("cast(sum(cast(round(l_quantity) as bigint)) as double)")
+            .as("sum_qty"),
           expr(e2Money("l_extendedprice")).as("sum_base_price"),
           expr(discMoney).as("sum_disc_price"),
           expr(e6Money(s"sum(cast($discE4Term" +
             " * (100 + cast(round(l_tax * 100) as bigint))" +
             " as decimal(38,0)))")).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          expr(s"round(cast(${sumE2("l_extendedprice")} as double)" +
-            " / (count(1) * 100.0), 4)").as("avg_price"),
-          expr(s"round(cast(${sumE2("l_discount")} as double)" +
-            " / (count(1) * 100.0), 4)").as("avg_disc"),
+          expr("cast((2 * sum(cast(round(l_quantity) as bigint)) * 10000" +
+            " + count(1)) div (2 * count(1)) as double) / 10000.0")
+            .as("avg_qty"),
+          expr(e4AvgOfCents("l_extendedprice", "count(1)")).as("avg_price"),
+          expr(e4AvgOfCents("l_discount", "count(1)")).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -495,8 +517,8 @@ object SparkEntry {
       t(s, dir, "orders").createOrReplaceTempView("gs_orders")
       s.sql(
         """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-          |       round(sum(cast(round(o_totalprice * 100) as bigint))
-          |         / 100.0, 2) AS total
+          |       cast(sum(cast(round(o_totalprice * 100) as bigint))
+          |         as double) / 100.0 AS total
           |FROM gs_orders
           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
           |                        (o_orderstatus), ())""".stripMargin)
@@ -511,8 +533,8 @@ object SparkEntry {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
           // exact cents sum (same 10x-gate class as agg_cube)
-          round(sum(expr("cast(round(c_acctbal * 100) as bigint)"))
-            / 100.0, 2).as("total_bal"))
+          (sum(expr("cast(round(c_acctbal * 100) as bigint)"))
+            .cast("double") / 100.0).as("total_bal"))
     }),
 
     "distinct_agg" -> ((s, dir) => {
@@ -647,9 +669,9 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          round(sum(expr("cast(cast(round(o_totalprice * 100) as" +
+          (sum(expr("cast(cast(round(o_totalprice * 100) as" +
             " bigint) as decimal(38,0))")).over(w).cast("double")
-            / 100.0, 2).as("running_spend"))
+            / 100.0).as("running_spend"))
     }),
 
     "window_lag_sessionize" -> ((s, dir) => {
@@ -783,8 +805,8 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(expr("cast(cast(round(value * 100) as bigint)" +
-            " as decimal(38,0))")).cast("double") / 100.0, 2)
+          (sum(expr("cast(cast(round(value * 100) as bigint)" +
+            " as decimal(38,0))")).cast("double") / 100.0)
             .as("total_value"))
     }),
 
@@ -799,8 +821,8 @@ object SparkEntry {
             .getField("start").as("win_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(expr("cast(cast(round(value * 100) as bigint)" +
-            " as decimal(38,0))")).cast("double") / 100.0, 2)
+          (sum(expr("cast(cast(round(value * 100) as bigint)" +
+            " as decimal(38,0))")).cast("double") / 100.0)
             .as("total_value"))
     }),
 
@@ -3180,8 +3202,8 @@ object SparkEntry {
           // exact cents sum: the grand-total row's 1.5M-row double sum
           // crossed the round(,2) boundary vs DuckDB (found by the 10x
           // hash gate); the long sum is exact and /100.0 rounds once
-          round(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
-            / 100.0, 2).as("total"))
+          (sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("double") / 100.0).as("total"))
     }),
 
     "exists_subquery" -> ((s, dir) => {
@@ -3544,7 +3566,8 @@ object SparkEntry {
       // clears a threshold (sum of integer-valued doubles — exact)
       val li = t(s, dir, "lineitem")
       val big = li.groupBy(col("l_orderkey").as("big_okey"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(expr("cast(sum(cast(round(l_quantity) as bigint)) as double)")
+          .as("sum_qty"))
         .filter(col("sum_qty") > 300)
       val ord = t(s, dir, "orders")
       val cust = t(s, dir, "customer")
@@ -6955,8 +6978,8 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           // exact cents sum (same 10x-gate class as agg_cube)
-          round(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
-            / 100.0, 2).as("total"))
+          (sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("double") / 100.0).as("total"))
     }),
 
     "source_partitioned_pruning" -> ((s, dir) => {
@@ -9471,7 +9494,7 @@ object SparkEntry {
 
     "join_bloom_prune" ->
       """SELECT l_returnflag, count(*) AS n_items,
-        |       round(sum(l_quantity), 2) AS sum_qty
+        |       sum(cast(round(l_quantity) as bigint))::DOUBLE AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -9512,8 +9535,8 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events,
-        |  round(sum(cast(round(value * 100) as bigint))::DOUBLE
-        |    / 100.0, 2) AS total_value
+        |  sum(cast(round(value * 100) as bigint))::DOUBLE
+        |    / 100.0 AS total_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "scd2_merge" -> Scd2Oracle,
@@ -9550,9 +9573,9 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(cast(round(l_extendedprice * 100) as bigint))::DOUBLE
-        |    / 100.0, 2) AS sum_base_price,
+        |  sum(cast(round(l_quantity) as bigint))::DOUBLE AS sum_qty,
+        |  sum(cast(round(l_extendedprice * 100) as bigint))::DOUBLE
+        |    / 100.0 AS sum_base_price,
         |  ((sum(cast(round(l_extendedprice * 100) as bigint)
         |      * (100 - cast(round(l_discount * 100) as bigint))) + 50)
         |    // 100)::DOUBLE / 100.0 AS sum_disc_price,
@@ -9560,11 +9583,12 @@ object SparkEntry {
         |      * (100 - cast(round(l_discount * 100) as bigint))
         |      * (100 + cast(round(l_tax * 100) as bigint))) + 5000)
         |    // 10000)::DOUBLE / 100.0 AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(sum(cast(round(l_extendedprice * 100) as bigint))::DOUBLE
-        |    / (count(*) * 100.0), 4) AS avg_price,
-        |  round(sum(cast(round(l_discount * 100) as bigint))::DOUBLE
-        |    / (count(*) * 100.0), 4) AS avg_disc,
+        |  ((2 * sum(cast(round(l_quantity) as bigint)) * 10000 + count(*))
+        |    // (2 * count(*)))::DOUBLE / 10000.0 AS avg_qty,
+        |  ((2 * sum(cast(round(l_extendedprice * 100) as bigint)) * 100
+        |    + count(*)) // (2 * count(*)))::DOUBLE / 10000.0 AS avg_price,
+        |  ((2 * sum(cast(round(l_discount * 100) as bigint)) * 100
+        |    + count(*)) // (2 * count(*)))::DOUBLE / 10000.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -9670,10 +9694,12 @@ object SparkEntry {
 
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-        |       round(o_totalprice, 2) AS o_totalprice,
-        |       round(sum_qty, 2) AS sum_qty
+        |       round(o_totalprice, 2) AS o_totalprice, sum_qty
         |FROM orders
-        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |JOIN (SELECT l_orderkey,
+        |             sum(cast(round(l_quantity) as bigint))::DOUBLE
+        |               AS sum_qty
+        |      FROM lineitem
         |      GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
         |  ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
@@ -9697,8 +9723,8 @@ object SparkEntry {
         |  FROM customer WHERE c_acctbal > 0),
         |thr AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM pos)
         |SELECT c_nationkey, count(*) AS numcust,
-        |       round(sum(cast(round(c_acctbal * 100) as bigint))
-        |         ::DOUBLE / 100.0, 2) AS totacctbal
+        |       sum(cast(round(c_acctbal * 100) as bigint))
+        |         ::DOUBLE / 100.0 AS totacctbal
         |FROM pos, thr
         |WHERE cents > thr
         |  AND NOT EXISTS (SELECT 1 FROM orders
@@ -9878,16 +9904,16 @@ object SparkEntry {
 
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |       round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-        |         / 100.0, 2) AS total
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         ::DOUBLE / 100.0 AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), ())""".stripMargin,
 
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |       round(sum(CAST(round(c_acctbal * 100) AS BIGINT))
-        |         / 100.0, 2) AS total_bal
+        |       sum(CAST(round(c_acctbal * 100) AS BIGINT))
+        |         ::DOUBLE / 100.0 AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -9915,11 +9941,11 @@ object SparkEntry {
 
     "window_running_sum" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        |  round((sum(cast(round(o_totalprice * 100) as bigint))
+        |  (sum(cast(round(o_totalprice * 100) as bigint))
         |    OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate ASC, o_orderkey ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
-        |    / 100.0, 2) AS running_spend
+        |    / 100.0 AS running_spend
         |FROM orders""".stripMargin,
 
     "window_lag_sessionize" ->
@@ -10084,8 +10110,8 @@ object SparkEntry {
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n,
-        |  round(sum(cast(round(value * 100) as bigint))::DOUBLE
-        |    / 100.0, 2) AS total_value
+        |  sum(cast(round(value * 100) as bigint))::DOUBLE
+        |    / 100.0 AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "events_hopping" ->
@@ -10097,8 +10123,8 @@ object SparkEntry {
         |    event_type, value
         |  FROM e CROSS JOIN (SELECT unnest(range(4)) AS k))
         |SELECT win_start, event_type, count(*) AS n,
-        |  round(sum(cast(round(value * 100) as bigint))::DOUBLE
-        |    / 100.0, 2) AS total_value
+        |  sum(cast(round(value * 100) as bigint))::DOUBLE
+        |    / 100.0 AS total_value
         |FROM w GROUP BY 1, 2""".stripMargin,
 
     "dedup_exact" ->
@@ -10669,8 +10695,8 @@ object SparkEntry {
 
     "source_bucketed_join" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
-        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-        |    / 100.0, 2) AS total
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    ::DOUBLE / 100.0 AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
 
@@ -10682,8 +10708,8 @@ object SparkEntry {
 
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |       round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-        |         / 100.0, 2) AS total
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         ::DOUBLE / 100.0 AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "exists_subquery" ->
@@ -10777,8 +10803,8 @@ object SparkEntry {
 
     "having_filter" ->
       """SELECT o_custkey, count(*) AS n_orders,
-        |       round(sum(cast(round(o_totalprice * 100) as bigint))
-        |         ::DOUBLE / 100.0, 2) AS spend
+        |       sum(cast(round(o_totalprice * 100) as bigint))
+        |         ::DOUBLE / 100.0 AS spend
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin,
 
     "cross_join_enum" ->

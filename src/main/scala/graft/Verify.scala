@@ -66,6 +66,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Engine-environment stamp (VERDICT r12 #5): recorded next to the
+    // dumps so the gate artifact can pin BOTH sides of a divergence
+    // (check.py folds this into its artifact alongside duckdb version).
+    Files.writeString(Paths.get(s"$outDir/env.json"),
+      s"""{"spark": ${q(spark.version)}, """ +
+        s""""scala": ${q(scala.util.Properties.versionNumberString)}, """ +
+        s""""java": ${q(System.getProperty("java.version"))}}""")
     spark.stop()
   }
 }

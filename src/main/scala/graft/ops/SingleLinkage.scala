@@ -50,12 +50,13 @@ object SingleLinkage {
     var comp = reps.select(col("rid").as("node"))
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    var live = edges
     var mstAcc = edges.limit(0).localCheckpoint(true)
     var done = false
     var round = 0
     while (!done && round < maxRounds) {
       round += 1
-      val cross = edges
+      val cross = live
         .join(comp.select(col("node").as("a"), col("label").as("la")),
           Seq("a"))
         .join(comp.select(col("node").as("b"), col("label").as("lb")),
@@ -65,32 +66,52 @@ object SingleLinkage {
       if (cross.isEmpty) done = true
       else {
         // every component picks its lexicographic-min outgoing edge —
-        // each is an MST edge by the cut property (unique weights)
+        // each is an MST edge by the cut property (unique weights).
+        // The endpoint labels (la, lb) ride along in the struct (they
+        // do not affect the ordering — (w, a, b) is already unique)
+        // so the contraction below needs no re-join into node space.
         val sym = cross
-          .select(col("la").as("c"), col("w"), col("a"), col("b"))
+          .select(col("la").as("c"), col("w"), col("a"), col("b"),
+            col("la"), col("lb"))
           .unionByName(cross
-            .select(col("lb").as("c"), col("w"), col("a"), col("b")))
+            .select(col("lb").as("c"), col("w"), col("a"), col("b"),
+              col("la"), col("lb")))
         val picked = sym.groupBy("c")
-          .agg(min(struct(col("w"), col("a"), col("b"))).as("e"))
+          .agg(min(struct(col("w"), col("a"), col("b"),
+            col("la"), col("lb"))).as("e"))
           .select(col("e.a").as("a"), col("e.b").as("b"),
-            col("e.w").as("w"))
+            col("e.w").as("w"), col("e.la").as("la"),
+            col("e.lb").as("lb"))
           .distinct()
-        mstAcc = mstAcc.unionByName(picked).distinct()
           .localCheckpoint(true)
-        // contract: exact components of the accumulated forest (the
-        // Dbscan fallback discipline for long chains)
+        mstAcc = mstAcc.unionByName(picked.select("a", "b", "w"))
+          .localCheckpoint(true)
+        // contract INCREMENTALLY (VERDICT r12 #2b): this round's picks
+        // connect whole current components, so the merge structure is
+        // fully described by the LABEL graph — one (la, lb) edge per
+        // pick, ≤ #components edges over ≤ #components vertices,
+        // halving every round — instead of a full connectedComponents
+        // replay over the accumulated node-space forest (which cost
+        // O(Borůvka-rounds × CC-rounds) shuffle waves and made this
+        // the most expensive query on the surface). Node labels then
+        // re-key through the contraction with one keyed join.
+        val lblEdges = picked.select(col("la"), col("lb"))
         val cc =
-          try Dedup.connectedComponents(mstAcc, "a", "b",
+          try Dedup.connectedComponents(lblEdges, "la", "lb",
             maxIter = 40, strict = true)
           catch {
             case _: Dedup.ConvergenceException =>
-              Dedup.starContraction(mstAcc, "a", "b")
+              Dedup.starContraction(lblEdges, "la", "lb")
           }
-        comp = comp.select(col("node"))
-          .join(cc, col("node") === col("doc_id"), "left")
+        comp = comp
+          .join(cc, comp("label") === cc("doc_id"), "left")
           .select(col("node"),
-            coalesce(col("rep_id"), col("node")).as("label"))
+            coalesce(col("rep_id"), col("label")).as("label"))
           .localCheckpoint(true)
+        // edges whose endpoints fell into one component this round are
+        // intra-component forever — only the surviving cross edges can
+        // be picked later, so the live frame shrinks monotonically
+        live = cross.select("a", "b", "w")
       }
     }
     require(done,
@@ -103,11 +124,27 @@ object SingleLinkage {
     * label every representative with the min rid of its component.
     * Returns (rid, cluster).
     */
+  /** Forest minus its k−1 heaviest edges (VERDICT r12 #2a): orderBy +
+    * limit compiles to TakeOrderedAndProject — per-partition top-k
+    * merged at the driver, k−1 rows of state — where the previous
+    * global row_number() window funneled the whole forest through ONE
+    * task. Ties are impossible ((w, a, b) is a total order over unique
+    * (a, b) forest edges), so the limit is deterministic. Public so
+    * PlanHygieneSpec can pin the window-free shape directly (cut()
+    * consumes it through eager checkpoints that hide the stage).
+    */
+  def keptEdges(mst: DataFrame, k: Int): DataFrame = {
+    val heaviest = mst
+      .orderBy(col("w").desc, col("a").desc, col("b").desc)
+      .limit(math.max(k - 1, 0))
+      .select(col("a").as("ha"), col("b").as("hb"))
+    mst.join(broadcast(heaviest),
+        col("a") === col("ha") && col("b") === col("hb"), "left_anti")
+      .select("a", "b")
+  }
+
   def cut(reps: DataFrame, mst: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = mst.withColumn("rk", row_number().over(
-      Window.orderBy(col("w").desc, col("a").desc, col("b").desc)))
-    val kept = ranked.filter(col("rk") > k - 1).select("a", "b")
+    val kept = keptEdges(mst, k)
     val cc =
       try Dedup.connectedComponents(kept, "a", "b",
         maxIter = 40, strict = true)

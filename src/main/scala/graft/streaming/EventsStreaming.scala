@@ -141,7 +141,12 @@ object EventsStreaming {
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      // exact cents: a double sum is association-order-dependent, and
+      // micro-batch order differs from batch order — the bigint sum is
+      // order-invariant and the single int->double division build-exact
+      .agg(count(lit(1)).as("n"),
+        (sum(expr("cast(round(value * 100) as bigint)")).cast("double")
+          / 100.0).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 

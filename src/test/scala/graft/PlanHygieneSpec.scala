@@ -700,4 +700,34 @@ class PlanHygieneSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("parquet"),
       s"customer re-scan leaked into the survivorship plan:\n${plan.take(1500)}")
   }
+
+  test("single-linkage cut ranks the k-1 heaviest edges via bounded " +
+      "take-ordered, never a global window sort") {
+    // VERDICT r12 #2a: the previous row_number() over an un-partitioned
+    // Window funneled the whole MST edge frame through one task for a
+    // k−1-row question. The fix is orderBy+limit (TakeOrderedAndProject:
+    // per-partition top-k, k−1 rows of driver state) + broadcast
+    // anti-join; this pins that no WindowExec can reappear anywhere in
+    // the query (the Borůvka rounds are already window-free).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val pts = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select(col("vec_id"),
+        floor(col("embedding").getItem(0).cast("double")
+          * 1000000.0 + 0.5).as("x"),
+        floor(col("embedding").getItem(1).cast("double")
+          * 1000000.0 + 0.5).as("y"))
+    val rp = graft.ops.Dbscan.reps(pts).localCheckpoint(true)
+    val mst = graft.ops.SingleLinkage.mstEdges(rp, 50000L)
+    val exec = graft.ops.SingleLinkage.keptEdges(mst, 8)
+      .queryExecution.executedPlan
+    val unwrapped = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(unwrapped.collect { case w: WindowExec => w }.isEmpty,
+      s"cut() must not window-rank the forest:\n${exec.toString.take(1500)}")
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      "heaviest-edge selection must be the bounded take-ordered path:\n" +
+        exec.toString.take(1500))
+  }
 }
