@@ -25,6 +25,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Contamination tripwire (VERDICT r12 #6): a bench started on a busy
+    // box produces a misleading artifact that is only caught at judge
+    // time. Record loadavg/cpus at START; if it exceeds 0.5 the emitted
+    // JSON carries a loud "contaminated" note (generation-time flag —
+    // the run still completes, since a warned number beats no number).
+    val machineCpus = Runtime.getRuntime.availableProcessors()
+    val startLoad = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val contaminated = startLoad >= 0 && startLoad / machineCpus > 0.5
+    if (contaminated)
+      System.err.println(f"[bench] WARNING: start loadavg $startLoad%.1f" +
+        f" on $machineCpus cpus (${startLoad / machineCpus}%.2f/core)" +
+        " -- numbers will be flagged contaminated")
     // Materializing action: executes the query's own physical plan (every
     // projection evaluated), unlike df.count() whose Aggregate lets
     // Catalyst prune unreferenced columns and reduce map-only queries to
@@ -114,7 +129,10 @@ object Bench {
         .count(pid => !ancestors.contains(pid))
     } catch { case _: Throwable => -1 }
     val fl = failedNames.map(n => s""""$n"""").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runsN,"spread":$sp,"unstable":$un,"failed":$fl,"loadavg":"$loadavg","other_jvms":$otherJvms}"""
+    val contamNote = if (contaminated)
+      s""","contaminated":"start loadavg $startLoad on $machineCpus cpus exceeds 0.5/core -- treat totals as upper bounds, re-run idle for baselines""""
+    else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runsN,"spread":$sp,"unstable":$un,"failed":$fl,"loadavg":"$loadavg","start_loadavg":$startLoad,"cpus":$machineCpus,"other_jvms":$otherJvms$contamNote}"""
     println(line)
     // Also persist the COMPLETE line to a committed artifact: the
     // driver's BENCH_r*.json keeps only the tail of stdout, truncating

@@ -46,6 +46,16 @@ object MixBench {
     val tmpBase = sys.env.getOrElse("SPARK_GRAFT_MIX_TMP",
       sys.props("java.io.tmpdir")) + "/graft_mix_" +
       spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    // Stage materializations are scratch: delete tmpBase when the JVM
+    // exits (shutdown hook rather than only a trailing delete, so a
+    // mid-run crash doesn't leak a full pipeline's worth of parquet
+    // into SPARK_GRAFT_MIX_TMP either — ADVICE r12 #2).
+    def rmTree(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmTree))
+      p.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      rmTree(new java.io.File(tmpBase))))
 
     // isolated stage: read materialized inputs (inside the timer —
     // the input scan is part of the stage's honest cost), compute,
@@ -154,6 +164,7 @@ object MixBench {
       s""""sum_stages_sec":${sec(s1 + s2 + s3)},""" +
       s""""stages":{"semdedup":${sec(s1)},"gate":${sec(s2)},""" +
       s""""pack":${sec(s3)}}}}""")
+    rmTree(new java.io.File(tmpBase))
     spark.stop()
   }
 }

@@ -2530,6 +2530,15 @@ object OracleSql {
     * cut and clusters labeled by min rid. Mirrors
     * [[graft.ops.SingleLinkage]].
     */
+  /** Convergence tripwire (ADVICE r12 #3): the engine side `require`s
+    * Borůvka convergence, but this fixed-`rounds` replay previously had
+    * no equivalent — on a fixture with > 2^rounds initial components an
+    * unconverged forest surfaced only as a confusing hash mismatch. The
+    * final `unconv` CTE counts cross-component eps-edges left after
+    * round `rounds` and emits a loud sentinel row (cluster = -1,
+    * n_points = -edges) when any remain, so the gate fails with an
+    * explicit non-convergence signal instead of a value diff.
+    */
   def clusterSingleLinkage2d(k: Int = 8, eps: Long = 50000L,
                              rounds: Int = 12): String = {
     val sb = new StringBuilder
@@ -2596,13 +2605,22 @@ object OracleSql {
          |  UNION
          |  SELECT rck.id, s.dst FROM rck JOIN kept s ON s.src = rck.rr),
          |fin AS (SELECT id AS rid, min(rr) AS cluster FROM rck
-         |  GROUP BY 1)
+         |  GROUP BY 1),
+         |unconv AS (
+         |  SELECT count(*)::BIGINT AS n FROM sledges e
+         |  JOIN bc$rounds ca ON ca.node = e.a
+         |  JOIN bc$rounds cb ON cb.node = e.b
+         |  WHERE ca.label <> cb.label)
          |SELECT f.cluster, sum(r.mult)::BIGINT AS n_points,
          |  count(*)::BIGINT AS n_distinct,
          |  min(r.x) AS min_x, max(r.x) AS max_x,
          |  min(r.y) AS min_y, max(r.y) AS max_y
          |FROM reps r JOIN fin f ON f.rid = r.rid
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT -1::BIGINT, -n, -1::BIGINT, 0::BIGINT, 0::BIGINT,
+         |  0::BIGINT, 0::BIGINT
+         |FROM unconv WHERE n > 0""".stripMargin
     sb.toString
   }
 

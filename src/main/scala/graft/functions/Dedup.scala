@@ -633,9 +633,18 @@ object Dedup {
           .select(col("id_a"), col("id_b"),
             col("jac_ppm").as("sim_ppm")))
         .withColumn("route", lit("prefix")))).flatten
-    require(branches.nonEmpty,
-      "similarityPairsAutoBySource: empty corpus, nothing to route")
-    branches.reduce(_ unionByName _)
+    // Empty corpus is a degenerate input, not an error (ADVICE r12 #5):
+    // return an empty frame with the output schema so callers that
+    // tolerated empty input before the dual-route rewrite still do.
+    if (branches.isEmpty)
+      docs.sparkSession.emptyDataFrame
+        .withColumn("id_a", lit(null).cast("long"))
+        .withColumn("id_b", lit(null).cast("long"))
+        .withColumn("sim_ppm", lit(null).cast("long"))
+        .withColumn("source", lit(null).cast("string"))
+        .withColumn("route", lit(null).cast("string"))
+        .limit(0)
+    else branches.reduce(_ unionByName _)
   }
 
   /** Link prediction over an undirected graph by the Resource
@@ -1269,6 +1278,12 @@ object Dedup {
         col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
+      // drop self-pairs HERE (ADVICE r12 #4): the weighted core prices
+      // a self-loop row as twice the intra weight, so a stray (a, a)
+      // input pair surviving as a w=1 half-loop would silently skew
+      // degrees; current candidate generators only emit id_a < id_b,
+      // but the normalization — not the caller — owns the contract
+      .filter(col("src") =!= col("dst"))
       .distinct()
       .withColumn("w", lit(1L))
     louvainLocalMoveWeighted(e, rounds)

@@ -189,4 +189,16 @@ class SimilarityRouteSpec extends SparkSpec {
     val small = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     assert(Dedup.sizeBiasedMeanDf(small, "doc_id", "text") < 8.0)
   }
+
+  test("empty corpus routes to an empty pair frame, not an error") {
+    // ADVICE r12 #5: degenerate input must yield the output schema
+    // with zero rows (callers that tolerated empty input keep working)
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.similarityPairsAutoBySource(
+      empty, "doc_id", "text", "source")
+    assert(out.columns.toSet ==
+      Set("id_a", "id_b", "sim_ppm", "source", "route"))
+    assert(out.count() == 0L)
+  }
 }
