@@ -1013,6 +1013,113 @@ object OracleSql {
     sb.toString
   }
 
+  /** Leibniz expansion of a 4×4 determinant as a SQL expression
+    * string — 24 signed 4-entry products over `m(i, j)` (0-indexed
+    * entry accessor). Shared by the rank-4 ALS engine query (entries
+    * cast to DECIMAL(38,0)) and its DuckDB oracle (HUGEINT), so both
+    * sides solve the normal equations with the IDENTICAL integer
+    * expression.
+    */
+  def det4(m: (Int, Int) => String): String = {
+    val perms = List(0, 1, 2, 3).permutations.toList
+    def sign(p: List[Int]): Int = {
+      var s = 1
+      for (i <- 0 until 4; j <- i + 1 until 4) if (p(i) > p(j)) s = -s
+      s
+    }
+    perms.map { p =>
+      val prod = (0 until 4).map(i => m(i, p(i))).mkString(" * ")
+      (if (sign(p) > 0) "+ " else "- ") + s"($prod)"
+    }.mkString(" ")
+  }
+
+  /** Canonical Gram-entry name for the symmetric 4×4 normal matrix:
+    * a{i}{j} with i ≤ j, diagonals carrying the ridge λ ("l" suffix).
+    */
+  def gram4Name(i: Int, j: Int): String = {
+    val (x, y) = (math.min(i, j), math.max(i, j))
+    s"a${x + 1}${y + 1}" + (if (x == y) "l" else "")
+  }
+
+  /** Oracle for `recs_als_rank4` (VERDICT r11 #8 / r12 #7): the
+    * rank-2 Cramer machinery generalized — per-entity 4×4 ridge
+    * normal-equation solve via Cramer's rule with [[det4]]-generated
+    * determinants, replayed in HUGEINT. Factors are e3 longs (e6
+    * would push the 4-entry determinant products past DECIMAL(38,0) /
+    * HUGEINT — the scale is chosen so |num·1e3| stays ≤ ~1e35 at the
+    * measured per-entity density with ~10× headroom; the engine side
+    * guards the Gram magnitudes loudly). Init: f1 = 1e3, f2..f4 are
+    * three distinct public multiplicative-hash spreads in
+    * [−1000, 1000] (Knuth 2654435761; xxhash32 primes 2246822519,
+    * 3266489917) — identical integer init in both engines.
+    */
+  def recsAlsRank4(rounds: Int = 2, lam: Long = 100L): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH ratings AS MATERIALIZED (
+        |  SELECT o.o_custkey AS c, l.l_partkey AS p,
+        |    sum(CAST(l.l_quantity AS BIGINT))::BIGINT AS r
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT p, 1000::BIGINT AS f1,
+        |  ((p * 2654435761) % 2001 - 1000)::BIGINT AS f2,
+        |  ((p * 2246822519) % 2001 - 1000)::BIGINT AS f3,
+        |  ((p * 3266489917) % 2001 - 1000)::BIGINT AS f4
+        |  FROM ratings),
+        |""".stripMargin)
+    def mA(i: Int, j: Int) = s"${gram4Name(i, j)}::HUGEINT"
+    val detSql = det4(mA)
+    val cramer = (0 until 4).map { k =>
+      val num = det4((i, j) => if (j == k) s"b${i + 1}::HUGEINT"
+        else mA(i, j))
+      s"""    ((($num) * 1000)
+         |      // greatest(($detSql), 1::HUGEINT))::BIGINT
+         |      AS f${k + 1}""".stripMargin
+    }.mkString(",\n")
+    val gramSums = (for (i <- 1 to 4; j <- i to 4) yield
+      if (i == j)
+        s"(sum((x.f$i * x.f$j) // 1000) + $lam)::BIGINT AS a$i${j}l"
+      else s"sum((x.f$i * x.f$j) // 1000)::BIGINT AS a$i$j")
+      .mkString(",\n    ")
+    val bSums = (1 to 4).map(i =>
+      s"sum(r.r * x.f$i)::BIGINT AS b$i").mkString(",\n    ")
+    def half(outCte: String, inCte: String, joinKey: String,
+             outKey: String): String =
+      s"""${outCte}g AS MATERIALIZED (
+         |  SELECT r.$outKey AS k,
+         |    $gramSums,
+         |    $bSums
+         |  FROM ratings r JOIN $inCte x ON x.$joinKey = r.$joinKey
+         |  GROUP BY 1),
+         |$outCte AS MATERIALIZED (
+         |  SELECT k AS $outKey,
+         |$cramer
+         |  FROM ${outCte}g),
+         |""".stripMargin
+    for (rd <- 1 to rounds) {
+      sb.append(half(s"u$rd", s"v${rd - 1}", "p", "c"))
+      sb.append(half(s"v$rd", s"u$rd", "c", "p"))
+    }
+    val dot = (1 to 4).map(i => s"u.f$i::HUGEINT * v.f$i::HUGEINT")
+      .mkString(" + ")
+    sb.append(
+      s"""scored AS (
+         |  SELECT u.c, v.p,
+         |    (($dot) // 1000)::BIGINT AS score_e3
+         |  FROM u$rounds u CROSS JOIN v$rounds v
+         |  WHERE u.c <= 20
+         |    AND NOT EXISTS (SELECT 1 FROM ratings x
+         |      WHERE x.c = u.c AND x.p = v.p)),
+         |ranked AS (
+         |  SELECT c, p, score_e3,
+         |    row_number() OVER (PARTITION BY c
+         |      ORDER BY score_e3 DESC, p ASC)::INT AS rank
+         |  FROM scored)
+         |SELECT c AS o_custkey, p AS l_partkey, score_e3, rank
+         |FROM ranked WHERE rank <= 3""".stripMargin)
+    sb.toString
+  }
+
   /** Oracle for `embed_isolation_forest`: the hash-derandomized
     * forest replayed — node split parameters from the exact XXH64
     * emulation over (tree·2²⁰ + node), identical global-range e6

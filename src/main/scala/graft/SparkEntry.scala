@@ -9034,6 +9034,115 @@ object SparkEntry {
           col("score_e6"), col("rank"))
     }),
 
+    "recs_als_rank4" -> ((s, dir) => {
+      // rank-4 ALS (VERDICT r11 #8 / r12 #7 stretch): the rank-2
+      // Cramer machinery generalized — each alternation is ONE join +
+      // rollup producing the 14 per-entity Gram/moment sums (10
+      // symmetric 4×4 entries + 4 rhs), then a map-only exact Cramer
+      // solve whose five 4×4 determinants are the SAME
+      // OracleSql.det4-generated Leibniz expression both engines run
+      // (DECIMAL(38,0) here, HUGEINT in DuckDB; both `div`/`//`
+      // truncate toward zero — verified). Factors are e3 longs, NOT
+      // e6: a 4-entry determinant product scales as |entry|⁴ and the
+      // numerator·1e3 must stay inside 38 digits — at the measured
+      // density (≤105 ratings/entity, r ≤ 98, |f| ≈ 8e3 at
+      // convergence) num·1e3 ≈ 6e32 with ~1e5 headroom. The Gram
+      // magnitudes are guarded LOUDLY (raise_error past |a|≥1e8 /
+      // |b|≥2e9, where the determinant bound 24·|b|·|a|³·1e3 ≈ 5e34
+      // still clears 1e38) — the events_ar2 loud-margin discipline.
+      // Init symmetry breaking: f2..f4 are three distinct public
+      // multiplicative-hash spreads (Knuth 2654435761; xxhash32
+      // primes 2246822519, 3266489917) in [−1000, 1000]. Scale shape
+      // identical to rank-1/2: factor frames keyed by entity only,
+      // eval slice broadcast, bounded top-k winners, zero collects.
+      val d = "decimal(38,0)"
+      val ratings = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(sum(col("l_quantity").cast("long")).as("r"))
+        .localCheckpoint(true) // 4 factor rollups + anti-join read it
+      val lam = 100L // λ = 0.1 in e3
+      def mA(i: Int, j: Int) =
+        s"cast(${OracleSql.gram4Name(i, j)} as $d)"
+      val detSql = OracleSql.det4(mA)
+      val guard = "greatest(" +
+        (for (i <- 1 to 4; j <- i to 4)
+          yield s"abs(${OracleSql.gram4Name(i - 1, j - 1)})")
+          .mkString(", ") + ") >= 100000000 OR greatest(" +
+        (1 to 4).map(i => s"abs(b$i)").mkString(", ") + ") >= 2000000000"
+      def fCol(k: Int): Column = {
+        val num = OracleSql.det4((i, j) =>
+          if (j == k) s"cast(b${i + 1} as $d)" else mA(i, j))
+        val solve = s"cast((($num) * 1000 div" +
+          s" greatest(($detSql), cast(1 as $d))) as long)"
+        when(expr(guard),
+          raise_error(concat(lit("als4 gram out of range: "),
+            col("a11l"), lit(" "), col("b1"))).cast("long"))
+          .otherwise(expr(solve)).as(s"f${k + 1}")
+      }
+      def gram4(df: DataFrame, joinKey: String, outKey: String) = {
+        val renamed = (1 to 4).foldLeft(df)((acc, i) =>
+          acc.withColumnRenamed(s"f$i", s"g$i"))
+        ratings.join(renamed, Seq(joinKey))
+          .groupBy(outKey)
+          .agg(
+            (for (i <- 1 to 4; j <- i to 4) yield
+              sum(expr(s"g$i * g$j div 1000"))
+                .as(s"a$i$j")).head,
+            ((for (i <- 1 to 4; j <- i to 4) yield
+              sum(expr(s"g$i * g$j div 1000")).as(s"a$i$j")).tail ++
+              (1 to 4).map(i =>
+                sum(col("r") * col(s"g$i")).as(s"b$i"))): _*)
+          .withColumn("a11l", col("a11") + lam)
+          .withColumn("a22l", col("a22") + lam)
+          .withColumn("a33l", col("a33") + lam)
+          .withColumn("a44l", col("a44") + lam)
+          .select(Seq(col(outKey)) ++ (0 until 4).map(fCol): _*)
+          .localCheckpoint(true) // next half-step + scoring read it
+      }
+      var v = ratings.select("p").distinct()
+        .withColumn("f1", lit(1000L))
+        .withColumn("f2", expr("(p * 2654435761) % 2001 - 1000"))
+        .withColumn("f3", expr("(p * 2246822519) % 2001 - 1000"))
+        .withColumn("f4", expr("(p * 3266489917) % 2001 - 1000"))
+      var u: DataFrame = null
+      for (_ <- 1 to 2) {
+        u = gram4(v, "p", "c")
+        v = gram4(u, "c", "p")
+      }
+      val uE = (1 to 4).foldLeft(u)((acc, i) =>
+        acc.withColumnRenamed(s"f$i", s"u$i"))
+      val vE = (1 to 4).foldLeft(v)((acc, i) =>
+        acc.withColumnRenamed(s"f$i", s"v$i"))
+      val evalBought = ratings.filter(col("c") <= 20).select("c", "p")
+      val uEval = uE.filter(col("c") <= 20)
+      val scoreE = expr("cast((" +
+        (1 to 4).map(i => s"cast(u$i as $d) * cast(v$i as $d)")
+          .mkString(" + ") + ") div 1000 as long)")
+      val pb = 1L << 31
+      val ord = when(abs(col("score_e3")) >= lit(Long.MaxValue / pb) ||
+          col("p") >= lit(pb) || col("p") < 0,
+          raise_error(concat(lit("als4 top-k pack out of range: p="),
+            col("p"), lit(" score_e3="), col("score_e3"))).cast("long"))
+        .otherwise(col("score_e3") * lit(pb) - col("p"))
+      val winners = vE.crossJoin(broadcast(uEval))
+        .withColumn("score_e3", scoreE)
+        .join(broadcast(evalBought), Seq("c", "p"), "left_anti")
+        .groupBy("c")
+        .agg(graft.expressions.TopKBy.top_k_by(ord, col("p"), 3)
+          .as("top"))
+        .select(col("c"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("c"), col("p"), (col("pos") + 1).cast("int")
+          .as("rank"))
+      vE.join(broadcast(winners), Seq("p"))
+        .join(broadcast(uEval), Seq("c"))
+        .withColumn("score_e3", scoreE)
+        .select(col("c").as("o_custkey"), col("p").as("l_partkey"),
+          col("score_e3"), col("rank"))
+    }),
+
     "embed_isolation_forest" -> ((s, dir) => {
       // Isolation Forest (Liu–Ting–Zhou, ICDM'08) — the model-based
       // anomaly detector the distance family (embed_outliers = centroid
@@ -11803,6 +11912,7 @@ object SparkEntry {
 
     "recs_als_rank1" -> OracleSql.recsAlsRank1(),
     "recs_als_rank2" -> OracleSql.recsAlsRank2(),
+    "recs_als_rank4" -> OracleSql.recsAlsRank4(),
 
     "recs_item_cosine" ->
       """WITH li AS (

@@ -701,6 +701,32 @@ class PlanHygieneSpec extends SparkSpec {
       s"customer re-scan leaked into the survivorship plan:\n${plan.take(1500)}")
   }
 
+  test("rank-4 ALS keeps the rank-1 scoring shape: broadcast eval " +
+      "slice, broadcast pruned bought set, bounded top-k, no sorts") {
+    val exec = SparkEntry.queries("recs_als_rank4")(
+      spark, sf("sf0.001")).queryExecution.executedPlan
+    val plan = exec.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      s"unguided cross product in the ALS4 plan:\n${plan.take(1500)}")
+    assert(plan.contains("LeftAnti, BuildRight") ||
+      plan.contains("LeftAnti, BuildLeft"),
+      s"anti-join not broadcast:\n${plan.take(1500)}")
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val unwrapped = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(unwrapped.collect { case w: WindowExec => w }.isEmpty,
+      s"ALS4 scoring must not window-sort the part factors:\n" +
+        plan.take(1500))
+    assert(unwrapped.collect { case s: SortExec => s }.isEmpty,
+      s"ALS4 scoring must not sort the part factors:\n${plan.take(1500)}")
+    assert(plan.contains("top_k_by"),
+      "ALS4 winners must come from the bounded top_k_by aggregate")
+  }
+
   test("single-linkage cut ranks the k-1 heaviest edges via bounded " +
       "take-ordered, never a global window sort") {
     // VERDICT r12 #2a: the previous row_number() over an un-partitioned
