@@ -35,8 +35,28 @@ object TextFunctions {
     "es" -> Seq("el", "la", "que", "los", "una"),
     "fr" -> Seq("le", "les", "des", "est", "une"))
 
-  def langId(text: Column,
-             markers: Seq[(String, Seq[String])] = DefaultMarkers): Column = {
+  /** Argmax over a per-language marker-score array: earlier language
+    * wins ties, all-zero scores map to "und". Shared by the legacy
+    * contains-based [[langId]] and the fused [[langIdFromStats]] so the
+    * decision arithmetic is literally the same expression tree.
+    */
+  private def langArgmax(scores: Column,
+                         markers: Seq[(String, Seq[String])]): Column = {
+    val names = array(markers.map { case (lang, _) => lit(lang) }: _*)
+    val best = array_max(scores)
+    when(best > 0,
+      element_at(names, array_position(scores, best).cast("int")))
+      .otherwise(lit("und"))
+  }
+
+  /** Reference contains-based lang-ID (the pre-r13 formulation): 20
+    * marker scans of the padded lowercased text. Kept as the semantic
+    * REFERENCE the fused path is property-tested against
+    * (GateStatsSpec); production callers go through [[langId]], which
+    * computes the same scores in the one-pass [[gateStats]] scan.
+    */
+  private[graft] def langIdContains(text: Column,
+      markers: Seq[(String, Seq[String])] = DefaultMarkers): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     def score(words: Seq[String]): Column =
       words.map(w => when(padded.contains(s" $w "), 1).otherwise(0))
@@ -46,23 +66,72 @@ object TextFunctions {
     // when-chain formulation duplicated every score ~2·|langs| times in
     // the expression tree, which dominated the query's cost)
     val scores = array(markers.map { case (_, ws) => score(ws) }: _*)
-    val names = array(markers.map { case (lang, _) => lit(lang) }: _*)
-    val best = array_max(scores)
-    when(best > 0,
-      element_at(names, array_position(scores, best).cast("int")))
-      .otherwise(lit("und"))
+    langArgmax(scores, markers)
   }
 
-  /** Quality score in [0,1]: blend of length saturation, alpha ratio,
-    * punctuation penalty, and mean-word-length sanity. Heuristic in the
-    * spirit of C4/Gopher text-quality rules, expressed as pure column
-    * arithmetic. Rounded to 4 decimals for cross-engine determinism.
+  /** Language-ID over the fused one-pass [[gateStats]] scan — output
+    * identical to [[langIdContains]] (property-pinned), ~an order of
+    * magnitude less string work per row. When a projection also
+    * computes [[qualityScore]], codegen subexpression elimination
+    * collapses the two identical gateStats calls into ONE scan.
     */
-  def qualityScore(text: Column): Column = {
-    val n = length(text).cast("double")
-    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
-    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
-    val toks = tokenCount(text).cast("double")
+  def langId(text: Column,
+             markers: Seq[(String, Seq[String])] = DefaultMarkers): Column =
+    langIdFromStats(gateStats(text, markers), markers)
+
+  /** Fused single-pass gate statistics (VERDICT r12 #8): ONE byte-level
+    * scan computes every count [[langId]] + [[qualityScore]] need —
+    * struct(n, alpha, punct, toks, scores) — where the legacy formulas
+    * walk the text ~23 times (two regexes, a split, a lower, 20 marker
+    * contains). Downstream arithmetic is IDENTICAL (shared helpers), so
+    * outputs are bit-for-bit stable; GateStatsSpec pins the equality.
+    */
+  def gateStats(text: Column,
+                markers: Seq[(String, Seq[String])] = DefaultMarkers)
+      : Column =
+    graft.expressions.TextGateStats.text_gate_stats(text, markers)
+
+  /** [[langId]] decision from a [[gateStats]] struct. */
+  def langIdFromStats(stats: Column,
+                      markers: Seq[(String, Seq[String])] = DefaultMarkers)
+      : Column =
+    langArgmax(stats.getField("scores"), markers)
+
+  /** [[qualityScore]] from a [[gateStats]] struct — same blend, same
+    * rounding, computed from the fused counts.
+    */
+  def qualityScoreFromStats(stats: Column): Column =
+    qualityBlend(stats.getField("n").cast("double"),
+      stats.getField("alpha").cast("double"),
+      stats.getField("punct").cast("double"),
+      stats.getField("toks").cast("double"))
+
+  /** Quality score in [0,1]: blend of length saturation, alpha ratio,
+    * punctuation penalty, and mean-word-length sanity — C4/Gopher-spirit
+    * rules, 4-decimal rounded for cross-engine determinism.
+    *
+    * Reference regex-based formulation (pre-r13 formulation; two
+    * regexp_replace passes + a split per row). Semantic reference for
+    * GateStatsSpec; production callers use the fused [[qualityScore]].
+    */
+  private[graft] def qualityScoreRegex(text: Column): Column =
+    qualityBlend(length(text).cast("double"),
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double"),
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double"),
+      tokenCount(text).cast("double"))
+
+  /** Quality score over the fused one-pass [[gateStats]] scan — output
+    * identical to [[qualityScoreRegex]] (property-pinned).
+    */
+  def qualityScore(text: Column): Column =
+    qualityScoreFromStats(gateStats(text))
+
+  /** The quality blend over the four counts — shared by the legacy
+    * regex path and the fused [[qualityScoreFromStats]] so both emit
+    * the identical doubles.
+    */
+  private def qualityBlend(n: Column, alpha: Column, punct: Column,
+                           toks: Column): Column = {
     val lenScore = least(n / lit(500.0), lit(1.0))
     val alphaRatio = when(n > 0, alpha / n).otherwise(lit(0.0))
     val punctPenalty = when(n > 0, least(punct / n * lit(10.0), lit(1.0)))
