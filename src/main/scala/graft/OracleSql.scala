@@ -3017,13 +3017,20 @@ object OracleSql {
        |a1 AS (SELECT n AS n1, sx AS sx1, sy AS sy1 FROM arms
        |  WHERE arm = 1)
        |SELECT n0, n1,
-       |  ${roundSpark("sx0::DOUBLE / n0", 4)} AS pre0,
-       |  ${roundSpark("sy0::DOUBLE / n0", 4)} AS post0,
-       |  ${roundSpark("sx1::DOUBLE / n1", 4)} AS pre1,
-       |  ${roundSpark("sy1::DOUBLE / n1", 4)} AS post1,
-       |  ${roundSpark(
-           "(sy1::DOUBLE / n1 - sx1::DOUBLE / n1) - " +
-             "(sy0::DOUBLE / n0 - sx0::DOUBLE / n0)", 4)} AS did_cents
+       |  ((2 * sx0::HUGEINT * 10000 + n0) // (2 * n0::HUGEINT))::DOUBLE
+       |    / 10000.0 AS pre0,
+       |  ((2 * sy0::HUGEINT * 10000 + n0) // (2 * n0::HUGEINT))::DOUBLE
+       |    / 10000.0 AS post0,
+       |  ((2 * sx1::HUGEINT * 10000 + n1) // (2 * n1::HUGEINT))::DOUBLE
+       |    / 10000.0 AS pre1,
+       |  ((2 * sy1::HUGEINT * 10000 + n1) // (2 * n1::HUGEINT))::DOUBLE
+       |    / 10000.0 AS post1,
+       |  ((2 * ((sy1::HUGEINT - sx1::HUGEINT) * n0
+       |        - (sy0::HUGEINT - sx0::HUGEINT) * n1) * 10000
+       |      + (CASE WHEN (sy1::HUGEINT - sx1::HUGEINT) * n0
+       |            - (sy0::HUGEINT - sx0::HUGEINT) * n1 >= 0
+       |          THEN n0::HUGEINT * n1 ELSE -(n0::HUGEINT * n1) END))
+       |    // (2 * n0::HUGEINT * n1))::DOUBLE / 10000.0 AS did_cents
        |FROM a0, a1""".stripMargin
 
   /** Oracle for `graph_random_walks`: the candidate edge set, seeds =

@@ -1875,12 +1875,14 @@ object SparkEntry {
         .withColumn("nb",
           when(col("n") <= 2, lit(1L)).otherwise(col("n") - 1))
         .select(col("doc_id"),
-          round(lit(1.0) - col("d").cast("double") / col("n"), 4)
-            .as("rep_token_ratio"),
-          round(col("top_cnt").cast("double") / col("n"), 4)
-            .as("top_token_ratio"),
-          round(lit(1.0) - col("db").cast("double") / col("nb"), 4)
-            .as("rep_bigram_ratio"))
+          // exact 4-dp grids (r13 determinism ledger): integer half-up
+          // over the exact int ratios, one int->double division each
+          (expr("cast((2 * (n - d) * 10000 + n) div (2 * n) as double)")
+            / 10000.0).as("rep_token_ratio"),
+          (expr("cast((2 * top_cnt * 10000 + n) div (2 * n) as double)")
+            / 10000.0).as("top_token_ratio"),
+          (expr("cast((2 * (nb - db) * 10000 + nb) div (2 * nb)" +
+            " as double)") / 10000.0).as("rep_bigram_ratio"))
     }),
 
     "text_boilerplate" -> ((s, dir) => {
@@ -1901,8 +1903,9 @@ object SparkEntry {
           sum(when(col("nd") >= 2, 1L).otherwise(0L))
             .as("n_shared_chunks"))
         .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
-          round(col("n_shared_chunks").cast("double")
-            / col("n_chunks").cast("double"), 4).as("shared_ratio"))
+          // exact 4-dp grid (r13 determinism ledger)
+          (expr("cast((2 * n_shared_chunks * 10000 + n_chunks) div" +
+            " (2 * n_chunks) as double)") / 10000.0).as("shared_ratio"))
     }),
 
     "text_perplexity" -> ((s, dir) => {
@@ -2083,9 +2086,12 @@ object SparkEntry {
           sum(q4).as("q4sum"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
         .select(col("n_docs"), col("n_sources"), col("total_tokens"),
-          round(col("q4sum") / (col("n_docs") * lit(10000.0)), 4)
-            .as("mean_quality"),
-          round(col("n_en") / col("n_docs"), 4).as("pct_en"))
+          // exact 4-dp grid landing (r13 determinism ledger): integer
+          // half-up over the exact int ratio, one int->double division
+          (expr("cast((2 * q4sum + n_docs) div (2 * n_docs) as double)")
+            / 10000.0).as("mean_quality"),
+          (expr("cast((2 * n_en * 10000 + n_docs) div (2 * n_docs)" +
+            " as double)") / 10000.0).as("pct_en"))
     }),
 
     "dedup_cdc_shared" -> ((s, dir) => {
@@ -2102,7 +2108,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
         .select(col("doc_id"), col("n_chunks"), col("n_shared"),
-          round(col("n_shared") / col("n_chunks"), 4).as("shared_ratio"))
+          // exact 4-dp grid (r13 determinism ledger)
+          (expr("cast((2 * n_shared * 10000 + n_chunks) div" +
+            " (2 * n_chunks) as double)") / 10000.0).as("shared_ratio"))
     }),
 
     "text_novelty" -> ((s, dir) => {
@@ -2679,10 +2687,11 @@ object SparkEntry {
           col("p4"), col("pos"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"),
-          round(sum("p4").cast("double") /
-            (count(lit(1)) * 10000).cast("double"), 6).as("mean_prob"),
-          round(sum("pos").cast("double") /
-            count(lit(1)).cast("double"), 6).as("label_rate"))
+          // exact 6-dp grid (r13 determinism ledger): integer half-up
+          (expr("cast((2 * sum(p4) * 100 + count(1)) div" +
+            " (2 * count(1)) as double)") / 1000000.0).as("mean_prob"),
+          (expr("cast((2 * sum(pos) * 1000000 + count(1)) div" +
+            " (2 * count(1)) as double)") / 1000000.0).as("label_rate"))
     }),
 
     "ml_eval_metrics" -> ((s, dir) => {
@@ -4848,12 +4857,16 @@ object SparkEntry {
       val byDow = ev.groupBy("dow")
         .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
       val tot = ev.agg(count(lit(1)).as("tn"), sum("cents").as("ts_"))
+      // exact 6-dp grid landing (r13 determinism ledger): integer
+      // half-up (2a·1e6 + b) div 2b over the exact cross-multiplied
+      // ints, then ONE build-invariant int->double conversion — no
+      // round(DOUBLE, 6) tail (the agg_grouping_sets hazard class)
       byDow.crossJoin(broadcast(tot))
         .select(col("dow"), col("n_events"), col("sum_cents"),
-          round((col("sum_cents").cast("decimal(38,0)") * col("tn"))
-            .cast("double") /
-            (col("ts_").cast("decimal(38,0)") * col("n_events"))
-              .cast("double"), 6).as("rev_index"))
+          (expr("cast((2 * cast(sum_cents as decimal(38,0)) * tn" +
+            " * 1000000 + cast(ts_ as decimal(38,0)) * n_events)" +
+            " div (2 * cast(ts_ as decimal(38,0)) * n_events)" +
+            " as double)") / 1000000.0).as("rev_index"))
     }),
 
     "events_streaks" -> ((s, dir) => {
@@ -6662,16 +6675,25 @@ object SparkEntry {
       val a1 = arms.filter(col("arm") === 1)
         .select(col("n").as("n1"), col("sx").as("sx1"),
           col("sy").as("sy1"))
+      // exact 4-dp grids (r13 determinism ledger): integer half-up
+      // over the exact cross-multiplied ints; the signed DiD uses the
+      // half-away-from-zero form (2a ± b) div 2b (both engines'
+      // integer division truncates toward zero — verified)
+      val dd = "decimal(38,0)"
+      def mean4(sc: String, nc: String) =
+        s"cast((2 * cast($sc as $dd) * 10000 + $nc) div" +
+          s" (2 * cast($nc as $dd)) as double) / 10000.0"
+      val aN = s"((cast(sy1 as $dd) - cast(sx1 as $dd)) * cast(n0 as $dd)" +
+        s" - (cast(sy0 as $dd) - cast(sx0 as $dd)) * cast(n1 as $dd))"
+      val bD = s"(cast(n0 as $dd) * cast(n1 as $dd))"
       a0.crossJoin(broadcast(a1))
         .select(col("n0"), col("n1"),
-          round(col("sx0").cast("double") / col("n0"), 4).as("pre0"),
-          round(col("sy0").cast("double") / col("n0"), 4).as("post0"),
-          round(col("sx1").cast("double") / col("n1"), 4).as("pre1"),
-          round(col("sy1").cast("double") / col("n1"), 4).as("post1"),
-          round((col("sy1").cast("double") / col("n1")
-            - col("sx1").cast("double") / col("n1"))
-            - (col("sy0").cast("double") / col("n0")
-              - col("sx0").cast("double") / col("n0")), 4)
+          expr(mean4("sx0", "n0")).as("pre0"),
+          expr(mean4("sy0", "n0")).as("post0"),
+          expr(mean4("sx1", "n1")).as("pre1"),
+          expr(mean4("sy1", "n1")).as("post1"),
+          expr(s"cast((2 * $aN * 10000 + (case when $aN >= 0 then $bD" +
+            s" else -$bD end)) div (2 * $bD) as double) / 10000.0")
             .as("did_cents"))
     }),
 
@@ -6751,14 +6773,21 @@ object SparkEntry {
           col("sy"), col("syy"), col("n"))
         .withColumn("var_c2", expr(
           "cast(n*syy - sy*sy AS double) / cast(n*(n-1) AS double)"))
-        .withColumn("mde_cents",
+        .withColumn("mde_cents_raw",
           col("mean_cents").cast("double") / 20.0)
         .select(col("n_users"), col("mean_cents"),
-          round(col("var_c2"), 4).as("var_cents2"),
-          round(col("mde_cents"), 4).as("mde_cents"),
+          // exact 4-dp grids (r13 determinism ledger): variance is the
+          // exact int ratio (n·syy − sy²)/(n(n−1)) half-up'd; the mde
+          // grid value is exactly mean_cents·500 (half_up(m·1e4/20)).
+          // n_per_arm stays on the UNrounded IEEE chain both engines
+          // replay identically (its ceil input is not a grid value).
+          (expr("cast((2 * (n*syy - sy*sy) * 10000 + n*(n-1)) div" +
+            " (2 * n*(n-1)) as double)") / 10000.0).as("var_cents2"),
+          (expr("cast(mean_cents * 500 as double)") / 10000.0)
+            .as("mde_cents"),
           ceil(lit(2.0) * (lit(1.96) + lit(0.84)) * (lit(1.96)
             + lit(0.84)) * col("var_c2")
-            / (col("mde_cents") * col("mde_cents")))
+            / (col("mde_cents_raw") * col("mde_cents_raw")))
             .cast("long").as("n_per_arm"))
     }),
 
@@ -10318,9 +10347,12 @@ object SparkEntry {
         |cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
         |top AS (SELECT doc_id, max(c) AS top_cnt FROM cnt GROUP BY doc_id)
         |SELECT b.doc_id,
-        |  round(1.0 - b.d::DOUBLE / b.n, 4) AS rep_token_ratio,
-        |  round(t.top_cnt::DOUBLE / b.n, 4) AS top_token_ratio,
-        |  round(1.0 - b.db::DOUBLE / b.nb, 4) AS rep_bigram_ratio
+        |  ((2 * (b.n - b.d) * 10000 + b.n) // (2 * b.n))::DOUBLE
+        |    / 10000.0 AS rep_token_ratio,
+        |  ((2 * t.top_cnt * 10000 + b.n) // (2 * b.n))::DOUBLE
+        |    / 10000.0 AS top_token_ratio,
+        |  ((2 * (b.nb - b.db) * 10000 + b.nb) // (2 * b.nb))::DOUBLE
+        |    / 10000.0 AS rep_bigram_ratio
         |FROM base b JOIN top t USING (doc_id)""".stripMargin,
 
     "sample_stratified" ->
@@ -10349,8 +10381,8 @@ object SparkEntry {
         |      AS n_shared_chunks
         |  FROM ch JOIN sh USING (fp) GROUP BY 1)
         |SELECT doc_id, n_chunks, n_shared_chunks,
-        |  round(CAST(CAST((n_shared_chunks::DOUBLE / n_chunks::DOUBLE)
-        |    AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS shared_ratio
+        |  ((2 * n_shared_chunks * 10000 + n_chunks) // (2 * n_chunks))
+        |    ::DOUBLE / 10000.0 AS shared_ratio
         |FROM agg""".stripMargin,
 
     "pack_bestfit" ->
@@ -10472,9 +10504,10 @@ object SparkEntry {
          |  FROM p)
          |SELECT least(p4 // 1000, 9)::INT AS bin,
          |  count(*)::BIGINT AS n_docs,
-         |  round(sum(p4)::DOUBLE / (count(*) * 10000)::DOUBLE, 6)
-         |    AS mean_prob,
-         |  round(sum(pos)::DOUBLE / count(*)::DOUBLE, 6) AS label_rate
+         |  ((2 * sum(p4)::HUGEINT * 100 + count(*))
+         |    // (2 * count(*)))::DOUBLE / 1000000.0 AS mean_prob,
+         |  ((2 * sum(pos)::HUGEINT * 1000000 + count(*))
+         |    // (2 * count(*)))::DOUBLE / 1000000.0 AS label_rate
          |FROM sc GROUP BY 1""".stripMargin,
 
     "ml_eval_metrics" ->
@@ -11247,8 +11280,8 @@ object SparkEntry {
          |      AS n_shared
          |  FROM c JOIN sh USING (fingerprint) GROUP BY 1)
          |SELECT doc_id, n_chunks, n_shared,
-         |  round(CAST(CAST((n_shared / n_chunks) AS VARCHAR)
-         |    AS DECIMAL(38,20)), 4)::DOUBLE AS shared_ratio
+         |  ((2 * n_shared * 10000 + n_chunks) // (2 * n_chunks))
+         |    ::DOUBLE / 10000.0 AS shared_ratio
          |FROM a""".stripMargin,
 
     "corpus_report" ->
@@ -11258,12 +11291,12 @@ object SparkEntry {
          |  sum(CASE WHEN length(trim(d.text)) = 0 THEN 0
          |      ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
          |      END)::BIGINT AS total_tokens,
-         |  round(CAST(CAST((sum(CAST(floor(q.quality * 10000) AS BIGINT))::BIGINT
-         |    / (count(*) * 10000.0)) AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE
+         |  ((2 * sum(CAST(floor(q.quality * 10000) AS BIGINT))::HUGEINT
+         |      + count(*)) // (2 * count(*)))::DOUBLE / 10000.0
          |    AS mean_quality,
-         |  round(CAST(CAST((sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0
-         |    END)::BIGINT / count(*)) AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE
-         |    AS pct_en
+         |  ((2 * sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0
+         |      END)::HUGEINT * 10000 + count(*)) // (2 * count(*)))
+         |    ::DOUBLE / 10000.0 AS pct_en
          |FROM documents d JOIN q ON q.doc_id = d.doc_id""".stripMargin,
 
     "text_rarity" -> RarityOracle,
@@ -11776,8 +11809,10 @@ object SparkEntry {
         |tot AS (SELECT count(*)::HUGEINT AS tn, sum(cents)::HUGEINT AS ts_
         |  FROM ev)
         |SELECT dow, n_events, sum_cents,
-        |  round((sum_cents::HUGEINT * tn)::DOUBLE /
-        |    (ts_ * n_events::HUGEINT)::DOUBLE, 6) AS rev_index
+        |  ((2 * sum_cents::HUGEINT * tn * 1000000
+        |      + ts_ * n_events::HUGEINT)
+        |    // (2 * ts_ * n_events::HUGEINT))::DOUBLE
+        |    / 1000000.0 AS rev_index
         |FROM byd CROSS JOIN tot""".stripMargin,
 
     "events_streaks" ->
@@ -12967,14 +13002,14 @@ object SparkEntry {
         |    sum(y::HUGEINT * y) AS syy FROM per),
         |c AS (SELECT CAST(n AS BIGINT) AS n_users,
         |    CAST(sy // n AS BIGINT) AS mean_cents,
+        |    (n*syy - sy*sy) AS vnum, (n*(n-1)) AS vden,
         |    (n*syy - sy*sy)::DOUBLE / (n*(n-1))::DOUBLE AS var_c2,
         |    (CAST(sy // n AS BIGINT))::DOUBLE / 20.0 AS mde
         |  FROM m)
         |SELECT n_users, mean_cents,
-        |  round(CAST(CAST((var_c2) AS VARCHAR) AS DECIMAL(38,20)), 4)
-        |    ::DOUBLE AS var_cents2,
-        |  round(CAST(CAST((mde) AS VARCHAR) AS DECIMAL(38,20)), 4)
-        |    ::DOUBLE AS mde_cents,
+        |  ((2 * vnum * 10000 + vden) // (2 * vden))::DOUBLE / 10000.0
+        |    AS var_cents2,
+        |  (mean_cents::HUGEINT * 500)::DOUBLE / 10000.0 AS mde_cents,
         |  CAST(ceil(2.0 * (1.96 + 0.84) * (1.96 + 0.84) * var_c2
         |    / (mde * mde)) AS BIGINT) AS n_per_arm
         |FROM c""".stripMargin,
