@@ -65,15 +65,31 @@ object SingleLinkage {
         .localCheckpoint(true)
       if (cross.isEmpty) done = true
       else {
+        // classic Borůvka edge contraction: in the label-contracted
+        // multigraph, parallel edges between the same component pair
+        // form 2-cycles, so only the (w, a, b)-minimum can ever enter
+        // the MST — collapse to one edge per unordered label pair
+        // BEFORE the pick and carry only the survivors forward. The
+        // live frame now shrinks with the component count (geometric),
+        // not just with intra-component edge removal.
+        val crossMin = cross
+          .groupBy(least(col("la"), col("lb")).as("x"),
+            greatest(col("la"), col("lb")).as("y"))
+          .agg(min(struct(col("w"), col("a"), col("b"),
+            col("la"), col("lb"))).as("e"))
+          .select(col("e.w").as("w"), col("e.a").as("a"),
+            col("e.b").as("b"), col("e.la").as("la"),
+            col("e.lb").as("lb"))
+          .localCheckpoint(true)
         // every component picks its lexicographic-min outgoing edge —
         // each is an MST edge by the cut property (unique weights).
         // The endpoint labels (la, lb) ride along in the struct (they
         // do not affect the ordering — (w, a, b) is already unique)
         // so the contraction below needs no re-join into node space.
-        val sym = cross
+        val sym = crossMin
           .select(col("la").as("c"), col("w"), col("a"), col("b"),
             col("la"), col("lb"))
-          .unionByName(cross
+          .unionByName(crossMin
             .select(col("lb").as("c"), col("w"), col("a"), col("b"),
               col("la"), col("lb")))
         val picked = sym.groupBy("c")
@@ -108,10 +124,12 @@ object SingleLinkage {
           .select(col("node"),
             coalesce(col("rep_id"), col("label")).as("label"))
           .localCheckpoint(true)
-        // edges whose endpoints fell into one component this round are
-        // intra-component forever — only the surviving cross edges can
-        // be picked later, so the live frame shrinks monotonically
-        live = cross.select("a", "b", "w")
+        // only the per-pair minima can be picked in ANY later round
+        // (the 2-cycle argument above is round-invariant: coarser
+        // contractions only merge pairs, and the min over a merged
+        // pair is the min of the pair minima) — so the live frame is
+        // the collapsed survivor set, shrinking with #components
+        live = crossMin.select("a", "b", "w")
       }
     }
     require(done,
