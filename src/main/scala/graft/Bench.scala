@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line with per-query seconds.
+  * prints TWO JSON lines: the full per-query map (also persisted to
+  * BENCH_FULL.json), then a compact summary line LAST — the driver keeps
+  * only a ~2 KB stdout tail, so the parseable contract object must be
+  * small and final.
   *
   * Protocol: each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3)
   * and the reported number is the MEDIAN — a single run is at the mercy
@@ -98,7 +101,14 @@ object Bench {
       val xs = byName(n)
       n -> (if (xs.min > 0) xs.max / xs.min else 1.0)
     }
-    val unstable = spread.collect { case (n, r) if r > 2.0 => n }
+    // Unstable flag = spread > 2x AND median >= 0.5 s. Sub-half-second
+    // queries at runs=3 on a shared 32-core box flap on JIT/GC alone —
+    // r13's list had 11 of 13 entries below 1.2 s, pure measurement
+    // floor. The flag should only ever name real variance.
+    val medByName = med.toMap
+    val unstable = spread.collect {
+      case (n, r) if r > 2.0 && medByName(n) >= 0.5 => n
+    }
 
     val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -134,6 +144,7 @@ object Bench {
     else ""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runsN,"spread":$sp,"unstable":$un,"failed":$fl,"loadavg":"$loadavg","start_loadavg":$startLoad,"cpus":$machineCpus,"other_jvms":$otherJvms$contamNote}"""
     println(line)
+    System.out.flush()
     // Also persist the COMPLETE line to a committed artifact: the
     // driver's BENCH_r*.json keeps only the tail of stdout, truncating
     // the medians dict — BENCH_FULL.json makes per-query regressions
@@ -151,6 +162,15 @@ object Bench {
           (line + "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () }
     }
+    // Compact summary line printed LAST (VERDICT r13 #1): the driver
+    // captures only a ~2 KB stdout tail, so the full per-query line
+    // above gets truncated mid-JSON and BENCH_r12/r13.json both landed
+    // with "parsed": null. The machine-checked 2x-of-baseline contract
+    // needs one small, complete JSON object at the very end of stdout;
+    // the per-query map stays in the committed BENCH_FULL.json.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},"sf":"$sfDir","runs":$runsN,"unstable_n":${unstable.size},"failed":$fl,"loadavg":"$loadavg","start_loadavg":$startLoad,"cpus":$machineCpus,"other_jvms":$otherJvms,"full":"${fullPath.getOrElse("")}"$contamNote}"""
+    println(summary)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -215,18 +215,30 @@ object SparkEntry {
     "cast(round(l_extendedprice * 100) as bigint)" +
       " * (100 - cast(round(l_discount * 100) as bigint))"
   private val sumDiscE4 = s"sum(cast($discE4Term as decimal(38,0)))"
+  // 2^53 conversion bound (ADVICE r13): the exact-grid emission is
+  // build-invariant only while the integer being converted fits in a
+  // double's 53-bit mantissa — past that, Spark's decimal(38,0)->double
+  // and DuckDB's HUGEINT->double conversions are not guaranteed to
+  // agree in the last ulp. Guard loudly at the conversion site (the
+  // same discipline as the ALS/ar2 overflow guards); the measured sf0.1
+  // margin and the oracle-side argument live in OVERFLOW_AUDIT.md.
+  // Catalyst dedups the repeated aggregate subexpression.
+  private def g53(x: String): String =
+    s"(case when abs($x) >= 9007199254740992 then" +
+      s" cast(raise_error(concat('money emission exceeds 2^53: '," +
+      s" cast(($x) as string))) as decimal(38,0)) else $x end)"
   private def e4Money(sumExpr: String): String =
-    s"cast(($sumExpr + 50) div 100 as double) / 100.0"
+    s"cast(${g53(s"($sumExpr + 50) div 100")} as double) / 100.0"
   private def e6Money(sumExpr: String): String =
-    s"cast(($sumExpr + 5000) div 10000 as double) / 100.0"
+    s"cast(${g53(s"($sumExpr + 5000) div 10000")} as double) / 100.0"
   private def e2Money(c: String): String =
-    s"cast(${sumE2(c)} as double) / 100.0"
+    s"cast(${g53(sumE2(c))} as double) / 100.0"
   // 4-decimal average of an exact-cents sum over `cnt` rows: integer
   // half-up onto the 1e-4 grid BEFORE the single exact division.
   // half_up(a/b) = (2a + b) div (2b) for a, b >= 0.
   private def e4AvgOfCents(c: String, cnt: String): String =
-    s"cast((2 * ${sumE2(c)} * 100 + $cnt) div (2 * $cnt) as double)" +
-      " / 10000.0"
+    s"cast(${g53(s"(2 * ${sumE2(c)} * 100 + $cnt) div (2 * $cnt)")}" +
+      " as double) / 10000.0"
   private val discMoney = e4Money(sumDiscE4)
 
   // ------------------------------------------------------------------
@@ -9135,6 +9147,20 @@ object SparkEntry {
           .withColumn("gdet", expr(detSql))
           .withColumn("gbad", expr(guard))
           .select(Seq(col(outKey)) ++ (0 until 4).map(fCol): _*)
+          // Wrap-precondition guard (ADVICE r13): the NEXT half-step's
+          // Gram products g_i*g_j are raw long multiplies that wrap
+          // silently in non-ANSI Spark, and a wrapped sum can land back
+          // inside gbad's range and diverge from the HUGEINT oracle
+          // without raising. Guard the factor magnitude itself:
+          // |f| < 3e9 ⇒ |g_i*g_j| < 9e18 < 2^63, so the product cannot
+          // wrap. One abs-compare per factor row, checked where the
+          // factor is PRODUCED, not where its wrap would surface.
+          .select(col(outKey) +: (1 to 4).map { i =>
+            when(abs(col(s"f$i")) >= lit(3000000000L),
+              raise_error(concat(lit(s"als4 factor f$i out of range: "),
+                col(s"f$i"))).cast("long"))
+              .otherwise(col(s"f$i")).as(s"f$i")
+          }: _*)
           .localCheckpoint(true) // next half-step + scoring read it
       }
       var v = ratings.select("p").distinct()

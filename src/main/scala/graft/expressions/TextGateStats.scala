@@ -64,9 +64,19 @@ object TextGateImpl {
   @inline private def isPunct(b: Byte): Boolean =
     b == '.' || b == ',' || b == ';' || b == ':' || b == '!' || b == '?'
 
-  def compile(markers: Seq[(String, Seq[String])]): GateMarkers =
+  def compile(markers: Seq[(String, Seq[String])]): GateMarkers = {
+    // The per-language hit set is a single Long bitmask: a config with
+    // more than 64 words per language would silently alias bits
+    // (1L << w wraps mod 64) and undercount distinct-marker scores.
+    // Fail loudly at plan time instead.
+    markers.foreach { case (lang, words) =>
+      require(words.length <= 64,
+        s"text_gate_stats: language '$lang' has ${words.length} marker " +
+          "words; the distinct-hit bitmask supports at most 64 per language")
+    }
     new GateMarkers(markers.map(_._2.map(
       _.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray).toArray)
+  }
 
   def gateStats(s: UTF8String, m: GateMarkers): GenericInternalRow = {
     val nb = s.numBytes()
@@ -178,8 +188,9 @@ object TextGateImpl {
 final class GateMarkers(val words: Array[Array[Array[Byte]]])
     extends Serializable {
   val maxLen: Int =
-    if (words.isEmpty) 0
-    else words.iterator.flatMap(_.iterator.map(_.length)).max
+    // foldLeft(0), not .max: a non-empty config whose word lists are all
+    // empty must yield 0, not throw on an empty iterator.
+    words.iterator.flatMap(_.iterator.map(_.length)).foldLeft(0)(math.max)
   val lowered: Array[Array[UTF8String]] =
     words.map(_.map(w => UTF8String.fromBytes(w)))
 }

@@ -38,6 +38,7 @@ class MoneyTailSpec extends AnyFunSuite {
   private val banned = Seq(
     raw"/ ?100\.0, ?\d\)".r,
     raw"/ ?10000\.0, ?\d\)".r,
+    raw"/ ?1000000\.0, ?\d\)".r, // 6-decimal grid (rev_index family, r13)
     raw"\* ?100\.0\), ?\d\)".r) // round(x / (count * 100.0), n)
 
   test("no round(DOUBLE, n) tail over a cents-scaled division") {
@@ -59,9 +60,12 @@ class MoneyTailSpec extends AnyFunSuite {
     // Runtime check over the assembled oracle map (catches builder-
     // generated SQL that a source grep could miss): `round(` must not
     // appear with a `/ 100.0` inside its argument span ending in `, n)`.
-    val re = raw"round\([^;]*?/ ?100\.0, ?\d\)".r
+    val res = Seq(
+      raw"round\([^;]*?/ ?100\.0, ?\d\)".r,
+      raw"round\([^;]*?/ ?10000\.0, ?\d\)".r,
+      raw"round\([^;]*?/ ?1000000\.0, ?\d\)".r)
     val bad = SparkEntry.oracleSql.collect {
-      case (name, sql) if re.findFirstIn(sql).isDefined => name
+      case (name, sql) if res.exists(_.findFirstIn(sql).isDefined) => name
     }
     assert(bad.isEmpty, s"oracle round-tail over cents division in: $bad")
   }
