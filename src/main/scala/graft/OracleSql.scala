@@ -244,12 +244,27 @@ object OracleSql {
        |              AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** 4-dp exact-grid signature-agreement estimate — the DuckDB twin of
+    * engine `Dedup.estJaccard` (OVERFLOW_AUDIT r14): matches and
+    * numHashes are exact ints, so integer half-up onto the 1e-4 grid
+    * (`(2k·10⁴ + n) // (2n)`) followed by ONE exact division replaces
+    * the build-sensitive `round(DOUBLE, 4)` tail.
+    */
+  private def estJaccardE4(numHashes: Int): String =
+    s"(CAST((2 * len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) * 10000 + $numHashes) // (2 * $numHashes) AS DOUBLE) / 10000.0)"
+
+  /** Exact-grid ratio of two non-negative exact ints a/b at 10^-s —
+    * DuckDB twin of `graft.functions.ExactGrid.eRatio` (integer
+    * half-up, one exact division, no round(DOUBLE, n) tail).
+    */
+  private def eRatioE(a: String, b: String, scale: Long): String =
+    s"(CAST((2 * ($a) * $scale + ($b)) // (2 * ($b)) AS DOUBLE) / $scale.0)"
+
   /** Oracle for `dedup_minhash`: LSH candidates with signature-agreement
     * estimate >= 0.5.
     */
   def dedupMinhash(numHashes: Int = 16, rowsPerBand: Int = 2): String = {
-    val est =
-      s"round(len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    val est = estJaccardE4(numHashes)
     s"""WITH ${tokenHashCtes()},
        |${shingleHashCtes()},
        |${minhashCtes(numHashes, rowsPerBand)}
@@ -280,7 +295,7 @@ object OracleSql {
        |  GROUP BY c.id_a, c.id_b),
        |ct AS (
        |  SELECT o.id_a, o.id_b,
-       |    ${roundSpark("o.ovl * 1.0 / least(za.sz, zb.sz)", 4)}
+       |    ${eRatioE("o.ovl", "least(za.sz, zb.sz)", 10000L)}
        |      AS containment
        |  FROM ov o JOIN ssz za ON za.doc_id = o.id_a
        |            JOIN ssz zb ON zb.doc_id = o.id_b)
@@ -338,7 +353,8 @@ object OracleSql {
        |  SELECT c.doc_id, count(*) AS k
        |  FROM cs c JOIN refset r USING (shu) GROUP BY 1)
        |SELECT t.doc_id, t.n_bigrams,
-       |  ${roundSpark("1.0 - coalesce(h.k, 0) / t.n_bigrams", 4)}
+       |  ${eRatioE("t.n_bigrams - coalesce(h.k, 0)", "t.n_bigrams",
+            10000L)}
        |    AS novelty
        |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin
 
@@ -621,9 +637,14 @@ object OracleSql {
        |fu AS (
        |  SELECT coalesce(bm.query_id, ob.query_id) AS query_id,
        |    coalesce(bm.doc_id, ob.doc_id) AS doc_id,
-       |    ${roundSpark(
-              s"coalesce(1.0 / ($c + bm.rank), 0.0) + " +
-                s"coalesce(1.0 / ($c + ob.rank), 0.0)", 6)} AS rrf
+       |    CASE
+       |      WHEN bm.rank IS NOT NULL AND ob.rank IS NOT NULL THEN
+       |        ${eRatioE(s"($c + bm.rank) + ($c + ob.rank)",
+                  s"($c + bm.rank) * ($c + ob.rank)", 1000000L)}
+       |      WHEN bm.rank IS NOT NULL THEN
+       |        ${eRatioE("1", s"$c + bm.rank", 1000000L)}
+       |      ELSE ${eRatioE("1", s"$c + ob.rank", 1000000L)}
+       |    END AS rrf
        |  FROM bm FULL OUTER JOIN ob
        |    ON bm.query_id = ob.query_id AND bm.doc_id = ob.doc_id),
        |fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -766,8 +787,7 @@ object OracleSql {
     */
   def dedupIncremental(numHashes: Int = 16, rowsPerBand: Int = 2,
                        newMod: Int = 10, newFrom: Int = 8): String = {
-    val est =
-      s"round(len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    val est = estJaccardE4(numHashes)
     val aNew = s"(c.id_a % $newMod >= $newFrom)"
     val bNew = s"(c.id_b % $newMod >= $newFrom)"
     s"""WITH ${tokenHashCtes()},
@@ -787,8 +807,8 @@ object OracleSql {
     * shingle-hash sets, restricted to the LSH candidate pairs.
     */
   def dedupNgramJaccard(numHashes: Int = 16, rowsPerBand: Int = 2): String = {
-    val jac = roundSpark(
-      "coalesce(i.ic, 0)::DOUBLE / (za.sz + zb.sz - coalesce(i.ic, 0))", 4)
+    val jac = eRatioE("coalesce(i.ic, 0)",
+      "za.sz + zb.sz - coalesce(i.ic, 0)", 10000L)
     s"""WITH ${tokenHashCtes()},
        |${shingleHashCtes()},
        |${minhashCtes(numHashes, rowsPerBand)},
@@ -817,8 +837,7 @@ object OracleSql {
     * the components and PageRank oracles.
     */
   private def edgeCtes(numHashes: Int): String = {
-    val est =
-      s"round(len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    val est = estJaccardE4(numHashes)
     s"""fcand AS MATERIALIZED (
        |  SELECT c.id_a, c.id_b
        |  FROM cand c JOIN sigv sa ON sa.doc_id = c.id_a
@@ -846,6 +865,14 @@ object OracleSql {
     * via row_number, prefix-token candidate join, exact intersection
     * count, integer jac_ppm gate. Mirrors
     * [[graft.functions.Dedup.prefixFilterPairs]].
+    *
+    * r14 (VERDICT r13 #3): the intersection count is computed as
+    * `len(list_intersect)` over per-doc INTEGER token-id lists (a
+    * dense token→id bijection keeps it exact) instead of the
+    * cand × tk × tk re-join + group-by whose intermediate spilled
+    * >77 GB at the 10× fixture — the list build is corpus-sized, the
+    * per-pair intersection streams, and the oracle stays one
+    * statement.
     */
   def dedupPrefixFilter(minSim: Double = 0.5, shingleN: Int = 3): String = {
     val minPpm = math.round(minSim * 1000000)
@@ -875,21 +902,22 @@ object OracleSql {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM pref a JOIN pref b ON b.token = a.token
        |    AND a.doc_id < b.doc_id),
-       |inter AS (
-       |  SELECT c.id_a, c.id_b, count(*) AS ic
-       |  FROM cand c
-       |  JOIN tk x ON x.doc_id = c.id_a
-       |  JOIN tk y ON y.doc_id = c.id_b AND y.token = x.token
-       |  GROUP BY 1, 2)
-       |SELECT c.id_a, c.id_b, coalesce(i.ic, 0)::BIGINT AS ic,
-       |  ((coalesce(i.ic, 0)::BIGINT * 1000000)
-       |    // (sa.sz + sb.sz - coalesce(i.ic, 0)))::BIGINT AS jac_ppm
-       |FROM cand c
-       |JOIN sz sa ON sa.doc_id = c.id_a
-       |JOIN sz sb ON sb.doc_id = c.id_b
-       |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-       |WHERE (coalesce(i.ic, 0)::BIGINT * 1000000)
-       |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= $minPpm""".stripMargin
+       |tid AS MATERIALIZED (
+       |  SELECT token, row_number() OVER (ORDER BY token) AS t
+       |  FROM (SELECT DISTINCT token FROM tk)),
+       |tkl AS MATERIALIZED (
+       |  SELECT k.doc_id, list(d.t ORDER BY d.t) AS tl
+       |  FROM tk k JOIN tid d USING (token) GROUP BY 1),
+       |q AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(a.tl, b.tl))::BIGINT AS ic,
+       |    len(a.tl)::BIGINT AS sza, len(b.tl)::BIGINT AS szb
+       |  FROM cand c JOIN tkl a ON a.doc_id = c.id_a
+       |              JOIN tkl b ON b.doc_id = c.id_b)
+       |SELECT id_a, id_b, ic,
+       |  ((ic * 1000000) // (sza + szb - ic))::BIGINT AS jac_ppm
+       |FROM q
+       |WHERE (ic * 1000000) // (sza + szb - ic) >= $minPpm""".stripMargin
   }
 
   /** Oracle for `recs_als_rank1`: the two ALS alternations unrolled —
@@ -1341,8 +1369,7 @@ object OracleSql {
                      sampleMod: Int = 16): String = {
     val minPpm = math.round(minSim * 1000000)
     val n = shingleN
-    val est = s"round(len(list_filter(range(1, ${numHashes + 1}), " +
-      s"i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    val est = estJaccardE4(numHashes)
     s"""WITH ${tokenHashCtes()},
        |${shingleHashCtes()},
        |${minhashCtes(numHashes, rowsPerBand)},
@@ -1383,12 +1410,18 @@ object OracleSql {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM ppref a JOIN ppref b ON b.token = a.token
        |    AND a.doc_id < b.doc_id),
-       |pinter AS (
-       |  SELECT c.id_a, c.id_b, count(*) AS ic
-       |  FROM pcand c
-       |  JOIN ptk x ON x.doc_id = c.id_a
-       |  JOIN ptk y ON y.doc_id = c.id_b AND y.token = x.token
-       |  GROUP BY 1, 2)
+       |ptid AS MATERIALIZED (
+       |  SELECT token, row_number() OVER (ORDER BY token) AS t
+       |  FROM (SELECT DISTINCT token FROM ptk)),
+       |ptkl AS MATERIALIZED (
+       |  SELECT k.doc_id, list(d.t ORDER BY d.t) AS tl
+       |  FROM ptk k JOIN ptid d USING (token) GROUP BY 1),
+       |pq AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(a.tl, b.tl))::BIGINT AS ic,
+       |    len(a.tl)::BIGINT AS sza, len(b.tl)::BIGINT AS szb
+       |  FROM pcand c JOIN ptkl a ON a.doc_id = c.id_a
+       |               JOIN ptkl b ON b.doc_id = c.id_b)
        |SELECT c.id_a, c.id_b,
        |  CAST(round($est * 1000000) AS BIGINT) AS sim_ppm,
        |  'banded' AS route
@@ -1396,16 +1429,11 @@ object OracleSql {
        |            JOIN sigv sb ON sb.doc_id = c.id_b
        |WHERE $est >= $minSim AND (SELECT l FROM lod) >= $hotThreshold
        |UNION ALL
-       |SELECT c.id_a, c.id_b,
-       |  ((coalesce(i.ic, 0)::BIGINT * 1000000)
-       |    // (sa.sz + sb.sz - coalesce(i.ic, 0)))::BIGINT AS sim_ppm,
+       |SELECT id_a, id_b,
+       |  ((ic * 1000000) // (sza + szb - ic))::BIGINT AS sim_ppm,
        |  'prefix' AS route
-       |FROM pcand c
-       |JOIN psz sa ON sa.doc_id = c.id_a
-       |JOIN psz sb ON sb.doc_id = c.id_b
-       |LEFT JOIN pinter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-       |WHERE (coalesce(i.ic, 0)::BIGINT * 1000000)
-       |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= $minPpm
+       |FROM pq
+       |WHERE (ic * 1000000) // (sza + szb - ic) >= $minPpm
        |  AND (SELECT l FROM lod) < $hotThreshold""".stripMargin
   }
 
@@ -1426,8 +1454,7 @@ object OracleSql {
                              docsRel: String = "documents"): String = {
     val minPpm = math.round(minSim * 1000000)
     val n = shingleN
-    val est = s"round(len(list_filter(range(1, ${numHashes + 1}), " +
-      s"i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    val est = estJaccardE4(numHashes)
     s"""WITH ${tokenHashCtes(docsRel)},
        |${shingleHashCtes()},
        |${minhashCtes(numHashes, rowsPerBand)},
@@ -1482,12 +1509,18 @@ object OracleSql {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM ppref a JOIN ppref b ON b.token = a.token
        |    AND a.doc_id < b.doc_id),
-       |pinter AS (
-       |  SELECT c.id_a, c.id_b, count(*) AS ic
-       |  FROM pcand c
-       |  JOIN ptk x ON x.doc_id = c.id_a
-       |  JOIN ptk y ON y.doc_id = c.id_b AND y.token = x.token
-       |  GROUP BY 1, 2)
+       |ptid AS MATERIALIZED (
+       |  SELECT token, row_number() OVER (ORDER BY token) AS t
+       |  FROM (SELECT DISTINCT token FROM ptk)),
+       |ptkl AS MATERIALIZED (
+       |  SELECT k.doc_id, list(d.t ORDER BY d.t) AS tl
+       |  FROM ptk k JOIN ptid d USING (token) GROUP BY 1),
+       |pq AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(a.tl, b.tl))::BIGINT AS ic,
+       |    len(a.tl)::BIGINT AS sza, len(b.tl)::BIGINT AS szb
+       |  FROM pcand c JOIN ptkl a ON a.doc_id = c.id_a
+       |               JOIN ptkl b ON b.doc_id = c.id_b)
        |SELECT c.id_a, c.id_b,
        |  CAST(round($est * 1000000) AS BIGINT) AS sim_ppm,
        |  sa2.source AS source, 'banded' AS route
@@ -1499,20 +1532,16 @@ object OracleSql {
        |WHERE sa2.source = sb2.source AND rt.route = 'banded'
        |  AND $est >= $minSim
        |UNION ALL
-       |SELECT c.id_a, c.id_b,
-       |  ((coalesce(i.ic, 0)::BIGINT * 1000000)
-       |    // (sa.sz + sb.sz - coalesce(i.ic, 0)))::BIGINT AS sim_ppm,
+       |SELECT q.id_a, q.id_b,
+       |  ((q.ic * 1000000) // (q.sza + q.szb - q.ic))::BIGINT AS sim_ppm,
        |  sa2.source AS source, 'prefix' AS route
-       |FROM pcand c
-       |JOIN psz sa ON sa.doc_id = c.id_a
-       |JOIN psz sb ON sb.doc_id = c.id_b
-       |JOIN srcm sa2 ON sa2.doc_id = c.id_a
-       |JOIN srcm sb2 ON sb2.doc_id = c.id_b
+       |FROM pq q
+       |JOIN srcm sa2 ON sa2.doc_id = q.id_a
+       |JOIN srcm sb2 ON sb2.doc_id = q.id_b
        |JOIN srt rt ON rt.source = sa2.source
-       |LEFT JOIN pinter i ON i.id_a = c.id_a AND i.id_b = c.id_b
        |WHERE sa2.source = sb2.source AND rt.route = 'prefix'
-       |  AND (coalesce(i.ic, 0)::BIGINT * 1000000)
-       |  // (sa.sz + sb.sz - coalesce(i.ic, 0)) >= $minPpm""".stripMargin
+       |  AND (q.ic * 1000000) // (q.sza + q.szb - q.ic) >= $minPpm"""
+      .stripMargin
   }
 
   /** Oracle for `dedup_auto_route_dual` (ADVICE r11): the per-source
@@ -1927,6 +1956,110 @@ object OracleSql {
        |SELECT doc_id, count(*)::BIGINT AS n_triangles
        |FROM nodes GROUP BY 1""".stripMargin
 
+  /** Oracle for `cluster_dbscan_grid` (VERDICT r13 #4): the DuckDB twin
+    * now mirrors the ENGINE's scale discipline instead of degrading to
+    * the quadratic all-pairs definition that timed out at the 10×
+    * fixture (2400 s pool cap + a 3600 s solo watchdog the recursive
+    * closure did not honor):
+    *
+    *   1. distinct-coordinate rollup (`reps`) — duplicate mass becomes
+    *      one representative with a multiplicity, exactly as
+    *      `ops.Dbscan.reps` (co-located points are role-
+    *      interchangeable, see the engine's exactness argument);
+    *   2. the 3×3 eps-cell grid join — each rep probes 9 cells, pairs
+    *      hash-join on (cx, cy) and pass the EXACT integer squared-
+    *      distance filter, so pair generation is O(candidate pairs),
+    *      never O(n²); the superset-then-exact-filter is lossless for
+    *      any integer division flavor (a cell is at most eps wide, so
+    *      |Δx| ≤ eps ⇒ |Δcx| ≤ 1);
+    *   3. core components via `rounds` UNROLLED min-label rounds, each
+    *      an edge relax + a pointer jump (label ← min(label,
+    *      label(label))) — O(log diameter) convergence instead of the
+    *      transitive-closure CTE whose intermediate size is quadratic
+    *      in component size on the dense 10× eps-graph;
+    *   4. a convergence SENTINEL: if the last two label frames differ,
+    *      one poison row (vec_id −1, role −1, cluster = #unconverged)
+    *      is appended, flipping the gate red LOUDLY instead of ever
+    *      passing split labels silently (the single-linkage
+    *      convergence-tripwire precedent).
+    */
+  def clusterDbscanGrid(eps: Long = 50000L, minPts: Long = 8L,
+                        rounds: Int = 12): String = {
+    val eps2 = eps * eps
+    val labelCtes = (1 to rounds).map { k =>
+      s"""e$k AS MATERIALIZED (
+         |  SELECT v, min(l) AS l FROM (
+         |    SELECT v, l FROM l${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, p.l FROM l${k - 1} p
+         |    JOIN ce e ON e.src = p.v
+         |  ) GROUP BY v),
+         |l$k AS MATERIALIZED (
+         |  SELECT a.v, least(a.l, coalesce(b.l, a.l)) AS l
+         |  FROM e$k a LEFT JOIN e$k b ON b.v = a.l)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    floor(embedding[1]::DOUBLE * 1000000.0 + 0.5)::BIGINT AS x,
+       |    floor(embedding[2]::DOUBLE * 1000000.0 + 0.5)::BIGINT AS y
+       |  FROM embeddings),
+       |cells AS MATERIALIZED (
+       |  SELECT min(vec_id)::BIGINT AS rid, x, y,
+       |    count(*)::BIGINT AS mult, x // $eps AS cx, y // $eps AS cy
+       |  FROM pts GROUP BY x, y),
+       |probe AS (
+       |  SELECT c.rid, c.x, c.y, c.mult,
+       |    c.cx + o.ox AS cx, c.cy + o.oy AS cy
+       |  FROM cells c CROSS JOIN (
+       |    SELECT a.ox, b.oy FROM (VALUES (-1), (0), (1)) a(ox),
+       |         (VALUES (-1), (0), (1)) b(oy)) o),
+       |nbr AS MATERIALIZED (
+       |  SELECT a.rid AS ra, b.rid AS rb, b.mult AS mult_b
+       |  FROM cells a JOIN probe b ON b.cx = a.cx AND b.cy = a.cy
+       |  WHERE a.rid <> b.rid
+       |    AND (a.x - b.x) * (a.x - b.x)
+       |      + (a.y - b.y) * (a.y - b.y) <= $eps2),
+       |roles AS MATERIALIZED (
+       |  SELECT c.rid, c.x, c.y, c.mult,
+       |    (CASE WHEN c.mult + coalesce(w.wnn, 0) >= $minPts
+       |      THEN 1 ELSE 0 END) AS is_core
+       |  FROM cells c LEFT JOIN (
+       |    SELECT ra AS rid, sum(mult_b) AS wnn FROM nbr GROUP BY 1) w
+       |    USING (rid)),
+       |ce AS MATERIALIZED (
+       |  SELECT n.ra AS src, n.rb AS dst FROM nbr n
+       |  JOIN roles sa ON sa.rid = n.ra AND sa.is_core = 1
+       |  JOIN roles sb ON sb.rid = n.rb AND sb.is_core = 1),
+       |l0 AS MATERIALIZED (
+       |  SELECT rid AS v, rid AS l FROM roles WHERE is_core = 1),
+       |$labelCtes,
+       |delta AS (
+       |  SELECT count(*)::BIGINT AS d
+       |  FROM l$rounds a JOIN l${rounds - 1} b
+       |    ON a.v = b.v AND a.l <> b.l),
+       |corelbl AS MATERIALIZED (
+       |  SELECT v AS rid, l AS cluster FROM l$rounds),
+       |borderlbl AS MATERIALIZED (
+       |  SELECT r.rid, min(cl.cluster) AS cluster
+       |  FROM roles r JOIN nbr n ON n.ra = r.rid
+       |  JOIN corelbl cl ON cl.rid = n.rb
+       |  WHERE r.is_core = 0 GROUP BY 1),
+       |lbl AS (
+       |  SELECT rid, 2 AS role, cluster FROM corelbl
+       |  UNION ALL
+       |  SELECT rid, 1, cluster FROM borderlbl
+       |  UNION ALL
+       |  SELECT r.rid, 0, -1 FROM roles r
+       |  WHERE r.is_core = 0
+       |    AND r.rid NOT IN (SELECT rid FROM borderlbl))
+       |SELECT p.vec_id, l.role::BIGINT AS role,
+       |  l.cluster::BIGINT AS cluster
+       |FROM pts p JOIN cells c USING (x, y) JOIN lbl l ON l.rid = c.rid
+       |UNION ALL
+       |SELECT (-1)::BIGINT, (-1)::BIGINT, d FROM delta WHERE d > 0"""
+      .stripMargin
+  }
+
   /** Oracle for `graph_clustering_coeff`: same candidate-edge closure
     * as `graph_triangles`; degrees from the exploded edge list, cc =
     * exact-integer `2·T / (deg·(deg−1))` with one IEEE division.
@@ -1955,9 +2088,8 @@ object OracleSql {
        |        FROM degn GROUP BY 1)
        |SELECT d.doc_id, d.degree,
        |  coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
-       |  ${roundSpark(
-            "(2 * coalesce(tc.n_triangles, 0))::DOUBLE" +
-              " / (d.degree * (d.degree - 1))::DOUBLE", 4)} AS cc
+       |  ${eRatioE("2 * coalesce(tc.n_triangles, 0)",
+            "d.degree * (d.degree - 1)", 10000L)} AS cc
        |FROM deg d LEFT JOIN tc USING (doc_id)
        |WHERE d.degree >= 2""".stripMargin
 
@@ -1980,7 +2112,7 @@ object OracleSql {
        |  CAST(sum(cents) AS BIGINT) AS st_sum,
        |  min(cents) AS st_min,
        |  max(cents) AS st_max,
-       |  ${roundSpark("CAST(sum(cents) AS BIGINT)::DOUBLE / count(*)::DOUBLE", 4)} AS st_avg
+       |  ${eRatioE("CAST(sum(cents) AS BIGINT)", "count(*)", 10000L)} AS st_avg
        |FROM c GROUP BY o_custkey""".stripMargin
 
   /** Oracle for `analytics_linreg`: identical sufficient statistics in
@@ -2349,8 +2481,7 @@ object OracleSql {
     */
   def graphSssp(numHashes: Int = 16, rowsPerBand: Int = 2,
                 nSeeds: Int = 5, rounds: Int = 4): String = {
-    val est =
-      s"round(len(list_filter(range(1, ${numHashes + 1}), i -> sa.sg[i] = sb.sg[i])) / $numHashes.0, 4)"
+    val est = estJaccardE4(numHashes)
     s"""WITH RECURSIVE ${tokenHashCtes()},
        |${shingleHashCtes()},
        |${minhashCtes(numHashes, rowsPerBand)},
@@ -3843,7 +3974,8 @@ object OracleSql {
        |    -sum((h.cnt::DOUBLE / c.n_bytes) * (ln(h.cnt::DOUBLE / c.n_bytes) / ln(2))) AS ent
        |  FROM hist h JOIN crc c USING (media_id) GROUP BY h.media_id)
        |SELECT c.media_id, c.n_bytes, ${sig("c.crcu")} AS checksum,
-       |  ${roundSpark("coalesce(s.bsum::DOUBLE / c.n_bytes, 0.0)", 4)} AS mean_byte,
+       |  coalesce(${eRatioE("s.bsum", "c.n_bytes", 10000L)}, 0.0)
+       |    AS mean_byte,
        |  ${roundSpark("coalesce(s.ent, 0.0)", 4)} AS entropy_bits
        |FROM crc c LEFT JOIN stats s ON s.media_id = c.media_id""".stripMargin
 
@@ -4248,9 +4380,9 @@ object OracleSql {
        |      i -> $ln2 / ln(i + 1.0)), (a, x) -> a + x) AS idcg
        |  FROM nrel n LEFT JOIN hs ON hs.query_id = n.query_id)
        |SELECT query_id, n_rel,
-       |  ${roundSpark("coalesce(n_hits, 0)::DOUBLE / n_rel::DOUBLE", 4)}
+       |  ${eRatioE("coalesce(n_hits, 0)", "n_rel", 10000L)}
        |    AS recall_$k,
-       |  ${roundSpark("coalesce(1.0 / first_rank, 0.0)", 4)} AS mrr_$k,
+       |  coalesce(${eRatioE("1", "first_rank", 10000L)}, 0.0) AS mrr_$k,
        |  ${roundSpark("coalesce(dcg, 0.0) / idcg", 4)} AS ndcg_$k
        |FROM met""".stripMargin
   }

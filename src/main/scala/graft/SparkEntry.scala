@@ -227,6 +227,19 @@ object SparkEntry {
     s"(case when abs($x) >= 9007199254740992 then" +
       s" cast(raise_error(concat('money emission exceeds 2^53: '," +
       s" cast(($x) as string))) as decimal(38,0)) else $x end)"
+  // Exact-grid ratio of two non-negative exact ints a/b at 10^-s
+  // precision (OVERFLOW_AUDIT r14, the int-ratio residue drain):
+  // integer half-up onto the grid, then ONE exact division — replaces
+  // the build-sensitive round(a/b, n) tail wherever numerator and
+  // denominator are exact integers. The pmod subtraction makes the
+  // long->double division exact (numerator divisible by denominator);
+  // a NULL denominator (nullif'd zero) propagates to NULL like the
+  // round(x/NULL, n) it replaces.
+  private def eRatioCol(a: Column, b: Column, scale: Long): Column =
+    graft.functions.ExactGrid.eRatio(a, b, scale)
+  // DuckDB twin of eRatioCol for oracle SQL strings (`//` = int div).
+  private def eRatioSql(a: String, b: String, scale: Long): String =
+    s"(CAST((2 * ($a) * $scale + ($b)) // (2 * ($b)) AS DOUBLE) / $scale.0)"
   private def e4Money(sumExpr: String): String =
     s"cast(${g53(s"($sumExpr + 50) div 100")} as double) / 100.0"
   private def e6Money(sumExpr: String): String =
@@ -2146,9 +2159,9 @@ object SparkEntry {
         .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
       tot.join(hit, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_bigrams"),
-          round(lit(1.0) -
-            coalesce(col("n_known"), lit(0L)) / col("n_bigrams"), 4)
-            .as("novelty"))
+          // 1 - k/n = (n-k)/n: exact integer ratio on the 4-dp grid
+          eRatioCol(col("n_bigrams") - coalesce(col("n_known"), lit(0L)),
+            col("n_bigrams"), 10000L).as("novelty"))
     }),
 
     "text_cdc_chunks" -> ((s, dir) => {
@@ -2324,16 +2337,25 @@ object SparkEntry {
     }),
 
     "window_rank_functions" -> ((s, dir) => {
-      // ranking-function family over a deterministic (unique) ordering
+      // ranking-function family over a deterministic (unique) ordering.
+      // percent_rank/cume_dist are emitted on the exact 1e-6 grid from
+      // their defining integer ratios ((rank-1)/(n-1), rank/n — the
+      // ordering is unique, so rank = row position and cume_dist's
+      // peer-group ceiling is rank itself) instead of rounding the
+      // built-ins' double division (OVERFLOW_AUDIT r14 int-ratio drain).
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wp = Window.partitionBy("o_orderstatus")
+      val n = count(lit(1)).over(wp)
+      val rnk = rank().over(w)
       t(s, dir, "orders")
         .filter(col("o_custkey") % 50 === 0) // keep output bounded
         .select(col("o_orderstatus"), col("o_orderkey"),
-          rank().over(w).as("rnk"),
+          rnk.as("rnk"),
           dense_rank().over(w).as("drnk"),
-          round(percent_rank().over(w), 6).as("prnk"),
-          round(cume_dist().over(w), 6).as("cdist"),
+          when(n === 1, lit(0.0))
+            .otherwise(eRatioCol(rnk - 1, n - 1, 1000000L)).as("prnk"),
+          eRatioCol(rnk, n, 1000000L).as("cdist"),
           ntile(4).over(w).as("quartile"))
     }),
 
@@ -2653,7 +2675,7 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("c4").as("s4"))
         .select(col("source"), col("n_docs"),
-          round(col("s4") / (col("n_docs") * lit(10000.0)), 4)
+          eRatioCol(col("s4"), col("n_docs") * lit(10000L), 10000L)
             .as("robust_mean_quality"))
     }),
 
@@ -2737,18 +2759,16 @@ object SparkEntry {
             col("pos") === 0L, 1L).otherwise(0L)).as("tn"))
         .select(col("threshold_p4"), col("tp"), col("fp"), col("fn"),
           col("tn"),
-          round(col("tp").cast("double") /
-            nullif(col("tp") + col("fp"), lit(0L)).cast("double"), 6)
-            .as("precision"),
-          round(col("tp").cast("double") /
-            nullif(col("tp") + col("fn"), lit(0L)).cast("double"), 6)
-            .as("recall"),
-          round((col("tp") * 2).cast("double") /
-            nullif(col("tp") * 2 + col("fp") + col("fn"), lit(0L))
-              .cast("double"), 6).as("f1"),
-          round((col("tp") + col("tn")).cast("double") /
-            (col("tp") + col("fp") + col("fn") + col("tn"))
-              .cast("double"), 6).as("accuracy"))
+          eRatioCol(col("tp"), nullif(col("tp") + col("fp"), lit(0L)),
+            1000000L).as("precision"),
+          eRatioCol(col("tp"), nullif(col("tp") + col("fn"), lit(0L)),
+            1000000L).as("recall"),
+          eRatioCol(col("tp") * 2,
+            nullif(col("tp") * 2 + col("fp") + col("fn"), lit(0L)),
+            1000000L).as("f1"),
+          eRatioCol(col("tp") + col("tn"),
+            col("tp") + col("fp") + col("fn") + col("tn"), 1000000L)
+            .as("accuracy"))
     }),
 
     "curate_quality_gate" -> ((s, dir) => {
@@ -3165,7 +3185,7 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .toDF()
         .select(col("media_id"), col("n_bytes"), col("checksum"),
-          round(col("mean_byte"), 4).as("mean_byte"),
+          col("mean_byte"), // already on the exact 4-dp grid
           round(col("entropy_bits"), 4).as("entropy_bits"))
     }),
 
@@ -4654,10 +4674,16 @@ object SparkEntry {
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_gaps"),
-          round(avg(col("gap_days")), 4).as("avg_gap_days"),
+          sum(col("gap_days").cast("long")).as("sum_gap"),
+          // median of ints at q=0.5 is (a+b)/2 — exactly representable,
+          // so the 4-dp round is a deterministic no-op in both engines
           round(expr("percentile(gap_days, 0.5)"), 4)
             .as("median_gap_days"),
           max(col("gap_days")).as("max_gap_days"))
+        .select(col("c_mktsegment"), col("n_gaps"),
+          eRatioCol(col("sum_gap"), col("n_gaps"), 10000L)
+            .as("avg_gap_days"),
+          col("median_gap_days"), col("max_gap_days"))
     }),
 
     "events_daily_kpis" -> ((s, dir) => {
@@ -5968,8 +5994,8 @@ object SparkEntry {
       digits.groupBy("digit").agg(count(lit(1)).as("n_orders"))
         .crossJoin(broadcast(tot))
         .select(col("digit"), col("n_orders"),
-          round(col("n_orders").cast("double") /
-            col("total").cast("double"), 6).as("obs_ratio"),
+          eRatioCol(col("n_orders"), col("total"), 1000000L)
+            .as("obs_ratio"),
           expect.as("benford_ratio"))
     }),
 
@@ -10305,23 +10331,25 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "dedup_ngram_blocked" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id,
-        |    CAST(floor(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |    CAST(floor(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
         |      / 5) AS BIGINT) AS block,
         |    list_distinct(list_transform(
         |      generate_series(1, greatest(1,
-        |        len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2)),
+        |        len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2)),
         |      i -> array_to_string(list_slice(
-        |        regexp_split_to_array(lower(trim(text)), '\s+'),
+        |        regexp_split_to_array(lower(trim(text)), '\\s+'),
         |        i, i + 2), ' '))) AS sh
         |  FROM documents WHERE doc_id < 1000)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  ${eRatioSql("len(list_intersect(a.sh, b.sh))",
+             "len(list_distinct(list_concat(a.sh, b.sh)))", 10000L)}
+        |    AS jaccard
         |FROM s a JOIN s b ON a.block = b.block AND a.doc_id < b.doc_id
-        |WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.3""".stripMargin,
+        |WHERE ${eRatioSql("len(list_intersect(a.sh, b.sh))",
+             "len(list_distinct(list_concat(a.sh, b.sh)))", 10000L)}
+        |  >= 0.3""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,
@@ -10578,12 +10606,12 @@ object SparkEntry {
          |      THEN 1 ELSE 0 END)::BIGINT AS tn
          |  FROM sc CROSS JOIN th GROUP BY 1)
          |SELECT threshold_p4::INT AS threshold_p4, tp, fp, fn, tn,
-         |  round(tp::DOUBLE / nullif(tp + fp, 0)::DOUBLE, 6)
+         |  ${eRatioSql("tp", "nullif(tp + fp, 0)", 1000000L)}
          |    AS "precision",
-         |  round(tp::DOUBLE / nullif(tp + fn, 0)::DOUBLE, 6) AS recall,
-         |  round((tp * 2)::DOUBLE / nullif(tp * 2 + fp + fn, 0)::DOUBLE,
-         |    6) AS f1,
-         |  round((tp + tn)::DOUBLE / (tp + fp + fn + tn)::DOUBLE, 6)
+         |  ${eRatioSql("tp", "nullif(tp + fn, 0)", 1000000L)} AS recall,
+         |  ${eRatioSql("tp * 2", "nullif(tp * 2 + fp + fn, 0)", 1000000L)}
+         |    AS f1,
+         |  ${eRatioSql("tp + tn", "tp + fp + fn + tn", 1000000L)}
          |    AS accuracy
          |FROM m""".stripMargin,
 
@@ -10605,8 +10633,8 @@ object SparkEntry {
          |  SELECT source, count(*) AS n_docs, sum(c4)::BIGINT AS s4
          |  FROM c GROUP BY 1)
          |SELECT source, n_docs,
-         |  round(CAST(CAST((s4 / (n_docs * 10000.0)) AS VARCHAR)
-         |    AS DECIMAL(38,20)), 4)::DOUBLE AS robust_mean_quality
+         |  ${eRatioSql("s4", "n_docs * 10000", 10000L)}
+         |    AS robust_mean_quality
          |FROM a""".stripMargin,
 
     "curate_quality_bins" ->
@@ -10640,23 +10668,22 @@ object SparkEntry {
         |FROM r""".stripMargin,
 
     "profile_key_skew" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
         |a AS (
         |  SELECT count(*) AS n_keys, sum(cnt)::BIGINT AS n_rows,
         |    max(cnt) AS max_cnt,
-        |    round(CAST(CAST(avg(cnt) AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE
-        |      AS mean_cnt,
         |    round(CAST(CAST(quantile_cont(cnt, 0.5) AS VARCHAR)
         |      AS DECIMAL(38,20)), 4)::DOUBLE AS p50_cnt,
         |    round(CAST(CAST(quantile_cont(cnt, 0.99) AS VARCHAR)
         |      AS DECIMAL(38,20)), 4)::DOUBLE AS p99_cnt,
         |    sum(cnt * cnt)::BIGINT AS selfjoin_rows
         |  FROM c)
-        |SELECT n_keys, n_rows, max_cnt, mean_cnt, p50_cnt, p99_cnt,
-        |  selfjoin_rows,
-        |  round(CAST(CAST((max_cnt / (n_rows::DOUBLE / n_keys))
-        |    AS VARCHAR) AS DECIMAL(38,20)), 4)::DOUBLE AS skew_ratio
+        |SELECT n_keys, n_rows, max_cnt,
+        |  ${eRatioSql("n_rows", "n_keys", 10000L)} AS mean_cnt,
+        |  p50_cnt, p99_cnt, selfjoin_rows,
+        |  ${eRatioSql("max_cnt * n_keys", "n_rows", 10000L)}
+        |    AS skew_ratio
         |FROM a""".stripMargin,
 
     "window_range_frame" ->
@@ -10671,16 +10698,20 @@ object SparkEntry {
         |FROM daily""".stripMargin,
 
     "window_rank_functions" ->
-      """SELECT o_orderstatus, o_orderkey,
+      s"""SELECT o_orderstatus, o_orderkey,
         |  CAST(rank() OVER w AS INTEGER) AS rnk,
         |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
-        |  round(percent_rank() OVER w, 6) AS prnk,
-        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  CASE WHEN count(*) OVER p = 1 THEN 0.0
+        |    ELSE ${eRatioSql("rank() OVER w - 1",
+             "count(*) OVER p - 1", 1000000L)} END AS prnk,
+        |  ${eRatioSql("rank() OVER w", "count(*) OVER p", 1000000L)}
+        |    AS cdist,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM orders
         |WHERE o_custkey % 50 = 0
         |WINDOW w AS (PARTITION BY o_orderstatus
-        |             ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin,
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC),
+        |       p AS (PARTITION BY o_orderstatus)""".stripMargin,
 
     "approx_quantiles_sample" -> OracleSql.quantileSample(k = 256),
     // lossless merge: the rolled-up sample equals the single-pass one
@@ -11707,7 +11738,8 @@ object SparkEntry {
         |  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
         |  WHERE g.gap_days IS NOT NULL)
         |SELECT c_mktsegment, count(*)::BIGINT AS n_gaps,
-        |  round(avg(gap_days), 4) AS avg_gap_days,
+        |  (CAST((2 * sum(gap_days)::BIGINT * 10000 + count(*))
+        |    // (2 * count(*)) AS DOUBLE) / 10000.0) AS avg_gap_days,
         |  round(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
         |  max(gap_days) AS max_gap_days
         |FROM j GROUP BY 1""".stripMargin,
@@ -12845,7 +12877,8 @@ object SparkEntry {
         |  FROM orders),
         |tot AS (SELECT count(*)::BIGINT AS total FROM dig)
         |SELECT digit, count(*)::BIGINT AS n_orders,
-        |  round(count(*)::DOUBLE / total::DOUBLE, 6) AS obs_ratio,
+        |  (CAST((2 * count(*) * 1000000 + total) // (2 * total)
+        |    AS DOUBLE) / 1000000.0) AS obs_ratio,
         |  CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
         |    WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
         |    WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
@@ -14084,52 +14117,7 @@ object SparkEntry {
       sb.toString
     },
 
-    "cluster_dbscan_grid" ->
-      """WITH RECURSIVE pts AS MATERIALIZED (
-        |  SELECT vec_id,
-        |    floor(embedding[1]::DOUBLE * 1000000.0 + 0.5)::BIGINT AS x,
-        |    floor(embedding[2]::DOUBLE * 1000000.0 + 0.5)::BIGINT AS y
-        |  FROM embeddings),
-        |nbr AS MATERIALIZED (
-        |  SELECT a.vec_id AS ida, b.vec_id AS idb
-        |  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id
-        |    AND (a.x - b.x) * (a.x - b.x)
-        |      + (a.y - b.y) * (a.y - b.y) <= 2500000000),
-        |deg AS (SELECT ida AS vec_id, count(*)::BIGINT AS nn
-        |  FROM nbr GROUP BY 1),
-        |roles AS MATERIALIZED (
-        |  SELECT p.vec_id,
-        |    (CASE WHEN coalesce(d.nn, 0) + 1 >= 8 THEN 1 ELSE 0 END)
-        |      ::BIGINT AS is_core
-        |  FROM pts p LEFT JOIN deg d USING (vec_id)),
-        |ce AS MATERIALIZED (
-        |  SELECT n.ida AS src, n.idb AS dst FROM nbr n
-        |  JOIN roles ra ON ra.vec_id = n.ida AND ra.is_core = 1
-        |  JOIN roles rb ON rb.vec_id = n.idb AND rb.is_core = 1),
-        |verts2 AS (SELECT DISTINCT src AS id FROM ce),
-        |reach(id, r) AS (
-        |  SELECT id, id FROM verts2
-        |  UNION
-        |  SELECT reach.id, e.dst FROM reach JOIN ce e
-        |    ON e.src = reach.r),
-        |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
-        |corelbl AS MATERIALIZED (
-        |  SELECT r.vec_id, coalesce(c.rep, r.vec_id)::BIGINT AS cluster
-        |  FROM roles r LEFT JOIN comp c ON c.id = r.vec_id
-        |  WHERE r.is_core = 1),
-        |borderlbl AS MATERIALIZED (
-        |  SELECT r.vec_id, min(cl.cluster)::BIGINT AS cluster
-        |  FROM roles r JOIN nbr n ON n.ida = r.vec_id
-        |  JOIN corelbl cl ON cl.vec_id = n.idb
-        |  WHERE r.is_core = 0 GROUP BY 1)
-        |SELECT vec_id, 2::BIGINT AS role, cluster FROM corelbl
-        |UNION ALL
-        |SELECT vec_id, 1::BIGINT, cluster FROM borderlbl
-        |UNION ALL
-        |SELECT r.vec_id, 0::BIGINT, (-1)::BIGINT FROM roles r
-        |WHERE r.is_core = 0
-        |  AND r.vec_id NOT IN (SELECT vec_id FROM borderlbl)"""
-        .stripMargin,
+    "cluster_dbscan_grid" -> OracleSql.clusterDbscanGrid(),
 
     "cluster_dbscan_pairs" ->
       """WITH pts AS MATERIALIZED (

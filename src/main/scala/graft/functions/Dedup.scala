@@ -139,7 +139,7 @@ object Dedup {
       .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(estJaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
   }
 
   /** Incremental dedup: candidates for a NEW batch against itself AND a
@@ -186,16 +186,27 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("dup_of"), col("sig").as("sig_b")),
         Seq("dup_of"))
       .withColumn("est_jaccard",
-        round(estJaccard(col("sig_a"), col("sig_b")), 4))
+        estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= minEst)
       .select("doc_id", "dup_of", "dup_source", "est_jaccard")
   }
 
-  /** Signature-agreement estimate of Jaccard similarity. */
-  def estJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB,
-      (x, y) => when(x === y, 1.0).otherwise(0.0)),
-      lit(0.0), _ + _) / size(sigA)
+  /** Signature-agreement estimate of Jaccard similarity, emitted
+    * directly on the 4-decimal grid (OVERFLOW_AUDIT r14): matches and
+    * numHashes are exact ints, so the half-up quantization is integer
+    * arithmetic — half_up(k/n · 10⁴) = (2k·10⁴ + n) div (2n) — followed
+    * by ONE exact division. No round(DOUBLE, n) tail, so the value is
+    * build-invariant across engines. The subtraction of pmod makes the
+    * long→double division exact (numerator divisible by denominator).
+    */
+  def estJaccard(sigA: Column, sigB: Column): Column = {
+    val k = aggregate(zip_with(sigA, sigB,
+      (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), _ + _)
+    val num = k * lit(20000L) + size(sigA).cast("long")
+    val den = size(sigA).cast("long") * lit(2L)
+    ((num - pmod(num, den)) / den) / lit(10000.0)
+  }
 
   // ---------------- n-gram Jaccard (exact, blocked) ----------------
 
@@ -215,8 +226,17 @@ object Dedup {
         Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
         Seq("id_b"))
+      // exact-grid 4-dp Jaccard from the integer overlap (OVERFLOW_AUDIT
+      // r14): ic and the set sizes are exact ints, so the quantization
+      // is integer half-up + one exact division — no round(DOUBLE, n)
+      // tail. Empty∧empty pairs keep sorted_array_jaccard's 1.0.
+      .withColumn("ic", exprs.sorted_array_overlap(col("sh_a"),
+        col("sh_b")))
       .withColumn("jaccard",
-        round(exprs.sorted_array_jaccard(col("sh_a"), col("sh_b")), 4))
+        when(size(col("sh_a")) === 0 && size(col("sh_b")) === 0, lit(1.0))
+          .otherwise(ExactGrid.eRatio(col("ic"),
+            size(col("sh_a")).cast("long") + size(col("sh_b")) - col("ic"),
+            10000L)))
       .filter(col("jaccard") >= minSim)
       .select("id_a", "id_b", "jaccard")
   }
@@ -241,9 +261,9 @@ object Dedup {
       col("sh").as("sh_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .withColumn("jaccard", ExactGrid.eRatio(
+        size(array_intersect(col("sh_a"), col("sh_b"))),
+        size(array_union(col("sh_a"), col("sh_b"))), 10000L))
       .filter(col("jaccard") >= minSim)
       .select("id_a", "id_b", "jaccard")
   }
@@ -283,9 +303,9 @@ object Dedup {
         Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
         Seq("id_b"))
-      .withColumn("containment", round(
-        exprs.sorted_array_overlap(col("sh_a"), col("sh_b")).cast("double")
-          / least(size(col("sh_a")), size(col("sh_b"))), 4))
+      .withColumn("containment", ExactGrid.eRatio(
+        exprs.sorted_array_overlap(col("sh_a"), col("sh_b")),
+        least(size(col("sh_a")), size(col("sh_b"))), 10000L))
       .filter(col("containment") >= minCont)
       .select("id_a", "id_b", "containment")
   }
@@ -1553,10 +1573,8 @@ object Dedup {
       .join(tri, Seq("doc_id"), "left")
       .select(col("doc_id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        round((lit(2L) * coalesce(col("n_triangles"), lit(0L)))
-            .cast("double") /
-          (col("degree") * (col("degree") - 1)).cast("double"), 4)
-          .as("cc"))
+        ExactGrid.eRatio(lit(2L) * coalesce(col("n_triangles"), lit(0L)),
+          col("degree") * (col("degree") - 1), 10000L).as("cc"))
   }
 
   /** Edit-distance near-dup pairs for SHORT text keys (titles, names,

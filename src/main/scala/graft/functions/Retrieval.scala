@@ -186,11 +186,14 @@ object Retrieval {
         aggregate(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
           lit(0.0),
           (acc, i) => acc + lit(ln2) / log(i.cast("double") + lit(1.0))))
+      // recall and MRR are exact integer ratios — emitted on the exact
+      // 4-dp grid (OVERFLOW_AUDIT r14); nDCG's dcg/idcg are genuinely
+      // inexact doubles, where the round IS the intended quantization
       .select(col("query_id"), col("n_rel"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double")
-          / col("n_rel").cast("double"), 4).as(s"recall_$k"),
-        round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 4)
-          .as(s"mrr_$k"),
+        ExactGrid.eRatio(coalesce(col("n_hits"), lit(0L)), col("n_rel"),
+          10000L).as(s"recall_$k"),
+        coalesce(ExactGrid.eRatio(lit(1L), col("first_rank"), 10000L),
+          lit(0.0)).as(s"mrr_$k"),
         round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 4)
           .as(s"ndcg_$k"))
   }
@@ -198,9 +201,10 @@ object Retrieval {
   /** Reciprocal-rank fusion: `Σ 1/(c + rank)` over the rankings a doc
     * appears in (absent → contributes 0) — the standard way to combine
     * retrievers whose scores aren't comparable (BM25 + ANN, BM25 +
-    * boolean). The two reciprocal terms are added in fixed order, so
-    * the fused double is bit-reproducible; top-k per query via the
-    * bounded aggregate on the rounded-score packed key.
+    * boolean). The fused score is an exact small-integer ratio —
+    * 1/d₁ + 1/d₂ = (d₁+d₂)/(d₁·d₂) — emitted on the exact 1e-6 grid
+    * (integer half-up + one exact division, build-invariant); top-k
+    * per query via the bounded aggregate on the packed grid key.
     *
     * Inputs need columns (query_id, doc_id, rank).
     */
@@ -208,10 +212,15 @@ object Retrieval {
               idCol: String = "doc_id"): DataFrame = {
     val l = a.select(col("query_id"), col(idCol), col("rank").as("rank_a"))
     val r = b.select(col("query_id"), col(idCol), col("rank").as("rank_b"))
+    val d1 = lit(c.toLong) + col("rank_a")
+    val d2 = lit(c.toLong) + col("rank_b")
     val fused = l.join(r, Seq("query_id", idCol), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)), 6))
+      .withColumn("rrf",
+        when(col("rank_a").isNotNull && col("rank_b").isNotNull,
+          ExactGrid.eRatio(d1 + d2, d1 * d2, 1000000L))
+        .when(col("rank_a").isNotNull,
+          ExactGrid.eRatio(lit(1L), d1, 1000000L))
+        .otherwise(ExactGrid.eRatio(lit(1L), d2, 1000000L)))
     val ord = round(col("rrf") * 1000000).cast("long") * lit(1L << 40) -
       col(idCol)
     fused.groupBy("query_id")

@@ -101,8 +101,11 @@ object Multimodal {
           j += 1
         }
       }
+      // mean_byte on the exact 4-dp grid (integer half-up + one exact
+      // division — sum and n are exact ints, no round(DOUBLE, n) tail)
       MediaFeatures(mediaId, n, crc,
-        if (n > 0) sum.toDouble / n else 0.0, entropy)
+        if (n > 0) ((2L * sum * 10000L + n) / (2L * n)).toDouble / 10000.0
+        else 0.0, entropy)
     }
   }
 

@@ -47,13 +47,13 @@ object IncrementalAgg {
         min("st_min").as("st_min"),
         max("st_max").as("st_max"))
 
-  /** Read-time view: exact integer stats plus the derived mean (IEEE
-    * division of two exact integers — deterministic), rounded for the
-    * comparison gate.
+  /** Read-time view: exact integer stats plus the derived mean, emitted
+    * on the exact 4-dp grid (integer half-up + one exact division —
+    * build-invariant, no round(DOUBLE, n) tail).
     */
   def readView(state: DataFrame): DataFrame =
     state.select(state.columns.map(col).toIndexedSeq :+
-      round(col("st_sum").cast("double") / col("st_cnt").cast("double"), 4)
+      graft.functions.ExactGrid.eRatio(col("st_sum"), col("st_cnt"), 10000L)
         .as("st_avg"): _*)
 
   /** Incremental JOIN maintenance — the delta rule

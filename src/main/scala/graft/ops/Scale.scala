@@ -59,13 +59,18 @@ object Scale {
         count(lit(1)).as("n_keys"),
         sum(col("cnt")).as("n_rows"),
         max(col("cnt")).as("max_cnt"),
-        round(avg(col("cnt")), 4).as("mean_cnt"),
         round(percentile(col("cnt"), lit(0.5)), 4).as("p50_cnt"),
         round(percentile(col("cnt"), lit(0.99)), 4).as("p99_cnt"),
         sum(col("cnt") * col("cnt")).as("selfjoin_rows"))
+      // mean_cnt = n_rows/n_keys and skew_ratio = max_cnt·n_keys/n_rows
+      // are exact integer ratios — emitted on the exact 4-dp grid
+      // (integer half-up + one exact division, build-invariant)
+      .withColumn("mean_cnt",
+        graft.functions.ExactGrid.eRatio(col("n_rows"), col("n_keys"),
+          10000L))
       .withColumn("skew_ratio",
-        round(col("max_cnt") / (col("n_rows").cast("double")
-          / col("n_keys")), 4))
+        graft.functions.ExactGrid.eRatio(col("max_cnt") * col("n_keys"),
+          col("n_rows"), 10000L))
 
   /** Write a frame bucketed by a join key so future joins on that key are
     * shuffle-free (bucket-local). Bucketing requires the table catalog

@@ -274,10 +274,12 @@ object EventsStreaming {
       .as[(Long, Seq[Long], Int, Long)]
 
     def estJ(a: Seq[Long], b: Seq[Long]): Double = {
-      var eq = 0; var i = 0
+      // same exact-grid 4-dp emission as batch Dedup.estJaccard:
+      // integer half-up, then one exact division (stream ≡ batch).
+      var eq = 0L; var i = 0
       while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
-      BigDecimal(eq.toDouble / a.length)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val n = a.length.toLong
+      ((2L * eq * 10000L + n) / (2L * n)).toDouble / 10000.0
     }
 
     def update(key: (Int, Long), rows: Iterator[(Long, Seq[Long], Int, Long)],
