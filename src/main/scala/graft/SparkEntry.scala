@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Cleaning, IncrementalAgg, Joins, Merge, Scale, Split, Stamping, TemporalJoins}
-import graft.functions.{Analytics, Clustering, Curation, Dedup, Importance, LanguageModel, Packing, ProductQuantization, Projection, Retrieval, Sampling, Similarity, TextFunctions}
+import graft.functions.{Analytics, AnnIndex, Clustering, Curation, Dedup, Importance, LanguageModel, Packing, ProductQuantization, Projection, Retrieval, Sampling, Similarity, TextFunctions}
 import graft.expressions.UnicodeNormalizeCol
 import graft.multimodal.Multimodal
 
@@ -3065,6 +3065,50 @@ object SparkEntry {
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         m = 16, k = 32, iters = 2, topK = 5, shortlist = 150,
         trainBudget = 512)
+    }),
+
+    "sim_ivf_persisted" -> ((s, dir) => {
+      // VERDICT r13 #7: the IVF coarse quantizer as a committed lake
+      // artifact, not a per-query byproduct. Trains the SAME quantizer
+      // as sim_ivf_kmeans_topk, commits it through VersionedTable
+      // (atomic _COMMITTED publish), then serves the query FROM THE
+      // LOADED version — the oracle is the in-session training recipe,
+      // so a green row proves the persisted round-trip is bit-exact.
+      // At 100 TB the root is a shared lake path and only the first
+      // session trains (centroidsOrTrain); here a fresh temp root per
+      // run keeps the gate stateless (no stale-index hazard).
+      val emb = t(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+        .resolve("ivf").toString
+      val n = emb.count()
+      val kCells = Clustering.adaptiveK(n, targetClusterSize = 256,
+        minK = 8, maxK = 4096)
+      val mod = Clustering.trainSampleMod(n, trainBudget = 4096)
+      AnnIndex.centroidsOrTrain(s, root)(
+        Clustering.trainKmeans(emb, "vec_id", "embedding", kCells,
+          iters = 3, mod))
+      val loaded = AnnIndex.loadCentroids(s, root)
+      Similarity.ivfKmeansTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nProbe = 12,
+        centroids = Some(loaded))
+    }),
+
+    "sim_pq_persisted" -> ((s, dir) => {
+      // VERDICT r13 #7, PQ half: codebooks committed through
+      // VersionedTable and served from the loaded version. Same
+      // training recipe (and oracle) as sim_pq_topk — green proves
+      // the committed codebook is bit-identical to the in-session one.
+      val emb = t(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_pq_idx")
+        .resolve("pq").toString
+      val mod = Clustering.trainSampleMod(emb.count(), trainBudget = 512)
+      AnnIndex.codebooksOrTrain(s, root)(
+        ProductQuantization.trainCodebooks(emb, "vec_id", "embedding",
+          m = 16, k = 32, iters = 2, sampleMod = mod))
+      val loaded = AnnIndex.loadCodebooks(s, root)
+      ProductQuantization.adcTopK(s, emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", m = 16, k = 32, iters = 2, topK = 5,
+        books = Some(loaded))
     }),
 
     "cluster_kmeans" -> ((s, dir) => {
@@ -11219,6 +11263,12 @@ object SparkEntry {
       dim = 64, topK = 5, trainBudget = 512),
     "sim_pq_refined" -> OracleSql.simPqRefined(m = 16, k = 32, iters = 2,
       dim = 64, topK = 5, shortlist = 150, trainBudget = 512),
+    // persisted-index variants (VERDICT r13 #7): the oracle is the
+    // IN-SESSION training recipe — a green row proves the committed
+    // VersionedTable artifact round-trips bit-exactly
+    "sim_ivf_persisted" -> OracleSql.simIvfKmeansTopK(nProbe = 12, k = 5),
+    "sim_pq_persisted" -> OracleSql.simPqTopK(m = 16, k = 32, iters = 2,
+      dim = 64, topK = 5, trainBudget = 512),
     "cluster_farthest_first" ->
       OracleSql.clusterFarthestFirst(dim = 64, k = 4),
     "cluster_kmeans" -> OracleSql.clusterKmeans(targetClusterSize = 256,

@@ -329,15 +329,21 @@ object Similarity {
   def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nProbe: Int, iters: Int = 3,
                     targetClusterSize: Int = 256, minK: Int = 8,
-                    maxK: Int = 4096, trainBudget: Int = 4096)
+                    maxK: Int = 4096, trainBudget: Int = 4096,
+                    centroids: Option[Seq[Array[Float]]] = None)
       : DataFrame = {
     val session = corpus.sparkSession
     import session.implicits._
-    val n = corpus.count()
-    val kCells = Clustering.adaptiveK(n, targetClusterSize, minK, maxK)
-    val mod = Clustering.trainSampleMod(n, trainBudget)
-    val cents = Clustering.trainKmeans(corpus, idCol, vecCol, kCells,
-      iters, mod)
+    // `centroids` injects a pre-built coarse quantizer (e.g. one loaded
+    // from a committed [[AnnIndex]] version) — the 100 TB shape, where
+    // the quantizer is a build artifact and the query path never counts
+    // or trains. Default trains in-session on a bounded sample.
+    val cents = centroids.getOrElse {
+      val n = corpus.count()
+      val kCells = Clustering.adaptiveK(n, targetClusterSize, minK, maxK)
+      val mod = Clustering.trainSampleMod(n, trainBudget)
+      Clustering.trainKmeans(corpus, idCol, vecCol, kCells, iters, mod)
+    }
 
     // inverted lists: one native-assign pass over the corpus
     val cells = corpus.select(col(idCol).as("neighbor_id"),
