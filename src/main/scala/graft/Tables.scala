@@ -12,7 +12,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  // Per-(session, dir, table) memo of the LOADED PLAN — metadata
+  // caching only (file listing + parquet footer schema), the same
+  // thing a catalog-registered table gives a session for free. A bare
+  // `spark.read.parquet(path)` re-lists the directory and re-reads the
+  // footer on EVERY call (~120 ms measured warm at sf0.1), and the
+  // bench surface issues ~550 loads per run — ~60 s/run of pure
+  // metadata overhead (optimization guide §6: repeated listings are a
+  // known scan-planning tax; formats with manifest metadata exist to
+  // kill it). Execution is untouched: every action on the memoized
+  // frame still scans the parquet files from disk — no row, column or
+  // result is cached (the frame is a logical plan, not data). Keyed on
+  // the session object so isolated sessions never share plans; the
+  // fixture dirs are immutable for a session's lifetime (driver
+  // contract), which is the precondition a catalog table relies on
+  // anyway.
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, sfDir, name),
+      _ => doLoad(spark, sfDir, name))
+
+  private def doLoad(spark: SparkSession, sfDir: String,
+                     name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
     // so it arrives as a nanos-since-epoch long — normalize it back to a
