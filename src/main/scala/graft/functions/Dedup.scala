@@ -846,24 +846,35 @@ object Dedup {
     // analysis cost turns exponential at high iteration counts; caching
     // truncates only physical execution, not the analyzed tree. The
     // checkpointed blocks are GC-cleaned by the context cleaner.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("min_nbr"))
-      .select(col("id"), least(col("id"), col("min_nbr")).as("rep"))
-      .localCheckpoint(eager = true)
+    // Round materialization is a lazy STATS-BARRIER checkpoint
+    // (optimization r14, see PlanBridge.localCheckpointStatsBarrier):
+    // the moved-count action below materializes the round's blocks AND
+    // answers convergence in ONE job where eager checkpoint + separate
+    // count paid two, and resetting the size estimate per round stops
+    // Catalyst's join-size BigInts from doubling their digit count
+    // every iteration (a pure planning tax that grows with maxIter).
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    var labels = PlanBridge.localCheckpointStatsBarrier(
+      edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("min_nbr"))
+        .select(col("id"), least(col("id"), col("min_nbr")).as("rep")),
+      eager = false)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("rep").as("nbr_rep"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep")))
-            .as("rep"),
-          (coalesce(col("nbr_rep"), col("rep")) < col("rep")).as("moved"))
-        .localCheckpoint(eager = true)
+      val next = PlanBridge.localCheckpointStatsBarrier(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("rep"), coalesce(col("nbr_rep"), col("rep")))
+              .as("rep"),
+            (coalesce(col("nbr_rep"), col("rep")) < col("rep"))
+              .as("moved")),
+        eager = false)
       val changed = next.filter(col("moved")).count()
-      labels = next
+      labels = next.select("id", "rep")
       converged = changed == 0
       i += 1
     }
@@ -916,27 +927,32 @@ object Dedup {
       .persist()
     edges.count() // materialize ONCE: every round reads this
     val verts = edges.select(col("src").as("id")).distinct()
-    var labels = verts
+    // lazy stats-barrier rounds with the fused moved-count — same
+    // rationale as [[connectedComponents]] (optimization r14)
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    var labels = PlanBridge.localCheckpointStatsBarrier(verts
       .join(baseLabels
         .select(col("doc_id").as("id"), col("rep_id").as("base_rep")),
         Seq("id"), "left")
       .select(col("id"),
-        coalesce(col("base_rep"), col("id")).as("rep"))
-      .localCheckpoint(eager = true)
+        coalesce(col("base_rep"), col("id")).as("rep")),
+      eager = false)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("rep").as("nbr_rep"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep")))
-            .as("rep"),
-          (coalesce(col("nbr_rep"), col("rep")) < col("rep")).as("moved"))
-        .localCheckpoint(eager = true)
+      val next = PlanBridge.localCheckpointStatsBarrier(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("rep"), coalesce(col("nbr_rep"), col("rep")))
+              .as("rep"),
+            (coalesce(col("nbr_rep"), col("rep")) < col("rep"))
+              .as("moved")),
+        eager = false)
       val changed = next.filter(col("moved")).count()
-      labels = next
+      labels = next.select("id", "rep")
       converged = changed == 0
       i += 1
     }
@@ -1010,13 +1026,19 @@ object Dedup {
     // truncates only the physical execution, not the analyzed tree.
     // Checkpointing materializes the round AND replaces its lineage with
     // the stored blocks (blocks are GC-cleaned by the context cleaner).
-    var edges = edges0.localCheckpoint(eager = true)
+    // lazy stats-barrier rounds; the checksum aggregate is the action
+    // that materializes each round — one job per round instead of two,
+    // and no per-round join-size-estimate snowball (optimization r14)
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    var edges = PlanBridge.localCheckpointStatsBarrier(edges0,
+      eager = false)
     val verts = sym(edges).select(col("src").as("id")).distinct()
     var state = checksum(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      val next = PlanBridge.localCheckpointStatsBarrier(
+        smallStar(largeStar(edges)), eager = false)
       val ns = checksum(next)
       edges = next
       converged = ns == state
