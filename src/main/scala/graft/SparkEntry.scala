@@ -7706,15 +7706,24 @@ object SparkEntry {
       // predicates into the join condition AHEAD of x2 > x1, and ANSI
       // div then hits x2 == x1. NULL slopes exist only on rows the
       // x2 > x1 filter drops, so values are unchanged.
-      def slopes = a.join(broadcast(b),
-          col("flag") === col("bflag") && col("x2") > col("x1"))
-        .select(col("flag"),
-          // y is a daily-revenue cents sum (money class): the ×1e6
-          // product clears into DECIMAL(38,0), slope lands back in a
-          // long (overflow-sweep r12 — value-identical)
-          expr("cast(cast(y2 - y1 as decimal(38,0)) * 1000000" +
-            " div nullif(x2 - x1, 0) as bigint)")
-            .as("slope_e6"))
+      // OPTIMIZATION r14: the slope frame is MATERIALIZED once and read
+      // by all three passes instead of regenerated per pass — it is
+      // calendar-bounded (days² rows regardless of corpus size, ~9.4M
+      // at this calendar), so checkpointing it is scale-safe, and the
+      // DECIMAL(38,0) slope arithmetic (the expensive part of the pair
+      // pass; the ×1e6 product genuinely needs >64 bits at big scale)
+      // now runs once instead of three times. Stats-barrier checkpoint:
+      // same blocks, no join-size-estimate inheritance.
+      val slopes = org.apache.spark.sql.graftbridge.PlanBridge
+        .localCheckpointStatsBarrier(a.join(broadcast(b),
+            col("flag") === col("bflag") && col("x2") > col("x1"))
+          .select(col("flag"),
+            // y is a daily-revenue cents sum (money class): the ×1e6
+            // product clears into DECIMAL(38,0), slope lands back in a
+            // long (overflow-sweep r12 — value-identical)
+            expr("cast(cast(y2 - y1 as decimal(38,0)) * 1000000" +
+              " div nullif(x2 - x1, 0) as bigint)")
+              .as("slope_e6")), eager = false)
       // pass 1: per-flag pair count, target rank, sketch bracket
       val stats = slopes.groupBy("flag").agg(
           count(lit(1)).as("n_pairs"),
