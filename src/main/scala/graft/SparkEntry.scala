@@ -8982,26 +8982,38 @@ object SparkEntry {
       // candidate scoring is linear in parts). Scale: factor frames
       // shuffle by entity key only; bound stated — num·1e6 stays
       // inside long for Σr·v ≤ 9·10¹².
-      val ratings = t(s, dir, "lineitem")
+      // OPTIMIZATION r14: the ratings frame is materialized TWICE, once
+      // hash-partitioned by p and once by c (localCheckpoint preserves
+      // the physical partitioning into LogicalRDD), so each of the four
+      // alternations joins its factor frame WITHOUT re-shuffling the
+      // ratings — the factor rollup's groupBy transpose is the only
+      // exchange the big frame pays per half-step. This is the classic
+      // ALS block layout (partition the ratings both ways once, reuse
+      // across iterations); the second copy costs one extra
+      // materialization of an already-reduced frame.
+      val ratingsP = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
         .join(t(s, dir, "orders").select(col("o_orderkey"),
           col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .agg(sum(col("l_quantity").cast("long")).as("r"))
-        .localCheckpoint(true) // 4 factor rollups + anti-join read it
+        .repartition(col("p"))
+        .localCheckpoint(true) // both v half-steps + p-distinct read it
+      val ratingsC = ratingsP.repartition(col("c"))
+        .localCheckpoint(true) // both u half-steps + eval slices read it
       val lam = 100000L // λ = 0.1 in e6
-      var v = ratings.select("p").distinct()
+      var v = ratingsP.select("p").distinct()
         .withColumn("v_e6", lit(1000000L))
       var u: DataFrame = null
       for (_ <- 1 to 2) {
-        u = ratings.join(v, Seq("p"))
+        u = ratingsP.join(v, Seq("p"))
           .groupBy("c")
           .agg(sum(col("r") * col("v_e6")).as("num"),
             sum(expr("v_e6 * v_e6 div 1000000")).as("den"))
           .select(col("c"),
             expr(s"num * 1000000 div (den + $lam)").as("u_e6"))
           .localCheckpoint(true) // next half-step + scoring read it
-        v = ratings.join(u, Seq("c"))
+        v = ratingsC.join(u, Seq("c"))
           .groupBy("p")
           .agg(sum(col("r") * col("u_e6")).as("num"),
             sum(expr("u_e6 * u_e6 div 1000000")).as("den"))
@@ -9009,6 +9021,7 @@ object SparkEntry {
             expr(s"num * 1000000 div (den + $lam)").as("v_e6"))
           .localCheckpoint(true)
       }
+      val ratings = ratingsC
       // scoring: the 20-row eval slice broadcasts against the part
       // factors (v streams, never collects), and the anti-join's
       // ratings prune to the eval customers FIRST — the 100 TB shape:
@@ -9076,13 +9089,20 @@ object SparkEntry {
       // Scale: identical shuffle shape to rank-1 — factor frames keyed
       // by entity only, eval slice broadcast, bounded top-k winners.
       val d = "decimal(38,0)"
-      val ratings = t(s, dir, "lineitem")
+      // pre-partitioned ratings copies (p-keyed and c-keyed) — the ALS
+      // block layout, see recs_als_rank1 (optimization r14): each gram
+      // rollup joins its factor frame without re-shuffling the ratings
+      val ratingsP = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
         .join(t(s, dir, "orders").select(col("o_orderkey"),
           col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .agg(sum(col("l_quantity").cast("long")).as("r"))
-        .localCheckpoint(true) // 4 factor rollups + anti-join read it
+        .repartition(col("p"))
+        .localCheckpoint(true)
+      val ratingsC = ratingsP.repartition(col("c"))
+        .localCheckpoint(true)
+      val ratings = ratingsC
       val lam = 100000L // λ = 0.1 in e6
       // closed-form 2×2 solve: (f1, f2) from the five Gram sums
       def cramer(keyCol: String): Seq[Column] = Seq(
@@ -9098,7 +9118,8 @@ object SparkEntry {
           s" - cast(a12 as $d) * cast(a12 as $d), cast(1 as $d))" +
           s" as long)").as("f2"))
       def gram(df: DataFrame, joinKey: String, outKey: String) =
-        ratings.join(df.withColumnRenamed("f1", "g1")
+        (if (joinKey == "p") ratingsP else ratingsC)
+          .join(df.withColumnRenamed("f1", "g1")
             .withColumnRenamed("f2", "g2"), Seq(joinKey))
           .groupBy(outKey)
           .agg(sum(expr("g1 * g1 div 1000000")).as("a11"),
@@ -9110,7 +9131,7 @@ object SparkEntry {
           .withColumn("a22l", col("a22") + lam)
           .select(cramer(outKey): _*)
           .localCheckpoint(true) // next half-step + scoring read it
-      var v = ratings.select("p").distinct()
+      var v = ratingsP.select("p").distinct()
         .withColumn("f1", lit(1000000L))
         .withColumn("f2",
           expr("(p * 2654435761) % 2000001 - 1000000"))
@@ -9176,13 +9197,19 @@ object SparkEntry {
       // identical to rank-1/2: factor frames keyed by entity only,
       // eval slice broadcast, bounded top-k winners, zero collects.
       val d = "decimal(38,0)"
-      val ratings = t(s, dir, "lineitem")
+      // pre-partitioned ratings copies (p-keyed and c-keyed) — the ALS
+      // block layout, see recs_als_rank1 (optimization r14)
+      val ratingsP = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
         .join(t(s, dir, "orders").select(col("o_orderkey"),
           col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .agg(sum(col("l_quantity").cast("long")).as("r"))
-        .localCheckpoint(true) // 4 factor rollups + anti-join read it
+        .repartition(col("p"))
+        .localCheckpoint(true)
+      val ratingsC = ratingsP.repartition(col("c"))
+        .localCheckpoint(true)
+      val ratings = ratingsC
       val lam = 100L // λ = 0.1 in e3
       def mA(i: Int, j: Int) =
         s"cast(${OracleSql.gram4Name(i, j)} as $d)"
@@ -9209,7 +9236,8 @@ object SparkEntry {
       def gram4(df: DataFrame, joinKey: String, outKey: String) = {
         val renamed = (1 to 4).foldLeft(df)((acc, i) =>
           acc.withColumnRenamed(s"f$i", s"g$i"))
-        ratings.join(renamed, Seq(joinKey))
+        (if (joinKey == "p") ratingsP else ratingsC)
+          .join(renamed, Seq(joinKey))
           .groupBy(outKey)
           .agg(
             (for (i <- 1 to 4; j <- i to 4) yield
@@ -9242,7 +9270,7 @@ object SparkEntry {
           }: _*)
           .localCheckpoint(true) // next half-step + scoring read it
       }
-      var v = ratings.select("p").distinct()
+      var v = ratingsP.select("p").distinct()
         .withColumn("f1", lit(1000L))
         .withColumn("f2", expr("(p * 2654435761) % 2001 - 1000"))
         .withColumn("f3", expr("(p * 2246822519) % 2001 - 1000"))
