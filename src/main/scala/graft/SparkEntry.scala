@@ -5663,23 +5663,32 @@ object SparkEntry {
       // association in both engines), H = (ln n − S/n)/ln 2, rounded
       // e6. Two narrow rollups — (doc, char) counts, then per-doc
       // fold on the alphabet-bounded array; the explode is map-only.
+      // OPTIMIZATION r14: the per-char explode (one row per CHARACTER
+      // of every document, through two shuffles) is replaced by an
+      // in-row run-length pass — per-document aggregation is row-local
+      // work, so the whole query is now MAP-ONLY (guide §2.4: remove
+      // shuffles outright). `sc` is the doc's chars sorted; `ends` the
+      // 1-based positions where a run of equal chars ends; run lengths
+      // are the diffs of consecutive ends. The Σ c·ln c fold runs over
+      // the SAME char-ascending count order as the old sort_array of
+      // (ch, c) structs, so the single float reduction associates
+      // identically and the emitted value is bit-equal (oracle-pinned).
       val dx = t(s, dir, "documents")
         .select(col("doc_id"), lower(trim(col("text"))).as("tx"))
         .filter(length(col("tx")) > 0)
-      val cc = dx
-        .select(col("doc_id"), col("tx"),
-          explode(sequence(lit(1), length(col("tx")))).as("i"))
-        .select(col("doc_id"), expr("substring(tx, i, 1)").as("ch"))
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      cc.groupBy("doc_id")
-        .agg(sum("c").as("n_chars"),
-          count(lit(1)).as("n_distinct"),
-          sort_array(collect_list(struct(col("ch"), col("c"))))
-            .as("arr"))
-        .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+      dx.select(col("doc_id"),
+          expr("array_sort(split(tx, ''))").as("sc"))
+        .select(col("doc_id"), size(col("sc")).cast("long")
+            .as("n_chars"),
+          expr("filter(sequence(1, size(sc)), i -> IF(i = size(sc)," +
+            " true, element_at(sc, i + 1) != element_at(sc, i)))")
+            .as("ends"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("ends")).cast("long").as("n_distinct"),
           expr("cast(round((ln(cast(n_chars as double))" +
-            " - aggregate(arr, 0D, (acc, e) ->" +
-            " acc + cast(e.c as double) * ln(cast(e.c as double)))" +
+            " - aggregate(transform(ends, (e, k) ->" +
+            " e - IF(k = 0, 0, element_at(ends, k))), 0D, (acc, c) ->" +
+            " acc + cast(c as double) * ln(cast(c as double)))" +
             " / cast(n_chars as double)) / ln(2D) * 1000000, 0)" +
             " as long)").as("entropy_bits_e6"))
     }),
@@ -5689,16 +5698,26 @@ object SparkEntry {
       // fraction per document (ppm) — the vocabulary-richness signal
       // quality classifiers use alongside the Gopher rules (template
       // spam has pathologically low TTR; keyboard mash has high hapax).
-      // Two narrow rollups: (doc, token) counts, then per-doc moments.
+      // OPTIMIZATION r14: per-document aggregation is row-local — the
+      // old (doc, token) explode + two shuffled rollups become one
+      // MAP-ONLY in-row run-length pass over the doc's sorted token
+      // array (same trick as text_char_entropy; all values are exact
+      // integers, so equality is structural).
       val docs = t(s, dir, "documents")
-      val tok = docs.select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-        .filter(length(col("tok")) > 0)
-      tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          sum("c").as("n_tokens"),
-          count(lit(1)).as("n_types"),
-          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      docs.select(col("doc_id"),
+          expr("array_sort(filter(split(lower(trim(text)), '\\\\s+')," +
+            " t -> length(t) > 0))").as("st"))
+        .filter(size(col("st")) > 0)
+        .select(col("doc_id"),
+          size(col("st")).cast("long").as("n_tokens"),
+          expr("filter(sequence(1, size(st)), i -> IF(i = size(st)," +
+            " true, element_at(st, i + 1) != element_at(st, i)))")
+            .as("ends"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("ends")).cast("long").as("n_types"),
+          expr("cast(size(filter(transform(ends, (e, k) ->" +
+            " e - IF(k = 0, 0, element_at(ends, k))), c -> c = 1))" +
+            " as long)").as("n_hapax"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"),
           col("n_hapax"),
           expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),

@@ -350,20 +350,36 @@ object Dedup {
                         minSim: Double = 0.5,
                         shingleN: Int = 3,
                         blockCol: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // OPTIMIZATION r14 — same outputs, 3 fewer corpus-wide shuffles:
+    //  - per-doc shingle dedup is ROW-LOCAL (doc_id rides on every
+    //    row), so `array_distinct` inside the row replaces the global
+    //    (doc_id, token) `.distinct()` shuffle;
+    //  - the per-doc rarity ranking collapses into ONE rollup that
+    //    collects each doc's (df, token) pairs SORTED (sort_array over
+    //    structs = exactly the old window's (df asc, token asc)
+    //    order), so prefix positions fall out of a slice of the array
+    //    and the separate size rollup + doc-partitioned row_number
+    //    window disappear;
+    //  - the verification sets are a projection of the SAME per-doc
+    //    array (array_intersect is order-insensitive), so the old
+    //    second collect_list rollup disappears too.
     val tk = docs.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), shingleN)).as("token"))
-      .distinct()
+        explode(array_distinct(shingles(col(textCol), shingleN)))
+          .as("token"))
     val df = tk.groupBy("token").agg(count(lit(1)).as("df"))
-    val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("df").asc, col("token").asc)
-    val pref = tk.join(df, Seq("token"))
-      .withColumn("pos", row_number().over(w))
-      .join(sz, Seq("doc_id"))
-      .filter(col("pos") <= col("sz") - ceil(lit(minSim) * col("sz")) + 1)
-      .select("doc_id", "token", "sz", "pos")
+    val docp = tk.join(df, Seq("token"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("token"))))
+        .as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("sz"),
+        col("arr"))
+    val pref = docp
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("arr"), lit(1),
+          (col("sz") - ceil(lit(minSim) * col("sz")) + 1).cast("int"))))
+      .select(col("doc_id"), col("col.token").as("token"), col("sz"),
+        (col("pos") + 1).as("pos"))
     // PPJoin length filter inside the bucket join (lossless: Jaccard
     // >= s forces s·|x| <= |y|) — prunes size-incompatible pairs
     // before they reach the distinct. NOTE the measured trade on this
@@ -429,12 +445,15 @@ object Dedup {
         lit(sPpm) * (col("za") + col("zb")))
       .select("id_a", "id_b")
     // verify per-pair with a single codegen'd set intersection over the
-    // collected sorted shingle sets (tk is already distinct) — two
-    // narrow id-keyed joins instead of re-exploding every candidate's
-    // shingles through a (pair, token) shuffle. Every candidate shares
-    // a prefix shingle, so ic >= 1 by construction.
-    val sets = tk.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("token"))).as("sh"))
+    // per-doc shingle sets — two narrow id-keyed joins instead of
+    // re-exploding every candidate's shingles through a (pair, token)
+    // shuffle. The sets are the token projection of the SAME per-doc
+    // array the prefixes came from (rarity order, not lexicographic —
+    // array_intersect is order-insensitive, ic is a set size); the
+    // shared docp subtree's exchange is reused by the physical planner.
+    // Every candidate shares a prefix shingle, so ic >= 1.
+    val sets = docp.select(col("doc_id"),
+      expr("transform(arr, e -> e.token)").as("sh"))
     val minPpm = math.round(minSim * 1000000).toString
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
@@ -483,12 +502,14 @@ object Dedup {
     val qMod =
       if (knownCount.getOrElse(docs.count()) <= sampleCutoff) 1
       else sampleMod
+    // per-doc shingle dedup is row-local (optimization r14): the global
+    // (doc_id, token) distinct shuffle becomes an in-row array_distinct
     val tk = docs
       .filter(pmod(xxhash64(col(idCol)), lit(qMod.toLong)) === 0)
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), shingleN)).as("token"))
-      .distinct()
+        explode(array_distinct(shingles(col(textCol), shingleN)))
+          .as("token"))
     val r = tk.groupBy("token").agg(count(lit(1)).as("df"))
       .agg(sum("df").as("p"), sum(col("df") * col("df")).as("sq"))
       .head()
@@ -574,8 +595,9 @@ object Dedup {
       .filter(length(trim(col(textCol))) > 0)
       .select(col("__src").as("source"), col("__m"),
         col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), shingleN)).as("token"))
-      .distinct()
+        // in-row per-doc dedup (optimization r14, see sizeBiasedMeanDf)
+        explode(array_distinct(shingles(col(textCol), shingleN)))
+          .as("token"))
       .groupBy("source", "__m", "token")
       .agg(count(lit(1)).as("df"))
       .groupBy("source", "__m")

@@ -59,11 +59,20 @@ class PlanHygieneSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  // operator-shuffle counter: exchanges the OPERATOR requires
+  // (ENSURE_REQUIREMENTS), excluding the input-layout spread
+  // Tables.load adds on the single-row-group fixtures
+  // (REPARTITION_BY_COL — see Tables.SpreadKeys, optimization r14)
+  private def operatorShuffles(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("REPARTITION_BY_COL") &&
+        !l.contains("REPARTITION_BY_NUM"))
+
   test("window top-k groups in one exchange, no extra sorts") {
     val plan = SparkEntry.queries("window_topk_per_group")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator
-      .count(_.contains("Exchange hashpartitioning"))
+    val exchanges = operatorShuffles(plan)
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges")
   }
 
@@ -167,15 +176,15 @@ class PlanHygieneSpec extends SparkSpec {
 
   test("sequence packing shuffles exactly once (shard hash partitioning)") {
     val df = SparkEntry.queries("pack_training")(spark, sf("sf0.001"))
-    val exchanges = df.queryExecution.executedPlan.toString.linesIterator
-      .count(_.contains("Exchange hashpartitioning"))
+    val exchanges = operatorShuffles(
+      df.queryExecution.executedPlan.toString)
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges")
   }
 
   test("best-fit packing shuffles exactly once (the shard rollup)") {
     val df = SparkEntry.queries("pack_bestfit")(spark, sf("sf0.001"))
-    val exchanges = df.queryExecution.executedPlan.toString.linesIterator
-      .count(_.contains("Exchange hashpartitioning"))
+    val exchanges = operatorShuffles(
+      df.queryExecution.executedPlan.toString)
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges")
   }
 
@@ -359,7 +368,11 @@ class PlanHygieneSpec extends SparkSpec {
     assert(plan.contains("xxhash64"), "bucket must come from xxhash64")
   }
 
-  test("PPJoin windows are doc-partitioned; no corpus-global sort") {
+  test("PPJoin prefix ranking is window-free (in-row sorted array)") {
+    // optimization r14: the per-doc rarity ranking became a slice of
+    // the per-doc sort_array((df, token)) rollup — the old
+    // doc-partitioned row_number window (and with it any risk of a
+    // corpus-global sort) is gone from the plan entirely.
     import org.apache.spark.sql.execution.window.WindowExec
     val plan = SparkEntry.queries("dedup_prefix_filter")(
       spark, sf("sf0.001")).queryExecution.executedPlan
@@ -368,11 +381,8 @@ class PlanHygieneSpec extends SparkSpec {
       case p => p
     }
     val windows = unwrapped.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty, "expected the per-doc prefix-rank window")
-    windows.foreach { w =>
-      assert(w.partitionSpec.nonEmpty,
-        s"unpartitioned (single-partition) window in PPJoin plan:\n$w")
-    }
+    assert(windows.isEmpty,
+      s"PPJoin plan regained a window: ${windows.headOption}")
   }
 
   test("repeated-span dedup is one aggregation, no joins, no windows") {
