@@ -141,6 +141,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Opt-in scan spread (Tables.spread) for queries whose per-row map
+    * work dominates a full-table exchange — custom sketch aggregates
+    * that hash every row, per-document sort/shingle passes. Measured
+    * per query before adoption (r14 A/B at sf0.1, runs=5): the sketch
+    * queries drop ~1.0 s each, the shingle-heavy dedup twins up to
+    * 2.7 s, while cheap aggregations LOSE ~1 s under a universal
+    * load-time spread (each extra driver action re-pays the exchange),
+    * which is why this is per-query and not in Tables.load.
+    */
+  private def tsp(s: SparkSession, dir: String, name: String,
+                  key: String): DataFrame =
+    Tables.spread(Tables.load(s, dir, name), key)
+
   /** Reciprocal top-3 cosine neighbors over the LSH-banded embedding
     * candidate graph — shared by `dedup_mutual_knn` (which emits it)
     * and `graph_link_predict` (which scores the holes it leaves: a
@@ -593,7 +606,7 @@ object SparkEntry {
       // mergeable KMV distinct-count sketch: map-side partials of <=k
       // hashed longs per group; integer-exact estimator, so the DuckDB
       // oracle reproduces the approximation bit-for-bit
-      t(s, dir, "lineitem").groupBy("l_returnflag")
+      tsp(s, dir, "lineitem", "l_orderkey").groupBy("l_returnflag")
         .agg(
           graft.expressions.Sketches
             .kmv_distinct(col("l_orderkey"), 256).as("approx_orders"),
@@ -606,7 +619,7 @@ object SparkEntry {
       // distinct count by MERGING states, never re-touching raw rows.
       // KMV merges losslessly, so this equals the single-pass sketch and
       // shares its oracle.
-      val monthly = t(s, dir, "lineitem")
+      val monthly = tsp(s, dir, "lineitem", "l_orderkey")
         .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")))
         .agg(graft.expressions.Sketches
           .kmv_state(col("l_orderkey"), 256).as("sk"))
@@ -621,7 +634,7 @@ object SparkEntry {
       // dyadic-integer harmonic sum, scaled-α floor division, shared
       // scaled-ln linear-counting table — in exact integer arithmetic,
       // so the DuckDB oracle reproduces the approximation bit-for-bit
-      t(s, dir, "lineitem").groupBy("l_returnflag")
+      tsp(s, dir, "lineitem", "l_orderkey").groupBy("l_returnflag")
         .agg(
           graft.expressions.HllSketches
             .hll_distinct(col("l_orderkey")).as("approx_orders"),
@@ -633,7 +646,7 @@ object SparkEntry {
       // array per (flag, ship-month), per-flag answer by elementwise-max
       // MERGE of stored states. HLL merges losslessly (max of maxes),
       // so this equals the single-pass sketch and shares its oracle.
-      val bySegment = t(s, dir, "lineitem")
+      val bySegment = tsp(s, dir, "lineitem", "l_orderkey")
         .groupBy(col("l_returnflag"),
           date_trunc("month", col("l_shipdate")))
         .agg(graft.expressions.HllSketches
@@ -1320,7 +1333,8 @@ object SparkEntry {
       // constant-size across scale factors; ngramJaccardPairs (LSH
       // candidates) is the scale path
       Dedup.ngramJaccardBlocked(
-        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        Tables.spread(t(s, dir, "documents")
+          .filter(col("doc_id") < 1000), "doc_id"),
         "doc_id", "text", shingleN = 3, minSim = 0.3, blockWidth = 5)
     }),
 
@@ -2087,7 +2101,8 @@ object SparkEntry {
       // by construction, so the verifiable twin stays constant-size
       // across scale factors; text_multipattern_scan (one Aho-Corasick
       // walk per doc, full corpus, full snippet set) is the scale path
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 5000)
+      val docs = Tables.spread(
+        t(s, dir, "documents").filter(col("doc_id") < 5000), "doc_id")
       val snips = docs.filter(col("doc_id") % 29 === 0)
         .select(col("doc_id").as("snip_id"),
           substring(col("text"), 11, 30).as("snippet"))
@@ -5673,7 +5688,7 @@ object SparkEntry {
       // the SAME char-ascending count order as the old sort_array of
       // (ch, c) structs, so the single float reduction associates
       // identically and the emitted value is bit-equal (oracle-pinned).
-      val dx = t(s, dir, "documents")
+      val dx = tsp(s, dir, "documents", "doc_id")
         .select(col("doc_id"), lower(trim(col("text"))).as("tx"))
         .filter(length(col("tx")) > 0)
       dx.select(col("doc_id"),
@@ -5703,7 +5718,7 @@ object SparkEntry {
       // MAP-ONLY in-row run-length pass over the doc's sorted token
       // array (same trick as text_char_entropy; all values are exact
       // integers, so equality is structural).
-      val docs = t(s, dir, "documents")
+      val docs = tsp(s, dir, "documents", "doc_id")
       docs.select(col("doc_id"),
           expr("array_sort(filter(split(lower(trim(text)), '\\\\s+')," +
             " t -> length(t) > 0))").as("st"))

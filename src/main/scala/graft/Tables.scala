@@ -34,26 +34,32 @@ object Tables {
     memo.computeIfAbsent((spark, sfDir, name),
       _ => doLoad(spark, sfDir, name))
 
-  /** Fact tables whose scans carry real per-row work. The driver
-    * fixtures are single-row-group parquet files, so their scans arrive
-    * as ONE Spark partition and every query's scan+map stage ran
-    * single-threaded regardless of core count. When (and only when) the
-    * scan has fewer partitions than the session's default parallelism,
-    * a hash repartition on the leading key spreads it — scale-honest:
-    * at a real deployment the scan already has ≥ parallelism splits and
-    * no shuffle is added (guide §6: minPartitionNum is the same idea,
-    * but it cannot split a single row group). Dimension tables
-    * (region/nation/customer/supplier/part) stay as-is: they broadcast,
-    * and an extra exchange would only add a stage to the cheapest
-    * queries. Hash (not round-robin) keeps the row→partition map
-    * deterministic under retries; every declared query is
-    * partitioning-independent by contract (the driver re-runs the bench
-    * at a lower core count).
+  /** Spread a frame over the session's full parallelism before HEAVY
+    * per-row work, IF its scan arrives with fewer partitions than the
+    * session can run. The driver fixtures are single-row-group parquet
+    * files, so every scan is ONE Spark partition and a map-heavy stage
+    * runs single-threaded on local[32]; at a real deployment the scan
+    * already has ≥ parallelism splits and this adds NO shuffle.
+    *
+    * Deliberately an OPT-IN per-operator helper, not a universal
+    * load-time repartition: the r14 A/B (12-query subset, runs=5,
+    * idle) measured a universal version costing +8.0 s across cheap-
+    * aggregation and multi-action queries — every extra driver action
+    * re-pays the full-table exchange, and for a scan feeding one
+    * aggregate the shuffle of whole rows costs more than the serial
+    * map work it parallelizes (guide §2.4: remove shuffles outright;
+    * §8: don't move payload bytes to make a cheap decision). Only
+    * operators whose per-row work measurably dominates the exchange
+    * (codecs, per-row hashing of every byte of text) should call this.
+    * Hash (not round-robin) keeps the row→partition map deterministic
+    * under retries; callers' outputs are partitioning-independent by
+    * contract (the driver re-runs the bench at a lower core count).
     */
-  private val SpreadKeys: Map[String, String] = Map(
-    "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
-    "events" -> "event_id", "documents" -> "doc_id",
-    "embeddings" -> "vec_id")
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val par = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    if (df.rdd.getNumPartitions >= par) df
+    else df.repartition(par, col(key))
+  }
 
   private def doLoad(spark: SparkSession, sfDir: String,
                      name: String): DataFrame = {
@@ -61,14 +67,7 @@ object Tables {
     // reader rejects; sessions set spark.sql.legacy.parquet.nanosAsLong
     // so it arrives as a nanos-since-epoch long — normalize it back to a
     // proper TimestampType (µs, lossless for this data) here.
-    val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
-    val df = SpreadKeys.get(name) match {
-      case Some(key) if df0.schema.fieldNames.contains(key) =>
-        val par = math.max(1, spark.sparkContext.defaultParallelism)
-        if (df0.rdd.getNumPartitions >= par) df0
-        else df0.repartition(par, col(key))
-      case _ => df0
-    }
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType)) {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

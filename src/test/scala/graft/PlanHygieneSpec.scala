@@ -60,9 +60,9 @@ class PlanHygieneSpec extends SparkSpec {
   }
 
   // operator-shuffle counter: exchanges the OPERATOR requires
-  // (ENSURE_REQUIREMENTS), excluding the input-layout spread
-  // Tables.load adds on the single-row-group fixtures
-  // (REPARTITION_BY_COL — see Tables.SpreadKeys, optimization r14)
+  // (ENSURE_REQUIREMENTS), excluding the opt-in input-layout spread
+  // some queries add on the single-row-group fixtures
+  // (REPARTITION_BY_COL — see Tables.spread, optimization r14)
   private def operatorShuffles(plan: String): Int =
     plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") &&
