@@ -159,6 +159,19 @@ object Multimodal {
     */
   object ImageCodec {
 
+    // ImageIO defaults to useCache=true: every ImageIO.read/write wraps
+    // its stream in a DISK-backed FileCacheImage{Input,Output}Stream —
+    // a temp file created, written and deleted per call. The fixtures
+    // decode tens of thousands of sub-50-px blobs per query, all from
+    // in-memory byte arrays, so the cache is pure syscall overhead
+    // (guide §1.2 per-task work: measured ~10 ms/frame with the temp
+    // file vs ~1 ms without at sf0.1 video sampling). Decode semantics
+    // are IDENTICAL — same readers, same sniffing, same pixels; only
+    // the stream buffering moves to memory. Set once per JVM (executor
+    // and driver share the JVM in local mode; the object initializer
+    // runs wherever the codec is first touched).
+    javax.imageio.ImageIO.setUseCache(false)
+
     def width(id: Long): Int = 16 + (id % 32).toInt
     def height(id: Long): Int = 16 + ((id * 7) % 32).toInt
 
@@ -838,6 +851,10 @@ object Multimodal {
     * pixel formula, so the comparison is exact integer equality.
     */
   object VideoCodec {
+    // same in-memory-stream discipline as ImageCodec (decodeFrames can
+    // run on an executor that never initialized ImageCodec)
+    javax.imageio.ImageIO.setUseCache(false)
+
     val Fps = 10
 
     def nFrames(id: Long): Int = 4 + (id % 5).toInt
