@@ -154,6 +154,39 @@ object SparkEntry {
                   key: String): DataFrame =
     Tables.spread(Tables.load(s, dir, name), key)
 
+  /** Per-order sorted distinct item arrays — the shared base of the
+    * market-basket family (basket_lift / basket_rules /
+    * basket_frequent_triples / recs_item_cosine). OPTIMIZATION r14
+    * (guide §2.4): the old shape built li = distinct(orderkey, partkey)
+    * and SELF-JOINED it within orders, paying the distinct exchange,
+    * a second exchange by orderkey and a sort-merge self-join before
+    * any pair existed. ONE groupBy(orderkey) with collect_set does the
+    * per-order dedup AND the basket assembly in a single shuffle;
+    * every downstream frame is then map-side from the materialized
+    * baskets: item counts are an explode+rollup, co-occurrence pairs
+    * explode directly from the sorted array (i < j ≡ the old
+    * a.partkey < b.partkey), so the pair fan-out stays bounded by
+    * basket size exactly as before. Scale: baskets is order-dimension-
+    * sized with bounded arrays (the same bound the self-join relied
+    * on); the checkpoint replaces 3-4 re-scans of the fact table per
+    * query.
+    */
+  private def orderBaskets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .localCheckpoint(true)
+
+  /** All within-order item pairs (pa < pb), one row per (order, pair) —
+    * map-side from the sorted basket array.
+    */
+  private def basketPairs(baskets: DataFrame): DataFrame =
+    baskets.select(col("l_orderkey"), explode(expr(
+        "flatten(transform(items, (x, i) -> transform(" +
+          "slice(items, i + 2, size(items) - i - 1)," +
+          " y -> named_struct('pa', x, 'pb', y))))")).as("p"))
+      .select(col("l_orderkey"), col("p.pa"), col("p.pb"))
+
   /** Reciprocal top-3 cosine neighbors over the LSH-banded embedding
     * candidate graph — shared by `dedup_mutual_knn` (which emits it)
     * and `graph_link_predict` (which scores the holes it leaves: a
@@ -5123,14 +5156,14 @@ object SparkEntry {
       // size statistics (AQE) pick broadcast at small SF and
       // shuffle-hash at large, instead of a forced build-side OOM.
       val d = "decimal(38,0)"
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pc = li.groupBy("l_partkey").agg(count(lit(1)).as("pc"))
-      val co = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pa"),
-          col("b.l_partkey").as("pb"))
+      // r14: same basket-array derivation as basket_lift (one shuffle
+      // builds the baskets; the pair fan-out is map-side and bounded
+      // by basket size exactly as the old within-order self-join)
+      val bk = orderBaskets(s, dir)
+      val pc = bk.select(explode(col("items")).as("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("pc"))
+      val co = basketPairs(bk)
+        .groupBy("pa", "pb")
         .agg(count(lit(1)).as("co"))
       val sym = co.select(col("pa").as("item"), col("pb").as("neighbor"),
           col("co"))
@@ -5180,16 +5213,16 @@ object SparkEntry {
       // fans out only WITHIN an order (bounded items/order) — never
       // across the fact table.
       val d = "decimal(38,0)"
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val n = li.select(countDistinct("l_orderkey").as("n_orders"))
-      val pc = li.groupBy("l_partkey")
+      // r14: pairs/counts derive map-side from the shared basket
+      // frame (see orderBaskets) — the distinct + self-join shape is
+      // gone; co/pc/n values are identical by construction.
+      val bk = orderBaskets(s, dir)
+      val n = bk.agg(count(lit(1)).as("n_orders"))
+      val pc = bk.select(explode(col("items")).as("l_partkey"))
+        .groupBy("l_partkey")
         .agg(count(lit(1)).as("pc"))
-      val pairs = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("part_a"),
-          col("b.l_partkey").as("part_b"))
+      val pairs = basketPairs(bk)
+        .groupBy(col("pa").as("part_a"), col("pb").as("part_b"))
         .agg(count(lit(1)).as("co"))
       // pc scales with the part dimension → no broadcast hint (see
       // recs_item_cosine); n is a genuine 1-row frame → hint kept.
@@ -5217,15 +5250,13 @@ object SparkEntry {
       // by basket size, never the fact-table square.
       val d = "decimal(38,0)"
       val minSup = 3L
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val n = li.select(countDistinct("l_orderkey").as("n_orders"))
-      val pc = li.groupBy("l_partkey").agg(count(lit(1)).as("pc"))
-      val co = li.as("a")
-        .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("pa"),
-          col("b.l_partkey").as("pb"))
+      // r14: same basket-array derivation as basket_lift
+      val bk = orderBaskets(s, dir)
+      val n = bk.agg(count(lit(1)).as("n_orders"))
+      val pc = bk.select(explode(col("items")).as("l_partkey"))
+        .groupBy("l_partkey").agg(count(lit(1)).as("pc"))
+      val co = basketPairs(bk)
+        .groupBy("pa", "pb")
         .agg(count(lit(1)).as("co"))
         .filter(col("co") >= minSup)
       val rules = co.select(col("pa").as("antecedent"),
@@ -5255,8 +5286,11 @@ object SparkEntry {
       // 100 TB. Fan-out stays WITHIN an order (bounded basket size);
       // the frequent-pair frame is the only cross-order state.
       val minSup = 2L
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // r14: the (order, item) frame derives from the shared basket
+      // arrays (already per-order distinct — no distinct exchange)
+      val bk = orderBaskets(s, dir)
+      val li = bk.select(col("l_orderkey"),
+        explode(col("items")).as("l_partkey"))
       // level 1: frequent items (vacuous at tiny SF, the real first
       // prune at scale)
       val fi = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
