@@ -857,14 +857,14 @@ object SparkEntry {
     }),
 
     "json_extract" -> ((s, dir) => {
-      t(s, dir, "events").select(
+      tsp(s, dir, "events", "event_id").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
     }),
 
     "json_schema_parse" -> ((s, dir) => {
       // typed parse: from_json with an explicit schema (vs path extract)
-      t(s, dir, "events").select(
+      tsp(s, dir, "events", "event_id").select(
         col("event_id"),
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
@@ -1022,7 +1022,7 @@ object SparkEntry {
       // sf0.1 exercises the banded branch (load 10.7; threshold 8
       // justified from the measured decade tables in BENCH_NOTES).
       val (route, pairs) = Dedup.similarityPairsAuto(
-        t(s, dir, "documents"), "doc_id", "text")
+        tsp(s, dir, "documents", "doc_id"), "doc_id", "text")
       pairs.withColumn("route", lit(route))
     }),
 
@@ -1040,7 +1040,7 @@ object SparkEntry {
       // routed pair set is hash-proven. SimilarityRouteSpec measures
       // the mixed fixture where this beats BOTH single-path choices.
       Dedup.similarityPairsAutoBySource(
-        t(s, dir, "documents"), "doc_id", "text", "source")
+        tsp(s, dir, "documents", "doc_id"), "doc_id", "text", "source")
     }),
 
     "dedup_auto_route_dual" -> ((s, dir) => {
@@ -1056,7 +1056,7 @@ object SparkEntry {
       // docs keep their original text under 'o_'-prefixed sources
       // (cold → prefix). sampleCutoff forces the full df profile so
       // the dial is closed-form deterministic at any fixture size.
-      val raw = t(s, dir, "documents")
+      val raw = tsp(s, dir, "documents", "doc_id")
       def words(mk: Column => Column) = array_join(
         transform(sequence(lit(0), lit(29)), mk), " ")
       val tpl = words(i => concat(lit("g"),
@@ -1377,8 +1377,8 @@ object SparkEntry {
       // docs share a rare-first prefix shingle, so the boilerplate head
       // of the shingle space never joins. The deterministic complement
       // to the MinHash/LSH recall family (same similarity, no misses).
-      Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text",
-        minSim = 0.5, shingleN = 3)
+      Dedup.prefixFilterPairs(tsp(s, dir, "documents", "doc_id"),
+        "doc_id", "text", minSim = 0.5, shingleN = 3)
     }),
 
     "dedup_repeated_spans" -> ((s, dir) => {
@@ -1388,8 +1388,8 @@ object SparkEntry {
       // paragraph pasted into thousands of otherwise-unique pages that
       // whole-doc fingerprints miss. Map-only span fan-out, one
       // (span, doc) rollup with partial aggregation.
-      Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
-        spanTokens = 5, minDocs = 2)
+      Dedup.repeatedSpans(tsp(s, dir, "documents", "doc_id"), "doc_id",
+        "text", spanTokens = 5, minDocs = 2)
     }),
 
     "dedup_sorted_neighborhood" -> ((s, dir) => {
@@ -1455,7 +1455,7 @@ object SparkEntry {
       // vocabulary-sized rollups; the exploded token frame is
       // checkpointed once instead of re-derived per consumer.
       val stop = Seq("join", "hash", "row", "batch", "scan")
-      val tok = t(s, dir, "documents")
+      val tok = tsp(s, dir, "documents", "doc_id")
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "w")))
@@ -1921,7 +1921,7 @@ object SparkEntry {
         lit("@example.com or 555-123-4567 from 10.0."),
         pmod(col("doc_id"), lit(250)).cast("string"), lit(".9 ref "),
         (col("doc_id") + 1000000).cast("string"))
-      t(s, dir, "documents").select(col("doc_id"),
+      tsp(s, dir, "documents", "doc_id").select(col("doc_id"),
         TextFunctions.redactPii(synthetic).as("clean_text"))
     }),
 
@@ -1962,7 +1962,7 @@ object SparkEntry {
       // 32-token chunks, md5 chunk fingerprints, a chunk is SHARED when
       // it appears in >= 2 distinct docs. Chunks project to (doc_id,
       // fp) before any shuffle, so the two aggs move narrow rows only
-      val chunks = t(s, dir, "documents")
+      val chunks = tsp(s, dir, "documents", "doc_id")
         .select(col("doc_id"),
           explode(TextFunctions.chunkTokens(col("text"), 32, 0))
             .as("chunk"))
@@ -2217,8 +2217,8 @@ object SparkEntry {
       // low zero bits (expected 16-token chunks) — an edit re-chunks
       // only its neighborhood, so shared-chunk fingerprints survive
       // prefix insertions that break fixed-stride chunking
-      Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
-        maskBits = 4)
+      Dedup.cdcChunks(tsp(s, dir, "documents", "doc_id"), "doc_id",
+        "text", maskBits = 4)
     }),
 
     "text_rarity" -> ((s, dir) => {
