@@ -1735,6 +1735,9 @@ object SparkEntry {
       // under any partitioning; unseen (class, token) mass folds in
       // closed form as (total_tf − matched_tf)·w0_c, never a grid
       // materialization of vocab × classes × docs.
+      // (no scan spread here: the frame feeds three separate actions —
+      // count, the tok checkpoint, the prior rollup — and each would
+      // re-pay the exchange; measured net-negative in r14)
       val docs = t(s, dir, "documents")
         .filter(length(trim(col("text"))) > 0)
       val tok = docs
@@ -6450,7 +6453,8 @@ object SparkEntry {
       // The gradient-free twin of ml_logreg_train: zero driver
       // iterations, one job.
       val d = "decimal(38,0)"
-      val m = t(s, dir, "lineitem").select(col("l_returnflag"),
+      val m = tsp(s, dir, "lineitem", "l_orderkey")
+        .select(col("l_returnflag"),
         col("l_quantity").cast("long").cast(d).as("x1"),
         floor(col("l_discount") * 10000).cast("long").cast(d).as("x2"),
         floor(col("l_extendedprice") * 100).cast("long").cast(d).as("y"))
@@ -7146,7 +7150,10 @@ object SparkEntry {
         s"graft_bucket_${app}_$tag").getAbsolutePath
       val ot = s"orders_b_${app}_$tag"
       val ct = s"customer_b_${app}_$tag"
-      t(s, dir, "orders").write.mode("overwrite")
+      // r14: spread the write input — the 1-partition fixture scan made
+      // this a single-task bucketed write (bucketBy allows any number
+      // of files per bucket; the join's bucket pruning is unchanged)
+      tsp(s, dir, "orders", "o_orderkey").write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"$base/o").saveAsTable(ot)
       t(s, dir, "customer").write.mode("overwrite")
@@ -9506,12 +9513,22 @@ object SparkEntry {
         ("p4y", "f4", "y"), ("p12", "f1", "f2"), ("p13", "f1", "f3"),
         ("p14", "f1", "f4"), ("p23", "f2", "f3"), ("p24", "f2", "f4"),
         ("p34", "f3", "f4"))
-      val exploded = feats.select(explode(array(pairDefs.map {
+      // OPTIMIZATION r14 (guide §2.3 — aggregate before the fan-out):
+      // the ×10 pair explode used to run per ROW (10 hash-agg updates
+      // per fact row); the joint (f1..f4, y) distribution is at most
+      // 5·5·4·3·2 = 600 cells, so ONE pass aggregates the tuple counts
+      // and the pair explode + re-sum runs on the 600-row frame. Cell
+      // counts are identical (sum of joint counts over the dropped
+      // coordinates = the old direct pair count).
+      val joint = feats.groupBy("f1", "f2", "f3", "f4", "y")
+        .agg(count(lit(1)).as("nj"))
+      val exploded = joint.select(explode(array(pairDefs.map {
         case (pid, a, b) =>
           struct(lit(pid).as("pid"), col(a).as("av"), col(b).as("bv"))
-      }: _*)).as("e")).select(col("e.pid"), col("e.av"), col("e.bv"))
+      }: _*)).as("e"), col("nj"))
+        .select(col("e.pid"), col("e.av"), col("e.bv"), col("nj"))
       val cells = exploded.groupBy("pid", "av", "bv")
-        .agg(count(lit(1)).as("nab"))
+        .agg(sum("nj").as("nab"))
         .localCheckpoint(true) // marginals + terms read it
       val ma = cells.groupBy("pid", "av").agg(sum("nab").as("na"))
       val mb = cells.groupBy("pid", "bv").agg(sum("nab").as("nb"))
