@@ -8006,6 +8006,9 @@ object SparkEntry {
       // 3-row broadcast frame, each round ONE map-side-combined
       // aggregate over the checkpointed (flag, x, y) scan.
       val d = "decimal(38,0)"
+      // (no scan spread: A/B runs=7 measured the spread checkpoint
+      // WORSE here — each GD round then schedules 32 near-empty tasks
+      // instead of one; the rounds' serial agg was never the cost)
       val base = t(s, dir, "lineitem")
         .filter(col("l_quantity") >= 1)
         .select(col("l_returnflag").as("flag"),
