@@ -1077,6 +1077,10 @@ object SparkEntry {
           .when(col("doc_id") % 200 === 1, pairBase)
           .when(col("doc_id") % 200 === 5, pairPart)
           .otherwise(col("text")).as("text"))
+        // r14: the synthesized corpus (30-word concat per row) is read
+        // by the profile pass AND both route replays — materialize the
+        // derivation once instead of re-synthesizing it per pass
+        .localCheckpoint(true)
       Dedup.similarityPairsAutoBySource(docs2, "doc_id", "text",
         "source", sampleCutoff = 1000000L)
     }),

@@ -98,32 +98,39 @@ object SingleLinkage {
     mstEdgesLoop(edges, maxRounds)
   }
 
+  /** Collapse parallel inter-component edges to the per-pair
+    * (w, a, b)-minimum (2-cycle argument: only the pair minimum can
+    * ever enter the MST).
+    */
+  private def collapse(live: DataFrame): DataFrame = live
+    .groupBy(least(col("la"), col("lb")).as("x"),
+      greatest(col("la"), col("lb")).as("y"))
+    .agg(min(struct(col("w"), col("a"), col("b"),
+      col("la"), col("lb"))).as("e"))
+    .select(col("e.w").as("w"), col("e.a").as("a"),
+      col("e.b").as("b"), col("e.la").as("la"),
+      col("e.lb").as("lb"))
+
   private def mstEdgesLoop(edges: DataFrame,
                            maxRounds: Int): DataFrame = {
     // every node starts as its own component; labels ride on the edges.
     // No materialization here: round 1's crossMin consumes the edge
     // frame in the same action that builds it (one corpus-sized pass,
-    // not two).
-    var live = edges
-      .select(col("a"), col("b"), col("w"),
-        col("a").as("la"), col("b").as("lb"))
+    // not two). r14 second pass: the per-round `live` frame was
+    // materialized eagerly and then consumed ONLY by the next round's
+    // collapse — so the loop now materializes the COLLAPSED frame
+    // directly (rekey + collapse composed into one stats-barrier
+    // checkpoint) and the emptiness probe rides the same action: one
+    // corpus-sized materialization per round instead of two.
+    var crossMin = PlanBridge.localCheckpointStatsBarrier(
+      collapse(edges
+        .select(col("a"), col("b"), col("w"),
+          col("a").as("la"), col("b").as("lb"))), eager = false)
     var mstParts = List.empty[DataFrame]
     var done = false
     var round = 0
     while (!done && round < maxRounds) {
       round += 1
-      // collapse parallel inter-component edges to the per-pair
-      // (w, a, b)-minimum (2-cycle argument: only the pair minimum can
-      // ever enter the MST) — this is also the round's cross-edge
-      // emptiness probe: materialize lazily and count once.
-      val crossMin = PlanBridge.localCheckpointStatsBarrier(live
-        .groupBy(least(col("la"), col("lb")).as("x"),
-          greatest(col("la"), col("lb")).as("y"))
-        .agg(min(struct(col("w"), col("a"), col("b"),
-          col("la"), col("lb"))).as("e"))
-        .select(col("e.w").as("w"), col("e.a").as("a"),
-          col("e.b").as("b"), col("e.la").as("la"),
-          col("e.lb").as("lb")), eager = false)
       val dbg = sys.env.contains("SPARK_GRAFT_SL_DEBUG")
       val tR = System.nanoTime()
       val nCross = crossMin.count()
@@ -191,18 +198,21 @@ object SingleLinkage {
         require(stable,
           s"single-linkage pointer doubling did not converge in" +
             s" $maxRounds hops")
-        // re-key the collapsed survivors through the contraction; both
+        // re-key the collapsed survivors through the contraction (both
         // labels of every crossMin row picked an edge this round, so
-        // the joins are inner. Edges whose endpoints merged are now
-        // intra-component and drop here.
-        live = PlanBridge.localCheckpointStatsBarrier(crossMin
-          .join(par.select(col("c").as("la"), col("r").as("ra")),
-            Seq("la"))
-          .join(par.select(col("c").as("lb"), col("r").as("rb")),
-            Seq("lb"))
-          .filter(col("ra") =!= col("rb"))
-          .select(col("a"), col("b"), col("w"),
-            col("ra").as("la"), col("rb").as("lb")), eager = true)
+        // the joins are inner; edges whose endpoints merged are now
+        // intra-component and drop), and COLLAPSE again in the same
+        // plan — the next round's crossMin, materialized lazily so the
+        // loop-top count is its one materializing action.
+        crossMin = PlanBridge.localCheckpointStatsBarrier(
+          collapse(crossMin
+            .join(par.select(col("c").as("la"), col("r").as("ra")),
+              Seq("la"))
+            .join(par.select(col("c").as("lb"), col("r").as("rb")),
+              Seq("lb"))
+            .filter(col("ra") =!= col("rb"))
+            .select(col("a"), col("b"), col("w"),
+              col("ra").as("la"), col("rb").as("lb"))), eager = false)
       }
     }
     require(done,
